@@ -1,0 +1,83 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter from the harness `events` table (TESTDATA.md: event_id, ts[ns],
+  * user_id, event_type, value, props) to the reference-shaped event stream.
+  *
+  * The reference's raw event (SURVEY.md §1.2; reference
+  * src/kafka/faker_producer.py:56-84) carries user/webtoon/episode/session ids
+  * plus country/platform/device/browser dims and scroll/dwell measures. The
+  * harness `events` table has none of those, so we derive them
+  * deterministically from (user_id, event_id, props.k) — every derivation is
+  * mirrored 1:1 in graft.oracle.Oracles so DuckDB can verify every downstream
+  * operator bit-for-bit.
+  *
+  * Time domain note: the parquet `ts` column is timestamp[ns]; Spark reads it
+  * as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong) while DuckDB
+  * truncates to microseconds. All time arithmetic therefore happens in
+  * MICROSECONDS (`ts div 1000` here == `epoch_us(ts)` in the oracle).
+  *
+  * Float policy: doubles never survive an aggregation. Money-like `value` is
+  * carried as integer cents (`value_cents`); averages downstream are computed
+  * as round(sum_int / count, n) so both engines produce identical doubles.
+  */
+object Events {
+
+  /** 30-minute inactivity gap between events of one user ⇒ new session. */
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** Deterministic "as of" instant for TIMEOUT_EXIT classification
+    * (2024-02-15T00:00:00Z). The reference uses current_timestamp()
+    * (silver_user_session_events.py:135) — non-deterministic; we parameterize
+    * (SURVEY.md §7.3 P9) and pin this value for the harness queries. */
+  val AsOfUs: Long = 1707955200000000L
+
+  /** Session considered timed out 600 s after its last event (reference
+    * silver_user_session_events.py:135-136). */
+  val TimeoutUs: Long = 600L * 1000000L
+
+  /** Raw scan. Filter/column pushdown reaches the parquet reader (S8). */
+  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Bronze-analog: typed, dimension-enriched events (S2/S3/P1 analogues).
+    * Narrow (no shuffle); every column codegen-friendly builtins only. */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    raw(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("datetime", to_date(timestamp_micros(col("ts_us"))))
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .withColumn("value_cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .withColumn("webtoon_id",
+        concat(lit("webtoon_"), (col("k") % 10 + 1).cast("string")))
+      .withColumn("episode_id",
+        concat(lit("ep_"), (col("k") % 20 + 1).cast("string")))
+      .withColumn("country", expr(
+        "CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'KR' WHEN 1 THEN 'US' " +
+          "WHEN 2 THEN 'JP' WHEN 3 THEN 'TW' ELSE 'FR' END"))
+      .withColumn("platform", expr(
+        "CASE CAST(k % 3 AS INT) WHEN 0 THEN 'ios' WHEN 1 THEN 'android' " +
+          "ELSE 'web' END"))
+      .withColumn("device", expr(
+        "CASE CAST(k % 4 AS INT) WHEN 0 THEN 'phone' WHEN 1 THEN 'tablet' " +
+          "WHEN 2 THEN 'desktop' ELSE 'tv' END"))
+      .withColumn("browser", expr(
+        "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'chrome' " +
+          "WHEN 1 THEN 'safari' ELSE 'firefox' END"))
+
+  /** P2 not-null conjunction + P3 default fill (reference
+    * silver_user_session_events.py:95-108). */
+  def cleansed(spark: SparkSession, sfDir: String): DataFrame =
+    enriched(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull &&
+        col("k").isNotNull)
+      .na.fill(Map(
+        "platform" -> "UNKNOWN", "device" -> "UNKNOWN",
+        "browser" -> "UNKNOWN", "country" -> "UNKNOWN"))
+}

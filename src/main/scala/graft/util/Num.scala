@@ -1,0 +1,30 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{round, when}
+
+/** Cross-engine-stable rounding.
+  *
+  * `round(x, k)` for k > 0 is NOT portable: Spark rounds the shortest
+  * decimal representation of the double (BigDecimal.valueOf → HALF_UP), so
+  * 37.244999999999997 (printed "37.245") rounds to 37.25, while DuckDB
+  * rounds the binary value to 37.24. At scale 0 both engines agree for every
+  * double (ties are exactly representable and both round half away from
+  * zero), so we only ever round at scale 0:  r(x, k) = round(x·10ᵏ, 0)/10ᵏ.
+  * The oracle SQL (graft.oracle.Oracles) mirrors the exact same expression
+  * tree so both engines execute identical IEEE operations.
+  */
+object Num {
+  def r(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    round(c * p, 0) / p
+  }
+
+  /** round(num/den, k) with num/den integer columns. */
+  def ratio(num: Column, den: Column, k: Int): Column =
+    r(num.cast("double") / den, k)
+
+  /** ratio with a den>0 guard (A11 pattern), else 0.0. */
+  def guardedRatio(num: Column, den: Column, k: Int): Column =
+    when(den > 0, ratio(num, den, k)).otherwise(0.0)
+}
