@@ -2,8 +2,11 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.oracle.Oracles
+import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
+import graft.sim.Similarity
+import graft.text.TextOps
+import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -40,6 +43,18 @@ object SparkEntry {
     "gold_country_daily" -> ((s, dir) => CountryDaily.build(sessions(s, dir))),
     "gold_platform_device_daily" -> ((s, dir) =>
       PlatformDeviceDaily.build(sessions(s, dir))),
+    "q1_pricing_summary" -> CoreOps.q1PricingSummary _,
+    "q3_revenue_topk" -> CoreOps.q3RevenueTopK _,
+    "join_broadcast_dims" -> CoreOps.joinBroadcastDims _,
+    "join_semi_anti" -> CoreOps.semiAntiJoin _,
+    "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
+    "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
+    "text_stats" -> TextOps.textStats _,
+    "text_langid" -> TextOps.langId _,
+    "text_fingerprint" -> TextOps.fingerprint _,
+    "dedup_exact" -> TextOps.dedupExact _,
+    "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
+    "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +66,17 @@ object SparkEntry {
     "gold_webtoon_daily" -> Oracles.goldWebtoonDaily,
     "gold_country_daily" -> Oracles.goldCountryDaily,
     "gold_platform_device_daily" -> Oracles.goldPlatformDeviceDaily,
+    "q1_pricing_summary" -> OpsOracles.q1PricingSummary,
+    "q3_revenue_topk" -> OpsOracles.q3RevenueTopK,
+    "join_broadcast_dims" -> OpsOracles.joinBroadcastDims,
+    "join_semi_anti" -> OpsOracles.semiAntiJoin,
+    "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
+    "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
+    "text_stats" -> OpsOracles.textStats,
+    "text_langid" -> OpsOracles.langId,
+    "text_fingerprint" -> OpsOracles.fingerprint,
+    "dedup_exact" -> OpsOracles.dedupExact,
+    "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
+    "sim_cosine_topk" -> OpsOracles.cosineTopK,
   )
 }

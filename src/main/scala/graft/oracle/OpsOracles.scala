@@ -1,0 +1,286 @@
+package graft.oracle
+
+/** DuckDB oracles for graft.tpch.CoreOps, graft.text.TextOps and
+  * graft.sim.Similarity. Same cross-engine rules as [[Oracles]]: integer
+  * (cents / quantized) arithmetic through aggregation, scale-0 rounding,
+  * BIGINT casts, total window orderings. DuckDB-specific notes:
+  * regexp_replace needs the 'g' flag (Spark replaces all by default);
+  * list_zip struct fields are accessed positionally (s[1], s[2]).
+  */
+object OpsOracles {
+
+  val q1PricingSummary: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS qty_l,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep_c,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_c,
+      |    CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |),
+      |agg AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(qty_l) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(ep_c) AS BIGINT) AS base_c_sum,
+      |    CAST(SUM(ep_c * (100 - disc_c)) AS BIGINT) AS disc_price_i,
+      |    CAST(SUM(ep_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+      |      AS charge_i,
+      |    CAST(SUM(disc_c) AS BIGINT) AS disc_c_sum,
+      |    CAST(count(*) AS BIGINT) AS count_order
+      |  FROM li GROUP BY 1, 2
+      |)
+      |SELECT l_returnflag, l_linestatus, sum_qty, count_order,
+      |  round((base_c_sum::DOUBLE / 100) * 100, 0) / 100.0 AS sum_base_price,
+      |  round((disc_price_i::DOUBLE / 10000) * 100, 0) / 100.0
+      |    AS sum_disc_price,
+      |  round((charge_i::DOUBLE / 1000000) * 100, 0) / 100.0 AS sum_charge,
+      |  round((sum_qty::DOUBLE / count_order) * 100, 0) / 100.0 AS avg_qty,
+      |  round((disc_c_sum::DOUBLE / (count_order * 100)) * 10000, 0) / 10000.0
+      |    AS avg_disc
+      |FROM agg""".stripMargin
+
+  val q3RevenueTopK: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_i
+      |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |),
+      |o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |),
+      |c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |agg AS (
+      |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      |         CAST(SUM(rev_i) AS BIGINT) AS rev_i_sum
+      |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+      |  JOIN c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT l_orderkey, orderdate,
+      |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
+      |FROM agg ORDER BY rev_i_sum DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val joinBroadcastDims: String =
+    """WITH cu AS (
+      |  SELECT c_nationkey,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+      |  FROM customer
+      |),
+      |j AS (
+      |  SELECT r_name, n_name, bal_c
+      |  FROM cu JOIN nation ON cu.c_nationkey = nation.n_nationkey
+      |  JOIN region ON nation.n_regionkey = region.r_regionkey
+      |),
+      |agg AS (
+      |  SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS customers,
+      |         CAST(SUM(bal_c) AS BIGINT) AS bal_c_sum
+      |  FROM j GROUP BY 1, 2
+      |)
+      |SELECT r_name, n_name, customers,
+      |  round((bal_c_sum::DOUBLE / 100) * 100, 0) / 100.0 AS total_acctbal,
+      |  round((bal_c_sum::DOUBLE / (customers * 100)) * 100, 0) / 100.0
+      |    AS avg_acctbal
+      |FROM agg""".stripMargin
+
+  val semiAntiJoin: String =
+    """WITH w AS (
+      |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customers_with_orders
+      |  FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1
+      |),
+      |wo AS (
+      |  SELECT c_nationkey,
+      |         CAST(count(*) AS BIGINT) AS customers_without_orders
+      |  FROM customer c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customers_total
+      |  FROM customer GROUP BY 1
+      |)
+      |SELECT t.c_nationkey, t.customers_total,
+      |  coalesce(w.customers_with_orders, 0) AS customers_with_orders,
+      |  coalesce(wo.customers_without_orders, 0) AS customers_without_orders
+      |FROM t LEFT JOIN w USING (c_nationkey)
+      |LEFT JOIN wo USING (c_nationkey)""".stripMargin
+
+  val topOrderPerCustomer: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey) AS rn
+      |  FROM o
+      |)
+      |SELECT o_custkey, o_orderkey AS top_orderkey,
+      |  round((price_c::DOUBLE / 100) * 100, 0) / 100.0 AS top_totalprice
+      |FROM r WHERE rn = 1""".stripMargin
+
+  val ordersDailyDistinct: String =
+    """WITH agg AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS orderdate,
+      |    CAST(count(*) AS BIGINT) AS orders,
+      |    count(DISTINCT o_custkey) AS customers,
+      |    count(DISTINCT ROW(o_custkey, o_orderstatus)) AS cust_status_pairs,
+      |    count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN o_custkey END) AS urgent_customers,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS finished_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT *,
+      |  CASE WHEN customers > 0
+      |    THEN round((urgent_customers::DOUBLE / customers) * 10000, 0)
+      |      / 10000.0
+      |    ELSE 0.0 END AS urgent_customer_ratio
+      |FROM agg""".stripMargin
+
+  val textStats: String =
+    """WITH s1 AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    CAST(length(text) AS INT) AS n_chars_actual,
+      |    CASE WHEN trim(text) = '' THEN CAST(0 AS INT)
+      |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |      END AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
+      |      AS punct_chars,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT)
+      |      AS digit_chars,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT)
+      |      AS nonws_chars,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INT)
+      |      AS stopword_count
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
+      |  CASE WHEN n_chars_actual > 0
+      |    THEN round((punct_chars::DOUBLE / n_chars_actual) * 10000, 0)
+      |      / 10000.0 ELSE 0.0 END AS punct_ratio,
+      |  CASE WHEN n_chars_actual > 0
+      |    THEN round((digit_chars::DOUBLE / n_chars_actual) * 10000, 0)
+      |      / 10000.0 ELSE 0.0 END AS digit_ratio,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round((nonws_chars::DOUBLE / n_tokens) * 100, 0) / 100.0
+      |    ELSE 0.0 END AS avg_token_len,
+      |  stopword_count,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round((stopword_count::DOUBLE / n_tokens) * 10000, 0) / 10000.0
+      |    ELSE 0.0 END AS stopword_ratio
+      |FROM s1""".stripMargin
+
+  val langId: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS lower_text
+      |  FROM documents
+      |),
+      |p AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN lower_text LIKE '% the %' OR lower_text LIKE '% of %'
+      |      THEN 'en'
+      |      WHEN lower_text LIKE '% der %' OR lower_text LIKE '% und %'
+      |      THEN 'de'
+      |      WHEN lower_text LIKE '% le %' OR lower_text LIKE '% et %'
+      |      THEN 'fr'
+      |      WHEN lower_text LIKE '% el %' OR lower_text LIKE '% y %'
+      |      THEN 'es'
+      |      ELSE 'unknown' END AS predicted_lang
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, predicted_lang,
+      |  CAST(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS INT)
+      |    AS lang_match
+      |FROM p""".stripMargin
+
+  val fingerprint: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  val dedupExact: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |)
+      |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+      |  CAST(count(*) AS BIGINT) AS dup_count
+      |FROM f GROUP BY fp""".stripMargin
+
+  val ngramJaccard: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |),
+      |tg AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN length(norm) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, CAST(length(norm) AS INT) - 1),
+      |        i -> substr(norm, CAST(i AS INT), 3)))
+      |    ELSE CAST([] AS VARCHAR[]) END AS tg
+      |  FROM d
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS BIGINT) AS uni
+      |  FROM tg a JOIN tg b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN uni > 0
+      |      THEN round((inter::DOUBLE / uni) * 10000, 0) / 10000.0
+      |      ELSE 0.0 END AS jaccard
+      |  FROM pairs
+      |)
+      |SELECT doc_a, doc_b, jaccard,
+      |  CAST(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS INT)
+      |    AS is_near_dup
+      |FROM j""".stripMargin
+
+  val cosineTopK: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+      |      s -> s[1] * s[2])) AS BIGINT) AS dot,
+      |    a.nn AS qn, b.nn AS cn
+      |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round((dot::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(cn::DOUBLE)))
+      |      * 1000000, 0) / 1000000.0 AS cosine
+      |  FROM pairs
+      |),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+      |    AS "rank"
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      |WHERE "rank" <= 5""".stripMargin
+}

@@ -1,0 +1,58 @@
+package graft.sim
+
+import graft.util.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Embeddings are quantized to integer micro-units (×10⁶, round) before any
+  * arithmetic: integer dot products and norms are exact and
+  * order-independent, so Spark's sequential array fold and DuckDB's list_sum
+  * agree bit-for-bit; only the final cosine (one division + two sqrt on
+  * identical doubles) touches floating point, and IEEE sqrt/÷ are correctly
+  * rounded in both engines.
+  *
+  * Brute-force top-k is the correctness baseline; the scale path is
+  * [[LshCosine]] (hyperplane-bucketed candidates), verified against this
+  * baseline in ScalaTest.
+  */
+object Similarity {
+
+  /** vec_id, q (quantized Array[Long]), n (integer squared norm). */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("q", expr(
+        "transform(embedding, x -> " +
+          "cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .withColumn("n", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+      .select("vec_id", "label", "q", "n")
+
+  /** Brute-force cosine top-k for the first `nQueries` vectors.
+    * The query side is tiny ⇒ broadcast; the candidate scan is a single
+    * pass, no shuffle until the per-query top-k window. */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+                 k: Int = 5): DataFrame = {
+    val emb = quantized(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("n").as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("q").as("cv"),
+      col("n").as("cn"))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        Num.r(col("dot").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))),
+          6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.text
+
+import graft.util.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting, exact dedup and
+  * blocked n-gram Jaccard near-dup detection.
+  *
+  * Everything is built from codegen'd builtins (regexp, higher-order array
+  * functions) — no UDFs — so the operators stay inside whole-stage codegen
+  * and scale linearly with input splits. The Jaccard pass uses (lang, source)
+  * blocking so the pairwise stage is bounded per block instead of O(N²) over
+  * the corpus — the same blocking a 100 TB run would use (with minhash bands
+  * as blocks, see MinHashDedup).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token counts + quality ratios (P-class row transforms, no shuffle). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(w => s"'$w'").mkString(", ")
+    docs(s, dir)
+      .withColumn("n_chars_actual", length(col("text")))
+      .withColumn("n_tokens", expr(
+        "CASE WHEN trim(text) = '' THEN CAST(0 AS INT) " +
+          "ELSE size(split(trim(text), '\\\\s+')) END"))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")))
+      .withColumn("digit_chars",
+        length(regexp_replace(col("text"), "[^0-9]", "")))
+      .withColumn("nonws_chars",
+        length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("stopword_count", expr(
+        s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t IN ($sw)))"))
+      .withColumn("punct_ratio",
+        Num.guardedRatio(col("punct_chars"), col("n_chars_actual"), 4))
+      .withColumn("digit_ratio",
+        Num.guardedRatio(col("digit_chars"), col("n_chars_actual"), 4))
+      .withColumn("avg_token_len",
+        Num.guardedRatio(col("nonws_chars"), col("n_tokens"), 2))
+      .withColumn("stopword_ratio",
+        Num.guardedRatio(col("stopword_count"), col("n_tokens"), 4))
+      .select("doc_id", "lang", "source", "n_chars", "n_chars_actual",
+        "n_tokens", "punct_ratio", "digit_ratio", "avg_token_len",
+        "stopword_count", "stopword_ratio")
+  }
+
+  /** Marker-word language-ID heuristic (first-match CASE, deterministic).
+    * A real deployment would use n-gram profiles; the harness corpus is
+    * synthetic English-ish text, so the heuristic doubles as a null model. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("lower_text", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("predicted_lang", expr(
+        "CASE WHEN lower_text LIKE '% the %' OR lower_text LIKE '% of %' " +
+          "THEN 'en' " +
+          "WHEN lower_text LIKE '% der %' OR lower_text LIKE '% und %' " +
+          "THEN 'de' " +
+          "WHEN lower_text LIKE '% le %' OR lower_text LIKE '% et %' " +
+          "THEN 'fr' " +
+          "WHEN lower_text LIKE '% el %' OR lower_text LIKE '% y %' " +
+          "THEN 'es' " +
+          "ELSE 'unknown' END"))
+      .withColumn("lang_match",
+        when(col("predicted_lang") === col("lang"), 1).otherwise(0)
+          .cast("int"))
+      .select("doc_id", "lang", "predicted_lang", "lang_match")
+
+  /** Whitespace-normalized MD5 document fingerprint. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("fp",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .select("doc_id", "fp")
+
+  /** Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
+    * One shuffle on fp; at 100 TB this is the cheapest dedup pass and runs
+    * before any fuzzy method. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    fingerprint(s, dir)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Character-trigram Jaccard similarity for candidate pairs within
+    * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val withTg = docs(s, dir)
+      .withColumn("norm",
+        lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("tg", expr(
+        "CASE WHEN length(norm) >= 3 THEN " +
+          "array_distinct(transform(sequence(1, length(norm) - 2), " +
+          "i -> substring(norm, i, 3))) " +
+          "ELSE array() END"))
+      .select("doc_id", "lang", "source", "tg")
+    val a = withTg.as("a")
+    val b = withTg.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.tg"), col("b.tg"))).cast("bigint")
+          .as("inter"),
+        size(array_union(col("a.tg"), col("b.tg"))).cast("bigint").as("uni"))
+      .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
+      .withColumn("is_near_dup",
+        when(col("jaccard") >= 0.5, 1).otherwise(0).cast("int"))
+      .select("doc_a", "doc_b", "jaccard", "is_near_dup")
+  }
+}

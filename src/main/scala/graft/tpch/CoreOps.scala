@@ -1,0 +1,148 @@
+package graft.tpch
+
+import graft.util.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator-coverage queries over the TPC-H-ish harness tables. Each maps to
+  * SURVEY.md §2 operator classes on data the reference pipeline doesn't
+  * reach (joins over dimension tables, sort+limit, semi/anti joins).
+  *
+  * Money columns (2-decimal doubles) are quantized to integer cents before
+  * any aggregation so sums are exact and order-independent; see
+  * graft.util.Num for the cross-engine rounding rule.
+  */
+object CoreOps {
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    expr(s"cast(round($c * 100, 0) as bigint)")
+
+  /** TPC-H Q1 shape (A5/A6/A8): pricing summary with exact cents math.
+    * Single shuffle, partial aggregation map-side; filter pushed to scan. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= expr("timestamp'2000-09-02 00:00:00'"))
+      .withColumn("qty_l", expr("cast(round(l_quantity, 0) as bigint)"))
+      .withColumn("ep_c", cents("l_extendedprice"))
+      .withColumn("disc_c", cents("l_discount"))
+      .withColumn("tax_c", cents("l_tax"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_l")).as("sum_qty"),
+        sum(col("ep_c")).as("base_c_sum"),
+        sum(col("ep_c") * (lit(100L) - col("disc_c"))).as("disc_price_i"),
+        sum(col("ep_c") * (lit(100L) - col("disc_c")) *
+          (lit(100L) + col("tax_c"))).as("charge_i"),
+        sum(col("disc_c")).as("disc_c_sum"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("count_order"),
+        Num.r(col("base_c_sum").cast("double") / 100, 2).as("sum_base_price"),
+        Num.r(col("disc_price_i").cast("double") / 10000, 2)
+          .as("sum_disc_price"),
+        Num.r(col("charge_i").cast("double") / 1000000, 2).as("sum_charge"),
+        Num.ratio(col("sum_qty"), col("count_order"), 2).as("avg_qty"),
+        Num.r(col("disc_c_sum").cast("double") / (col("count_order") * 100), 4)
+          .as("avg_disc"))
+
+  /** TPC-H Q3 shape: 3-way join (filter → join → agg → deterministic
+    * top-10). The customer filter reduces the build side before the join;
+    * AQE/broadcast applies to the small side. */
+  def q3RevenueTopK(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = read(s, dir, "orders")
+      .filter(col("o_orderdate") < expr("timestamp'1998-03-15 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = read(s, dir, "lineitem")
+      .filter(col("l_shipdate") > expr("timestamp'1998-03-15 00:00:00'"))
+      .select(col("l_orderkey"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("rev_i"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+      .agg(sum(col("rev_i")).as("rev_i_sum"))
+      .withColumn("revenue", Num.r(col("rev_i_sum").cast("double") / 10000, 2))
+      .orderBy(col("rev_i_sum").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("orderdate"), col("revenue"))
+  }
+
+  /** Broadcast dimension join: customer ⋈ nation ⋈ region (both dims tiny
+    * ⇒ broadcast-hash; no shuffle of the fact side beyond the agg). */
+  def joinBroadcastDims(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "customer")
+      .withColumn("bal_c", cents("c_acctbal"))
+    val nation = read(s, dir, "nation")
+    val region = read(s, dir, "region")
+    cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("customers"),
+        sum(col("bal_c")).as("bal_c_sum"))
+      .withColumn("total_acctbal",
+        Num.r(col("bal_c_sum").cast("double") / 100, 2))
+      .withColumn("avg_acctbal",
+        Num.r(col("bal_c_sum").cast("double") / (col("customers") * 100), 2))
+      .drop("bal_c_sum")
+  }
+
+  /** Semi/anti joins: per nation, customers with vs without orders.
+    * left_semi/left_anti avoid materializing the join payload. */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "customer")
+    val orderKeys = read(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = cust.join(orderKeys,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("customers_with_orders"))
+    val withoutOrders = cust.join(orderKeys,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("customers_without_orders"))
+    cust.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("customers_total"))
+      .join(withOrders, Seq("c_nationkey"), "left")
+      .join(withoutOrders, Seq("c_nationkey"), "left")
+      .na.fill(Map("customers_with_orders" -> 0L,
+        "customers_without_orders" -> 0L))
+  }
+
+  /** W2 argmax on TPC-H: each customer's largest order (row_number over
+    * (custkey) ordered by totalprice desc, orderkey tiebreak). */
+  def topOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val ord = read(s, dir, "orders")
+      .withColumn("price_c", cents("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+        Num.r(col("price_c").cast("double") / 100, 2).as("top_totalprice"))
+  }
+
+  /** A2/A3/A4 distinct-aggregate battery per order day. */
+  def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("orderdate"))
+      .agg(
+        count(lit(1)).as("orders"),
+        countDistinct(col("o_custkey")).as("customers"),
+        countDistinct(struct(col("o_custkey"), col("o_orderstatus")))
+          .as("cust_status_pairs"),
+        countDistinct(when(col("o_orderpriority") === "1-URGENT",
+          col("o_custkey"))).as("urgent_customers"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .cast("bigint").as("finished_orders"))
+      .withColumn("urgent_customer_ratio",
+        Num.guardedRatio(col("urgent_customers"), col("customers"), 4))
+}
