@@ -5,7 +5,7 @@ import graft.ingest.Events
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.sim.Similarity
-import graft.text.TextOps
+import graft.text.{MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -55,6 +55,12 @@ object SparkEntry {
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    // Not SQL-expressible (hash-seeded LSH): rows-only check + ScalaTest
+    // verification against the exact-Jaccard baseline (DedupSpec).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      MinHashDedup.nearDuplicates(s, dir, threshold = 0.3)),
+    "dedup_simhash" -> ((s, dir) => SimHashDedup.nearDuplicates(
+      s.read.parquet(s"$dir/documents.parquet"), maxHamming = 12)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,75 @@
+package graft.runtime
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C1–C4: incremental-processing runtime replacing Iceberg snapshots
+  * (SURVEY.md §2.10, §7.3).
+  *
+  * A table ingested through [[appendBatch]] is parquet partitioned by
+  * `batch_id` (monotonically increasing). The partition layout IS the
+  * manifest: [[batches]] lists committed ids from directory names
+  * (metadata-only, no data scan), the high-watermark is the max id, and
+  * [[readSince]] prunes to `batch_id > watermark` — the same "process only
+  * new data" contract as the reference's snapshot-range scan
+  * (silver_user_session_events.py:67-75).
+  *
+  * Lineage validity (C2, silver_dag.py:65-88): a stored watermark is valid
+  * only if that batch id still exists; otherwise history was rewritten and
+  * the caller falls back to a full read — mirroring the reference's
+  * ancestry walk that returns prev=None on a broken chain.
+  */
+object Incremental {
+
+  def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
+                  batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("append").parquet(tableDir)
+
+  /** Committed batch ids from partition directory names (no data scan). */
+  def batches(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+      .sorted
+  }
+
+  def highWatermark(spark: SparkSession, tableDir: String): Option[Long] =
+    batches(spark, tableDir).lastOption
+
+  /** C2: stored watermark must still be a committed batch. */
+  def lineageValid(spark: SparkSession, tableDir: String,
+                   watermark: Long): Boolean =
+    batches(spark, tableDir).contains(watermark)
+
+  /** Incremental scan: rows in batches after `sinceExclusive`; an invalid
+    * or absent watermark falls back to the full table (the reference's
+    * prev=None path). Partition pruning on batch_id keeps the scan to new
+    * files only. */
+  def readSince(spark: SparkSession, tableDir: String,
+                sinceExclusive: Option[Long]): DataFrame = {
+    val df = spark.read.parquet(tableDir)
+    sinceExclusive match {
+      case Some(wm) if lineageValid(spark, tableDir, wm) =>
+        df.filter(col("batch_id") > wm)
+      case _ => df
+    }
+  }
+
+  /** C4: completeness gate — fail the downstream chain when a partition
+    * holds fewer data files than expected (gold_daily_dag.py:49-64). */
+  def completenessGate(spark: SparkSession, partitionDir: String,
+                       minFiles: Int): Boolean = {
+    val p = new Path(partitionDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).count { s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")
+    } >= minFiles
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S1–S5: Bronze streaming ingest (reference bronze_load_raw_data.py).
+  *
+  * The stream is deliberately stateless — parse, project, derive the
+  * partition date, append — exactly the reference's design (sessionization
+  * stays in batch; README.md:53-54 and Issue #2). The same [[parse]]
+  * transform serves the batch path, which is what makes the stream/batch
+  * equivalence test possible (BronzeIngestSpec).
+  *
+  * In production the source is Kafka (`readStream.format("kafka")` with
+  * maxOffsetsPerTrigger for backpressure); the harness has no broker, so
+  * the entry points take any DataFrame with a `value` string column
+  * (MemoryStream, file source) — the S2-onward lineage is identical.
+  */
+object BronzeIngest {
+
+  /** S2 + S3: JSON decode against the fixed schema, flatten, derive the
+    * `datetime` partition column. Unknown JSON fields drop; missing fields
+    * become null (schema-on-write, SURVEY.md §1.4). */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"),
+        Schemas.rawEventSchema).as("data"))
+      .select(col("data.*"))
+      .withColumn("datetime", to_date(col("utimestamptz")))
+
+  /** S5: append-only parquet sink with checkpoint recovery. Trigger
+    * defaults to the reference's 30 s processing-time cadence;
+    * availableNow=true drains everything once (tests, backfills). */
+  def start(parsed: DataFrame, outDir: String, checkpointDir: String,
+            availableNow: Boolean = false): StreamingQuery = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("30 seconds")
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .partitionBy("datetime")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

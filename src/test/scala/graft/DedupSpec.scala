@@ -1,0 +1,82 @@
+package graft
+
+import graft.text.{MinHashDedup, SimHashDedup, TextOps}
+import graft.util.Num
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-dedup scale paths verified against exact baselines: MinHash+LSH
+  * candidates must contain every high-Jaccard pair; SimHash chunk blocking
+  * must find every pair within the Hamming bound. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")),              // near-dup of 0
+    (2L, base),                                        // exact dup of 0
+    (3L, "completely different content about spark shuffles and joins " * 6),
+    (4L, "another unrelated document mentioning parquet and kafka " * 6),
+    (5L, base.replace("quick", "rapid").replace("dog", "cat")) // near-dup
+  ).toDF("doc_id", "text")
+    .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    .withColumn("n_chars", length(col("text")))
+
+  /** Exact trigram Jaccard for all pairs (brute force baseline). */
+  private def bruteJaccard = {
+    val tg = corpus
+      .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("tg", expr(
+        "array_distinct(transform(sequence(1, length(norm) - 2), " +
+          "i -> substring(norm, i, 3)))"))
+      .select("doc_id", "tg")
+    val a = tg.as("a"); val b = tg.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.tg"), col("b.tg"))).cast("bigint")
+          .as("inter"),
+        size(array_union(col("a.tg"), col("b.tg"))).cast("bigint").as("uni"))
+      .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
+  }
+
+  test("minhash LSH finds every pair with Jaccard >= 0.6") {
+    val expected = bruteJaccard.filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty) // the corpus must actually contain near-dups
+    val sigs = MinHashDedup.signatures(corpus)
+    val candidates = MinHashDedup.candidatePairs(sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(candidates),
+      s"LSH missed ${expected -- candidates}")
+    // and the confirm step reproduces the exact-jaccard verdicts
+    val tgA = sigs.select(col("doc_id").as("doc_a"), col("tg").as("tg_a"))
+    val tgB = sigs.select(col("doc_id").as("doc_b"), col("tg").as("tg_b"))
+    val confirmed = candidates.toSeq.toDF("doc_a", "doc_b")
+      .join(tgA, Seq("doc_a")).join(tgB, Seq("doc_b"))
+      .withColumn("jaccard", Num.guardedRatio(
+        size(array_intersect(col("tg_a"), col("tg_b"))).cast("bigint"),
+        size(array_union(col("tg_a"), col("tg_b"))).cast("bigint"), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(confirmed == expected)
+  }
+
+  test("exact duplicates collapse to one canonical doc") {
+    val dir = tmpDir("docs")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.dedupExact(spark, dir)
+    assert(out.count() == 5) // 6 docs, 0 and 2 identical
+    val dup = out.filter(col("dup_count") === 2).collect().head
+    assert(dup.getAs[Long]("canonical_doc_id") == 0L)
+  }
+
+  test("simhash: identical docs at distance 0, found by chunk blocking") {
+    val pairs = SimHashDedup.nearDuplicates(corpus, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 2L)).contains(0)) // exact dup → hamming 0
+    // unrelated docs must not appear within the bound
+    assert(!m.contains((3L, 4L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.runtime.Incremental
+import graft.silver.MergeUpsert
+import org.apache.spark.sql.functions._
+
+/** Merge-upsert semantics (S9 rewrite) and the incremental runtime
+  * (C1–C4): update-vs-insert, idempotency, untouched-partition safety,
+  * watermark lineage fallback, completeness gate. */
+class RuntimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sessionsDf(rows: Seq[(String, String, Double)]) =
+    rows.toDF("session_id", "datetime_s", "max_value")
+      .withColumn("datetime", to_date(col("datetime_s"))).drop("datetime_s")
+
+  test("upsert updates matched keys, inserts new, leaves other partitions") {
+    val dir = tmpDir("merge")
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("s1", "2024-01-01", 1.0),
+      ("s2", "2024-01-01", 2.0),
+      ("s3", "2024-01-02", 3.0))), Seq("session_id", "datetime"))
+    // s2 updated, s4 inserted; 01-02 partition untouched
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("s2", "2024-01-01", 20.0),
+      ("s4", "2024-01-01", 4.0))), Seq("session_id", "datetime"))
+    val out = spark.read.parquet(dir)
+      .select("session_id", "max_value").as[(String, Double)]
+      .collect().toMap
+    assert(out == Map("s1" -> 1.0, "s2" -> 20.0, "s3" -> 3.0, "s4" -> 4.0))
+  }
+
+  test("upsert is idempotent") {
+    val dir = tmpDir("merge2")
+    val stage = sessionsDf(Seq(("a", "2024-01-01", 1.0),
+      ("b", "2024-01-02", 2.0)))
+    MergeUpsert.upsert(spark, dir, stage, Seq("session_id", "datetime"))
+    MergeUpsert.upsert(spark, dir, stage, Seq("session_id", "datetime"))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 2)
+  }
+
+  test("incremental: watermark advance, pruned reads, lineage fallback") {
+    val dir = tmpDir("incr")
+    Incremental.appendBatch(spark, dir, Seq((1, "a")).toDF("id", "v"), 1L)
+    Incremental.appendBatch(spark, dir, Seq((2, "b")).toDF("id", "v"), 2L)
+    assert(Incremental.highWatermark(spark, dir).contains(2L))
+    assert(Incremental.readSince(spark, dir, Some(1L))
+      .select("id").as[Int].collect().toSeq == Seq(2))
+    // full read when no watermark
+    assert(Incremental.readSince(spark, dir, None).count() == 2)
+    // broken lineage (unknown watermark) → full recompute path
+    assert(!Incremental.lineageValid(spark, dir, 99L))
+    assert(Incremental.readSince(spark, dir, Some(99L)).count() == 2)
+  }
+
+  test("completeness gate counts parquet files") {
+    val dir = tmpDir("gate")
+    Seq((1, "x")).toDF("id", "v").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    assert(Incremental.completenessGate(spark, dir, 1))
+    assert(!Incremental.completenessGate(spark, dir, 50))
+    assert(!Incremental.completenessGate(spark, s"$dir/missing", 1))
+  }
+}
