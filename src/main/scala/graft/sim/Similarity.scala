@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.util.Num
+import graft.util.{Layout, Num}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +22,7 @@ object Similarity {
 
   /** vec_id, q (quantized Array[Long]), n (integer squared norm). */
   def quantized(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Layout.spread(s.read.parquet(s"$dir/embeddings.parquet"))
       .withColumn("q", expr(
         "transform(embedding, x -> " +
           "cast(round(cast(x as double) * 1000000, 0) as bigint))"))

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.functions.SignatureExpressions
+import graft.util.Layout
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,20 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object SimHashDedup {
 
-  /** doc_id + 64-bit simhash of whitespace tokens. */
-  def signatures(docs: DataFrame): DataFrame =
-    docs
+  /** doc_id + 64-bit simhash of whitespace tokens, via the native
+    * SimHashSignature expression (graft.functions). */
+  def signatures(docs: DataFrame): DataFrame = {
+    SignatureExpressions.register(docs.sparkSession, 64,
+      Array(1L), Array(0L), 2147483647L)
+    Layout.spread(docs)
       .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("toks", expr(
         "CASE WHEN trim(norm) = '' THEN array() " +
           "ELSE split(trim(norm), ' ') END"))
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc + CASE WHEN aggregate(th, 0L, (s, h) ->
-          |    s + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr("graft_simhash(th)"))
       .select("doc_id", "simhash")
+  }
 
   /** Pairs within `maxHamming` (≤ 3 guaranteed complete via 4×16-bit
     * chunk blocking). */

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.util.Num
+import graft.util.{Layout, Num}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,7 +91,7 @@ object TextOps {
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val withTg = docs(s, dir)
+    val withTg = Layout.spread(docs(s, dir))
       .withColumn("norm",
         lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("tg", expr(

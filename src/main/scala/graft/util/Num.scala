@@ -28,3 +28,15 @@ object Num {
   def guardedRatio(num: Column, den: Column, k: Int): Column =
     when(den > 0, ratio(num, den, k)).otherwise(0.0)
 }
+
+/** Physical-layout helpers. */
+object Layout {
+  /** Round-robin repartition to the session's core count. The harness
+    * tables are single parquet files (one input split), so compute-heavy
+    * narrow stages (signatures, pairwise set ops) would otherwise run on
+    * one core; on a real cluster the same call spreads a small hot stage
+    * across executors. */
+  def spread(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
