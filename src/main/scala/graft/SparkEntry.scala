@@ -4,10 +4,12 @@ import graft.gold._
 import graft.ingest.Events
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
-import graft.sim.Similarity
+import graft.multimodal.MultimodalOps
+import graft.sim.{IvfCosine, Similarity}
 import graft.text.{MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +63,13 @@ object SparkEntry {
       MinHashDedup.nearDuplicates(s, dir, threshold = 0.6)),
     "dedup_simhash" -> ((s, dir) => SimHashDedup.nearDuplicates(
       s.read.parquet(s"$dir/documents.parquet"), maxHamming = 12)),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      IvfCosine.topK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", nlist = 16, nprobe = 4, k = 5)
+    }),
+    "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
+      MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the scale path
+  * for cosine similarity when the corpus is too large for brute force
+  * ([[Similarity.cosineTopK]] is the exact baseline; IvfCosineSpec verifies
+  * recall against it on clustered data).
+  *
+  * Train: Lloyd's k-means over normalized vectors, expressed as DataFrame
+  * ops (centroid cross-join is nlist-sized ⇒ broadcast; element-wise mean
+  * via posexplode + groupBy). Index: each vector assigned to its nearest
+  * centroid — at 100 TB this is the partitioning/bucketing column, so a
+  * query touches only nprobe/nlist of the data. Query: nearest nprobe
+  * centroids per query, exact cosine within those lists only.
+  *
+  * Everything is deterministic: initial centroids are the first nlist
+  * vectors by id, and ties break on id.
+  */
+object IvfCosine {
+
+  /** L2-normalize and cast to double array. */
+  private def normalized(vectors: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    vectors
+      .withColumn("v", expr(
+        s"transform($vecCol, x -> cast(x as double))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nv", expr(
+        "CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm) ELSE v END"))
+      .select(col(idCol).as("vid"), col("nv"))
+
+  private val dotExpr =
+    "aggregate(zip_with(nv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  /** K-means centroids over normalized vectors: (cluster_id, cv). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, iters: Int = 3): DataFrame = {
+    val nv = normalized(vectors, idCol, vecCol).cache()
+    var centroids = nv.orderBy(col("vid")).limit(nlist)
+      .withColumn("cluster_id",
+        row_number().over(Window.orderBy(col("vid"))) - 1)
+      .select(col("cluster_id"), col("nv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(nv, centroids)
+      centroids = assigned
+        .join(nv, Seq("vid"))
+        .select(col("cluster_id"), posexplode(col("nv")).as(Seq("i", "x")))
+        .groupBy(col("cluster_id"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+          .as("pairs"))
+        .select(col("cluster_id"),
+          expr("transform(pairs, p -> p.m)").as("cv"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector: (vid, cluster_id). */
+  def assign(nv: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dot").desc, col("cluster_id"))
+    nv.crossJoin(broadcast(centroids))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cluster_id"))
+  }
+
+  /** Top-k by cosine among vectors whose list is one of the query's
+    * nprobe nearest centroids. Returns (query_id, neighbor_id, cosine,
+    * rank). Cosine here is the normalized dot (double), not the quantized
+    * oracle form — IVF is verified by recall against the exact baseline,
+    * not by hash equality. */
+  def topK(vectors: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, nlist: Int, nprobe: Int, k: Int,
+           iters: Int = 3): DataFrame = {
+    val nv = normalized(vectors, idCol, vecCol).cache()
+    val centroids = train(vectors, idCol, vecCol, nlist, iters).cache()
+    val indexed = assign(nv, centroids).join(nv, Seq("vid"))
+      .select(col("vid").as("neighbor_id"), col("cluster_id"),
+        col("nv").as("cv"))
+
+    val qn = normalized(queries, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("nv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cluster_id"))
+    val probes = qn.crossJoin(broadcast(centroids))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("nv"), col("cluster_id"))
+
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(indexed, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}
