@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- args) {
+      println(s"========== $name ==========")
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      println(plan)
+    }
+    spark.stop()
+  }
+}

@@ -30,6 +30,12 @@ object BronzeIngest {
       .select(col("data.*"))
       .withColumn("datetime", to_date(col("utimestamptz")))
 
+  /** S4: console debug sink (dev only — reference
+    * bronze_load_raw_data.py:79-82 runs it as a second concurrent query
+    * over the same lineage). */
+  def startConsole(parsed: DataFrame): StreamingQuery =
+    parsed.writeStream.outputMode("append").format("console").start()
+
   /** S5: append-only parquet sink with checkpoint recovery. Trigger
     * defaults to the reference's 30 s processing-time cadence;
     * availableNow=true drains everything once (tests, backfills). */
