@@ -97,7 +97,9 @@ object MinHashDedup {
                      threshold: Double = 0.6): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
-    val pairs = candidatePairs(sigs)
+    // Cached: the band self-join subtree otherwise re-materializes inside
+    // the estimate+confirm joins' stages.
+    val pairs = candidatePairs(sigs).cache()
     val mhA = sigs.select(col("doc_id").as("doc_a"),
       col("minhash").as("mh_a"))
     val mhB = sigs.select(col("doc_id").as("doc_b"),
