@@ -93,5 +93,6 @@ object SparkEntry {
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
+    "multimodal_features" -> OpsOracles.multimodalFeatures,
   )
 }

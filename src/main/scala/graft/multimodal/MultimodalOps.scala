@@ -3,11 +3,13 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Media-feature record produced by the decode stage. */
+/** Media-feature record produced by the decode stage. `byte_sum` is the
+  * exact integer payload sum so downstream means stay order-independent. */
 case class MediaFeatures(
     media_id: Long,
     media_type: String,
     n_bytes: Long,
+    byte_sum: Long,
     header_hash: Long,
     mean_byte: Double,
     width: Int,
@@ -48,7 +50,7 @@ object MultimodalOps {
   /** ======= STUB DECODER =======
     * Stands in for the real image/audio decode (not available in this
     * container). Deterministic: features derive only from the bytes. */
-  private def decodeStub(payload: Array[Byte]): (Long, Double) = {
+  private def decodeStub(payload: Array[Byte]): (Long, Long, Double) = {
     var h = 1125899906842597L
     var i = 0
     val n = math.min(payload.length, 8)
@@ -57,7 +59,7 @@ object MultimodalOps {
     i = 0
     while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
     val mean = if (payload.length == 0) 0.0 else s.toDouble / payload.length
-    (h, math.round(mean * 100) / 100.0)
+    (h, s, math.round(mean * 100) / 100.0)
   }
 
   /** Batch decode: typed mapPartitions — one setup per partition (where a
@@ -74,8 +76,9 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // real codec: initialize decoder context here, once per partition
         rows.map { case (id, mtype, payload, w, h) =>
-          val (hash, mean) = decodeStub(payload)
-          MediaFeatures(id, mtype, payload.length.toLong, hash, mean, w, h)
+          val (hash, byteSum, mean) = decodeStub(payload)
+          MediaFeatures(id, mtype, payload.length.toLong, byteSum, hash,
+            mean, w, h)
         }
       }
   }
@@ -92,13 +95,17 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_offset"),
         substring(col("payload"), 1, 16).as("frame_stub"))
 
-  /** Per-type feature rollup over the decoded features. */
+  /** Per-type feature rollup. avg_byte is computed from exact integer
+    * sums (graft.util.Num scale-0 rounding) so the rollup is DuckDB
+    * oracle-comparable. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF()
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_byte")), 2).as("avg_mean_byte"),
-        countDistinct(col("header_hash")).as("distinct_headers"))
+        sum(col("byte_sum")).as("byte_sum_total"))
+      .withColumn("avg_byte", graft.util.Num.r(
+        col("byte_sum_total").cast("double") / col("total_bytes"), 2))
+      .drop("byte_sum_total")
 }

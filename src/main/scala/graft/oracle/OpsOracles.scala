@@ -250,6 +250,32 @@ object OpsOracles {
       |    AS is_near_dup
       |FROM j""".stripMargin
 
+  /** Mirrors MultimodalOps.mediaTable → decodeFeatures → featureStats.
+    * The corpus is pure ASCII, so UTF-8 payload byte sums equal codepoint
+    * sums (verified: char length == byte length for every document). */
+  val multimodalFeatures: String =
+    """WITH m AS (
+      |  SELECT
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      range(1, CAST(length(text) AS INT) + 1),
+      |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+      |      AS byte_sum
+      |  FROM documents
+      |),
+      |agg AS (
+      |  SELECT media_type, CAST(count(*) AS BIGINT) AS n_media,
+      |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(byte_sum) AS BIGINT) AS byte_sum_total
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT media_type, n_media, total_bytes,
+      |  round((byte_sum_total::DOUBLE / total_bytes) * 100, 0) / 100.0
+      |    AS avg_byte
+      |FROM agg""".stripMargin
+
   val cosineTopK: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding,
