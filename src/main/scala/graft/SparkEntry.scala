@@ -22,11 +22,14 @@ object SparkEntry {
   private def silver(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(Dedup.keepLatest(Events.cleansed(s, dir)))
 
-  /** Gold jobs read the (already deduped) silver sessions; recomputed here
-    * per query because the harness has no shared materialization. The
+  /** Gold jobs read the (already deduped) silver sessions. The production
+    * path materializes silver once on disk (runtime/Pipeline, like the
+    * reference's silver table); here each query persists the shared
+    * sessions input so its side-aggregate branches reuse one computation
+    * instead of re-running the sessionize subtree per branch. The
     * silver-side dedup is exercised in `silver_sessions`. */
   private def sessions(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(Events.cleansed(s, dir))
+    Sessionize.sessions(Events.cleansed(s, dir)).persist()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
