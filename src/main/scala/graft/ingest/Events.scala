@@ -47,7 +47,12 @@ object Events {
   /** Bronze-analog: typed, dimension-enriched events (S2/S3/P1 analogues).
     * Narrow (no shuffle); every column codegen-friendly builtins only. */
   def enriched(spark: SparkSession, sfDir: String): DataFrame =
-    raw(spark, sfDir)
+    enrich(raw(spark, sfDir))
+
+  /** Pure form of [[enriched]] for already-loaded raw events (incremental
+    * runtime, tests). */
+  def enrich(raw: DataFrame): DataFrame =
+    raw
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("datetime", to_date(timestamp_micros(col("ts_us"))))
       .withColumn("k",
@@ -73,7 +78,11 @@ object Events {
   /** P2 not-null conjunction + P3 default fill (reference
     * silver_user_session_events.py:95-108). */
   def cleansed(spark: SparkSession, sfDir: String): DataFrame =
-    enriched(spark, sfDir)
+    cleanse(enriched(spark, sfDir))
+
+  /** Pure form of [[cleansed]] over an enriched frame. */
+  def cleanse(enriched: DataFrame): DataFrame =
+    enriched
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull && col("value").isNotNull &&
         col("k").isNotNull)
