@@ -54,6 +54,9 @@ object SparkEntry {
     "join_semi_anti" -> CoreOps.semiAntiJoin _,
     "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
     "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
+    "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
+    "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
+    "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
@@ -90,6 +93,9 @@ object SparkEntry {
     "join_semi_anti" -> OpsOracles.semiAntiJoin,
     "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
     "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
+    "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
+    "q18_large_orders" -> OpsOracles.q18LargeOrders,
+    "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,

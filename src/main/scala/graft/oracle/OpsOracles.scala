@@ -144,6 +144,75 @@ object OpsOracles {
       |    ELSE 0.0 END AS urgent_customer_ratio
       |FROM agg""".stripMargin
 
+  val q5LocalSupplierVolume: String =
+    """WITH n AS (
+      |  SELECT n_nationkey, n_name FROM nation
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+      |),
+      |c AS (
+      |  SELECT c_custkey, c_nationkey, n_name FROM customer
+      |  JOIN n ON c_nationkey = n_nationkey
+      |),
+      |o AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |),
+      |li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_i
+      |  FROM lineitem
+      |),
+      |j AS (
+      |  SELECT c.n_name, li.rev_i
+      |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+      |  JOIN c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |    AND s.s_nationkey = c.c_nationkey
+      |),
+      |agg AS (
+      |  SELECT n_name, CAST(SUM(rev_i) AS BIGINT) AS rev_i_sum,
+      |         CAST(count(*) AS BIGINT) AS n_lineitems
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT n_name, n_lineitems,
+      |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
+      |FROM agg""".stripMargin
+
+  val q18LargeOrders: String =
+    """WITH bo AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |      AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |    > 250
+      |)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS orderdate, total_qty,
+      |  round((CAST(round(o_totalprice * 100, 0) AS BIGINT)::DOUBLE / 100)
+      |    * 100, 0) / 100.0 AS totalprice
+      |FROM orders JOIN bo ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  val runningCustomerSpend: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |),
+      |r AS (
+      |  SELECT o_custkey, o_orderkey, orderdate,
+      |    SUM(price_c) OVER (PARTITION BY o_custkey
+      |      ORDER BY orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+      |  FROM o
+      |)
+      |SELECT o_custkey, o_orderkey, orderdate,
+      |  round((running_c::DOUBLE / 100) * 100, 0) / 100.0 AS running_spend
+      |FROM r""".stripMargin
+
   val textStats: String =
     """WITH s1 AS (
       |  SELECT doc_id, lang, source, n_chars,

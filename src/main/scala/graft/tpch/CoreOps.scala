@@ -130,6 +130,72 @@ object CoreOps {
         Num.r(col("price_c").cast("double") / 100, 2).as("top_totalprice"))
   }
 
+  /** TPC-H Q5 shape: six-table join — region filter flows through nation
+    * to both customer and supplier (the classic local-supplier condition
+    * c_nationkey = s_nationkey), revenue per nation. Dimension chain
+    * broadcasts; the lineitem-orders join is the only big shuffle. */
+  def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = read(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = read(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = read(s, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = read(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = read(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = read(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("rev_i"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_i")).as("rev_i_sum"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("revenue", Num.r(col("rev_i_sum").cast("double") / 10000, 2))
+      .drop("rev_i_sum")
+  }
+
+  /** TPC-H Q18 shape: HAVING over an aggregate — orders whose total
+    * quantity exceeds the threshold, joined back to their customers. */
+  def q18LargeOrders(s: SparkSession, dir: String,
+                     minQty: Long = 250): DataFrame = {
+    val bigOrders = read(s, dir, "lineitem")
+      .withColumn("qty_l", expr("cast(round(l_quantity, 0) as bigint)"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty_l")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    read(s, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(read(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("total_qty"),
+        Num.r(cents("o_totalprice").cast("double") / 100, 2)
+          .as("totalprice"))
+  }
+
+  /** Running-total window frame: cumulative customer spend in order-date
+    * order (rowsBetween unbounded preceding, total tie-break). */
+  def runningCustomerSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    read(s, dir, "orders")
+      .withColumn("price_c", cents("o_totalprice"))
+      .withColumn("running_c", sum(col("price_c")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"),
+        Num.r(col("running_c").cast("double") / 100, 2).as("running_spend"))
+  }
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale hygiene (SURVEY.md §4/§7.2-7): at 100 TB the exact
+  * countDistinct's Expand-based plan is the first thing to swap for
+  * approx_count_distinct (HLL++, mergeable partial state, no expand).
+  * This pins the accuracy contract that swap relies on. */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact on harness data") {
+    val ev = graft.ingest.Events.enriched(spark, "/root/testdata/sf0.01")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("k")).as("exact_k"),
+      approx_count_distinct(col("k")).as("approx_k"),
+      countDistinct(col("event_id")).as("exact_ids"),
+      approx_count_distinct(col("event_id"), 0.02).as("approx_ids"))
+      .collect().head
+    def relErr(e: Long, a: Long) = math.abs(a - e).toDouble / e
+    assert(relErr(r.getAs[Long]("exact_users"),
+      r.getAs[Long]("approx_users")) <= 0.05)
+    assert(relErr(r.getAs[Long]("exact_k"),
+      r.getAs[Long]("approx_k")) <= 0.05)
+    assert(relErr(r.getAs[Long]("exact_ids"),
+      r.getAs[Long]("approx_ids")) <= 0.05)
+  }
+}
