@@ -109,6 +109,37 @@ case class SigAgreement(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Intersection size of two SORTED distinct long arrays — two-pointer
+  * merge, no per-call hash set (ArrayIntersect allocates an OpenHashSet per
+  * row, which dominates the LSH confirm stage). Union size follows as
+  * |A| + |B| − |A∩B|. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object SignatureExpressions {
   /** Registers graft_minhash / graft_simhash as SQL functions in the
     * session (idempotent). Expression-level registration keeps the
@@ -124,5 +155,8 @@ object SignatureExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sig_agreement",
       args => SigAgreement(args.head, args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      args => SortedIntersectSize(args.head, args(1)), "built-in")
   }
 }

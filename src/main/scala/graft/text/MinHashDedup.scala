@@ -50,7 +50,7 @@ object MinHashDedup {
           "array_distinct(transform(sequence(1, length(norm) - 2), " +
           "i -> substring(norm, i, 3))) ELSE array() END"))
       .withColumn("tgh",
-        expr("transform(tg, t -> pmod(xxhash64(t), 2147483647L))"))
+        expr("array_sort(transform(tg, t -> pmod(xxhash64(t), 2147483647L)))"))
       .withColumn("minhash", expr("graft_minhash(tgh)"))
       .select(col("doc_id"), col("tg"), col("tgh"), col("minhash"))
   }
@@ -111,17 +111,18 @@ object MinHashDedup {
       .join(mhB, Seq("doc_b"))
       .filter(expr("graft_sig_agreement(mh_a, mh_b)") >= minAgree)
       .select("doc_a", "doc_b")
-    // Exact confirm on hashed trigram sets (long equality beats string
-    // equality in the set ops; xxhash64 collisions are negligible here).
+    // Exact confirm on SORTED hashed trigram sets: two-pointer merge
+    // intersection (native expression — no per-pair hash set), union by
+    // inclusion-exclusion. xxhash64 collisions are negligible here.
     val tgA = sigs.select(col("doc_id").as("doc_a"), col("tgh").as("tg_a"))
     val tgB = sigs.select(col("doc_id").as("doc_b"), col("tgh").as("tg_b"))
     estimated
       .join(tgA, Seq("doc_a"))
       .join(tgB, Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("tg_a"), col("tg_b"))).cast("bigint"))
+        expr("graft_sorted_intersect(tg_a, tg_b)").cast("bigint"))
       .withColumn("uni",
-        size(array_union(col("tg_a"), col("tg_b"))).cast("bigint"))
+        (size(col("tg_a")) + size(col("tg_b"))).cast("bigint") - col("inter"))
       .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
