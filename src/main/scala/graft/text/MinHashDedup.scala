@@ -65,11 +65,14 @@ object MinHashDedup {
   /** LSH candidate pairs: same signature in any not-oversized band. */
   def candidatePairs(sigs: DataFrame,
                      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    // Band key = hash of the band's minhash slice (long join key, not a
+    // concatenated string; false bucket collisions are filtered by the
+    // estimate/confirm stages anyway).
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"concat_ws(',', slice(minhash, b * $RowsPerBand + 1, " +
-          s"$RowsPerBand)))")).as(Seq("band_idx", "band_key")))
+          s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
+        .as(Seq("band_idx", "band_key")))
     val bucketSizes = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
