@@ -57,12 +57,15 @@ object SparkEntry {
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
+    "rollup_pricing" -> CoreOps.rollupPricing _,
     "text_stats" -> TextOps.textStats _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDup(s, dir)),
     // Not SQL-expressible (hash-seeded LSH): rows-only check + ScalaTest
     // verification against the exact-Jaccard baseline (DedupSpec).
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -96,12 +99,14 @@ object SparkEntry {
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
+    "rollup_pricing" -> OpsOracles.rollupPricing,
     "text_stats" -> OpsOracles.textStats,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
+    "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "multimodal_features" -> OpsOracles.multimodalFeatures,
   )
 }

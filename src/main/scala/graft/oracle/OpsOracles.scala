@@ -213,6 +213,25 @@ object OpsOracles {
       |  round((running_c::DOUBLE / 100) * 100, 0) / 100.0 AS running_spend
       |FROM r""".stripMargin
 
+  val rollupPricing: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS qty_l,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_i
+      |  FROM lineitem
+      |),
+      |agg AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(qty_l) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(rev_i) AS BIGINT) AS rev_i_sum
+      |  FROM li GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |)
+      |SELECT l_returnflag, l_linestatus, n_items, sum_qty,
+      |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
+      |FROM agg""".stripMargin
+
   val textStats: String =
     """WITH s1 AS (
       |  SELECT doc_id, lang, source, n_chars,
@@ -344,6 +363,33 @@ object OpsOracles {
       |  round((byte_sum_total::DOUBLE / total_bytes) * 100, 0) / 100.0
       |    AS avg_byte
       |FROM agg""".stripMargin
+
+  val cosineNearDup: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+      |      s -> s[1] * s[2])) AS BIGINT) AS dot,
+      |    a.nn AS qn, b.nn AS cn
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |),
+      |scored AS (
+      |  SELECT vec_a, vec_b,
+      |    round((dot::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(cn::DOUBLE)))
+      |      * 1000000, 0) / 1000000.0 AS cosine
+      |  FROM pairs
+      |)
+      |SELECT vec_a, vec_b, cosine FROM scored
+      |WHERE cosine >= 0.4""".stripMargin
 
   val cosineTopK: String =
     """WITH e AS (

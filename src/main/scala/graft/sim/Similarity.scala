@@ -29,6 +29,28 @@ object Similarity {
       .withColumn("n", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
       .select("vec_id", "label", "q", "n")
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
+    * quantized cosine meets the threshold — the embedding-space flavor of
+    * the dedup family (exact; at scale the IVF index or a hyperplane-LSH
+    * bucketing supplies the candidate pairs instead of the cross join). */
+  def cosineNearDup(s: SparkSession, dir: String,
+                    threshold: Double = 0.4): DataFrame = {
+    val emb = quantized(s, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("n").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("n").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        Num.r(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Brute-force cosine top-k for the first `nQueries` vectors.
     * The query side is tiny ⇒ broadcast; the candidate scan is a single
     * pass, no shuffle until the per-query top-k window. */

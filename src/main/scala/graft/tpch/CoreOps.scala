@@ -196,6 +196,21 @@ object CoreOps {
         Num.r(col("running_c").cast("double") / 100, 2).as("running_spend"))
   }
 
+  /** Hierarchical rollup (grouping sets): leaf, per-flag subtotal, and
+    * grand-total rows in one pass (Expand under Catalyst). */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .withColumn("qty_l", expr("cast(round(l_quantity, 0) as bigint)"))
+      .withColumn("rev_i",
+        cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty_l")).as("sum_qty"),
+        sum(col("rev_i")).as("rev_i_sum"))
+      .withColumn("revenue",
+        Num.r(col("rev_i_sum").cast("double") / 10000, 2))
+      .drop("rev_i_sum")
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
