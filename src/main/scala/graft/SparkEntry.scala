@@ -59,6 +59,7 @@ object SparkEntry {
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "rollup_pricing" -> CoreOps.rollupPricing _,
     "text_stats" -> TextOps.textStats _,
+    "text_quality_filter" -> TextOps.qualityFilter _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
     "dedup_exact" -> TextOps.dedupExact _,
@@ -101,6 +102,7 @@ object SparkEntry {
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "rollup_pricing" -> OpsOracles.rollupPricing,
     "text_stats" -> OpsOracles.textStats,
+    "text_quality_filter" -> OpsOracles.qualityFilter,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
     "dedup_exact" -> OpsOracles.dedupExact,

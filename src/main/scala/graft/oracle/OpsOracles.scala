@@ -266,6 +266,13 @@ object OpsOracles {
       |    ELSE 0.0 END AS stopword_ratio
       |FROM s1""".stripMargin
 
+  def qualityFilter: String =
+    s"""SELECT doc_id, lang, source, n_tokens, avg_token_len, stopword_ratio
+       |FROM ($textStats)
+       |WHERE n_tokens >= 20 AND n_tokens <= 5000
+       |  AND punct_ratio <= 0.05 AND digit_ratio <= 0.2
+       |  AND avg_token_len >= 2.0 AND avg_token_len <= 12.0""".stripMargin
+
   val langId: String =
     """WITH d AS (
       |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS lower_text

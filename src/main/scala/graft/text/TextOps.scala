@@ -51,6 +51,18 @@ object TextOps {
         "stopword_count", "stopword_ratio")
   }
 
+  /** Training-corpus quality filter: documents passing the length /
+    * punctuation / token-shape gates, i.e. the pre-training "keep" set.
+    * Thresholds compare already-rounded stats, so the cut is exact on
+    * both engines. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    textStats(s, dir)
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+        col("punct_ratio") <= 0.05 && col("digit_ratio") <= 0.2 &&
+        col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+      .select("doc_id", "lang", "source", "n_tokens", "avg_token_len",
+        "stopword_ratio")
+
   /** Marker-word language-ID heuristic (first-match CASE, deterministic).
     * A real deployment would use n-gram profiles; the harness corpus is
     * synthetic English-ish text, so the heuristic doubles as a null model. */
