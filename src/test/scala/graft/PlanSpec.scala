@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Locks in the physical-plan properties the scale story depends on
+  * (ARCHITECTURE.md §plans): filter pushdown into the parquet scan, column
+  * pruning, broadcast dimension joins, and no accidental cartesian
+  * products in the relational pipelines. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("q1: shipdate filter pushed into the parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate,"))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q3: selective filters reach all three scans") {
+    val p = plan("q3_revenue_topk")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(l_shipdate,"))
+    assert(p.contains("LessThan(o_orderdate,"))
+  }
+
+  test("gold pipelines contain no cartesian products") {
+    for (q <- Seq("gold_user_daily", "gold_webtoon_daily",
+        "gold_country_daily", "silver_sessions")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}
