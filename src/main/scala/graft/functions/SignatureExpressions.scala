@@ -140,6 +140,34 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Integer dot product of two equal-length long arrays — one compiled
+  * loop replacing the interpreted zip_with/aggregate fold in the pairwise
+  * cosine stages. Exact integer math: result is identical to the
+  * higher-order-function formulation (and to the DuckDB oracle's
+  * list_sum(list_zip)), only faster. */
+case class LongDotProduct(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object SignatureExpressions {
   /** Registers graft_minhash / graft_simhash as SQL functions in the
     * session (idempotent). Expression-level registration keeps the
@@ -158,5 +186,7 @@ object SignatureExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect",
       args => SortedIntersectSize(args.head, args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", args => LongDotProduct(args.head, args(1)), "built-in")
   }
 }

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.functions.SignatureExpressions
 import graft.util.{Layout, Num}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -21,13 +22,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** vec_id, q (quantized Array[Long]), n (integer squared norm). */
-  def quantized(s: SparkSession, dir: String): DataFrame =
+  def quantized(s: SparkSession, dir: String): DataFrame = {
+    SignatureExpressions.register(s, 64, Array(1L), Array(0L),
+      2147483647L)
     Layout.spread(s.read.parquet(s"$dir/embeddings.parquet"))
       .withColumn("q", expr(
         "transform(embedding, x -> " +
           "cast(round(cast(x as double) * 1000000, 0) as bigint))"))
-      .withColumn("n", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("n", expr("graft_dot(q, q)"))
       .select("vec_id", "label", "q", "n")
+  }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
     * quantized cosine meets the threshold — the embedding-space flavor of
@@ -41,8 +45,7 @@ object Similarity {
     val b = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
       col("n").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("graft_dot(qa, qb)"))
       .withColumn("cosine",
         Num.r(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
@@ -64,8 +67,7 @@ object Similarity {
       col("n").as("cn"))
     val scored = broadcast(q).join(c,
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("graft_dot(qv, cv)"))
       .withColumn("cosine",
         Num.r(col("dot").cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))),
