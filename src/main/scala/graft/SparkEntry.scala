@@ -58,6 +58,7 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "rollup_pricing" -> CoreOps.rollupPricing _,
+    "percentile_spend" -> CoreOps.percentileSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_quality_filter" -> TextOps.qualityFilter _,
     "text_langid" -> TextOps.langId _,
@@ -101,6 +102,7 @@ object SparkEntry {
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "rollup_pricing" -> OpsOracles.rollupPricing,
+    "percentile_spend" -> OpsOracles.percentileSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_quality_filter" -> OpsOracles.qualityFilter,
     "text_langid" -> OpsOracles.langId,

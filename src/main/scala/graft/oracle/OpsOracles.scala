@@ -213,6 +213,23 @@ object OpsOracles {
       |  round((running_c::DOUBLE / 100) * 100, 0) / 100.0 AS running_spend
       |FROM r""".stripMargin
 
+  val percentileSpend: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |),
+      |agg AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS orders,
+      |    quantile_cont(price_c, 0.5) AS median_price_c,
+      |    quantile_cont(price_c, 0.9) AS p90_price_c
+      |  FROM o GROUP BY 1
+      |)
+      |SELECT o_orderpriority, orders,
+      |  round((median_price_c / 100) * 100, 0) / 100.0 AS median_price,
+      |  round((p90_price_c / 100) * 100, 0) / 100.0 AS p90_price
+      |FROM agg""".stripMargin
+
   val rollupPricing: String =
     """WITH li AS (
       |  SELECT l_returnflag, l_linestatus,

@@ -211,6 +211,24 @@ object CoreOps {
         Num.r(col("rev_i_sum").cast("double") / 10000, 2))
       .drop("rev_i_sum")
 
+  /** Exact percentiles (median / p90) of order value per priority —
+    * beyond-reference extension (SURVEY §2.4 notes the reference has no
+    * percentile operator). Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition and produce
+    * bit-identical doubles on integer cents input. */
+  def percentileSpend(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .withColumn("price_c", cents("o_totalprice"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders"),
+        expr("percentile(price_c, 0.5)").as("median_price_c"),
+        expr("percentile(price_c, 0.9)").as("p90_price_c"))
+      .withColumn("median_price",
+        Num.r(col("median_price_c") / 100, 2))
+      .withColumn("p90_price", Num.r(col("p90_price_c") / 100, 2))
+      .drop("median_price_c", "p90_price_c")
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
