@@ -62,6 +62,35 @@ object Incremental {
     }
   }
 
+  /** C3: watermark persistence (the reference stores it in an Airflow
+    * Variable, silver_dag.py:129-133). One small file per consumer;
+    * written atomically via rename so a crashed writer can't leave a
+    * torn value. */
+  def saveWatermark(spark: SparkSession, path: String, wm: Long): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  def loadWatermark(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        if (n <= 0) None
+        else new String(bytes, 0, n, "UTF-8").trim.toLongOption
+      } finally in.close()
+    }
+  }
+
   /** C4: completeness gate — fail the downstream chain when a partition
     * holds fewer data files than expected (gold_daily_dag.py:49-64). */
   def completenessGate(spark: SparkSession, partitionDir: String,

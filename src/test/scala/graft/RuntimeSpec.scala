@@ -54,6 +54,15 @@ class RuntimeSpec extends SparkSpec {
     assert(Incremental.readSince(spark, dir, Some(99L)).count() == 2)
   }
 
+  test("watermark persists atomically and round-trips") {
+    val path = s"${tmpDir("wm")}/bronze_watermark"
+    assert(Incremental.loadWatermark(spark, path).isEmpty)
+    Incremental.saveWatermark(spark, path, 7L)
+    assert(Incremental.loadWatermark(spark, path).contains(7L))
+    Incremental.saveWatermark(spark, path, 8L) // overwrite
+    assert(Incremental.loadWatermark(spark, path).contains(8L))
+  }
+
   test("completeness gate counts parquet files") {
     val dir = tmpDir("gate")
     Seq((1, "x")).toDF("id", "v").repartition(3)
