@@ -58,13 +58,24 @@ object Sessionize {
   val SessionKey: Seq[String] = Seq("session_id", "user_id", "webtoon_id",
     "episode_id", "platform", "country", "device", "browser", "datetime")
 
+  /** Silver aggregate over events that already carry a producer-assigned
+    * session_id (the reference's case — its simulator emits one per
+    * reading session, faker_producer.py:209). Skips gap derivation; same
+    * aggregate and state machine as [[sessions]]. */
+  def sessionsFromProvided(events: DataFrame,
+                           asOfUs: Long = Events.AsOfUs): DataFrame =
+    aggregate(events, asOfUs)
+
   /** The silver table: one row per session × content × dims × day
     * (reference silver_user_session_events.py:22-50 / SURVEY.md §1.3).
     * Single shuffle on the 9-column key with map-side partial aggregation. */
-  def sessions(events: DataFrame, asOfUs: Long = Events.AsOfUs): DataFrame = {
+  def sessions(events: DataFrame, asOfUs: Long = Events.AsOfUs): DataFrame =
+    aggregate(assignSessions(events), asOfUs)
+
+  private def aggregate(events: DataFrame, asOfUs: Long): DataFrame = {
     val seen = (t: String) =>
       max(when(col("event_type") === t, 1).otherwise(0)).cast("int")
-    assignSessions(events)
+    events
       .groupBy(SessionKey.map(col): _*)
       .agg(
         min(col("ts_us")).as("start_us"),
