@@ -32,10 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalSilver {
 
-  /** Applies one incremental update; returns the new watermark. */
+  /** Default raw→silver derivation (harness event shape). */
+  def harnessSilver(asOfUs: Long)(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Sessionize.sessions(
+      Dedup.keepLatest(Events.cleanse(Events.enrich(raw))), asOfUs)
+
+  /** Applies one incremental update; returns the new watermark.
+    * `toSilver` derives session rows from raw bronze rows — swap it for
+    * the reference-shaped chain (ReferenceEvents.adapt +
+    * sessionsFromProvided) when bronze carries the reference wire format.
+    * The only requirements are a `user_id` column on the raw rows and
+    * session rows keyed per user per datetime. */
   def update(spark: SparkSession, bronzeDir: String, silverDir: String,
              watermark: Option[Long],
-             asOfUs: Long = Events.AsOfUs): Option[Long] = {
+             asOfUs: Long = Events.AsOfUs,
+             toSilver: org.apache.spark.sql.DataFrame =>
+               org.apache.spark.sql.DataFrame = null): Option[Long] = {
+    val derive = Option(toSilver).getOrElse(harnessSilver(asOfUs) _)
     val hw = Incremental.highWatermark(spark, bronzeDir)
     if (hw.isEmpty) return None // no bronze data yet
     if (hw == watermark && watermark.exists(w =>
@@ -48,8 +62,7 @@ object IncrementalSilver {
     val history = spark.read.parquet(bronzeDir)
       .join(affectedUsers, Seq("user_id"), "left_semi")
       .drop("batch_id")
-    val recomputed = Sessionize.sessions(
-      Dedup.keepLatest(Events.cleanse(Events.enrich(history))), asOfUs)
+    val recomputed = derive(history)
 
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ingest.ReferenceEvents
+import graft.silver.{Dedup, Sessionize}
+import graft.streaming.{BronzeIngest, SilverLoop}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming loop on the reference wire format: micro-batches →
+  * bronze appends → incremental silver updates, surviving a restart, with
+  * silver equal to the batch recompute of everything ingested. */
+class SilverLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: String, user: Int, session: String, ts: String,
+                 etype: String, ratio: Double): String =
+    s"""{"event_id":"$id","user_id":$user,"webtoon_id":"webtoon_1",
+       |"episode_id":"ep_1","session_id":"$session","utimestamptz":"$ts",
+       |"local_timestamptz":"$ts","event_type":"$etype","country":"KR",
+       |"platform":"ios","device":"phone","browser":"chrome",
+       |"scroll_ratio":$ratio,"scroll_event_count":1,"dwell_time_ms":1000}"""
+      .stripMargin.replace("\n", "")
+
+  private val toSilver: DataFrame => DataFrame = raw =>
+    Sessionize.sessionsFromProvided(
+      Dedup.keepLatest(ReferenceEvents.adapt(raw), key = "event_id"))
+
+  test("streaming loop maintains silver == batch recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("loop-bronze")
+    val silver = tmpDir("loop-silver")
+    val wmPath = s"${tmpDir("loop-wm")}/wm"
+    val ckpt = tmpDir("loop-ckpt")
+
+    val batch1 = Seq(
+      ev("e1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("e2", 1, "s1", "2024-01-01T10:00:40+00:00", "scroll", 0.5))
+    val batch2 = Seq(
+      ev("e3", 1, "s1", "2024-01-01T10:01:20+00:00", "complete", 1.0),
+      ev("e4", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+
+    val stream = MemoryStream[String]
+    stream.addData(batch1)
+    SilverLoop.start(BronzeIngest.parse(stream.toDF()), bronze, silver,
+      wmPath, ckpt, toSilver, availableNow = true).awaitTermination()
+    assert(spark.read.parquet(silver).count() == 1) // s1 in progress
+
+    // restart the query from the checkpoint with more data (late complete)
+    stream.addData(batch2)
+    SilverLoop.start(BronzeIngest.parse(stream.toDF()), bronze, silver,
+      wmPath, ckpt, toSilver, availableNow = true).awaitTermination()
+
+    val got = spark.read.parquet(silver)
+    val expected = toSilver(BronzeIngest.parse((batch1 ++ batch2).toDF("value")))
+    val cols = expected.columns.sorted.map(col).toSeq
+    assert(got.select(cols: _*).exceptAll(expected.select(cols: _*)).isEmpty
+      && expected.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty)
+    val s1 = got.filter(col("session_id") === "s1").collect().head
+    assert(s1.getAs[String]("session_state") == "COMPLETE")
+    assert(s1.getAs[Long]("n_events") == 3)
+  }
+}
