@@ -32,6 +32,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.catalog.clearCache() // release per-query persist()s
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -68,10 +68,11 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(s, dir)),
-    // Not SQL-expressible (hash-seeded LSH): rows-only check + ScalaTest
-    // verification against the exact-Jaccard baseline (DedupSpec).
+    // LSH candidates + exact-Jaccard confirm + connected components:
+    // output is the doc -> canonical cluster map, which the DuckDB oracle
+    // recomputes from the exact all-pairs graph (OpsOracles).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      MinHashDedup.nearDuplicates(s, dir, threshold = 0.6)),
+      MinHashDedup.clusters(s, dir, threshold = 0.6)),
     "dedup_simhash" -> ((s, dir) => SimHashDedup.nearDuplicates(
       s.read.parquet(s"$dir/documents.parquet"), maxHamming = 12)),
     "sim_ivf_topk" -> ((s, dir) => {
@@ -109,6 +110,7 @@ object SparkEntry {
     "text_fingerprint" -> OpsOracles.fingerprint,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
+    "dedup_minhash_lsh" -> OpsOracles.minhashClusters,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "multimodal_features" -> OpsOracles.multimodalFeatures,

@@ -362,6 +362,53 @@ object OpsOracles {
       |    AS is_near_dup
       |FROM j""".stripMargin
 
+  /** Exact near-duplicate clusters: connected components of the all-pairs
+    * "trigram Jaccard >= 0.6" graph, canonical = component-minimum doc_id.
+    * The recursive CTE propagates every smaller label along edges to a
+    * fixpoint; MIN over the closure is the component minimum. Mirrors
+    * MinHashDedup.clusters, whose LSH candidate + exact-confirm +
+    * connected-components path must reproduce the exact graph's
+    * components. */
+  val minhashClusters: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |),
+      |tg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(norm) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, CAST(length(norm) AS INT) - 1),
+      |        i -> substr(norm, CAST(i AS INT), 3)))
+      |    ELSE CAST([] AS VARCHAR[]) END AS tg
+      |  FROM d
+      |),
+      |sized AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS BIGINT) AS uni
+      |  FROM tg a JOIN tg b ON a.doc_id < b.doc_id
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM sized
+      |  WHERE CASE WHEN uni > 0
+      |    THEN round((inter::DOUBLE / uni) * 10000, 0) / 10000.0
+      |    ELSE 0.0 END >= 0.6
+      |),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS lbl FROM tg
+      |  UNION
+      |  SELECT e.dst AS doc_id, reach.lbl
+      |  FROM reach JOIN e ON e.src = reach.doc_id
+      |  WHERE reach.lbl < e.dst
+      |)
+      |SELECT doc_id, CAST(MIN(lbl) AS BIGINT) AS canonical_id
+      |FROM reach GROUP BY doc_id""".stripMargin
+
   /** Mirrors MultimodalOps.mediaTable → decodeFeatures → featureStats.
     * The corpus is pure ASCII, so UTF-8 payload byte sums equal codepoint
     * sums (verified: char length == byte length for every document). */

@@ -40,13 +40,31 @@ object IvfCosine {
   def train(vectors: DataFrame, idCol: String, vecCol: String,
             nlist: Int, iters: Int = 3): DataFrame = {
     val nv = normalized(vectors, idCol, vecCol).cache()
-    var centroids = nv.orderBy(col("vid")).limit(nlist)
-      .withColumn("cluster_id",
-        row_number().over(Window.orderBy(col("vid"))) - 1)
-      .select(col("cluster_id"), col("nv").as("cv"))
+    try trainNormalized(nv, nlist, iters)
+    finally nv.unpersist()
+  }
+
+  /** Lloyd's iterations over an already-normalized (vid, nv) frame.
+    *
+    * Centroids are materialized to the driver after every iteration —
+    * they are nlist-bounded (small by contract, like MLlib's KMeans
+    * cluster centers, which always live on the driver between
+    * iterations). This keeps each iteration a single distributed pass
+    * over `nv` (assign → per-dimension mean) instead of re-executing the
+    * whole lineage of previous iterations, and the next assign step
+    * broadcasts the fresh centroids. */
+  private def trainNormalized(nv: DataFrame, nlist: Int,
+                              iters: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    // Deterministic init: the first nlist vectors by id.
+    var cents: Seq[(Int, Seq[Double])] =
+      nv.orderBy(col("vid")).limit(nlist).collect()
+        .map(_.getSeq[Double](1)).zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq
     for (_ <- 1 to iters) {
-      val assigned = assign(nv, centroids)
-      centroids = assigned
+      val centroids = cents.toDF("cluster_id", "cv")
+      cents = assign(nv, centroids)
         .join(nv, Seq("vid"))
         .select(col("cluster_id"), posexplode(col("nv")).as(Seq("i", "x")))
         .groupBy(col("cluster_id"), col("i"))
@@ -56,8 +74,11 @@ object IvfCosine {
           .as("pairs"))
         .select(col("cluster_id"),
           expr("transform(pairs, p -> p.m)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
     }
-    centroids
+    cents.toDF("cluster_id", "cv")
   }
 
   /** Nearest centroid per vector: (vid, cluster_id). */
@@ -80,7 +101,7 @@ object IvfCosine {
            vecCol: String, nlist: Int, nprobe: Int, k: Int,
            iters: Int = 3): DataFrame = {
     val nv = normalized(vectors, idCol, vecCol).cache()
-    val centroids = train(vectors, idCol, vecCol, nlist, iters).cache()
+    val centroids = trainNormalized(nv, nlist, iters)
     val indexed = assign(nv, centroids).join(nv, Seq("vid"))
       .select(col("vid").as("neighbor_id"), col("cluster_id"),
         col("nv").as("cv"))

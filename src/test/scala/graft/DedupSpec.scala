@@ -44,21 +44,51 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(expected.nonEmpty) // the corpus must actually contain near-dups
     val sigs = MinHashDedup.signatures(corpus)
-    val candidates = MinHashDedup.candidatePairs(sigs)
+    val candidates = MinHashDedup.candidateEdges(sigs)
       .as[(Long, Long)].collect().toSet
     assert(expected.subsetOf(candidates),
       s"LSH missed ${expected -- candidates}")
     // and the confirm step reproduces the exact-jaccard verdicts
-    val tgA = sigs.select(col("doc_id").as("doc_a"), col("tg").as("tg_a"))
-    val tgB = sigs.select(col("doc_id").as("doc_b"), col("tg").as("tg_b"))
-    val confirmed = candidates.toSeq.toDF("doc_a", "doc_b")
-      .join(tgA, Seq("doc_a")).join(tgB, Seq("doc_b"))
-      .withColumn("jaccard", Num.guardedRatio(
-        size(array_intersect(col("tg_a"), col("tg_b"))).cast("bigint"),
-        size(array_union(col("tg_a"), col("tg_b"))).cast("bigint"), 4))
-      .filter(col("jaccard") >= 0.6)
+    val confirmed = MinHashDedup
+      .confirmedEdges(sigs, candidates.toSeq.toDF("doc_a", "doc_b"), 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(confirmed == expected)
+  }
+
+  test("minhash clusters == components of the exact >=0.6 Jaccard graph") {
+    val dir = tmpDir("minhash-docs")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MinHashDedup.clusters(spark, dir, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    // Brute-force components: union-find over the exact pair graph.
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      corpus.select("doc_id").as[Long].collect().map(d => d -> d)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    bruteJaccard.filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    assert(got == expected)
+    // every doc present exactly once; canonical is the component minimum
+    assert(got.size == 6 && got.forall { case (d, c) => c <= d })
+  }
+
+  test("star edges keep oversized buckets connected (no skip)") {
+    // 100 identical docs: every band bucket holds all of them (size 100 >
+    // AllPairsMaxBucket), so connectivity must come from the star edges.
+    val dir = tmpDir("minhash-dense")
+    val dense = (0L until 100L).map(i => (i, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    dense.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MinHashDedup.clusters(spark, dir, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && got.values.forall(_ == 0L))
   }
 
   test("exact duplicates collapse to one canonical doc") {
