@@ -2,6 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
+import graft.ops.AsOfJoin
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -58,11 +59,17 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "rollup_pricing" -> CoreOps.rollupPricing _,
+    "cube_pricing" -> CoreOps.cubePricing _,
+    "pivot_order_status" -> CoreOps.pivotOrderStatus _,
+    "join_band_orders" -> CoreOps.bandJoinOrders _,
+    "join_asof_attribution" -> AsOfJoin.attribution _,
     "percentile_spend" -> CoreOps.percentileSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_quality_filter" -> TextOps.qualityFilter _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
+    "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
+    "text_tfidf_topk" -> ((s, dir) => TextOps.tfIdfTopTerms(s, dir)),
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
@@ -103,11 +110,17 @@ object SparkEntry {
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "rollup_pricing" -> OpsOracles.rollupPricing,
+    "cube_pricing" -> OpsOracles.cubePricing,
+    "pivot_order_status" -> OpsOracles.pivotOrderStatus,
+    "join_band_orders" -> OpsOracles.bandJoinOrders,
+    "join_asof_attribution" -> OpsOracles.asOfAttribution,
     "percentile_spend" -> OpsOracles.percentileSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_quality_filter" -> OpsOracles.qualityFilter,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
+    "text_token_topk" -> OpsOracles.tokenTopK,
+    "text_tfidf_topk" -> OpsOracles.tfIdfTopTerms,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
     "dedup_minhash_lsh" -> OpsOracles.minhashClusters,

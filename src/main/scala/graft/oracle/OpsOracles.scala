@@ -362,6 +362,106 @@ object OpsOracles {
       |    AS is_near_dup
       |FROM j""".stripMargin
 
+  /** Native DuckDB ASOF LEFT JOIN — the oracle for the union+window
+    * as-of implementation in graft.ops.AsOfJoin. */
+  val asOfAttribution: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events
+      |),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_event_id,
+      |    ts_us AS purchase_ts_us, value_cents
+      |  FROM e WHERE event_type = 'purchase'
+      |),
+      |v AS (
+      |  SELECT user_id, ts_us AS last_view_ts_us,
+      |    CAST(MAX(event_id) AS BIGINT) AS last_view_event_id
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+      |)
+      |SELECT p.user_id, p.purchase_event_id, p.purchase_ts_us,
+      |  p.value_cents, v.last_view_event_id, v.last_view_ts_us,
+      |  p.purchase_ts_us - v.last_view_ts_us AS view_to_purchase_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id
+      |  AND p.purchase_ts_us >= v.last_view_ts_us""".stripMargin
+
+  val cubePricing: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS qty_l,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_i
+      |  FROM lineitem
+      |),
+      |agg AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(qty_l) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(rev_i) AS BIGINT) AS rev_i_sum
+      |  FROM li GROUP BY CUBE(l_returnflag, l_linestatus)
+      |)
+      |SELECT l_returnflag, l_linestatus, n_items, sum_qty,
+      |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
+      |FROM agg""".stripMargin
+
+  val pivotOrderStatus: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS partial_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  val bandJoinOrders: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate
+      |  FROM orders
+      |)
+      |SELECT a.o_custkey, a.o_orderkey, a.orderdate,
+      |  count(b.o_orderkey) AS nearby_orders
+      |FROM o a LEFT JOIN o b
+      |  ON a.o_custkey = b.o_custkey
+      |  AND a.o_orderkey <> b.o_orderkey
+      |  AND abs(date_diff('day', b.orderdate, a.orderdate)) <= 7
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  val tokenTopK: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents
+      |),
+      |agg AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n
+      |  FROM toks WHERE token <> '' GROUP BY 1
+      |)
+      |SELECT token, n FROM agg ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  val tfIdfTopTerms: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents
+      |),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t WHERE token <> '' GROUP BY 1, 2
+      |),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+      |    CAST((tf.tf * 1000000 * n.n_docs) // dfq.df AS BIGINT) AS score_ppm
+      |  FROM tf JOIN dfq USING (token) CROSS JOIN n
+      |),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS INT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
+      |WHERE rk <= 5""".stripMargin
+
   /** Exact near-duplicate clusters: connected components of the all-pairs
     * "trigram Jaccard >= 0.6" graph, canonical = component-minimum doc_id.
     * The recursive CTE propagates every smaller label along edges to a

@@ -100,6 +100,49 @@ object TextOps {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Corpus token frequency, top 100 (explode → hash agg → top-k). The
+    * explode is narrow; the aggregate is the only shuffle and the top-k
+    * is a TakeOrdered, so the plan never materializes the full sorted
+    * token list. */
+  def tokenTopK(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Layout.spread(docs(s, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** TF-IDF-style rarity weighting with integer-exact scores: per
+    * document, the top 5 tokens by `score_ppm = (tf · 10⁶ · N) div df`
+    * (tf = in-doc count, df = docs containing the token, N = corpus
+    * size). Integer arithmetic replaces the usual log-idf so the score is
+    * bit-identical across engines ("no double survives aggregation" —
+    * both `div` and DuckDB `//` truncate identically on positives).
+    * Two shuffles (doc-term counts, df) + a broadcast of the corpus
+    * count; the per-doc top-5 window is partitioned by doc_id. */
+  def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val terms = Layout.spread(d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("token"))
+    terms.join(df_, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(tf * 1000000L * n_docs) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "token", "tf", "df", "score_ppm", "rk")
+  }
+
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {

@@ -229,6 +229,56 @@ object CoreOps {
       .withColumn("p90_price", Num.r(col("p90_price_c") / 100, 2))
       .drop("median_price_c", "p90_price_c")
 
+  /** Full cube (all four grouping sets over two dims) — complements
+    * [[rollupPricing]]'s hierarchy with the column-marginal rows. Same
+    * single-pass Expand plan under Catalyst. */
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .withColumn("qty_l", expr("cast(round(l_quantity, 0) as bigint)"))
+      .withColumn("rev_i",
+        cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty_l")).as("sum_qty"),
+        sum(col("rev_i")).as("rev_i_sum"))
+      .withColumn("revenue",
+        Num.r(col("rev_i_sum").cast("double") / 10000, 2))
+      .drop("rev_i_sum")
+
+  /** Pivot: per order month, one count column per order status. The pivot
+    * value list is explicit (O/F/P), so the schema is static and the plan
+    * is a single hash aggregate — never pivot on an unbounded column at
+    * scale. */
+  def pivotOrderStatus(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .withColumn("order_month",
+        to_date(date_trunc("month", col("o_orderdate"))))
+      .groupBy(col("order_month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "F", "P"))
+      .select(col("order_month"), col("O").as("open_orders"),
+        col("F").as("finished_orders"), col("P").as("partial_orders"))
+
+  /** Banded (non-equi) self-join: for every order, how many other orders
+    * the same customer placed within ±7 days. The equi key (custkey)
+    * bounds the join — the band predicate only filters within a
+    * customer's own orders, so there is no range explosion at scale. */
+  def bandJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") =!= col("b.o_orderkey") &&
+          abs(datediff(col("a.orderdate"), col("b.orderdate"))) <= 7,
+        "left")
+      .groupBy(col("a.o_custkey").as("o_custkey"),
+        col("a.o_orderkey").as("o_orderkey"),
+        col("a.orderdate").as("orderdate"))
+      .agg(count(col("b.o_orderkey")).as("nearby_orders"))
+  }
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")

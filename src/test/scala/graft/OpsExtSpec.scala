@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-2 operator batch: as-of join (tie inclusion,
+  * no-prior-match nulls, latest-wins), banded self-join, cube marginals,
+  * pivot, and the integer tf-idf scoring. */
+class OpsExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: latest right row at or before, nulls when none") {
+    val purchases = Seq(
+      (1L, 100L, 10L), // user 1, ts 100
+      (1L, 50L, 11L),  // before any view -> null
+      (2L, 80L, 12L)   // tie with view at 80 -> matched
+    ).toDF("user_id", "purchase_ts_us", "purchase_event_id")
+    val views = Seq(
+      (1L, 60L, 1000L),
+      (1L, 90L, 1001L), // latest before purchase@100
+      (2L, 80L, 1002L)  // exactly at the purchase ts
+    ).toDF("user_id", "last_view_ts_us", "last_view_event_id")
+    val out = AsOfJoin.asOf(purchases, views, Seq("user_id"),
+        "purchase_ts_us", "last_view_ts_us")
+      .select("purchase_event_id", "last_view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(1001L))
+    assert(out(11L).isEmpty)
+    assert(out(12L).contains(1002L))
+  }
+
+  test("as-of join matches a per-row brute force on harness events") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AsOfJoin.attribution(spark, dir)
+      .select("purchase_event_id", "last_view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val e = graft.ingest.Events.raw(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("event_id", "user_id", "ts_us", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val views = e.filter(_._4 == "view")
+    for ((pid, uid, pts, _) <- e.filter(_._4 == "purchase")) {
+      val prior = views.filter(v => v._2 == uid && v._3 <= pts)
+      val expect =
+        if (prior.isEmpty) None
+        else Some(prior.maxBy(v => (v._3, v._1))._1)
+      assert(got(pid) == expect, s"purchase $pid")
+    }
+  }
+
+  test("band join counts only same-customer orders within the window") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.tpch.CoreOps.bandJoinOrders(spark, dir)
+    val orders = out.select("o_custkey", "o_orderkey", "orderdate")
+      .as[(Long, Long, java.sql.Date)].collect()
+    assert(orders.length ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    // brute-force one customer
+    val custs = orders.groupBy(_._1).maxBy(_._2.length)._1
+    val mine = orders.filter(_._1 == custs)
+    val counts = out.filter(col("o_custkey") === custs)
+      .select("o_orderkey", "nearby_orders")
+      .as[(Long, Long)].collect().toMap
+    for ((_, ok, od) <- mine) {
+      val expect = mine.count { case (_, ok2, od2) =>
+        val dayGap =
+          math.abs(od.toLocalDate.toEpochDay - od2.toLocalDate.toEpochDay)
+        ok2 != ok && dayGap <= 7
+      }
+      assert(counts(ok) == expect)
+    }
+  }
+
+  test("cube emits leaf, both marginals, and grand total") {
+    val out = graft.tpch.CoreOps.cubePricing(spark, "/root/testdata/sf0.001")
+      .cache()
+    val leaf = out.filter(col("l_returnflag").isNotNull &&
+      col("l_linestatus").isNotNull).count()
+    val m1 = out.filter(col("l_returnflag").isNotNull &&
+      col("l_linestatus").isNull).count()
+    val m2 = out.filter(col("l_returnflag").isNull &&
+      col("l_linestatus").isNotNull).count()
+    val total = out.filter(col("l_returnflag").isNull &&
+      col("l_linestatus").isNull)
+    assert(leaf > 0 && m1 > 0 && m2 > 0 && total.count() == 1)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert(total.select("n_items").as[Long].head() == li.count())
+  }
+
+  test("pivot columns equal the per-status counts") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.tpch.CoreOps.pivotOrderStatus(spark, dir)
+    val byStatus = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val sums = out.agg(sum("open_orders"), sum("finished_orders"),
+      sum("partial_orders")).as[(Long, Long, Long)].head()
+    assert(sums == ((byStatus("O"), byStatus("F"), byStatus("P"))))
+  }
+
+  test("tf-idf: rare token outranks frequent one within a doc") {
+    val dir = tmpDir("tfidf-docs")
+    Seq(
+      (0L, "common common common rare"),
+      (1L, "common word"),
+      (2L, "common another")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextOps.tfIdfTopTerms(spark, dir)
+      .filter(col("doc_id") === 0L)
+      .orderBy("rk")
+      .select("token", "score_ppm")
+      .as[(String, Long)].collect()
+    // rare: tf=1, df=1, N=3 -> 3_000_000; common: tf=3, df=3 -> 3_000_000
+    // tie broken by token name; both outrank nothing else in doc 0
+    assert(out.map(_._1).toSet == Set("rare", "common"))
+    assert(out.head._2 == 3000000L && out(1)._2 == 3000000L)
+  }
+}
