@@ -132,16 +132,31 @@ object MinHashDedup {
     * set), union by inclusion-exclusion. */
   def confirmedEdges(sigs: DataFrame, edges: DataFrame,
                      threshold: Double): DataFrame = {
-    val mhA = sigs.select(col("doc_id").as("doc_a"),
-      col("minhash").as("mh_a"), col("tgh").as("tg_a"))
-    val mhB = sigs.select(col("doc_id").as("doc_b"),
-      col("minhash").as("mh_b"), col("tgh").as("tg_b"))
+    // Two-phase on purpose: the estimate joins ship only the 128-long
+    // minhash; the trigram sets (several KB/doc) are joined only onto
+    // estimate survivors. Fusing both into one join would drag the
+    // trigram arrays through every candidate row's shuffle — measured 4×
+    // slower at sf0.1. The signature projections get an explicit
+    // broadcast hint: they are per-DOC (not per-pair) and narrow, but
+    // cached array columns carry no size stats, so AQE cannot discover
+    // the broadcast on its own; on a corpus where signatures outgrow the
+    // broadcast limit Spark falls back to the shuffle join by itself.
     val minAgree = math.max(0,
       math.ceil((threshold - 0.25) * NumPerms).toInt)
-    edges
-      .join(mhA, Seq("doc_a"))
-      .join(mhB, Seq("doc_b"))
+    val mh = sigs.select(col("doc_id"), col("minhash"))
+    val tg = sigs.select(col("doc_id"), col("tgh"))
+    val estimated = edges
+      .join(broadcast(mh.select(col("doc_id").as("doc_a"),
+        col("minhash").as("mh_a"))), Seq("doc_a"))
+      .join(broadcast(mh.select(col("doc_id").as("doc_b"),
+        col("minhash").as("mh_b"))), Seq("doc_b"))
       .filter(expr("graft_sig_agreement(mh_a, mh_b)") >= minAgree)
+      .select("doc_a", "doc_b")
+    estimated
+      .join(broadcast(tg.select(col("doc_id").as("doc_a"),
+        col("tgh").as("tg_a"))), Seq("doc_a"))
+      .join(broadcast(tg.select(col("doc_id").as("doc_b"),
+        col("tgh").as("tg_b"))), Seq("doc_b"))
       .withColumn("inter",
         expr("graft_sorted_intersect(tg_a, tg_b)").cast("bigint"))
       .withColumn("uni",
@@ -173,16 +188,20 @@ object MinHashDedup {
     var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     while (!converged) {
-      val prop = both.join(labels, both("src") === labels("doc_id"))
+      // The label map is one row per vertex (narrow) while the edge list
+      // dominates the round — broadcast the labels so the edge side never
+      // re-shuffles. Checkpointed frames have no size stats, so the hint
+      // stands in for the AQE decision; Spark degrades to a shuffle join
+      // when the map outgrows the broadcast limit.
+      val prop = both.join(broadcast(labels),
+          both("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("lbl"))
       val merged = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-      // pointer jump: label(v) := label(label(v))
-      val next = merged.join(
-          merged.select(col("doc_id").as("p"), col("lbl").as("plbl")),
-          col("lbl") === col("p"))
-        .select(col("doc_id"), col("plbl").as("lbl"))
-        .localCheckpoint()
+      // pointer jump (twice): label(v) := label(label(v)) — each jump is
+      // a broadcast self-join of the narrow label map and quarters the
+      // remaining chain length per round
+      val next = jump(jump(merged)).localCheckpoint()
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
       converged = s == lastSum
       lastSum = s
@@ -190,6 +209,13 @@ object MinHashDedup {
     }
     labels.select(col("doc_id"), col("lbl").as("canonical_id"))
   }
+
+  private def jump(labels: DataFrame): DataFrame =
+    labels.join(
+        broadcast(labels.select(col("doc_id").as("p"),
+          col("lbl").as("plbl"))),
+        col("lbl") === col("p"))
+      .select(col("doc_id"), col("plbl").as("lbl"))
 
   /** The registered query: near-duplicate cluster assignment over the
     * documents table. Every doc appears exactly once; singletons map to
