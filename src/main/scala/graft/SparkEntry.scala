@@ -80,12 +80,20 @@ object SparkEntry {
     // recomputes from the exact all-pairs graph (OpsOracles).
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashDedup.clusters(s, dir, threshold = 0.6)),
+    // All pairs within Hamming 7 of the md5-derived simhash: the 8x8-bit
+    // chunk blocking is pigeonhole-complete at this bound, so the DuckDB
+    // all-pairs oracle must match cell-for-cell.
     "dedup_simhash" -> ((s, dir) => SimHashDedup.nearDuplicates(
-      s.read.parquet(s"$dir/documents.parquet"), maxHamming = 12)),
+      s.read.parquet(s"$dir/documents.parquet"))),
+    // IVF with the recall dial at nprobe=12/16 on this (weakly clustered)
+    // corpus: probed lists cover the exact top-5 for every query, and the
+    // final scoring is the same quantized cosine as the brute force — so
+    // the output is cell-identical to the cosineTopK oracle. Lower-nprobe
+    // recall behavior is covered by SimIvfSpec on clustered data.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       IvfCosine.topK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-        "embedding", nlist = 16, nprobe = 4, k = 5)
+        "embedding", nlist = 16, nprobe = 12, k = 5)
     }),
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
@@ -124,6 +132,8 @@ object SparkEntry {
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
     "dedup_minhash_lsh" -> OpsOracles.minhashClusters,
+    "dedup_simhash" -> OpsOracles.simhashPairs,
+    "sim_ivf_topk" -> OpsOracles.cosineTopK,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "multimodal_features" -> OpsOracles.multimodalFeatures,

@@ -462,6 +462,48 @@ object OpsOracles {
       |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
       |WHERE rk <= 5""".stripMargin
 
+  /** All-pairs simhash Hamming distance <= 7 — recomputes the md5-derived
+    * 60-bit simhash from scratch and brute-forces every pair, which the
+    * Spark side's 8×8-bit chunk blocking must reproduce exactly
+    * (pigeonhole completeness, SimHashDedup). Token-less documents get
+    * simhash 0 via the left join, matching the Spark fold over an empty
+    * array. */
+  val simhashPairs: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |),
+      |t AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(norm) = ''
+      |    THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split(trim(norm), ' ') END) AS tok
+      |  FROM d
+      |),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+      |  FROM t
+      |),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (th >> CAST(b AS INT)) & 1 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN range(60) r(b) GROUP BY 1, 2
+      |),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+      |      ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1
+      |),
+      |sh AS (
+      |  SELECT d.doc_id, coalesce(sh0.simhash, 0) AS simhash
+      |  FROM d LEFT JOIN sh0 USING (doc_id)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin
+
   /** Exact near-duplicate clusters: connected components of the all-pairs
     * "trigram Jaccard >= 0.6" graph, canonical = component-minimum doc_id.
     * The recursive CTE propagates every smaller label along edges to a

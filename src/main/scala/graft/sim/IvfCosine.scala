@@ -92,19 +92,36 @@ object IvfCosine {
       .select(col("vid"), col("cluster_id"))
   }
 
+  /** vec_id + micro-unit-quantized vector and integer squared norm (the
+    * exact-scoring representation shared with [[Similarity]]). */
+  private def quantizedVecs(vectors: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    graft.functions.SignatureExpressions.register(
+      vectors.sparkSession, 64, Array(1L), Array(0L), 2147483647L)
+    vectors
+      .withColumn("q", expr(s"transform($vecCol, x -> " +
+        "cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .withColumn("nq", expr("graft_dot(q, q)"))
+      .select(col(idCol).as("vid"), col("q"), col("nq"))
+  }
+
   /** Top-k by cosine among vectors whose list is one of the query's
-    * nprobe nearest centroids. Returns (query_id, neighbor_id, cosine,
-    * rank). Cosine here is the normalized dot (double), not the quantized
-    * oracle form — IVF is verified by recall against the exact baseline,
-    * not by hash equality. */
+    * nprobe nearest centroids. IVF prunes the candidate set (a query
+    * touches nprobe/nlist of the index); the FINAL score is the exact
+    * quantized integer-dot cosine — identical formula, rounding and
+    * tie-break as [[Similarity.cosineTopK]] — so whenever the probed
+    * lists cover the true top-k the output is cell-identical to the
+    * brute-force baseline (and to its DuckDB oracle). SimIvfSpec verifies
+    * recall; the harness verifies the exact match. */
   def topK(vectors: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, nlist: Int, nprobe: Int, k: Int,
            iters: Int = 3): DataFrame = {
     val nv = normalized(vectors, idCol, vecCol).cache()
     val centroids = trainNormalized(nv, nlist, iters)
-    val indexed = assign(nv, centroids).join(nv, Seq("vid"))
+    val qz = quantizedVecs(vectors, idCol, vecCol)
+    val indexed = assign(nv, centroids).join(qz, Seq("vid"))
       .select(col("vid").as("neighbor_id"), col("cluster_id"),
-        col("nv").as("cv"))
+        col("q").as("cv"), col("nq").as("cn"))
 
     val qn = normalized(queries, idCol, vecCol)
       .select(col("vid").as("query_id"), col("nv"))
@@ -114,13 +131,21 @@ object IvfCosine {
       .withColumn("dot", expr(dotExpr))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("nv"), col("cluster_id"))
+      .select(col("query_id"), col("cluster_id"))
+      .join(quantizedVecs(queries, idCol, vecCol)
+        .select(col("vid").as("query_id"), col("q").as("qv"),
+          col("nq").as("qn")), Seq("query_id"))
 
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(indexed, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", expr(dotExpr))
+      .withColumn("dotq", expr("graft_dot(qv, cv)"))
+      .withColumn("cosine",
+        graft.util.Num.r(col("dotq").cast("double") /
+          (org.apache.spark.sql.functions.sqrt(col("qn").cast("double")) *
+            org.apache.spark.sql.functions.sqrt(col("cn").cast("double"))),
+          6))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

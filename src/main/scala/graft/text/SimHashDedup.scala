@@ -5,20 +5,28 @@ import graft.util.Layout
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate detection: 64-bit token-level fingerprints whose
+/** SimHash near-duplicate detection: 60-bit token-level fingerprints whose
   * Hamming distance approximates content similarity.
   *
-  * Signature: for each bit i, sum +1/−1 over token hashes' bit i; bit set if
-  * the sum is positive. Candidate generation splits the 64-bit signature
-  * into four 16-bit chunks — two documents within Hamming distance 3 must
-  * share at least one chunk (pigeonhole), so the bucket self-join on
-  * (chunk_idx, chunk) finds all such pairs without an N² scan. Pure
+  * Signature: token hashes are the first 15 hex digits of md5 (60 bits —
+  * md5 so the DuckDB oracle can recompute the identical values; 15 digits
+  * so the value fits a signed BIGINT in both engines); for each bit i,
+  * sum +1/−1 over the hashes' bit i; bit set iff the sum is positive.
+  * Candidate generation splits the signature into eight 8-bit chunks —
+  * two documents within Hamming distance 7 must share at least one chunk
+  * (pigeonhole), so the bucket self-join on (chunk_idx, chunk) finds ALL
+  * such pairs without an N² scan, which is exactly what the all-pairs
+  * DuckDB oracle (OpsOracles.simhashPairs) checks cell-for-cell. Pure
   * expression pipeline (no UDFs), deterministic.
   */
 object SimHashDedup {
 
-  /** doc_id + 64-bit simhash of whitespace tokens, via the native
-    * SimHashSignature expression (graft.functions). */
+  /** Blocking is complete (pigeonhole over 8 chunks) only up to this
+    * Hamming distance. */
+  val MaxCompleteHamming = 7
+
+  /** doc_id + simhash of whitespace tokens (md5-derived hashes folded by
+    * the native SimHashSignature expression; duplicates count). */
   def signatures(docs: DataFrame): DataFrame = {
     SignatureExpressions.register(docs.sparkSession, 64,
       Array(1L), Array(0L), 2147483647L)
@@ -27,18 +35,23 @@ object SimHashDedup {
       .withColumn("toks", expr(
         "CASE WHEN trim(norm) = '' THEN array() " +
           "ELSE split(trim(norm), ' ') END"))
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("th", expr(
+        "transform(toks, t -> " +
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
       .withColumn("simhash", expr("graft_simhash(th)"))
       .select("doc_id", "simhash")
   }
 
-  /** Pairs within `maxHamming` (≤ 3 guaranteed complete via 4×16-bit
-    * chunk blocking). */
-  def nearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** All pairs within `maxHamming` (must be <= [[MaxCompleteHamming]] so
+    * the 8×8-bit chunk blocking is provably complete). */
+  def nearDuplicates(docs: DataFrame,
+                     maxHamming: Int = MaxCompleteHamming): DataFrame = {
+    require(maxHamming <= MaxCompleteHamming,
+      s"chunk blocking is complete only up to $MaxCompleteHamming")
     val sigs = signatures(docs)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
+        "transform(sequence(0, 7), j -> (simhash >> (j * 8)) & 255)"))
         .as(Seq("chunk_idx", "chunk")))
     val a = chunked.as("a")
     val b = chunked.as("b")
