@@ -41,4 +41,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("as-of join: one shuffle on the key, no range explosion") {
+    val p = plan("join_asof_attribution")
+    // union + single partitioned window pass: exactly one exchange
+    // hash-partitioned on the bare key feeds the Window (the second
+    // user_id+ts exchange belongs to the view dedup pre-aggregate), and
+    // there is no join operator at all — the naive range-join encoding
+    // would show one.
+    assert(
+      "Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)".r
+        .findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("band join stays an equi join with the band as a post-filter") {
+    val p = plan("join_band_orders")
+    // joined on o_custkey equality; the +/-7-day band must NOT force a
+    // cartesian or broadcast-nested-loop plan
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pivot reads the table once, not one pass per column") {
+    val p = plan("pivot_order_status")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    // count agg + pivotfirst agg, each partial+final — never more
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p)
+  }
 }
