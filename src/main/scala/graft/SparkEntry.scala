@@ -2,7 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -63,6 +63,7 @@ object SparkEntry {
     "pivot_order_status" -> CoreOps.pivotOrderStatus _,
     "join_band_orders" -> CoreOps.bandJoinOrders _,
     "join_asof_attribution" -> AsOfJoin.attribution _,
+    "window_tumbling_hourly" -> TimeWindows.tumblingHourly _,
     "percentile_spend" -> CoreOps.percentileSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_quality_filter" -> TextOps.qualityFilter _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "pivot_order_status" -> OpsOracles.pivotOrderStatus,
     "join_band_orders" -> OpsOracles.bandJoinOrders,
     "join_asof_attribution" -> OpsOracles.asOfAttribution,
+    "window_tumbling_hourly" -> OpsOracles.tumblingHourly,
     "percentile_spend" -> OpsOracles.percentileSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_quality_filter" -> OpsOracles.qualityFilter,

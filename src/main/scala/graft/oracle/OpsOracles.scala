@@ -462,6 +462,18 @@ object OpsOracles {
       |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
       |WHERE rk <= 5""".stripMargin
 
+  /** Epoch-aligned hourly buckets: DuckDB time_bucket and Spark window()
+    * share the boundary definition (time_bucket's default origin is a
+    * midnight, so hourly buckets are epoch-aligned in both engines). */
+  val tumblingHourly: String =
+    """SELECT
+      |  epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM events GROUP BY 1""".stripMargin
+
   /** All-pairs simhash Hamming distance <= 7 — recomputes the md5-derived
     * 60-bit simhash from scratch and brute-forces every pair, which the
     * Spark side's 8×8-bit chunk blocking must reproduce exactly
