@@ -55,6 +55,7 @@ object SparkEntry {
     "join_semi_anti" -> CoreOps.semiAntiJoin _,
     "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
     "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
+    "agg_salted_skew" -> CoreOps.saltedSkewAgg _,
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "join_semi_anti" -> OpsOracles.semiAntiJoin,
     "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
     "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
+    "agg_salted_skew" -> OpsOracles.saltedSkewAgg,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,

@@ -462,6 +462,14 @@ object OpsOracles {
       |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
       |WHERE rk <= 5""".stripMargin
 
+  /** The salted two-phase aggregation must equal the plain GROUP BY. */
+  val saltedSkewAgg: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_l,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Epoch-aligned hourly buckets: DuckDB time_bucket and Spark window()
     * share the boundary definition (time_bucket's default origin is a
     * midnight, so hourly buckets are epoch-aligned in both engines). */

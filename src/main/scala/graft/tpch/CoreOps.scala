@@ -279,6 +279,19 @@ object CoreOps {
       .agg(count(col("b.o_orderkey")).as("nearby_orders"))
   }
 
+  /** Two-phase salted aggregation over a pathologically skewed key
+    * (l_returnflag: 3 values across the whole fact table, so a plain
+    * groupBy funnels everything through 3 reducers). The salt spreads the
+    * hot keys over 16 partial reducers; the oracle is the PLAIN GROUP BY
+    * — the whole point is that salting changes the plan, not the
+    * answer. */
+  def saltedSkewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.util.Skew.saltedSumCount(
+      read(s, dir, "lineitem")
+        .withColumn("qty_l", expr("cast(round(l_quantity, 0) as bigint)"))
+        .select("l_returnflag", "qty_l"),
+      Seq("l_returnflag"), "qty_l")
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
