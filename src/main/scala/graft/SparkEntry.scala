@@ -65,12 +65,14 @@ object SparkEntry {
     "join_band_orders" -> CoreOps.bandJoinOrders _,
     "join_asof_attribution" -> AsOfJoin.attribution _,
     "window_tumbling_hourly" -> TimeWindows.tumblingHourly _,
+    "window_sliding_hourly" -> TimeWindows.slidingHourly _,
     "percentile_spend" -> CoreOps.percentileSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_quality_filter" -> TextOps.qualityFilter _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
+    "text_hash_split" -> TextOps.hashSplit _,
     "text_tfidf_topk" -> ((s, dir) => TextOps.tfIdfTopTerms(s, dir)),
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
@@ -126,12 +128,14 @@ object SparkEntry {
     "join_band_orders" -> OpsOracles.bandJoinOrders,
     "join_asof_attribution" -> OpsOracles.asOfAttribution,
     "window_tumbling_hourly" -> OpsOracles.tumblingHourly,
+    "window_sliding_hourly" -> OpsOracles.slidingHourly,
     "percentile_spend" -> OpsOracles.percentileSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_quality_filter" -> OpsOracles.qualityFilter,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
     "text_token_topk" -> OpsOracles.tokenTopK,
+    "text_hash_split" -> OpsOracles.hashSplit,
     "text_tfidf_topk" -> OpsOracles.tfIdfTopTerms,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,

@@ -29,4 +29,24 @@ object TimeWindows {
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("n_users"), col("sum_value_cents"))
+
+  /** Sliding hourly windows on a 30-minute slide: every event lands in
+    * exactly two windows (start = floor₃₀(t) and floor₃₀(t) − 30 min),
+    * which is also how the oracle recomputes the assignment with a
+    * two-way union. The 2× row amplification happens inside the window
+    * operator's Expand, before the single aggregate shuffle. */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.Events.raw(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("value_cents",
+        expr("cast(round(value * 100, 0) as bigint)"))
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour",
+        "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("n_users"), col("sum_value_cents"))
 }

@@ -482,6 +482,41 @@ object OpsOracles {
       |    AS sum_value_cents
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Sliding hourly windows, 30-min slide: every event belongs to the
+    * two hour-long windows starting at floor_30(t) and floor_30(t) - 30
+    * minutes — recomputed here with a two-way union. */
+  val slidingHourly: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS ts_us, user_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+      |  FROM events
+      |),
+      |w AS (
+      |  SELECT (ts_us // 1800000000) * 1800000000 AS wstart, user_id, vc
+      |  FROM e
+      |  UNION ALL
+      |  SELECT (ts_us // 1800000000) * 1800000000 - 1800000000, user_id, vc
+      |  FROM e
+      |)
+      |SELECT CAST(wstart AS BIGINT) AS window_start_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(vc) AS BIGINT) AS sum_value_cents
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** Deterministic 80/10/10 split by md5 bucket of the doc id. */
+  val hashSplit: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 10 AS INT) AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, bucket,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |    WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   /** All-pairs simhash Hamming distance <= 7 — recomputes the md5-derived
     * 60-bit simhash from scratch and brute-forces every pair, which the
     * Spark side's 8×8-bit chunk blocking must reproduce exactly

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * rounded in both engines.
   *
   * Brute-force top-k is the correctness baseline; the scale path is
-  * [[LshCosine]] (hyperplane-bucketed candidates), verified against this
-  * baseline in ScalaTest.
+  * [[IvfCosine]] (inverted-file candidate lists, exact re-scoring),
+  * verified against this baseline in ScalaTest and by the shared oracle.
   */
 object Similarity {
 

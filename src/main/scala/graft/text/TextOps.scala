@@ -100,6 +100,23 @@ object TextOps {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Deterministic train/val/test assignment by content-independent hash
+    * bucketing — the reproducible-split primitive of a training-data
+    * pipeline. The bucket comes from md5 of the doc id (not the text, so
+    * near-duplicate documents do NOT correlate across splits by
+    * construction of the id; and md5 so the DuckDB oracle reproduces the
+    * exact assignment). 80/10/10 by bucket < 8 / < 9 / else. Narrow
+    * (no shuffle): at any scale this is a projection over the scan. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
+          "15), 16, 10) as bigint), 10L) as int)"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 8 THEN 'train' " +
+          "WHEN bucket < 9 THEN 'val' ELSE 'test' END"))
+      .select("doc_id", "lang", "source", "bucket", "split")
+
   /** Corpus token frequency, top 100 (explode → hash agg → top-k). The
     * explode is narrow; the aggregate is the only shuffle and the top-k
     * is a TakeOrdered, so the plan never materializes the full sorted

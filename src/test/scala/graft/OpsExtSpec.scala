@@ -98,6 +98,37 @@ class OpsExtSpec extends SparkSpec {
     assert(sums == ((byStatus("O"), byStatus("F"), byStatus("P"))))
   }
 
+  test("sliding windows double-count every event; tumbling count once") {
+    val dir = "/root/testdata/sf0.001"
+    val total = graft.ingest.Events.raw(spark, dir).count()
+    val tumbling = graft.ops.TimeWindows.tumblingHourly(spark, dir)
+      .agg(sum("n_events")).as[Long].head()
+    val sliding = graft.ops.TimeWindows.slidingHourly(spark, dir)
+      .agg(sum("n_events")).as[Long].head()
+    assert(tumbling == total && sliding == 2 * total)
+    // sliding window starts are 30-minute aligned
+    val misaligned = graft.ops.TimeWindows.slidingHourly(spark, dir)
+      .filter(col("window_start_us") % (1800L * 1000000L) =!= 0).count()
+    assert(misaligned == 0)
+  }
+
+  test("hash split is deterministic and roughly 80/10/10") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.text.TextOps.hashSplit(spark, dir).cache()
+    val n = out.count()
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == n)
+    assert(bySplit("train") > n / 2) // 80% nominal
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // rerun gives the identical assignment
+    val again = graft.text.TextOps.hashSplit(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
   test("tf-idf: rare token outranks frequent one within a doc") {
     val dir = tmpDir("tfidf-docs")
     Seq(
