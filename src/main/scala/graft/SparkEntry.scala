@@ -56,6 +56,7 @@ object SparkEntry {
     "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
     "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
     "agg_salted_skew" -> CoreOps.saltedSkewAgg _,
+    "set_ops_customers" -> CoreOps.setOpsCustomers _,
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
@@ -119,6 +120,7 @@ object SparkEntry {
     "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
     "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
     "agg_salted_skew" -> OpsOracles.saltedSkewAgg,
+    "set_ops_customers" -> OpsOracles.setOpsCustomers,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,

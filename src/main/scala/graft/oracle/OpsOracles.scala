@@ -462,6 +462,19 @@ object OpsOracles {
       |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
       |WHERE rk <= 5""".stripMargin
 
+  val setOpsCustomers: String =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
   /** The salted two-phase aggregation must equal the plain GROUP BY. */
   val saltedSkewAgg: String =
     """SELECT l_returnflag,

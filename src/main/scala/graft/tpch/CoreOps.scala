@@ -279,6 +279,20 @@ object CoreOps {
       .agg(count(col("b.o_orderkey")).as("nearby_orders"))
   }
 
+  /** Set operators (SURVEY §2.7 notes the reference has none): customers
+    * who ordered in BOTH 1995 and 1996 (INTERSECT) but NOT in 1997
+    * (EXCEPT). Catalyst rewrites both to semi/anti joins over the
+    * pre-aggregated (distinct) keys, so no full-row comparison runs. */
+  def setOpsCustomers(s: SparkSession, dir: String): DataFrame = {
+    def inYear(y: Int) = read(s, dir, "orders")
+      .filter(col("o_orderdate") >=
+        expr(s"timestamp'$y-01-01 00:00:00'") &&
+        col("o_orderdate") < expr(s"timestamp'${y + 1}-01-01 00:00:00'"))
+      .select(col("o_custkey"))
+    inYear(1995).intersect(inYear(1996)).except(inYear(1997))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Two-phase salted aggregation over a pathologically skewed key
     * (l_returnflag: 3 values across the whole fact table, so a plain
     * groupBy funnels everything through 3 reducers). The salt spreads the
