@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -14,8 +14,14 @@ import org.apache.spark.sql.types._
   * functions) is semantically identical but runs through interpreted lambda
   * evaluation — numPerms × |shingles| interpreted calls per row. These
   * expressions run the same arithmetic as one compiled loop (~30× faster at
-  * the sf0.1 corpus). CodegenFallback is fine: the eval body itself is a
-  * single tight JVM loop, and the surrounding projection still codegens.
+  * the sf0.1 corpus).
+  *
+  * The per-PAIR expressions (agreement / intersect / dot — evaluated
+  * millions of times in the candidate-confirm joins) implement `doGenCode`
+  * so the whole confirm stage stays inside whole-stage codegen with no
+  * boxing. The per-DOC signature builders (minhash/simhash — evaluated
+  * once per document) stay `CodegenFallback`: each eval is already one
+  * tight JVM loop and the surrounding projection still codegens.
   */
 
 /** array<long> shingle hashes → array<long> of `numPerms` min-hashes:
@@ -87,8 +93,7 @@ case class SimHashSignature(child: Expression)
   * minhash Jaccard estimator numerator, as one compiled loop instead of
   * zip_with + filter interpreted per pair. */
 case class SigAgreement(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -105,6 +110,20 @@ case class SigAgreement(left: Expression, right: Expression)
     java.lang.Integer.valueOf(c)
   }
 
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
@@ -114,8 +133,7 @@ case class SigAgreement(left: Expression, right: Expression)
   * row, which dominates the LSH confirm stage). Union size follows as
   * |A| + |B| − |A∩B|. */
 case class SortedIntersectSize(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -136,6 +154,29 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     java.lang.Integer.valueOf(c)
   }
 
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
@@ -146,8 +187,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * higher-order-function formulation (and to the DuckDB oracle's
   * list_sum(list_zip)), only faster. */
 case class LongDotProduct(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -163,6 +203,20 @@ case class LongDotProduct(left: Expression, right: Expression)
     }
     java.lang.Long.valueOf(s)
   }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
