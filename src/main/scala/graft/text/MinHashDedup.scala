@@ -90,16 +90,20 @@ object MinHashDedup {
     // Band key = hash of the band's minhash slice (long join key, not a
     // concatenated string; false bucket collisions are filtered by the
     // estimate/confirm stages anyway).
+    // Narrow (3 longs/row) and read three times — by the bucket-size
+    // aggregate and both sides of the pair self-join, which would
+    // otherwise re-execute the explode subtree per side.
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
+      .persist()
     val buckets = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
     val sized = banded.join(buckets, Seq("band_idx", "band_key"))
     val small = sized.filter(col("bucket_n") <= allPairsMax)
-      .drop("bucket_n")
+      .drop("bucket_n").persist()
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
