@@ -76,7 +76,7 @@ object IncrementalSilver {
       val affectedDates = recomputed.select(col("datetime")).distinct()
         .collect().map(_.get(0))
       val kept = spark.read.parquet(silverDir)
-        .filter(col("datetime").isin(affectedDates: _*))
+        .filter(col("datetime").isin(affectedDates.toIndexedSeq: _*))
         .join(affectedUsers, Seq("user_id"), "left_anti")
       kept.unionByName(recomputed)
         .localCheckpoint() // we overwrite the path we read

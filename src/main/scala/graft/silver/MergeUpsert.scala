@@ -34,7 +34,7 @@ object MergeUpsert {
       val affected = stage.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
       val target = spark.read.parquet(targetDir)
-        .filter(col(partitionCol).isin(affected: _*))
+        .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
       val merged = target
         .join(stage, keyCols, "left_anti")
         .unionByName(stage)

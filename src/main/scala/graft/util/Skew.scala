@@ -23,7 +23,7 @@ object Skew {
     val key: Seq[Column] = keyCols.map(col)
     df
       .withColumn("_salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
       .groupBy(key :+ col("_salt"): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(key: _*)
