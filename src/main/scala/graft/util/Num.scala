@@ -39,4 +39,20 @@ object Layout {
   def spread(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Safe broadcast ceiling for an explicit hint. Spark hard-fails an
+    * explicit `broadcast()` past 8 GB / 512M rows (the hint BYPASSES
+    * autoBroadcastJoinThreshold — there is no automatic fallback), so
+    * hints must be gated by the caller on an estimated build size. */
+  val MaxBroadcastBytes: Long = 256L << 20
+
+  /** `broadcast(df)` when the caller-estimated size fits under the
+    * ceiling, else the frame unchanged (shuffle join). Use for frames
+    * whose size Catalyst cannot see — cached / checkpointed plans carry
+    * no stats, so AQE can neither choose nor reject the broadcast. */
+  def maybeBroadcast(df: org.apache.spark.sql.DataFrame, estBytes: Long,
+                     limit: Long = MaxBroadcastBytes)
+      : org.apache.spark.sql.DataFrame =
+    if (estBytes <= limit) org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

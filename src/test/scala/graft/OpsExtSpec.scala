@@ -29,6 +29,22 @@ class OpsExtSpec extends SparkSpec {
     assert(out(12L).contains(1002L))
   }
 
+  test("as-of join: NULL payload field comes from the matched row, not an older one") {
+    // The latest right row before ts=100 has a NULL label; a per-column
+    // carry would tear the row by backfilling the label from ts=60.
+    val left = Seq((1L, 100L, 10L))
+      .toDF("user_id", "l_ts", "purchase_id")
+    val right = Seq(
+      (1L, 60L, Some("old"), 600L),
+      (1L, 90L, None, 900L)
+    ).toDF("user_id", "r_ts", "label", "amount")
+    val row = AsOfJoin.asOf(left, right, Seq("user_id"), "l_ts", "r_ts")
+      .select("amount", "label").as[(Option[Long], Option[String])]
+      .collect().head
+    assert(row._1.contains(900L))
+    assert(row._2.isEmpty, "label must be the matched row's NULL, not 'old'")
+  }
+
   test("as-of join matches a per-row brute force on harness events") {
     val dir = "/root/testdata/sf0.001"
     val got = AsOfJoin.attribution(spark, dir)
