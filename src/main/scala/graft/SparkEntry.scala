@@ -2,11 +2,11 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.{AsOfJoin, TimeWindows}
+import graft.ops.{AsOfJoin, EventOps, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
-import graft.sim.{IvfCosine, Similarity}
+import graft.sim.{IvfCosine, LshCosine, Similarity}
 import graft.text.{MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,6 +67,8 @@ object SparkEntry {
     "join_asof_attribution" -> AsOfJoin.attribution _,
     "window_tumbling_hourly" -> TimeWindows.tumblingHourly _,
     "window_sliding_hourly" -> TimeWindows.slidingHourly _,
+    "window_range_7d_spend" -> EventOps.rolling7dSpend _,
+    "json_props_agg" -> EventOps.jsonPropsAgg _,
     "percentile_spend" -> CoreOps.percentileSpend _,
     "text_stats" -> TextOps.textStats _,
     "text_quality_filter" -> TextOps.qualityFilter _,
@@ -100,6 +102,10 @@ object SparkEntry {
       IvfCosine.topK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", nlist = 16, nprobe = 12, k = 5)
     }),
+    // Hyperplane-LSH ANN: the contract is top-k BY EXACT COSINE among
+    // LSH-bucket candidates — deterministic (integer buckets from fixed
+    // ±1 hyperplanes), so the oracle recomputes the identical index.
+    "sim_lsh_topk" -> ((s, dir) => LshCosine.topK(s, dir)),
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
   )
@@ -131,6 +137,8 @@ object SparkEntry {
     "join_asof_attribution" -> OpsOracles.asOfAttribution,
     "window_tumbling_hourly" -> OpsOracles.tumblingHourly,
     "window_sliding_hourly" -> OpsOracles.slidingHourly,
+    "window_range_7d_spend" -> OpsOracles.rolling7dSpend,
+    "json_props_agg" -> OpsOracles.jsonPropsAgg,
     "percentile_spend" -> OpsOracles.percentileSpend,
     "text_stats" -> OpsOracles.textStats,
     "text_quality_filter" -> OpsOracles.qualityFilter,
@@ -145,6 +153,7 @@ object SparkEntry {
     "dedup_simhash" -> OpsOracles.simhashPairs,
     "sim_ivf_topk" -> OpsOracles.cosineTopK,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
+    "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "multimodal_features" -> OpsOracles.multimodalFeatures,
   )

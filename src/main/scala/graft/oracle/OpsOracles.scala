@@ -705,4 +705,94 @@ object OpsOracles {
       |)
       |SELECT query_id, neighbor_id, cosine, "rank" FROM r
       |WHERE "rank" <= 5""".stripMargin
+
+  /** Mirrors EventOps.jsonPropsAgg: DuckDB's JSON extension evaluates the
+    * same `$.k` path; k is non-negative so `%` matches Spark's `%`. */
+  val jsonPropsAgg: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors EventOps.rolling7dSpend: RANGE frame over integer µs. */
+  val rolling7dSpend: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT user_id, event_id, ts_us, value_cents,
+      |  CAST(SUM(value_cents) OVER w AS BIGINT) AS spend_7d_cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_purchases_7d
+      |FROM p
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Mirrors graft.sim.LshCosine.topK: identical hyperplane literals
+    * (generated from LshCosine.signs, the shared source of truth), same
+    * integer bucket packing, same exact-cosine rerank as [[cosineTopK]]. */
+  lazy val lshCosineTopK: String = {
+    val hpRows = (for {
+      t <- 0 until graft.sim.LshCosine.Tables
+      j <- 0 until graft.sim.LshCosine.BitsPerTable
+    } yield {
+      val lits = graft.sim.LshCosine.signs(t)(j).mkString(", ")
+      s"($t, $j, [$lits])"
+    }).mkString(",\n      ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |n AS (
+       |  SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+       |  FROM e
+       |),
+       |hp AS (
+       |  SELECT * FROM (VALUES
+       |      $hpRows
+       |  ) AS t(tbl, bit, s)
+       |),
+       |bits AS (
+       |  SELECT e.vec_id, hp.tbl,
+       |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
+       |        list_zip(e.q, hp.s), z -> z[1] * z[2])) AS BIGINT) >= 0
+       |      THEN (1 << hp.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN hp
+       |  GROUP BY e.vec_id, hp.tbl
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bits a JOIN bits b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10
+       |),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qs.q, ns.q),
+       |      z -> z[1] * z[2])) AS BIGINT) AS dot,
+       |    qs.nn AS qn, ns.nn AS cn
+       |  FROM cand c
+       |  JOIN n qs ON qs.vec_id = c.query_id
+       |  JOIN n ns ON ns.vec_id = c.neighbor_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round((dot::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(cn::DOUBLE)))
+       |      * 1000000, 0) / 1000000.0 AS cosine
+       |  FROM pairs
+       |),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+       |    AS "rank"
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM r
+       |WHERE "rank" <= 5""".stripMargin
+  }
 }
