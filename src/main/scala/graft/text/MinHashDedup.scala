@@ -141,41 +141,54 @@ object MinHashDedup {
     * Jaccard ≥ threshold−1e−4 (the margin absorbs the contract's
     * 4-decimal rounding before its ≥-threshold cut).
     *
-    * Order all tokens globally by (document frequency asc, token value);
-    * each doc keeps its first n − ⌈t′·n⌉ + 1 tokens as its prefix. If
-    * J(a,b) ≥ t′ then the smallest common token of a and b lies in BOTH
-    * prefixes (else one side would have too many rarer non-shared tokens
-    * to reach the required overlap ⌈t′·n⌉), so joining prefixes on token
-    * finds every qualifying pair — the Vernica/Bayardo set-similarity-join
-    * prefix filter. Frequency ordering keeps common tokens out of
-    * prefixes, so token buckets stay small on natural corpora; a template
-    * family still pays O(family²) here, which is exactly the regime where
-    * the LSH arm alone (linear hub edges) is the 100 TB configuration.
+    * Order all tokens globally by (document frequency asc, token value).
+    * For a qualifying pair with sizes na ≤ nb the required overlap is
+    * α ≥ t′/(1+t′)·(na+nb), which bounds it both ways: α ≥ 2t′/(1+t′)·na
+    * and (via the size filter na ≥ t′·nb) α ≥ t′·nb. The smallest common
+    * token therefore sits within the first na − ⌈2t′/(1+t′)·na⌉ + 1
+    * tokens of the SMALLER set (the short "index" prefix, ≈0.25·n at
+    * t′=0.6) and the first nb − ⌈t′·nb⌉ + 1 tokens of the LARGER set
+    * (the long "probe" prefix, ≈0.4·n) — else one side would have too
+    * many rarer non-shared tokens to reach α. Joining short(smaller) ×
+    * long(larger) on token is the PPJoin/Vernica asymmetric-prefix
+    * filter: complete, with far fewer false candidates than the
+    * symmetric long×long join (a token must land in the rarest quarter
+    * of the smaller doc). Ties na = nb are ordered by doc_id.
     *
-    * The size filter min ≥ ⌈t′·max⌉ (necessary: J ≤ min/max) prunes pairs
-    * before the distinct. The token-frequency table is one row per
-    * distinct trigram — a fresh aggregate with stats, so AQE picks the
-    * broadcast join by itself. */
+    * Frequency ordering keeps common tokens out of prefixes, so token
+    * buckets stay small on natural corpora; a template family still pays
+    * O(family²) here, which is exactly the regime where the LSH arm alone
+    * (linear hub edges) is the 100 TB configuration. The token-frequency
+    * table is one row per distinct trigram — a fresh aggregate with
+    * stats, so AQE picks the broadcast join by itself. */
   def prefixCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
     val tp = math.max(threshold - 1e-4, 0.0)
+    val idxFrac = 2 * tp / (1 + tp)
     val toks = sigs.select(col("doc_id"), size(col("tgh")).as("n"),
       explode(col("tgh")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq"), col("tok"))
-    val prefix = toks.join(dfreq, Seq("tok"))
+    val ranked = toks.join(dfreq, Seq("tok"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(tp) * col("n")) + lit(1))
-      .select("tok", "doc_id", "n")
+      .select("tok", "doc_id", "n", "rn")
       .persist()
-    val out = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) >=
-            ceil(lit(tp) * greatest(col("a.n"), col("b.n"))))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val short = ranked
+      .filter(col("rn") <= col("n") - ceil(lit(idxFrac) * col("n")) + lit(1))
+      .select(col("tok").as("tok_s"), col("doc_id").as("id_s"),
+        col("n").as("n_s"))
+    val long = ranked
+      .select(col("tok").as("tok_l"), col("doc_id").as("id_l"),
+        col("n").as("n_l"))
+    short.join(long,
+        col("tok_s") === col("tok_l") &&
+          (col("n_s") < col("n_l") ||
+            (col("n_s") === col("n_l") && col("id_s") < col("id_l"))) &&
+          col("n_s") >= ceil(lit(tp) * col("n_l")))
+      .select(least(col("id_s"), col("id_l")).as("doc_a"),
+        greatest(col("id_s"), col("id_l")).as("doc_b"))
       .distinct()
-    out
   }
 
   /** (row count, total token count) of a signature frame — the size
@@ -253,7 +266,21 @@ object MinHashDedup {
       threshold, totTokens, nDocs)
   }
 
-  /** Connected components by min-label propagation with pointer jumping:
+  /** Edge-count ceiling for the driver union-find fast path in
+    * [[components]]: 10M edges ≈ 160 MB of longs — trivial driver memory,
+    * and path-compressed union-find beats any distributed round. */
+  val DriverComponentsMaxEdges: Long = 10000000L
+
+  /** Connected components → (doc_id, canonical_id = component minimum).
+    *
+    * Small graphs (≤ [[DriverComponentsMaxEdges]] edges, measured, not
+    * guessed) collect to the driver and run path-compressed union-find —
+    * the same small-graph shortcut graph libraries take, since a
+    * sub-second driver pass beats several distributed rounds. Union by
+    * min-root keeps every root the component minimum, so the output is
+    * identical to the distributed path.
+    *
+    * Larger graphs run min-label propagation with pointer jumping:
     * every vertex starts as its own label; each round pushes the smaller
     * label across every edge, then compresses paths by following each
     * label to ITS label (labels are always ≤ their owner, so the jump is
@@ -264,8 +291,47 @@ object MinHashDedup {
     * and `localCheckpoint` keeps the plan from growing with the iteration
     * count.
     *
-    * Returns (doc_id, canonical_id = component-minimum doc_id). */
-  def components(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    * Duplicate edges are permitted (both paths absorb them), which lets
+    * callers skip a multi-million-row distinct on the candidate union. */
+  def components(vertices: DataFrame, edges: DataFrame,
+                 driverMaxEdges: Long = DriverComponentsMaxEdges)
+      : DataFrame = {
+    val e = edges.select(col("doc_a"), col("doc_b")).persist()
+    val nE = e.count()
+    val out =
+      if (nE <= driverMaxEdges) driverComponents(vertices, e)
+      else distributedComponents(vertices, e)
+    e.unpersist()
+    out
+  }
+
+  /** Path-compressed union-find on the driver; union by min root, so the
+    * final root of every vertex is its component's minimum doc_id. */
+  private def driverComponents(vertices: DataFrame,
+                               e: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    val vs = vertices.select(col("doc_id")).as[Long].collect()
+    vs.foreach(v => parent(v) = v)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    vs.toSeq.map(v => (v, find(v))).toDF("doc_id", "canonical_id")
+  }
+
+  private def distributedComponents(vertices: DataFrame,
+                                    edges: DataFrame): DataFrame = {
     val both = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -322,7 +388,11 @@ object MinHashDedup {
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
     val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    val cands = lsh.unionByName(prefixCandidates(sigs, threshold)).distinct()
+    // No distinct on the union: the two arms overlap mostly on TRUE
+    // edges, re-confirming a duplicate pair is a few hundred codegen'd
+    // comparisons, and components() absorbs duplicate edges — cheaper
+    // than shuffling the multi-million-row union for dedup.
+    val cands = lsh.unionByName(prefixCandidates(sigs, threshold))
     val edges = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
     components(sigs.select("doc_id"), edges)
   }
@@ -336,7 +406,8 @@ object MinHashDedup {
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
     val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    val cands = lsh.unionByName(prefixCandidates(sigs, threshold)).distinct()
+    val cands = lsh.unionByName(prefixCandidates(sigs, threshold))
     exactConfirm(sigs, cands, threshold, totTokens, nDocs)
+      .distinct() // pair-level view: one row per confirmed pair
   }
 }

@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 100 && got.values.forall(_ == 0L))
   }
 
+  test("distributed components path matches the driver union-find") {
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (2L, 0L), (0L, 1L))
+      .toDF("doc_a", "doc_b") // incl. duplicate edge
+    val verts = (0L to 5L).toDF("doc_id")
+    val dist = MinHashDedup.components(verts, edges, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    val drv = MinHashDedup.components(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == drv)
+    assert(dist == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L))
+  }
+
   test("exact duplicates collapse to one canonical doc") {
     val dir = tmpDir("docs")
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
