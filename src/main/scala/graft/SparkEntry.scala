@@ -77,6 +77,7 @@ object SparkEntry {
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
     "text_hash_split" -> TextOps.hashSplit _,
     "text_tfidf_topk" -> ((s, dir) => TextOps.tfIdfTopTerms(s, dir)),
+    "text_regex_tokens" -> TextOps.regexTokens _,
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
@@ -147,6 +148,7 @@ object SparkEntry {
     "text_token_topk" -> OpsOracles.tokenTopK,
     "text_hash_split" -> OpsOracles.hashSplit,
     "text_tfidf_topk" -> OpsOracles.tfIdfTopTerms,
+    "text_regex_tokens" -> OpsOracles.regexTokens,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,
     "dedup_minhash_lsh" -> OpsOracles.minhashClusters,

@@ -706,6 +706,31 @@ object OpsOracles {
       |SELECT query_id, neighbor_id, cosine, "rank" FROM r
       |WHERE "rank" <= 5""".stripMargin
 
+  /** Mirrors TextOps.regexTokens — same pattern, same leftmost-longest
+    * matching in both regex engines on these disjoint alternatives. */
+  val regexTokens: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(toks) AS INT) AS n_bpe_tokens,
+      |    CAST(len(list_filter(toks,
+      |      t -> regexp_matches(t, '^[a-z]+$'))) AS INT) AS n_word_tokens,
+      |    CAST(len(list_filter(toks,
+      |      t -> regexp_matches(t, '^[0-9]+$'))) AS INT) AS n_num_tokens,
+      |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, source, n_bpe_tokens, n_word_tokens,
+      |  n_num_tokens,
+      |  n_bpe_tokens - n_word_tokens - n_num_tokens AS n_punct_tokens,
+      |  n_distinct_tokens
+      |FROM c""".stripMargin
+
   /** Mirrors EventOps.jsonPropsAgg: DuckDB's JSON extension evaluates the
     * same `$.k` path; k is non-negative so `%` matches Spark's `%`. */
   val jsonPropsAgg: String =

@@ -117,6 +117,31 @@ object TextOps {
           "WHEN bucket < 9 THEN 'val' ELSE 'test' END"))
       .select("doc_id", "lang", "source", "bucket", "split")
 
+  /** BPE-style pre-tokenization counts: the regex split every modern
+    * tokenizer runs before merges (letter runs / digit runs / single
+    * punctuation, on lowered text — the cross-engine-safe core of the
+    * GPT-2 pattern). Narrow projection over the scan, no shuffle; both
+    * engines run the same leftmost-longest matching on these disjoint
+    * alternatives, so counts are exact. Distinct-token count approximates
+    * per-doc vocabulary — the usual diversity feature next to raw length. */
+  def regexTokens(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("low", lower(col("text")))
+      .withColumn("toks", expr(
+        "regexp_extract_all(low, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+      .withColumn("n_bpe_tokens", size(col("toks")))
+      .withColumn("n_word_tokens",
+        expr("size(filter(toks, t -> t rlike '^[a-z]+$'))"))
+      .withColumn("n_num_tokens",
+        expr("size(filter(toks, t -> t rlike '^[0-9]+$'))"))
+      .withColumn("n_punct_tokens",
+        col("n_bpe_tokens") - col("n_word_tokens") - col("n_num_tokens"))
+      .withColumn("n_distinct_tokens",
+        expr("size(array_distinct(toks))"))
+      .select("doc_id", "lang", "source", "n_bpe_tokens", "n_word_tokens",
+        "n_num_tokens", "n_punct_tokens", "n_distinct_tokens")
+  }
+
   /** Corpus token frequency, top 100 (explode → hash agg → top-k). The
     * explode is narrow; the aggregate is the only shuffle and the top-k
     * is a TakeOrdered, so the plan never materializes the full sorted

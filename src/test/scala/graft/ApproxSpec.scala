@@ -26,4 +26,30 @@ class ApproxSpec extends SparkSpec {
     assert(relErr(r.getAs[Long]("exact_ids"),
       r.getAs[Long]("approx_ids")) <= 0.05)
   }
+
+  test("approx_percentile within rank tolerance of exact percentile") {
+    // The 100 TB swap for CoreOps.percentileSpend's exact interpolated
+    // median: approx_percentile (Greenwald-Khanna, mergeable partial
+    // state). GK guarantees a RANK error bound (accuracy parameter ⇒
+    // ±1/accuracy of the true rank), so assert against the value at the
+    // rank bound, not a value-space epsilon.
+    val ev = graft.ingest.Events.raw(spark, "/root/testdata/sf0.01")
+      .withColumn("value_cents",
+        expr("cast(round(value * 100, 0) as bigint)"))
+    val vals = ev.select("value_cents").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val n = vals.length
+    val accuracy = 1000 // rank error <= n / accuracy
+    val approx = ev.agg(
+      expr(s"approx_percentile(value_cents, array(0.5, 0.9), $accuracy)"))
+      .head().getSeq[Long](0)
+    for ((p, got) <- Seq(0.5, 0.9).zip(approx)) {
+      val rank = (p * (n - 1)).toInt
+      val tol = math.max(1, n / accuracy)
+      val lo = vals(math.max(0, rank - tol))
+      val hi = vals(math.min(n - 1, rank + tol))
+      assert(got >= lo && got <= hi,
+        s"approx p$p=$got outside rank window [$lo, $hi]")
+    }
+  }
 }
