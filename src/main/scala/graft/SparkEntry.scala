@@ -109,6 +109,15 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => LshCosine.topK(s, dir)),
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
+    "sessionize_gap" -> EventOps.sessionizeGap _,
+    "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
+    "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
+    "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
+    "sample_stratified" -> TextOps.sampleStratified _,
+    "embed_centroids" -> Similarity.embedCentroids _,
+    // HLL sketches are implementation-specific — no DuckDB oracle; the
+    // driver records the rows-only check and ApproxSpec bounds the error.
+    "agg_approx_distinct" -> EventOps.approxDistinctUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +167,11 @@ object SparkEntry {
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "multimodal_features" -> OpsOracles.multimodalFeatures,
+    "sessionize_gap" -> OpsOracles.sessionizeGap,
+    "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
+    "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
+    "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,
+    "sample_stratified" -> OpsOracles.sampleStratified,
+    "embed_centroids" -> OpsOracles.embedCentroids,
   )
 }

@@ -13,11 +13,12 @@ object EventOps {
 
   /** Semi-structured extraction + aggregation: pull `k` out of the JSON
     * `props` column and aggregate by (event_type, k mod 10). The JSON
-    * path evaluation (`get_json_object`) is codegen'd and narrow — the
-    * only shuffle is the final coarse-keyed aggregate, so at scale this
-    * is one pass over the scan with the extraction fused into it. */
+    * path evaluation (`get_json_object`) is codegen'd; JSON parsing
+    * dominates the query's cost, so Layout.spread fans the single-file
+    * scan out before it instead of serializing the parse on one input
+    * split (measured 3-9 s single-core at sf0.1, sub-second spread). */
   def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
-    graft.ingest.Events.raw(spark, dir)
+    graft.util.Layout.spread(graft.ingest.Events.raw(spark, dir))
       .withColumn("k",
         get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("value_cents",
@@ -27,6 +28,58 @@ object EventOps {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value_cents")).as("sum_value_cents"))
+
+  /** Gap-based sessionization: a session is a maximal run of one user's
+    * events with < 30 minutes between consecutive events — the classic
+    * clickstream operator (the silver path instead groups by an explicit
+    * session key; this derives sessions when no key exists). Two window
+    * passes over ONE shuffle on user_id: lag() marks session starts, a
+    * running sum numbers them (the standard gaps-and-islands plan — both
+    * windows share the same partitioning+ordering so Catalyst runs them in
+    * one Window exec without re-sorting), then the per-session aggregate
+    * re-shuffles on (user_id, session_idx). Ordering is (ts_us, event_id)
+    * — a total order, so numbering is deterministic under equal
+    * timestamps. */
+  def sessionizeGap(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.ingest.Events.raw(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("value_cents",
+        expr("cast(round(value * 100, 0) as bigint)"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_ts_us"),
+        max(col("ts_us")).as("end_ts_us"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .withColumn("duration_us", col("end_ts_us") - col("start_ts_us"))
+  }
+
+  /** The 100 TB count-distinct path: HyperLogLog++ sketches
+    * (`approx_count_distinct`) next to the exact count it approximates.
+    * The sketch is a fixed-size mergeable aggregation buffer — partial
+    * aggregation stays map-side and the shuffle carries ~1.5 KB per group
+    * regardless of cardinality, where exact distinct re-shuffles every
+    * distinct value (the Expand plan in ordersDailyDistinct). No DuckDB
+    * oracle: HLL estimates are implementation-specific, so the driver
+    * records the weaker rows-only check; ApproxSpec asserts ≤5% relative
+    * error against the exact count. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.Events.raw(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
   /** Trailing-7-day per-user purchase spend, one row per purchase: a
     * RANGE window frame over integer µs event time (rowsBetween counts

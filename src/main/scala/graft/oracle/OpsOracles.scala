@@ -820,4 +820,132 @@ object OpsOracles {
        |SELECT query_id, neighbor_id, cosine, "rank" FROM r
        |WHERE "rank" <= 5""".stripMargin
   }
+
+  /** Mirrors EventOps.sessionizeGap: gaps-and-islands with the same
+    * (ts_us, event_id) total ordering and >= 30-minute boundary. */
+  val sessionizeGap: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events
+      |),
+      |f AS (
+      |  SELECT *, lag(ts_us) OVER w AS prev_ts_us FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_ts_us IS NULL
+      |      OR ts_us - prev_ts_us >= 1800000000 THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM f
+      |),
+      |h AS (
+      |  SELECT *, CAST(sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_idx
+      |  FROM g
+      |)
+      |SELECT user_id, session_idx,
+      |  CAST(count(1) AS BIGINT) AS n_events,
+      |  min(ts_us) AS start_ts_us,
+      |  max(ts_us) AS end_ts_us,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+      |  CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM h
+      |GROUP BY user_id, session_idx""".stripMargin
+
+  /** Mirrors CoreOps.rankSpendDeciles: rank family over spend (ties
+    * share ranks), ntile over the (spend, custkey) total order. */
+  val rankSpendDeciles: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS spend_c,
+      |    CAST(count(1) AS BIGINT) AS orders
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey, spend_c, orders,
+      |  CAST(rank() OVER v AS INT) AS spend_rank,
+      |  CAST(dense_rank() OVER v AS INT) AS spend_dense_rank,
+      |  percent_rank() OVER v AS spend_percent_rank,
+      |  CAST(ntile(10) OVER t AS INT) AS decile
+      |FROM spend
+      |WINDOW v AS (ORDER BY spend_c),
+      |  t AS (ORDER BY spend_c, o_custkey)""".stripMargin
+
+  /** Mirrors CoreOps.fullOuterChurn. */
+  val fullOuterChurn: String =
+    """WITH a AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'
+      |),
+      |b AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |),
+      |j AS (
+      |  SELECT a.o_custkey AS ak, b.o_custkey AS bk
+      |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |)
+      |SELECT CASE WHEN ak IS NOT NULL AND bk IS NOT NULL THEN 'retained'
+      |    WHEN ak IS NOT NULL THEN 'churned' ELSE 'new' END AS status,
+      |  CAST(count(1) AS BIGINT) AS customers
+      |FROM j GROUP BY 1""".stripMargin
+
+  /** Mirrors CoreOps.groupingSetsPricing (same three grouping sets and
+    * grouping() markers). */
+  val groupingSetsPricing: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  CAST(count(1) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Mirrors TextOps.sampleStratified (same md5 bucketing as hashSplit,
+    * mod 100, per-lang keep rates). */
+  val sampleStratified: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 100 AS INT) AS bucket100,
+      |    CAST(CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60
+      |      ELSE 90 END AS INT) AS keep_rate
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, bucket100, keep_rate
+      |FROM t WHERE bucket100 < keep_rate""".stripMargin
+
+  /** Mirrors Similarity.embedCentroids: list_zip against a 1-based range
+    * supplies the ordinality (DuckDB range() takes no lateral args and has
+    * no WITH ORDINALITY); zz[1]/zz[2] index the zipped struct; dim is
+    * 0-based to match posexplode. */
+  val embedCentroids: String =
+    """WITH z AS (
+      |  SELECT label,
+      |    unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS zz
+      |  FROM embeddings
+      |),
+      |q AS (
+      |  SELECT label, CAST(zz[2] - 1 AS INT) AS dim,
+      |    CAST(round(CAST(zz[1] AS DOUBLE) * 1000000, 0)
+      |      AS BIGINT) AS qv
+      |  FROM z
+      |),
+      |a AS (
+      |  SELECT label, dim, CAST(count(1) AS BIGINT) AS n_vectors,
+      |    CAST(sum(qv) AS BIGINT) AS sum_q
+      |  FROM q GROUP BY label, dim
+      |)
+      |SELECT label, dim, n_vectors, sum_q,
+      |  round((CAST(sum_q AS DOUBLE) / n_vectors) * 100, 0) / 100
+      |    AS mean_q
+      |FROM a""".stripMargin
 }

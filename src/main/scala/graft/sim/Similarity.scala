@@ -79,4 +79,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Per-label embedding centroids, dimension-wise: posexplode each
+    * quantized vector to (label, dim, q) rows and hash-aggregate integer
+    * sums — the distributed mean that k-means / class-prototype /
+    * nearest-centroid pipelines run every iteration ([[IvfCosine]] trains
+    * its coarse centroids the same way, driver-side, because its k·64
+    * state is tiny; this is the engine-side form that scales to any label
+    * cardinality). The explode is narrow (64 rows per vector); the single
+    * shuffle carries (label, dim) partial sums — fixed width regardless of
+    * corpus size. Integer sums are exact, so the mean (one IEEE division,
+    * scale-0 round) matches DuckDB cell-for-cell. */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
+      .withColumn("mean_q", Num.ratio(col("sum_q"), col("n_vectors"), 2))
 }

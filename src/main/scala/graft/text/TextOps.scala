@@ -188,13 +188,24 @@ object TextOps {
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Trigrams are carried as SORTED xxhash64 arrays, not strings: the
+    // oracle compares Jaccard VALUES, and |∩| / |∪| over distinct 64-bit
+    // hashes equals the string-set result unless two distinct trigrams of
+    // one pair collide (~1e-11 for this corpus; BASELINE.md). The hashed
+    // form shuffles 8 bytes/trigram instead of a string cell and confirms
+    // with the codegen'd two-pointer merge (graft_sorted_intersect) rather
+    // than array_intersect's per-pair hash set — same exact math as the
+    // MinHashDedup confirm stage.
+    graft.functions.SignatureExpressions.register(s, 1, Array(1L),
+      Array(0L), 2147483647L)
     val withTg = Layout.spread(docs(s, dir))
       .withColumn("norm",
         lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("tg", expr(
         "CASE WHEN length(norm) >= 3 THEN " +
-          "array_distinct(transform(sequence(1, length(norm) - 2), " +
-          "i -> substring(norm, i, 3))) " +
+          "array_sort(array_distinct(transform(" +
+          "sequence(1, length(norm) - 2), " +
+          "i -> xxhash64(substring(norm, i, 3))))) " +
           "ELSE array() END"))
       .select("doc_id", "lang", "source", "tg")
     val a = withTg.as("a")
@@ -205,12 +216,30 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.tg"), col("b.tg"))).cast("bigint")
+        expr("graft_sorted_intersect(a.tg, b.tg)").cast("bigint")
           .as("inter"),
-        size(array_union(col("a.tg"), col("b.tg"))).cast("bigint").as("uni"))
+        (size(col("a.tg")) + size(col("b.tg"))).cast("bigint").as("sz"))
+      .withColumn("uni", col("sz") - col("inter"))
       .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
       .withColumn("is_near_dup",
         when(col("jaccard") >= 0.5, 1).otherwise(0).cast("int"))
       .select("doc_a", "doc_b", "jaccard", "is_near_dup")
   }
+
+  /** Stratified deterministic sampling: per-language keep rates applied by
+    * content-independent md5 bucketing (same scheme as [[hashSplit]], so
+    * the sample is reproducible on any engine and stable under
+    * re-partitioning — the property rand()-based sampling lacks). The
+    * usual corpus-balancing move: downsample the dominant language hard,
+    * keep the tail. Narrow (filter over the scan, no shuffle) at any
+    * scale. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket100", expr(
+        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
+          "15), 16, 10) as bigint), 100L) as int)"))
+      .withColumn("keep_rate", expr(
+        "CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 90 END"))
+      .filter(col("bucket100") < col("keep_rate"))
+      .select("doc_id", "lang", "source", "bucket100", "keep_rate")
 }

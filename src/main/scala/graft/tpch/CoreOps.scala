@@ -306,6 +306,78 @@ object CoreOps {
         .select("l_returnflag", "qty_l"),
       Seq("l_returnflag"), "qty_l")
 
+  /** Ranking-function battery over per-customer order spend: `rank` /
+    * `dense_rank` / `percent_rank` ordered by spend alone (tie groups share
+    * a rank, so the output is deterministic under ties), plus `ntile(10)`
+    * deciles over a TOTAL order (spend, custkey) — ntile assigns by row
+    * position, so it is only deterministic with a unique sort key.
+    *
+    * The ranking windows are global (no partitionBy), which on a cluster
+    * funnels the frame through one task — acceptable here because the
+    * input is the per-customer aggregate (|customers| rows, not |orders|),
+    * already reduced by the shuffle before the window. The 100 TB path for
+    * ranking RAW rows is range-partitioned sort + per-partition rank +
+    * prefix-count composition; for deciles it's approx_percentile bounds.
+    * `percent_rank` is (rank−1)/(n−1) in one IEEE division — identical in
+    * both engines on the same integers. */
+  def rankSpendDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = read(s, dir, "orders")
+      .withColumn("price_c", cents("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("price_c")).as("spend_c"), count(lit(1)).as("orders"))
+    val bySpend = Window.orderBy(col("spend_c"))
+    val total = Window.orderBy(col("spend_c"), col("o_custkey"))
+    spend
+      .withColumn("spend_rank", rank().over(bySpend))
+      .withColumn("spend_dense_rank", dense_rank().over(bySpend))
+      .withColumn("spend_percent_rank", percent_rank().over(bySpend))
+      .withColumn("decile", ntile(10).over(total))
+  }
+
+  /** Year-over-year customer churn via FULL OUTER join (the one outer-join
+    * shape the reference never uses; its J5/J6 retention joins are left
+    * joins + null checks). Distinct 1995/1996 customer sets full-outer
+    * joined on custkey classify every customer as retained / churned /
+    * new; the final count-by-status is exactly the churn report a
+    * warehouse emits. Both inputs are distinct projections (small), so AQE
+    * picks shuffle-hash or broadcast as sizes allow; the classification is
+    * null-pattern inspection, no second pass. */
+  def fullOuterChurn(s: SparkSession, dir: String): DataFrame = {
+    def inYear(y: Int) = read(s, dir, "orders")
+      .filter(col("o_orderdate") >=
+        expr(s"timestamp'$y-01-01 00:00:00'") &&
+        col("o_orderdate") < expr(s"timestamp'${y + 1}-01-01 00:00:00'"))
+      .select(col("o_custkey")).distinct()
+    inYear(1995).as("a")
+      .join(inYear(1996).as("b"),
+        col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("a.o_custkey").isNotNull && col("b.o_custkey").isNotNull,
+          "retained")
+          .when(col("a.o_custkey").isNotNull, "churned")
+          .otherwise("new"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("customers"))
+  }
+
+  /** Explicit GROUPING SETS — the general form behind [[rollupPricing]] /
+    * [[cubePricing]]: three chosen sets (flag+status, flag, status) with
+    * `grouping()` markers so rows are unambiguous when a dim is NULL.
+    * Catalyst lowers all grouping-set variants to one Expand + hash
+    * aggregate — a single pass over the fact table at any scale. */
+  def groupingSetsPricing(s: SparkSession, dir: String): DataFrame = {
+    read(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(grouping(l_returnflag) as int) AS g_flag,
+        |  cast(grouping(l_linestatus) as int) AS g_status,
+        |  count(1) AS n_items,
+        |  sum(cast(round(l_quantity, 0) as bigint)) AS sum_qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   /** A2/A3/A4 distinct-aggregate battery per order day. */
   def ordersDailyDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")

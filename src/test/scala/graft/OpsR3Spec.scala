@@ -1,0 +1,134 @@
+package graft
+
+import graft.ops.EventOps
+import graft.sim.Similarity
+import graft.text.{MinHashDedup, TextOps}
+import graft.tpch.CoreOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 operator batch: gap sessionization, ranking
+  * functions, full-outer churn, grouping sets, stratified sampling,
+  * embedding centroids, and the LSH-only (inexact, at-scale) minhash
+  * configuration.
+  */
+class OpsR3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("gap sessionization: counts partition the events, gaps respected") {
+    val sessions = EventOps.sessionizeGap(spark, dir).cache()
+    val ev = graft.ingest.Events.raw(spark, dir)
+    // every event lands in exactly one session
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === ev.count())
+    // per user: session_idx is 1..n_sessions with no holes
+    val bad = sessions.groupBy("user_id")
+      .agg(min("session_idx").as("lo"), max("session_idx").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.isEmpty)
+    // within a session the span is a run: duration consistent
+    assert(sessions.filter(
+      col("duration_us") =!= col("end_ts_us") - col("start_ts_us")).isEmpty)
+    // consecutive sessions of one user are >= 30 min apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_idx")
+    val gaps = sessions
+      .withColumn("prev_end", lag(col("end_ts_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start_ts_us") - col("prev_end") < 1800L * 1000000)
+    assert(gaps.isEmpty)
+  }
+
+  test("rank battery: rank vs dense_rank vs ntile relationships") {
+    val r = CoreOps.rankSpendDeciles(spark, dir).cache()
+    val n = r.count()
+    // deciles are 1..10 and balanced within 1
+    val d = r.groupBy("decile").count().as[(Int, Long)].collect().toMap
+    assert(d.keySet === (1 to 10).toSet)
+    assert(d.values.max - d.values.min <= 1)
+    // dense_rank <= rank everywhere; percent_rank in [0,1]
+    assert(r.filter(col("spend_dense_rank") > col("spend_rank")).isEmpty)
+    assert(r.filter(col("spend_percent_rank") < 0 ||
+      col("spend_percent_rank") > 1).isEmpty)
+    // max rank equals row count only if the max-spend row is unique;
+    // ranks never exceed n
+    assert(r.agg(max("spend_rank")).head().getInt(0) <= n)
+  }
+
+  test("full-outer churn partitions the union of both customer years") {
+    val out = CoreOps.fullOuterChurn(spark, dir)
+      .as[(String, Long)].collect().toMap
+    def custIn(y: Int) = spark.read
+      .parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val a = custIn(1995); val b = custIn(1996)
+    assert(out.getOrElse("retained", 0L) === a.intersect(b).count())
+    assert(out.getOrElse("churned", 0L) === a.except(b).count())
+    assert(out.getOrElse("new", 0L) === b.except(a).count())
+  }
+
+  test("grouping sets: chosen sets only, markers distinguish NULL dims") {
+    val g = CoreOps.groupingSetsPricing(spark, dir).cache()
+    val leaf = g.filter(col("g_flag") === 0 && col("g_status") === 0)
+    val byFlag = g.filter(col("g_flag") === 0 && col("g_status") === 1)
+    val byStatus = g.filter(col("g_flag") === 1 && col("g_status") === 0)
+    // no grand-total set was requested
+    assert(g.filter(col("g_flag") === 1 && col("g_status") === 1).isEmpty)
+    assert(g.count() === leaf.count() + byFlag.count() + byStatus.count())
+    // marginals re-aggregate the leaves
+    val leafSum = leaf.groupBy("l_returnflag")
+      .agg(sum("sum_qty").as("s")).as[(String, Long)].collect().toMap
+    byFlag.select("l_returnflag", "sum_qty").as[(String, Long)]
+      .collect().foreach { case (f, s) => assert(leafSum(f) === s) }
+  }
+
+  test("stratified sample: deterministic, respects per-lang rates") {
+    val s1 = TextOps.sampleStratified(spark, dir)
+    val s2 = TextOps.sampleStratified(spark, dir)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    assert(s1.filter(col("bucket100") >= col("keep_rate")).isEmpty)
+    // en is downsampled harder than the tail langs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en").toDouble / all("en") < 0.45)
+  }
+
+  test("embedding centroids: 64 dims per label, counts match") {
+    val c = Similarity.embedCentroids(spark, dir).cache()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val perLabel = emb.groupBy("label").count()
+      .as[(Int, Long)].collect().toMap
+    assert(c.groupBy("label").count().as[(Int, Long)].collect()
+      .forall { case (_, dims) => dims === 64 })
+    c.select("label", "n_vectors").distinct().as[(Int, Long)].collect()
+      .foreach { case (l, n) => assert(perLabel(l) === n) }
+    // centroid of dim d stays within the observed per-dim range
+    val r0 = c.filter(col("dim") === 0).agg(min("mean_q"), max("mean_q"))
+      .head()
+    assert(r0.getDouble(0) >= -2000000 && r0.getDouble(1) <= 2000000)
+  }
+
+  test("approx distinct users within 5% of exact") {
+    val r = EventOps.approxDistinctUsers(spark, dir).cache()
+    r.select("exact_users", "approx_users").as[(Long, Long)].collect()
+      .foreach { case (e, a) =>
+        assert(math.abs(a - e).toDouble / math.max(e, 1) <= 0.05,
+          s"approx $a vs exact $e")
+      }
+  }
+
+  test("LSH-only minhash mode agrees with exact clusters on sf0.001") {
+    // The at-scale configuration (exact=false) is probabilistic; on this
+    // corpus its banding must still recover every component (the memory
+    // of a borderline miss is why the REGISTERED query is prefix-exact).
+    val exact = MinHashDedup.clusters(spark, dir, 0.6).cache()
+    val lsh = MinHashDedup.clusters(spark, dir, 0.6, exact = false).cache()
+    assert(exact.count() === lsh.count())
+    assert(exact.exceptAll(lsh).isEmpty,
+      "LSH-only components diverge from exact components at sf0.001")
+  }
+}
