@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level profiling main (diagnostics, not part of the harness
+  * contract): times labeled sub-plans of the expensive queries so a round
+  * can see WHERE the seconds go before optimizing. Usage:
+  *   graft.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.DataFrame
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def force(df: DataFrame): Long = df.write.format("noop")
+      .mode("overwrite").save().asInstanceOf[Any] match { case _ => 0L }
+
+    // Scan parallelism of the single-file inputs.
+    val ev = graft.ingest.Events.raw(spark, sfDir)
+    println(s"[profile] events scan partitions = ${ev.rdd.getNumPartitions}, rows = ${ev.count()}")
+
+    time("json_props_agg")(force(graft.ops.EventOps.jsonPropsAgg(spark, sfDir)))
+
+    // MinHash stages, separately materialized.
+    import graft.text.MinHashDedup._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigs = time("signatures+cache") {
+      val s = signatures(docs).cache(); s.count(); s
+    }
+    val lshEdges = time("lsh candidateEdges") {
+      val e = candidateEdges(sigs).cache(); println(s"  lsh cands = ${e.count()}"); e
+    }
+    val pre = time("prefixCandidates") {
+      val p = prefixCandidates(sigs, 0.6).cache(); println(s"  prefix cands = ${p.count()}"); p
+    }
+    val conf = time("confirm (union)") {
+      val c = confirmedEdges(sigs, lshEdges.unionByName(pre), 0.6).cache()
+      println(s"  confirmed = ${c.count()}"); c
+    }
+    time("components")(force(components(sigs.select("doc_id"), conf)))
+    spark.stop()
+  }
+}

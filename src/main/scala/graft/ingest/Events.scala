@@ -45,9 +45,13 @@ object Events {
   }
 
   /** Bronze-analog: typed, dimension-enriched events (S2/S3/P1 analogues).
-    * Narrow (no shuffle); every column codegen-friendly builtins only. */
+    * Every column codegen-friendly builtins only. The harness events table
+    * is a single parquet file (one input split), so the regexp/date parse
+    * in [[enrich]] would run on one core for every downstream silver/gold
+    * query — Layout.spread fans the scan out first (on a real cluster with
+    * many files the same call is a cheap no-op-sized shuffle). */
   def enriched(spark: SparkSession, sfDir: String): DataFrame =
-    enrich(raw(spark, sfDir))
+    enrich(graft.util.Layout.spread(raw(spark, sfDir)))
 
   /** Pure form of [[enriched]] for already-loaded raw events (incremental
     * runtime, tests). */

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * pair list — on a template-heavy corpus the pair list is Θ(N²) while the
   * assignment stays Θ(N).
   *
-  * Candidate generation runs TWO arms whose union feeds one exact-Jaccard
-  * confirm:
+  * Candidate generation has TWO arms, either of which can feed the one
+  * exact-Jaccard confirm:
   *
   *  - **LSH arm** (the scale path): trigrams → [[NumPerms]] permutation
   *    min-hashes → [[Bands]] bands → bucket self-join → candidate edges →
@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
   *  - **Prefix-filter arm** (the exactness guarantee): classic set-
   *    similarity-join prefix filtering ([[prefixCandidates]]) is complete —
   *    every pair with Jaccard ≥ threshold shares a token in its
-  *    frequency-ordered prefix, so the union provably contains every true
-  *    edge and the confirmed graph (hence its components) is EXACT, not
-  *    approximate. A corpus too large for the prefix arm drops it and
-  *    accepts the LSH arm's documented miss probability (BASELINE.md).
+  *    frequency-ordered prefix, so its candidate set provably contains
+  *    every true edge and the confirmed graph (hence its components) is
+  *    EXACT, not approximate.
+  *
+  * The registered query runs the prefix arm ALONE: a complete arm makes
+  * the LSH candidates pure overhead (measured at sf0.1: the union added
+  * ~6.7M already-covered pairs to a 8.9M-pair confirm for zero additional
+  * edges). A corpus too large for the prefix arm's O(family²) template
+  * cost switches to the LSH arm (`exact = false`) and accepts its
+  * documented miss probability (BASELINE.md).
   *
   * All hash parameters are fixed constants (LCG-derived), so results are
   * deterministic across runs and partitionings. No UDFs: signatures are
@@ -377,36 +383,38 @@ object MinHashDedup {
     * themselves. Oracle: DuckDB recursive-CTE components over the exact
     * all-pairs trigram-Jaccard graph (OpsOracles.minhashClusters).
     *
-    * EXACT by construction: the confirm input is the union of the LSH
-    * arm's candidates and the complete prefix-filter arm, so every true
+    * EXACT by construction (default `exact = true`): the confirm input is
+    * the complete prefix-filter candidate set, so every true
     * (rounded-Jaccard ≥ threshold) edge is confirmed and the components
     * equal the exact graph's components — up to the ~1e-11 chance of a
-    * within-doc 64-bit trigram-hash collision (BASELINE.md). */
+    * within-doc 64-bit trigram-hash collision (BASELINE.md).
+    * `exact = false` is the 100 TB configuration: LSH candidates +
+    * signature-agreement pre-filter, linear in template-family size but
+    * with the documented borderline-edge miss probability. */
   def clusters(spark: SparkSession, dir: String,
-               threshold: Double = 0.6): DataFrame = {
+               threshold: Double = 0.6, exact: Boolean = true): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
-    val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    // No distinct on the union: the two arms overlap mostly on TRUE
-    // edges, re-confirming a duplicate pair is a few hundred codegen'd
-    // comparisons, and components() absorbs duplicate edges — cheaper
-    // than shuffling the multi-million-row union for dedup.
-    val cands = lsh.unionByName(prefixCandidates(sigs, threshold))
+    val cands =
+      if (exact) prefixCandidates(sigs, threshold)
+      else estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
     val edges = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
     components(sigs.select("doc_id"), edges)
   }
 
   /** Pair-level view (doc_a, doc_b, jaccard) — kept for diagnostics and
-    * recall tests; the registered contract is [[clusters]]. Same two-arm
-    * candidate union as [[clusters]], so the pair list is exact too. */
+    * recall tests; the registered contract is [[clusters]]. Same arm
+    * selection as [[clusters]], so the default pair list is exact too. */
   def nearDuplicates(spark: SparkSession, dir: String,
-                     threshold: Double = 0.6): DataFrame = {
+                     threshold: Double = 0.6,
+                     exact: Boolean = true): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
-    val lsh = estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    val cands = lsh.unionByName(prefixCandidates(sigs, threshold))
+    val cands =
+      if (exact) prefixCandidates(sigs, threshold)
+      else estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
     exactConfirm(sigs, cands, threshold, totTokens, nDocs)
       .distinct() // pair-level view: one row per confirmed pair
   }
