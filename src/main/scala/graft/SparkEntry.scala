@@ -44,7 +44,12 @@ object SparkEntry {
       EpisodeDaily.build(sessions(s, dir))),
     "gold_webtoon_daily" -> ((s, dir) => {
       val sess = sessions(s, dir)
-      WebtoonDaily.build(sess, EpisodeDaily.build(sess))
+      // The gold→gold dependency: persist the episode gold input so the
+      // deepest-episode argmax doesn't re-execute the episode aggregate
+      // subtree (mirrors the reference reading the MATERIALIZED episode
+      // table, gold_webtoon_daily_metrics.py:74-77). Released by the
+      // harness' clearCache between queries.
+      WebtoonDaily.build(sess, EpisodeDaily.build(sess).persist())
     }),
     "gold_country_daily" -> ((s, dir) => CountryDaily.build(sessions(s, dir))),
     "gold_platform_device_daily" -> ((s, dir) =>
@@ -115,8 +120,9 @@ object SparkEntry {
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
     "sample_stratified" -> TextOps.sampleStratified _,
     "embed_centroids" -> Similarity.embedCentroids _,
-    // HLL sketches are implementation-specific — no DuckDB oracle; the
-    // driver records the rows-only check and ApproxSpec bounds the error.
+    // HLL sketch next to the exact count; the raw estimate is replaced
+    // by its 5%-error contract column so the row IS oracle-checkable
+    // (OpsOracles.approxDistinctUsers expects within_pct = TRUE).
     "agg_approx_distinct" -> EventOps.approxDistinctUsers _,
   )
 
@@ -173,5 +179,6 @@ object SparkEntry {
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,
     "sample_stratified" -> OpsOracles.sampleStratified,
     "embed_centroids" -> OpsOracles.embedCentroids,
+    "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
   )
 }

@@ -821,6 +821,20 @@ object OpsOracles {
        |WHERE "rank" <= 5""".stripMargin
   }
 
+  /** Mirrors EventOps.approxDistinctUsers: the raw HLL estimate is not
+    * reproducible outside Spark, so the query's contract column
+    * `within_pct` (estimate within 5% of exact) is expected literally
+    * TRUE per group — the oracle verifies the full row shape, the group
+    * counts, the exact distinct, and the error contract; only the
+    * unportable estimate value itself stays un-compared. */
+  val approxDistinctUsers: String =
+    """SELECT event_type,
+      |  CAST(count(1) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS within_pct
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
   /** Mirrors EventOps.sessionizeGap: gaps-and-islands with the same
     * (ts_us, event_id) total ordering and >= 30-minute boundary. */
   val sessionizeGap: String =

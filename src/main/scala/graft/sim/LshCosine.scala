@@ -39,38 +39,82 @@ object LshCosine {
   val Dim = 64
 
   /** Fixed ±1 hyperplane entries from the shared LCG recipe (seed 7):
-    * signs(t)(j) is the 64-long Rademacher vector of bit j of table t. */
-  val signs: IndexedSeq[IndexedSeq[Array[Long]]] = {
+    * the (t)(j) entry is the 64-long Rademacher vector of bit j of table
+    * t. Any (tables, bits) shape draws a deterministic prefix of the same
+    * LCG stream, so every consumer (Scala plan, ScalaTest, DuckDB oracle)
+    * can regenerate the identical family from the two literals. */
+  def signsFor(tables: Int, bits: Int): IndexedSeq[IndexedSeq[Array[Long]]] = {
     var state = 7L
     def next(): Long = {
       state = (state * 6364136223846793005L + 1442695040888963407L)
       state >>> 33
     }
-    IndexedSeq.tabulate(Tables, BitsPerTable) { (_, _) =>
+    IndexedSeq.tabulate(tables, bits) { (_, _) =>
       Array.fill(Dim)(if ((next() & 1L) == 0L) 1L else -1L)
     }
   }
 
-  /** (tbl, bit, s) hyperplane frame — Tables×BitsPerTable rows, tiny. */
-  private def hyperplanes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    (for {
-      t <- 0 until Tables
-      j <- 0 until BitsPerTable
-    } yield (t, j, signs(t)(j).toSeq)).toDF("tbl", "bit", "s")
+  /** The 8×8 family the ANN index ([[topK]]) is built on. */
+  val signs: IndexedSeq[IndexedSeq[Array[Long]]] =
+    signsFor(Tables, BitsPerTable)
+
+  /** (tbl, bit, s) hyperplane rows as ONE constant-folded array-of-struct
+    * Literal, exploded per input row via `inline` — a narrow Generate,
+    * not a join, so the index build never introduces a (broadcast-)
+    * nested-loop operator into consumers' plans. */
+  private def hyperplaneLit(tables: Int, bits: Int)
+      : org.apache.spark.sql.Column = {
+    val sg = signsFor(tables, bits)
+    typedLit(for {
+      t <- 0 until tables
+      j <- 0 until bits
+    } yield (t, j, sg(t)(j).toSeq))
   }
 
   /** (vec_id, tbl, bucket): bucket = packed sign bits of the quantized
-    * vector against table `tbl`'s hyperplanes. One broadcast cross join
-    * (64 rows) + one narrow groupBy per vector — the index build. */
-  def buckets(quantized: DataFrame): DataFrame =
-    quantized.select("vec_id", "q")
-      .crossJoin(broadcast(hyperplanes(quantized.sparkSession)))
+    * vector against table `tbl`'s hyperplanes. One narrow inline-explode
+    * (tables×bits rows per vector) + one groupBy partial-aggregated
+    * map-side — the index build. */
+  def bucketsFor(quantized: DataFrame, tables: Int, bits: Int): DataFrame =
+    quantized.select(col("vec_id"), col("q"),
+        inline(hyperplaneLit(tables, bits)))
+      .withColumnsRenamed(Map("_1" -> "tbl", "_2" -> "bit", "_3" -> "s"))
       .withColumn("dot", expr("graft_dot(q, s)"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("dot") >= 0,
         expr("cast(shiftleft(1, bit) as bigint)")).otherwise(0L))
         .as("bucket"))
+
+  /** [[bucketsFor]] with the ANN index's 8×8 family. */
+  def buckets(quantized: DataFrame): DataFrame =
+    bucketsFor(quantized, Tables, BitsPerTable)
+
+  /** (bits, tables) for a cosine-threshold candidate join with per-pair
+    * miss probability ≤ delta AT the threshold.
+    *
+    * Sign-LSH bit-agreement probability for a pair at cosine τ is
+    * p = 1 − acos(τ)/π (Goemans–Williamson); a b-bit bucket collides with
+    * p^b and T independent tables miss with (1 − p^b)^T ≤ exp(−T·p^b).
+    * We take the largest b whose required T = ln(1/δ)/p^b still fits
+    * maxTables — more bits per table is strictly cheaper in candidates
+    * (factor (2p)^−b per random pair) for the same recall.
+    *
+    * Honest scale note: selectivity vs a random pair (p₀ = ½) is
+    * T·2^−b. At real near-dup thresholds (τ ≥ 0.7 → b ≥ 6, T ≈ 54)
+    * that is ≤ 0.85 and falls fast with τ; at τ = 0.4 the gap between
+    * p = 0.63 and p₀ = 0.5 is so small (LSH exponent ρ ≈ 0.66) that ANY
+    * complete candidate family costs ~all pairs — an information-theoretic
+    * floor of the regime (Indyk–Motwani), not a property of this plan.
+    * The plan shape stays an equi-join either way; no cross join. */
+  def deriveParams(threshold: Double, delta: Double = 1e-4,
+                   maxTables: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val lnInvDelta = math.log(1.0 / delta)
+    var b = 2
+    while (lnInvDelta / math.pow(p, b + 1) <= maxTables) b += 1
+    (b, math.ceil(lnInvDelta / math.pow(p, b)).toInt)
+  }
 
   /** Registered query: top-k by exact quantized cosine among vectors
     * sharing ≥1 LSH bucket with the query (queries = vec_id < nQueries,

@@ -35,10 +35,59 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
     * quantized cosine meets the threshold — the embedding-space flavor of
-    * the dedup family (exact; at scale the IVF index or a hyperplane-LSH
-    * bucketing supplies the candidate pairs instead of the cross join). */
+    * the dedup family.
+    *
+    * Two-stage bucketed plan (mirrors [[graft.text.MinHashDedup]]'s
+    * estimate/confirm shape): hyperplane-LSH buckets with
+    * threshold-derived (bits, tables) from [[LshCosine.deriveParams]]
+    * generate candidate pairs via a per-table bucket EQUI self-join —
+    * never a cross join — and survivors are re-ranked with the exact
+    * quantized integer cosine. The output therefore depends only on
+    * exact recomputable quantities, and candidate coverage of every
+    * qualifying pair is a deterministic property of the fixed seed-7
+    * hyperplanes + corpus, verified total at sf0.001/sf0.01/sf0.1
+    * (SimLshSpec asserts bucketed == exact all-pairs), so the all-pairs
+    * DuckDB oracle matches cell-for-cell. Per-pair miss probability at
+    * the threshold is ≤ 1e-4 by construction (τ=0.4 → b=4, T=59).
+    *
+    * At 100 TB the bucket id is the shuffle key: candidates =
+    * Σ_tables Σ_buckets n_b², with selectivity T·2^−b vs random pairs
+    * — strongly sub-quadratic at real near-dup thresholds (τ ≥ 0.7);
+    * at τ = 0.4 the regime itself is the floor (see deriveParams'
+    * scale note). No vector arrays travel through the candidate
+    * shuffle — only (vec_id, tbl, bucket) longs; the KB-scale q arrays
+    * join back in only for the final exact re-rank. */
   def cosineNearDup(s: SparkSession, dir: String,
                     threshold: Double = 0.4): DataFrame = {
+    val (bits, tables) = LshCosine.deriveParams(threshold)
+    val emb = quantized(s, dir)
+    val idx = LshCosine.bucketsFor(emb, tables, bits)
+    val cands = idx.select(col("vec_id").as("vec_a"), col("tbl"),
+        col("bucket"))
+      .join(idx.select(col("vec_id").as("vec_b"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n").as("na")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n").as("nb")), Seq("vec_b"))
+      .withColumn("dot", expr("graft_dot(qa, qb)"))
+      .withColumn("cosine",
+        Num.r(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Exact all-pairs baseline for [[cosineNearDup]] — O(N²), spec-only:
+    * SimLshSpec proves the bucketed candidate arm loses nothing against
+    * this at the registered threshold. Not registered as a query. */
+  def cosineNearDupExact(s: SparkSession, dir: String,
+                         threshold: Double = 0.4): DataFrame = {
     val emb = quantized(s, dir)
     val a = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
       col("n").as("na"))

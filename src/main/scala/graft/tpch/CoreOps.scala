@@ -312,26 +312,126 @@ object CoreOps {
     * deciles over a TOTAL order (spend, custkey) — ntile assigns by row
     * position, so it is only deterministic with a unique sort key.
     *
-    * The ranking windows are global (no partitionBy), which on a cluster
-    * funnels the frame through one task — acceptable here because the
-    * input is the per-customer aggregate (|customers| rows, not |orders|),
-    * already reduced by the shuffle before the window. The 100 TB path for
-    * ranking RAW rows is range-partitioned sort + per-partition rank +
-    * prefix-count composition; for deciles it's approx_percentile bounds.
-    * `percent_rank` is (rank−1)/(n−1) in one IEEE division — identical in
-    * both engines on the same integers. */
+    * NO global (partition-less) window anywhere: a global rank would
+    * funnel |customers| rows — billions at 100 TB — through one task.
+    * Instead the classic distributed composition:
+    *
+    *  1. tie groups `(spend_c, cnt)` are range-partitioned BY KEY, so a
+    *     tie group never spans partitions; rank offsets compose from
+    *     per-partition windows plus P driver-collected partition totals
+    *     (P = shuffle parallelism — metadata-scale, like IvfCosine's
+    *     nlist centroids);
+    *  2. `rank = rows_before_partition + rows_before_in_partition + 1`,
+    *     `dense_rank = groups_before_partition + local_row_number`;
+    *  3. `percent_rank = (rank−1)/(n−1)` with the total n a driver
+    *     scalar folded into the plan — one IEEE division on exact
+    *     integers, identical in both engines;
+    *  4. `ntile` composes the same way from the (spend_c, o_custkey)
+    *     range partitioning: global row_number = partition row offset +
+    *     local row_number, then the SQL-standard bucket formula (first
+    *     n mod k buckets get one extra row) on the broadcast total.
+    *
+    * Values are invariant to where the sampled range boundaries fall, so
+    * RangePartitioner's sampling does not affect determinism. The ranked
+    * tie-group frame (≤ |distinct spends| rows) joins back on spend_c —
+    * AQE broadcasts it when small. */
   def rankSpendDeciles(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    // Persisted: spend feeds four lineages (groups, rows, two offset
+    // jobs), and persisting groups/rows freezes the sampled range
+    // boundaries so pid assignment is identical between the offset job
+    // and the final composition. Released by the harness' clearCache.
     val spend = read(s, dir, "orders")
       .withColumn("price_c", cents("o_totalprice"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("price_c")).as("spend_c"), count(lit(1)).as("orders"))
-    val bySpend = Window.orderBy(col("spend_c"))
-    val total = Window.orderBy(col("spend_c"), col("o_custkey"))
-    spend
-      .withColumn("spend_rank", rank().over(bySpend))
-      .withColumn("spend_dense_rank", dense_rank().over(bySpend))
-      .withColumn("spend_percent_rank", percent_rank().over(bySpend))
-      .withColumn("decile", ntile(10).over(total))
+      .persist()
+
+    // -- ranks over the tie-group frame (key = spend_c only) -----------
+    val groups = spend.groupBy(col("spend_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(parts, col("spend_c"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val wg = Window.partitionBy(col("pid")).orderBy(col("spend_c"))
+    val local = groups
+      .withColumn("rows_before_local",
+        coalesce(sum(col("cnt")).over(
+          wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("groups_before_local",
+        row_number().over(wg).cast("long") - 1L)
+    val pidStats = groups.groupBy(col("pid"))
+      .agg(sum(col("cnt")).as("rows_in"), count(lit(1)).as("groups_in"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = pidStats.map(_._2).sum
+    val offsets = {
+      var rows = 0L; var grps = 0L
+      pidStats.map { case (pid, ri, gi) =>
+        val o = (pid, rows, grps); rows += ri; grps += gi; o
+      }
+    }
+    val offsetsDf = s.createDataFrame(
+      s.sparkContext.parallelize(offsets.toIndexedSeq, 1)
+        .map(o => org.apache.spark.sql.Row(o._1, o._2, o._3)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rows_off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("groups_off",
+          org.apache.spark.sql.types.LongType))))
+    val ranked = local.join(broadcast(offsetsDf), Seq("pid"))
+      .select(col("spend_c"),
+        (col("rows_off") + col("rows_before_local") + 1L)
+          .cast("int").as("spend_rank"),
+        (col("groups_off") + col("groups_before_local") + 1L)
+          .cast("int").as("spend_dense_rank"))
+
+    // -- row_number / ntile over the (spend_c, o_custkey) total order --
+    val rows = spend
+      .repartitionByRange(parts, col("spend_c"), col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val wr = Window.partitionBy(col("pid"))
+      .orderBy(col("spend_c"), col("o_custkey"))
+    val rowStats = rows.groupBy(col("pid")).agg(count(lit(1)).as("rows_in"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val rowOffsets = {
+      var acc = 0L
+      rowStats.map { case (pid, ri) => val o = (pid, acc); acc += ri; o }
+    }
+    val rowOffsetsDf = s.createDataFrame(
+      s.sparkContext.parallelize(rowOffsets.toIndexedSeq, 1)
+        .map(o => org.apache.spark.sql.Row(o._1, o._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rn_off",
+          org.apache.spark.sql.types.LongType))))
+    // SQL-standard ntile(k): q = n div k rows per bucket, the first
+    // n mod k buckets take one extra.
+    val k = 10L
+    val q = n / k; val rem = n % k
+    val qSafe = if (q == 0) 1L else q
+    val withRn = rows
+      .withColumn("rn_local", row_number().over(wr).cast("long"))
+      .join(broadcast(rowOffsetsDf), Seq("pid"))
+      .withColumn("rn", col("rn_local") + col("rn_off"))
+      .withColumn("decile",
+        when(lit(rem) > 0 && col("rn") <= lit(rem * (q + 1)),
+          expr(s"cast((rn + $q) div ${q + 1} as int)"))
+          .otherwise(
+            expr(s"cast($rem + (rn - ${rem * (q + 1)} + ${qSafe - 1}) " +
+              s"div $qSafe as int)")))
+    withRn
+      .join(ranked, Seq("spend_c"))
+      .withColumn("spend_percent_rank",
+        if (n <= 1L) lit(0.0)
+        else (col("spend_rank").cast("double") - 1.0) / (n - 1).toDouble)
+      .select(col("o_custkey"), col("spend_c"), col("orders"),
+        col("spend_rank"), col("spend_dense_rank"),
+        col("spend_percent_rank"), col("decile"))
   }
 
   /** Year-over-year customer churn via FULL OUTER join (the one outer-join

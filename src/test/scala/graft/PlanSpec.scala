@@ -64,6 +64,29 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_embedding_cosine: bucket equi-join, no nested-loop plan") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no partition-less WindowExec in any registered query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE off so executedPlan is a plain tree collect() can walk.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries) {
+        val p = fn(spark, dir).queryExecution.executedPlan
+        val bad = p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name funnels rows through a global (partition-less) window")
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pivot reads the table once, not one pass per column") {
     val p = plan("pivot_order_status")
     assert("FileScan".r.findAllIn(p).size == 1, p)

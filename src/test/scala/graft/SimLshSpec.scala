@@ -82,4 +82,60 @@ class SimLshSpec extends SparkSpec {
     // per-bit agreement), so table collisions are near-certain
     assert(meanRecall >= 0.9, s"recall $meanRecall too low")
   }
+
+  test("bucketed cosineNearDup == exact all-pairs at the 0.4 threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val bucketed = graft.sim.Similarity.cosineNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = graft.sim.Similarity.cosineNearDupExact(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed == exact,
+      s"candidate arm missed ${(exact -- bucketed).size} qualifying pairs")
+    assert(exact.nonEmpty)
+  }
+
+  test("deriveParams: pinned at 0.4, selective at near-dup thresholds") {
+    assert(LshCosine.deriveParams(0.4) == (4, 59))
+    val (b85, t85) = LshCosine.deriveParams(0.85)
+    // selectivity vs a random (cos~0) pair: T / 2^b
+    assert(t85.toDouble / (1L << b85) < 0.25,
+      s"tau=0.85 params ($b85,$t85) not selective")
+    val (b95, t95) = LshCosine.deriveParams(0.95)
+    assert(t95.toDouble / (1L << b95) < 0.02,
+      s"tau=0.95 params ($b95,$t95) not selective")
+  }
+
+  test("candidate volume on a planted-dup corpus at tau=0.85 is sub-quadratic") {
+    val (bits, tables) = LshCosine.deriveParams(0.85)
+    val qz = quantize(clustered)
+    val idx = LshCosine.bucketsFor(qz, tables, bits)
+    val cands = idx.select(col("vec_id").as("vec_a"), col("tbl"),
+        col("bucket"))
+      .join(idx.select(col("vec_id").as("vec_b"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct().count()
+    val n = clustered.count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands < allPairs / 3,
+      s"$cands candidates vs $allPairs all pairs — bucketing not selective")
+    // ...while still covering every within-cluster near-dup pair region:
+    // same-cluster points are near-parallel, so they must all collide.
+    val labels = clustered.select(col("vec_id"),
+      (col("vec_id") / 40).cast("int").as("cl"))
+    val sameCluster = labels.select(col("vec_id").as("vec_a"),
+        col("cl").as("ca"))
+      .join(labels.select(col("vec_id").as("vec_b"), col("cl").as("cb")),
+        col("vec_a") < col("vec_b"))
+      .filter(col("ca") === col("cb")).count()
+    val coveredSame = idx.select(col("vec_id").as("vec_a"), col("tbl"),
+        col("bucket"))
+      .join(idx.select(col("vec_id").as("vec_b"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b") &&
+        (col("vec_a") / 40).cast("int") === (col("vec_b") / 40).cast("int"))
+      .select("vec_a", "vec_b").distinct().count()
+    assert(coveredSame == sameCluster,
+      s"covered $coveredSame of $sameCluster same-cluster pairs")
+  }
 }
