@@ -707,12 +707,14 @@ object OpsOracles {
       |WHERE "rank" <= 5""".stripMargin
 
   /** Mirrors TextOps.regexTokens — same pattern, same leftmost-longest
-    * matching in both regex engines on these disjoint alternatives. */
+    * matching in both regex engines on these disjoint alternatives. The
+    * whitespace class is explicit (no `\s`): Java's \s includes \x0B,
+    * RE2's does not, and both engines must share one definition. */
   val regexTokens: String =
     """WITH t AS (
       |  SELECT doc_id, lang, source,
       |    regexp_extract_all(lower(text),
-      |      '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+      |      '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r\x0B]') AS toks
       |  FROM documents
       |),
       |c AS (

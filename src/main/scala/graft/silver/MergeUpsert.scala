@@ -1,31 +1,42 @@
 package graft.silver
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S9: idempotent MERGE-INTO rewrite for plain partitioned parquet
   * (reference silver_user_session_events.py:149-186 uses Iceberg MERGE; we
   * have no table format, so: stage → target ⟕anti stage (per affected
-  * partition) → union → dynamic partition overwrite — SURVEY.md §7.3).
+  * partition) → union → staged write + partition-directory swap —
+  * SURVEY.md §7.3).
   *
   * Scale properties: only partitions present in the staging data are read
   * and rewritten (partition pruning via the collected affected-value list —
-  * a metadata-sized driver round-trip, same as Iceberg's manifest planning);
-  * the anti-join shuffles only those partitions, keyed by the merge key.
-  * `localCheckpoint` breaks lineage so the overwrite does not race the scan
-  * of the same path. Re-running the same stage is a no-op (idempotent), as
-  * the anti-join removes every staged key before the union.
+  * a metadata-sized driver round-trip, same as Iceberg's manifest
+  * planning); the anti-join shuffles only those partitions, keyed by the
+  * merge key. Re-running the same stage is a no-op (idempotent), as the
+  * anti-join removes every staged key before the union.
+  *
+  * Crash safety: the merged result is written to a `.staging-<uuid>`
+  * directory NEXT TO the target first — the expensive compute/write can
+  * fail at any point and the target is untouched (RuntimeSpec simulates
+  * exactly that). Each affected partition directory is then swapped in
+  * with two filesystem renames (target→backup, staging→target, drop
+  * backup) — a metadata-scale window, vs the whole-job window an in-place
+  * `mode("overwrite")` leaves where the partition has been deleted but
+  * not yet rewritten. A crash between the two renames leaves the
+  * `.backup-<uuid>` directory with the complete pre-update partition for
+  * single-writer recovery. True multi-writer snapshot atomicity needs a
+  * table format's commit protocol (Iceberg in the reference) — documented
+  * as the accepted gap in SURVEY.md §7.3.
   */
 object MergeUpsert {
 
   def upsert(spark: SparkSession, targetDir: String, stage: DataFrame,
              keyCols: Seq[String], partitionCol: String = "datetime"): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val targetExists = {
-      val p = new org.apache.hadoop.fs.Path(targetDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
-    }
+    val rootPath = new Path(targetDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
     if (!targetExists) {
       stage.write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetDir)
@@ -38,9 +49,24 @@ object MergeUpsert {
       val merged = target
         .join(stage, keyCols, "left_anti")
         .unionByName(stage)
-        .localCheckpoint() // cut lineage: we overwrite the path we read
+      val uuid = java.util.UUID.randomUUID().toString
+      val stagingDir = new Path(targetDir, s".staging-$uuid")
       merged.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetDir)
+        .parquet(stagingDir.toString)
+      def renameOrFail(from: Path, to: Path): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"rename $from -> $to failed")
+      try {
+        affected.foreach { v =>
+          val part = s"$partitionCol=${String.valueOf(v)}"
+          val tgt = new Path(rootPath, part)
+          val stg = new Path(stagingDir, part)
+          val bak = new Path(rootPath, s".backup-$uuid-$part")
+          if (fs.exists(tgt)) renameOrFail(tgt, bak)
+          if (fs.exists(stg)) renameOrFail(stg, tgt)
+          if (fs.exists(bak)) fs.delete(bak, true)
+        }
+      } finally fs.delete(stagingDir, true)
     }
   }
 }

@@ -125,9 +125,14 @@ object LshCosine {
            k: Int = 5): DataFrame =
     topKFrom(Similarity.quantized(s, dir), nQueries, k)
 
-  /** [[topK]] over an already-quantized (vec_id, q, n) frame. */
+  /** [[topK]] over an already-quantized (vec_id, q, n) frame. The frame
+    * is deliberately NOT cached: it is read three times (index build,
+    * query side, rerank side), but each read is a narrow codegen'd
+    * transform over the scan — at corpus scale you would not pin the
+    * corpus in storage memory, and in long-lived sessions an in-method
+    * persist would leak past return. */
   def topKFrom(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val quant = emb.persist()
+    val quant = emb
     val idx = buckets(quant)
     val qb = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))

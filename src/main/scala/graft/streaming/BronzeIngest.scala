@@ -3,7 +3,7 @@ package graft.streaming
 import graft.model.Schemas
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamReader, StreamingQuery, Trigger}
 
 /** S1–S5: Bronze streaming ingest (reference bronze_load_raw_data.py).
   *
@@ -19,6 +19,37 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (MemoryStream, file source) — the S2-onward lineage is identical.
   */
 object BronzeIngest {
+
+  /** S1 in production: the pinned Kafka source configuration, compiled
+    * (not a comment) — the reference subscribes with exactly these
+    * options (bronze_load_raw_data.py:65-72): replay from the earliest
+    * retained offset on first start, cap each micro-batch at 5000
+    * offsets (ingest backpressure: the trigger cadence × this cap is the
+    * bronze throughput ceiling), and keep consuming when retention has
+    * expired offsets instead of failing the query. One source partition
+    * maps to one Kafka partition — parallelism is the topic's partition
+    * count. */
+  val KafkaStartingOffsets = "earliest"
+  val KafkaMaxOffsetsPerTrigger = 5000L
+  val KafkaFailOnDataLoss = false
+
+  /** The option set [[kafkaSource]] applies, exposed for tests and for
+    * callers composing their own reader. */
+  def kafkaOptions(bootstrapServers: String,
+                   topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> KafkaStartingOffsets,
+    "maxOffsetsPerTrigger" -> KafkaMaxOffsetsPerTrigger.toString,
+    "failOnDataLoss" -> KafkaFailOnDataLoss.toString)
+
+  /** Configured (un-loaded) Kafka reader: `.load()` connects to the
+    * broker, so the harness (no broker) builds and inspects the reader
+    * while production calls `.load()` and feeds [[parse]]. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String): DataStreamReader =
+    spark.readStream.format("kafka")
+      .options(kafkaOptions(bootstrapServers, topic))
 
   /** S2 + S3: JSON decode against the fixed schema, flatten, derive the
     * `datetime` partition column. Unknown JSON fields drop; missing fields

@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   *    every true edge and the confirmed graph (hence its components) is
   *    EXACT, not approximate.
   *
-  * The registered query runs the prefix arm ALONE: a complete arm makes
-  * the LSH candidates pure overhead (measured at sf0.1: the union added
-  * ~6.7M already-covered pairs to a 8.9M-pair confirm for zero additional
-  * edges). A corpus too large for the prefix arm's O(family²) template
-  * cost switches to the LSH arm (`exact = false`) and accepts its
+  * The registered query MEASURES which arm to run ([[AutoArm]]): the
+  * prefix arm alone while its estimated join volume stays within
+  * [[PrefixBudgetPerDoc]] (a complete arm makes LSH candidates pure
+  * overhead — measured at sf0.1, the union added ~6.7M already-covered
+  * pairs for zero new edges), the LSH arm past the budget (template
+  * families / dense corpora, where prefix pays O(family²)) at its
   * documented miss probability (BASELINE.md).
   *
   * All hash parameters are fixed constants (LCG-derived), so results are
@@ -140,7 +141,12 @@ object MinHashDedup {
     val hubEdges = rankedBig.join(hubDocs, Seq("band_idx", "band_key"))
       .filter(col("hub_id") < col("doc_id"))
       .select(col("hub_id").as("doc_a"), col("doc_id").as("doc_b"))
-    smallPairs.unionByName(hubEdges).distinct()
+    // Materialize (two longs per row) so the banded/small caches can be
+    // released here rather than leaking into long-lived sessions.
+    val out = smallPairs.unionByName(hubEdges).distinct().localCheckpoint()
+    small.unpersist()
+    banded.unpersist()
+    out
   }
 
   /** Prefix-filtering candidate pairs (doc_a < doc_b) — COMPLETE for
@@ -168,18 +174,36 @@ object MinHashDedup {
     * table is one row per distinct trigram — a fresh aggregate with
     * stats, so AQE picks the broadcast join by itself. */
   def prefixCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
+    val ranked = rankedPrefix(sigs, threshold)
+    // Materialize before releasing the shared ranked frame — the pair
+    // list is two longs per row; the checkpoint is what lets this method
+    // leave no cached state behind for long-lived sessions.
+    val out = prefixJoin(ranked, threshold).localCheckpoint()
+    ranked.unpersist()
+    out
+  }
+
+  /** The frequency-ordered probe-prefix token frame (persisted: read by
+    * both join sides and the volume estimate). Callers own the
+    * unpersist. */
+  private def rankedPrefix(sigs: DataFrame, threshold: Double): DataFrame = {
     val tp = math.max(threshold - 1e-4, 0.0)
-    val idxFrac = 2 * tp / (1 + tp)
     val toks = sigs.select(col("doc_id"), size(col("tgh")).as("n"),
       explode(col("tgh")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq"), col("tok"))
-    val ranked = toks.join(dfreq, Seq("tok"))
+    toks.join(dfreq, Seq("tok"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(tp) * col("n")) + lit(1))
       .select("tok", "doc_id", "n", "rn")
       .persist()
+  }
+
+  /** The asymmetric short×long prefix join over [[rankedPrefix]]. */
+  private def prefixJoin(ranked: DataFrame, threshold: Double): DataFrame = {
+    val tp = math.max(threshold - 1e-4, 0.0)
+    val idxFrac = 2 * tp / (1 + tp)
     val short = ranked
       .filter(col("rn") <= col("n") - ceil(lit(idxFrac) * col("n")) + lit(1))
       .select(col("tok").as("tok_s"), col("doc_id").as("id_s"),
@@ -195,6 +219,23 @@ object MinHashDedup {
       .select(least(col("id_s"), col("id_l")).as("doc_a"),
         greatest(col("id_s"), col("id_l")).as("doc_b"))
       .distinct()
+  }
+
+  /** Upper estimate of the prefix join's pre-distinct output volume:
+    * Σ_tok shortBucket(tok) · probeBucket(tok) — one aggregate over the
+    * already-persisted [[rankedPrefix]] frame, so the arm decision costs
+    * a single cheap job, not a speculative join. */
+  private def prefixVolumeEstimate(ranked: DataFrame,
+                                   threshold: Double): Long = {
+    val tp = math.max(threshold - 1e-4, 0.0)
+    val idxFrac = 2 * tp / (1 + tp)
+    val sc = ranked
+      .filter(col("rn") <= col("n") - ceil(lit(idxFrac) * col("n")) + lit(1))
+      .groupBy(col("tok")).agg(count(lit(1)).as("sc"))
+    val lc = ranked.groupBy(col("tok")).agg(count(lit(1)).as("lc"))
+    val r = sc.join(lc, Seq("tok"))
+      .agg(coalesce(sum(col("sc") * col("lc")), lit(0L))).head()
+    r.getLong(0)
   }
 
   /** (row count, total token count) of a signature frame — the size
@@ -273,16 +314,26 @@ object MinHashDedup {
   }
 
   /** Edge-count ceiling for the driver union-find fast path in
-    * [[components]]: 10M edges ≈ 160 MB of longs — trivial driver memory,
-    * and path-compressed union-find beats any distributed round. */
-  val DriverComponentsMaxEdges: Long = 10000000L
+    * [[components]]. 4M edges collect as ~4M boxed Tuple2 rows — a few
+    * hundred MB of transient driver heap near the ceiling (the long-term
+    * union-find state is a primitive LongMap, far smaller) — so the
+    * ceiling is set well inside a default driver's budget, not at the
+    * raw 16-bytes-per-edge arithmetic. The gate bounds EVERYTHING the
+    * driver path materializes: union-find touches edge endpoints only
+    * (≤ 2·edges entries), never the vertex set. */
+  val DriverComponentsMaxEdges: Long = 4000000L
 
   /** Connected components → (doc_id, canonical_id = component minimum).
     *
     * Small graphs (≤ [[DriverComponentsMaxEdges]] edges, measured, not
-    * guessed) collect to the driver and run path-compressed union-find —
-    * the same small-graph shortcut graph libraries take, since a
-    * sub-second driver pass beats several distributed rounds. Union by
+    * guessed) collect the EDGE LIST to the driver and run path-compressed
+    * union-find over its endpoints — the same small-graph shortcut graph
+    * libraries take, since a sub-second driver pass beats several
+    * distributed rounds. Vertices that touch no edge are singletons by
+    * definition and never reach the driver: they take the identity
+    * assignment distributively (left join + coalesce), so a
+    * billion-doc corpus with a sparse dup graph stays executor-side —
+    * the driver cost is bounded by the edge gate alone. Union by
     * min-root keeps every root the component minimum, so the output is
     * identical to the distributed path.
     *
@@ -305,21 +356,30 @@ object MinHashDedup {
     val e = edges.select(col("doc_a"), col("doc_b")).persist()
     val nE = e.count()
     val out =
-      if (nE <= driverMaxEdges) driverComponents(vertices, e)
-      else distributedComponents(vertices, e)
+      if (nE <= driverMaxEdges) {
+        // Endpoint assignments from the driver (≤ 2·nE rows), identity
+        // for everyone else — the vertex frame itself never leaves the
+        // executors.
+        val ep = driverEndpointComponents(e)
+        vertices.select(col("doc_id"))
+          .join(ep.withColumnRenamed("doc_id", "ep_id"),
+            col("doc_id") === col("ep_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id"))
+              .as("canonical_id"))
+      } else distributedComponents(vertices, e)
     e.unpersist()
     out
   }
 
-  /** Path-compressed union-find on the driver; union by min root, so the
-    * final root of every vertex is its component's minimum doc_id. */
-  private def driverComponents(vertices: DataFrame,
-                               e: DataFrame): DataFrame = {
-    val spark = vertices.sparkSession
+  /** Path-compressed union-find on the driver over EDGE ENDPOINTS only
+    * (exposed for the DedupSpec gate test); union by min root, so the
+    * final root of every endpoint is its component's minimum doc_id.
+    * Returns one row per distinct endpoint — no singleton vertices. */
+  private[graft] def driverEndpointComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
     val parent = new scala.collection.mutable.LongMap[Long]()
-    val vs = vertices.select(col("doc_id")).as[Long].collect()
-    vs.foreach(v => parent(v) = v)
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -329,11 +389,14 @@ object MinHashDedup {
     }
     e.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
       .foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
         val ra = find(a); val rb = find(b)
         if (ra < rb) parent(rb) = ra
         else if (rb < ra) parent(ra) = rb
       }
-    vs.toSeq.map(v => (v, find(v))).toDF("doc_id", "canonical_id")
+    parent.keys.toSeq.map(v => (v, find(v)))
+      .toDF("doc_id", "canonical_id")
   }
 
   private def distributedComponents(vertices: DataFrame,
@@ -378,44 +441,106 @@ object MinHashDedup {
         col("lbl") === col("p"))
       .select(col("doc_id"), col("plbl").as("lbl"))
 
+  /** Candidate-generation arm selector for [[clusters]] /
+    * [[nearDuplicates]]. */
+  sealed trait Arm
+  /** Force the complete (exact-components) prefix-filter arm. */
+  case object PrefixArm extends Arm
+  /** Force the probabilistic LSH arm (the dense-corpus configuration). */
+  case object LshArm extends Arm
+  /** Measure, then choose: prefix while its estimated join volume stays
+    * within [[PrefixBudgetPerDoc]]·nDocs, LSH past it. */
+  case object AutoArm extends Arm
+
+  /** Prefix-arm volume budget, in estimated candidate pairs per doc.
+    * Below it the complete prefix join is shuffle-safe and exactness is
+    * free; above it (template families — a single family of size F pays
+    * F² in one token's bucket — or a tiny-vocabulary corpus where every
+    * prefix bucket is a constant fraction of the corpus) the LSH arm's
+    * hub-edge buckets keep per-bucket work linear at the documented
+    * borderline-miss probability. The budget is deliberately ~2× the
+    * measured harness-gate volume (~4.1k pairs/doc at sf0.001/sf0.01) and
+    * ~5× under the sf0.1 density (~39k), so the gate scales stay on the
+    * exact arm and the dense bench scale exercises the LSH arm. */
+  val PrefixBudgetPerDoc: Long = 8192L
+
+  /** Measured arm choice for a signature frame — the [[AutoArm]] rule,
+    * exposed so tests (and operators) can observe the decision. */
+  def selectArm(sigs: DataFrame, threshold: Double, nDocs: Long): Arm = {
+    val ranked = rankedPrefix(sigs, threshold)
+    val est = prefixVolumeEstimate(ranked, threshold)
+    ranked.unpersist()
+    if (est <= PrefixBudgetPerDoc * nDocs) PrefixArm else LshArm
+  }
+
+  /** Resolve an arm into candidate edges; AutoArm reuses one ranked
+    * build for both the estimate and (when chosen) the prefix join. */
+  private def resolveCands(sigs: DataFrame, threshold: Double, arm: Arm,
+                           nDocs: Long): DataFrame = arm match {
+    case PrefixArm => prefixCandidates(sigs, threshold)
+    case LshArm =>
+      estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+    case AutoArm =>
+      val ranked = rankedPrefix(sigs, threshold)
+      val est = prefixVolumeEstimate(ranked, threshold)
+      if (est <= PrefixBudgetPerDoc * nDocs) {
+        val out = prefixJoin(ranked, threshold).localCheckpoint()
+        ranked.unpersist()
+        out
+      } else {
+        ranked.unpersist()
+        estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+      }
+  }
+
   /** The registered query: near-duplicate cluster assignment over the
     * documents table. Every doc appears exactly once; singletons map to
     * themselves. Oracle: DuckDB recursive-CTE components over the exact
     * all-pairs trigram-Jaccard graph (OpsOracles.minhashClusters).
     *
-    * EXACT by construction (default `exact = true`): the confirm input is
-    * the complete prefix-filter candidate set, so every true
-    * (rounded-Jaccard ≥ threshold) edge is confirmed and the components
-    * equal the exact graph's components — up to the ~1e-11 chance of a
-    * within-doc 64-bit trigram-hash collision (BASELINE.md).
-    * `exact = false` is the 100 TB configuration: LSH candidates +
-    * signature-agreement pre-filter, linear in template-family size but
-    * with the documented borderline-edge miss probability. */
+    * Arm selection is MEASURED by default ([[AutoArm]]): the prefix arm
+    * is complete — every true (rounded-Jaccard ≥ threshold) edge is
+    * confirmed, so the components equal the exact graph's components up
+    * to the ~1e-11 within-doc 64-bit trigram-hash collision chance
+    * (BASELINE.md) — and is chosen while its measured volume estimate
+    * stays within budget (it does at the sf0.001/sf0.01 gate scales).
+    * Past the budget (template families, dense tiny-vocab corpora — the
+    * sf0.1 bench corpus crosses it) the LSH arm runs: hub-edge buckets,
+    * linear per family, with the documented borderline-edge miss
+    * probability. No caller flag decides the scale behavior — the
+    * measured corpus does. */
   def clusters(spark: SparkSession, dir: String,
-               threshold: Double = 0.6, exact: Boolean = true): DataFrame = {
+               threshold: Double = 0.6, arm: Arm = AutoArm): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
-    val cands =
-      if (exact) prefixCandidates(sigs, threshold)
-      else estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+    val cands = resolveCands(sigs, threshold, arm, nDocs)
     val edges = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
-    components(sigs.select("doc_id"), edges)
+    // Vertices come straight from the parquet scan (signatures preserve
+    // doc_ids 1:1), so after components() materializes the edge set the
+    // signature cache has no live dependents and can be released here
+    // instead of leaking into long-lived sessions.
+    val out = components(docs.select(col("doc_id")), edges)
+    sigs.unpersist()
+    out
   }
 
   /** Pair-level view (doc_a, doc_b, jaccard) — kept for diagnostics and
     * recall tests; the registered contract is [[clusters]]. Same arm
-    * selection as [[clusters]], so the default pair list is exact too. */
+    * selection as [[clusters]], so the default pair list is exact while
+    * the corpus stays within the prefix budget. Materialized eagerly so
+    * the signature cache can be released before returning. */
   def nearDuplicates(spark: SparkSession, dir: String,
                      threshold: Double = 0.6,
-                     exact: Boolean = true): DataFrame = {
+                     arm: Arm = AutoArm): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
     val (nDocs, totTokens) = docStats(sigs)
-    val cands =
-      if (exact) prefixCandidates(sigs, threshold)
-      else estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    exactConfirm(sigs, cands, threshold, totTokens, nDocs)
+    val cands = resolveCands(sigs, threshold, arm, nDocs)
+    val out = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
       .distinct() // pair-level view: one row per confirmed pair
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 }

@@ -123,12 +123,18 @@ object TextOps {
     * GPT-2 pattern). Narrow projection over the scan, no shuffle; both
     * engines run the same leftmost-longest matching on these disjoint
     * alternatives, so counts are exact. Distinct-token count approximates
-    * per-doc vocabulary — the usual diversity feature next to raw length. */
+    * per-doc vocabulary — the usual diversity feature next to raw length.
+    *
+    * The whitespace class is spelled out ([ \t\n\f\r\x0B]) instead of
+    * `\s` because the shorthand differs between engines — Java includes
+    * \x0B in \s, RE2 does not — and the oracle must tokenize a
+    * vertical-tab corpus identically. */
   def regexTokens(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
       .withColumn("low", lower(col("text")))
       .withColumn("toks", expr(
-        "regexp_extract_all(low, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        "regexp_extract_all(low, " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 \\\\t\\\\n\\\\f\\\\r\\\\x0B]', 0)"))
       .withColumn("n_bpe_tokens", size(col("toks")))
       .withColumn("n_word_tokens",
         expr("size(filter(toks, t -> t rlike '^[a-z]+$'))"))

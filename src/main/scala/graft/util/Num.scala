@@ -31,14 +31,20 @@ object Num {
 
 /** Physical-layout helpers. */
 object Layout {
-  /** Round-robin repartition to the session's core count. The harness
-    * tables are single parquet files (one input split), so compute-heavy
-    * narrow stages (signatures, pairwise set ops) would otherwise run on
-    * one core; on a real cluster the same call spreads a small hot stage
-    * across executors. */
+  /** Round-robin repartition to the session's core count, GATED on the
+    * scan actually being under-parallel: only when the input has fewer
+    * partitions than half the session's parallelism. The harness tables
+    * are single parquet files (one input split), so compute-heavy narrow
+    * stages (signatures, pairwise set ops) would otherwise run on one
+    * core — those get the spread. A 100 TB table already scans as
+    * thousands of splits, and there the gate makes this a no-op instead
+    * of a full-table round-robin shuffle on every read. `rdd
+    * .getNumPartitions` plans the scan but moves no data. */
   def spread(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      : org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par) else df
+  }
 
   /** Safe broadcast ceiling for an explicit hint. Spark hard-fails an
     * explicit `broadcast()` past 8 GB / 512M rows (the hint BYPASSES

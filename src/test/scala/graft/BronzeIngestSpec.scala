@@ -64,4 +64,27 @@ class BronzeIngestSpec extends SparkSpec {
       availableNow = true).awaitTermination()
     assert(spark.read.parquet(out).count() == 1)
   }
+
+  test("kafka source pins the reference's wire config on the built reader") {
+    val reader = BronzeIngest.kafkaSource(spark, "broker:9092", "events")
+    // No broker in the harness: assert the reader state directly (the
+    // classic DataStreamReader keeps format + options in private fields).
+    def field[T](name: String): T = {
+      val f = reader.getClass.getDeclaredField(name)
+      f.setAccessible(true)
+      f.get(reader).asInstanceOf[T]
+    }
+    assert(field[String]("source") == "kafka")
+    val opts: Map[String, String] =
+      field[org.apache.spark.sql.catalyst.util.CaseInsensitiveMap[String]](
+        "extraOptions").toMap
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+    assert(opts("failOnDataLoss") == "false")
+    // and the exposed option map is exactly what the reader carries
+    assert(BronzeIngest.kafkaOptions("broker:9092", "events").toSet
+      .subsetOf(opts.toSet))
+  }
 }

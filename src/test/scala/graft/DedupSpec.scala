@@ -104,6 +104,59 @@ class DedupSpec extends SparkSpec {
       5L -> 5L))
   }
 
+  test("driver union-find touches edge endpoints only; singletons stay distributed") {
+    val edges = Seq((10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val ep = MinHashDedup.driverEndpointComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    // the driver frame holds EXACTLY the edge endpoints — a sparse graph
+    // over a huge corpus never ships its vertex set to the driver
+    assert(ep.keySet == Set(10L, 11L, 12L),
+      "driver path materialized non-endpoint vertices")
+    assert(ep.values.toSet == Set(10L))
+    val verts = (0L to 14L).toDF("doc_id")
+    val all = MinHashDedup.components(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(all.size == 15)
+    assert((0L to 9L).forall(v => all(v) == v) &&
+      all(13L) == 13L && all(14L) == 14L, "singletons must map to themselves")
+    assert(all(10L) == 10L && all(11L) == 10L && all(12L) == 10L)
+  }
+
+  test("auto arm: prefix on the harness corpus, LSH on a template family") {
+    val harness = MinHashDedup.signatures(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .cache()
+    assert(MinHashDedup.selectArm(harness, 0.6, harness.count()) ==
+      MinHashDedup.PrefixArm,
+      "gate-scale harness corpus must stay on the exact prefix arm")
+    harness.unpersist()
+
+    // One 400-doc near-identical family from a trigram-rich template:
+    // every family doc shares its whole frequency-ordered prefix, so the
+    // estimated prefix-join volume is ~|shortPrefix|·F² ≈ 20k pairs/doc
+    // — far past PrefixBudgetPerDoc.
+    val template = base +
+      "completely different content about spark shuffles and joins " * 3 +
+      "another unrelated document mentioning parquet and kafka " * 3
+    val family = (0L until 400L).map(i => (i, template + s" tail$i"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val famSigs = MinHashDedup.signatures(family).cache()
+    assert(MinHashDedup.selectArm(famSigs, 0.6, 400L) ==
+      MinHashDedup.LshArm,
+      "template family must switch to the linear LSH arm")
+    famSigs.unpersist()
+
+    // ... and the LSH arm the auto rule picks still clusters the family
+    // correctly end-to-end (near-identical docs, jaccard ~0.95).
+    val dir = tmpDir("minhash-family")
+    family.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MinHashDedup.clusters(spark, dir, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 400 && got.values.forall(_ == 0L))
+  }
+
   test("exact duplicates collapse to one canonical doc") {
     val dir = tmpDir("docs")
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")

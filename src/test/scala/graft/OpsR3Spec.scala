@@ -126,8 +126,10 @@ class OpsR3Spec extends SparkSpec {
     // The at-scale configuration (exact=false) is probabilistic; on this
     // corpus its banding must still recover every component (the memory
     // of a borderline miss is why the REGISTERED query is prefix-exact).
-    val exact = MinHashDedup.clusters(spark, dir, 0.6).cache()
-    val lsh = MinHashDedup.clusters(spark, dir, 0.6, exact = false).cache()
+    val exact = MinHashDedup.clusters(spark, dir, 0.6,
+      MinHashDedup.PrefixArm).cache()
+    val lsh = MinHashDedup.clusters(spark, dir, 0.6,
+      MinHashDedup.LshArm).cache()
     assert(exact.count() === lsh.count())
     assert(exact.exceptAll(lsh).isEmpty,
       "LSH-only components diverge from exact components at sf0.001")

@@ -40,6 +40,42 @@ class RuntimeSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("upsert write failure leaves the target fully readable (staged swap)") {
+    val dir = tmpDir("merge3")
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("s1", "2024-01-01", 1.0),
+      ("s2", "2024-01-02", 2.0))), Seq("session_id", "datetime"))
+    // Poisoned stage: evaluation throws mid-job, i.e. the rewrite dies
+    // while WRITING. With the staged swap the failure happens inside the
+    // .staging dir; the live partitions are never touched.
+    val poisoned = sessionsDf(Seq(("s1", "2024-01-01", 99.0)))
+      .withColumn("max_value", col("max_value") +
+        expr("raise_error('simulated mid-write failure')").cast("double"))
+    intercept[Exception] {
+      MergeUpsert.upsert(spark, dir, poisoned,
+        Seq("session_id", "datetime"))
+    }
+    val out = spark.read.parquet(dir)
+      .select("session_id", "max_value").as[(String, Double)]
+      .collect().toMap
+    assert(out == Map("s1" -> 1.0, "s2" -> 2.0),
+      "pre-update contents must survive a mid-write failure")
+    // no staging/backup debris left behind under the target root
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(".staging-") || n.startsWith(".backup-"))
+    assert(debris.isEmpty, s"leftover swap debris: ${debris.mkString(",")}")
+    // ...and a subsequent good upsert still lands
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("s1", "2024-01-01", 10.0))), Seq("session_id", "datetime"))
+    val after = spark.read.parquet(dir)
+      .select("session_id", "max_value").as[(String, Double)]
+      .collect().toMap
+    assert(after == Map("s1" -> 10.0, "s2" -> 2.0))
+  }
+
   test("incremental: watermark advance, pruned reads, lineage fallback") {
     val dir = tmpDir("incr")
     Incremental.appendBatch(spark, dir, Seq((1, "a")).toDF("id", "v"), 1L)
