@@ -6,8 +6,8 @@ import graft.ops.{AsOfJoin, EventOps, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
-import graft.sim.{IvfCosine, LshCosine, Similarity}
-import graft.text.{MinHashDedup, SimHashDedup, TextOps}
+import graft.sim.{IvfCosine, KMeans, LshCosine, Similarity}
+import graft.text.{CorpusOps, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -124,6 +124,16 @@ object SparkEntry {
     // by its 5%-error contract column so the row IS oracle-checkable
     // (OpsOracles.approxDistinctUsers expects within_pct = TRUE).
     "agg_approx_distinct" -> EventOps.approxDistinctUsers _,
+    "text_repetition" -> ((s, dir) => CorpusOps.repetitionStats(s, dir)),
+    "text_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
+    "sample_weighted_sources" -> ((s, dir) =>
+      CorpusOps.weightedSourceSample(s, dir)),
+    "pipeline_corpus_clean" -> CorpusOps.corpusClean _,
+    // Deterministic spherical k-means (seeded at vec_id < 8, one Lloyd
+    // refinement): every intermediate is integer or a correctly-rounded
+    // IEEE op, so the DuckDB oracle replays the iteration exactly.
+    "embed_kmeans" -> ((s, dir) => KMeans.fit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +190,11 @@ object SparkEntry {
     "sample_stratified" -> OpsOracles.sampleStratified,
     "embed_centroids" -> OpsOracles.embedCentroids,
     "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
+    "text_repetition" -> OpsOracles.textRepetition,
+    "text_decontaminate" -> OpsOracles.textDecontaminate,
+    "text_pii_mask" -> OpsOracles.piiMask,
+    "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
+    "pipeline_corpus_clean" -> OpsOracles.pipelineCorpusClean,
+    "embed_kmeans" -> OpsOracles.embedKmeans,
   )
 }

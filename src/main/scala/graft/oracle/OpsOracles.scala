@@ -964,4 +964,246 @@ object OpsOracles {
       |  round((CAST(sum_q AS DOUBLE) / n_vectors) * 100, 0) / 100
       |    AS mean_q
       |FROM a""".stripMargin
+
+  /** Mirrors CorpusOps.repetitionStats: per-doc unigram/bigram mode
+    * counts via unnest + two-level GROUP BY — the same shape as the
+    * Spark plan, so counts and scale-0-rounded ratios match exactly. */
+  val textRepetition: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |bg AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+      |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+      |      AS bigrams
+      |  FROM base
+      |),
+      |uni AS (
+      |  SELECT doc_id, t, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY 1, 2
+      |),
+      |unia AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(max(c) AS BIGINT) AS top_token_n
+      |  FROM uni GROUP BY 1
+      |),
+      |bi AS (
+      |  SELECT doc_id, b, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY 1, 2
+      |),
+      |bia AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bigram_n
+      |  FROM bi GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT base.doc_id, lang, source,
+      |    coalesce(n_tokens, 0) AS n_tokens,
+      |    coalesce(n_distinct, 0) AS n_distinct,
+      |    coalesce(top_token_n, 0) AS top_token_n,
+      |    coalesce(n_bigrams, 0) AS n_bigrams,
+      |    coalesce(top_bigram_n, 0) AS top_bigram_n
+      |  FROM base LEFT JOIN unia USING (doc_id)
+      |    LEFT JOIN bia USING (doc_id)
+      |),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN n_tokens > 0 THEN
+      |      round(((n_tokens - n_distinct)::DOUBLE / n_tokens) * 10000, 0)
+      |        / 10000.0 ELSE 0.0 END AS dup_word_ratio,
+      |    CASE WHEN n_tokens > 0 THEN
+      |      round((top_token_n::DOUBLE / n_tokens) * 10000, 0)
+      |        / 10000.0 ELSE 0.0 END AS top_token_ratio,
+      |    CASE WHEN n_bigrams > 0 THEN
+      |      round((top_bigram_n::DOUBLE / n_bigrams) * 10000, 0)
+      |        / 10000.0 ELSE 0.0 END AS top_bigram_ratio
+      |  FROM j
+      |)
+      |SELECT doc_id, lang, source, n_tokens, n_distinct, top_token_n,
+      |  n_bigrams, top_bigram_n, dup_word_ratio, top_token_ratio,
+      |  top_bigram_ratio,
+      |  CAST(CASE WHEN dup_word_ratio >= 0.8 OR top_token_ratio >= 0.3
+      |    OR top_bigram_ratio >= 0.18 THEN 1 ELSE 0 END AS INT)
+      |    AS is_repetitive
+      |FROM r""".stripMargin
+
+  /** Mirrors CorpusOps.decontaminate. The oracle joins on gram STRINGS
+    * where Spark joins on their xxhash64 values — overlap counts agree
+    * unless two distinct grams of the corpus collide (~1e-11, the
+    * ngramJaccard argument). */
+  val textDecontaminate: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 4, 0) + 1),
+      |      i -> array_to_string(list_slice(toks, CAST(i AS INT),
+      |        CAST(i AS INT) + 4), ' '))) AS grams
+      |  FROM d
+      |),
+      |bench AS (
+      |  SELECT DISTINCT unnest(grams) AS gh FROM g WHERE source = 'src0'
+      |),
+      |t AS (SELECT * FROM g WHERE source <> 'src0'),
+      |tg AS (SELECT doc_id, unnest(grams) AS gh FROM t),
+      |hits AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      |  FROM tg JOIN bench USING (gh) GROUP BY 1
+      |)
+      |SELECT t.doc_id, lang, source, CAST(len(grams) AS INT) AS n_grams,
+      |  coalesce(n_contaminated, 0) AS n_contaminated,
+      |  CAST(CASE WHEN coalesce(n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS is_contaminated
+      |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  /** Mirrors CorpusOps.weightedSourceSample: integer counts → one IEEE
+    * sqrt/division → floor, so the derived rate is engine-exact; same
+    * md5 bucketing as sampleStratified. */
+  val sampleWeightedSources: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |  FROM documents GROUP BY source
+      |),
+      |m AS (SELECT min(n_src) AS min_n FROM counts),
+      |r AS (
+      |  SELECT source, n_src,
+      |    greatest(1, CAST(floor(100 * sqrt(min_n::DOUBLE / n_src))
+      |      AS INT)) AS keep_rate_pct
+      |  FROM counts, m
+      |),
+      |t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 100 AS INT) AS bucket100
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, t.source, n_src, keep_rate_pct, bucket100
+      |FROM t JOIN r ON t.source = r.source
+      |WHERE bucket100 < keep_rate_pct""".stripMargin
+
+  /** Mirrors CorpusOps.piiMask — identical patterns (explicit classes
+    * only, no engine-dependent shorthands), identical mask order. */
+  val piiMask: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+      |    AS n_ipv4,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}'))
+      |    AS INT) AS n_phones,
+      |  CAST(length(
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |      'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+      |      'g'),
+      |      '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}',
+      |      '<PHONE>', 'g')) AS INT) AS masked_len,
+      |  CAST(CASE WHEN len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+      |    + len(regexp_extract_all(text,
+      |      '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}'))
+      |    = 0 THEN 1 ELSE 0 END AS INT) AS is_clean
+      |FROM documents""".stripMargin
+
+  /** Mirrors CorpusOps.corpusClean by composing the component oracles as
+    * derived tables (each gate keyed by doc_id, training = non-src0). */
+  def pipelineCorpusClean: String =
+    s"""WITH q AS (SELECT doc_id FROM ($qualityFilter)),
+       |can AS (SELECT canonical_doc_id AS doc_id FROM ($dedupExact)),
+       |rep AS (SELECT doc_id, is_repetitive FROM ($textRepetition)),
+       |cont AS (SELECT doc_id, is_contaminated
+       |  FROM ($textDecontaminate)),
+       |base AS (
+       |  SELECT doc_id, lang, source FROM documents WHERE source <> 'src0'
+       |)
+       |SELECT base.doc_id, lang, source,
+       |  CAST(1 AS INT) AS pass_quality, CAST(1 AS INT) AS is_canonical,
+       |  rep.is_repetitive, cont.is_contaminated
+       |FROM base JOIN q USING (doc_id) JOIN can USING (doc_id)
+       |  JOIN rep USING (doc_id) JOIN cont USING (doc_id)
+       |WHERE is_repetitive = 0 AND is_contaminated = 0""".stripMargin
+
+  /** Mirrors sim.KMeans.fit(k = 8, iters = 1): deterministic seed
+    * (vec_id < 8), quantized-cosine argmax (ties → lowest cluster), one
+    * integer-mean Lloyd update, final assignment. Every intermediate is
+    * integer or a correctly-rounded IEEE op, so the replay is exact. */
+  val embedKmeans: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cluster, q AS cq, nn AS cn
+      |  FROM n WHERE vec_id < 8
+      |),
+      |p0 AS (
+      |  SELECT n.vec_id, c0.cluster,
+      |    round((CAST(list_sum(list_transform(list_zip(n.q, c0.cq),
+      |      s -> s[1] * s[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(n.nn::DOUBLE) * sqrt(c0.cn::DOUBLE))) * 1000000, 0)
+      |      / 1000000.0 AS cosine
+      |  FROM n, c0
+      |),
+      |a0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rk
+      |    FROM p0)
+      |  WHERE rk = 1
+      |),
+      |mem AS (
+      |  SELECT a0.cluster,
+      |    unnest(list_zip(n.q, range(1, len(n.q) + 1))) AS zz
+      |  FROM a0 JOIN n USING (vec_id)
+      |),
+      |upd AS (
+      |  SELECT cluster, CAST(zz[2] AS INT) AS dim,
+      |    CAST(round(CAST(sum(zz[1]) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS mq
+      |  FROM mem GROUP BY 1, 2
+      |),
+      |c1a AS (
+      |  SELECT cluster, list(mq ORDER BY dim) AS cq FROM upd
+      |  GROUP BY cluster
+      |),
+      |c1 AS (
+      |  SELECT cluster, cq,
+      |    CAST(list_sum(list_transform(cq, v -> v * v)) AS BIGINT) AS cn
+      |  FROM c1a
+      |),
+      |p1 AS (
+      |  SELECT n.vec_id, n.label, c1.cluster,
+      |    round((CAST(list_sum(list_transform(list_zip(n.q, c1.cq),
+      |      s -> s[1] * s[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(n.nn::DOUBLE) * sqrt(c1.cn::DOUBLE))) * 1000000, 0)
+      |      / 1000000.0 AS cosine
+      |  FROM n, c1 WHERE c1.cn > 0
+      |)
+      |SELECT vec_id, label, cluster, cosine FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rk
+      |  FROM p1)
+      |WHERE rk = 1""".stripMargin
 }

@@ -1,0 +1,270 @@
+package graft.text
+
+import graft.util.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale pre-training pipeline runs
+  * after the per-document stats in [[TextOps]]: repetition-based quality
+  * signals (the Gopher-style gates), benchmark decontamination by n-gram
+  * overlap, data-derived source rebalancing, PII masking, and the composite
+  * keep-set pipeline that chains them.
+  *
+  * Everything is built from codegen'd builtins; the only shuffles are
+  * hash-aggregates keyed by doc_id / (doc_id, token) — linear in corpus
+  * size and partition-parallel, never pairwise. Each operator has a pure
+  * `DataFrame => DataFrame` form for tests and a `(SparkSession, dir)`
+  * entry for the registered query.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Lowered whitespace tokens; empty-string tokens dropped so a trailing
+    * space never mints a token (DuckDB's string_split_regex agrees once
+    * both sides filter empties). */
+  private val toksExpr =
+    "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"
+
+  // ---------------------------------------------------------------- //
+  // Repetition signals (Gopher-style quality gates)                  //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document repetition signals: duplicate-word fraction, most-
+    * frequent-token fraction, most-frequent-bigram fraction, and the
+    * composite `is_repetitive` gate — the content-level dual of the
+    * shape-level gates in [[TextOps.qualityFilter]].
+    *
+    * Plan shape: one narrow explode per n-gram order, a hash-aggregate
+    * keyed (doc_id, gram) — partial+final, so the map side already
+    * collapses in-doc repeats — then a doc_id re-aggregate. Both shuffle
+    * keys are unskewed (bounded by doc length) and linear in corpus
+    * size; the final joins are all doc_id-keyed and co-partitioned.
+    * Nothing is pairwise, so the plan survives a 100× scale-up as-is. */
+  def repetitionStats(d: DataFrame): DataFrame = {
+    val base = d
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"),
+        // sequence(1, 0) is DESCENDING in Spark, so the n<2 case must be
+        // handled explicitly, not via greatest().
+        expr("CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))" +
+          " ELSE array() END").as("bigrams"))
+    val uni = base
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_token_n"))
+    val bi = base
+      .select(col("doc_id"), explode(col("bigrams")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    def z(c: String): Column = coalesce(col(c), lit(0L)).as(c)
+    base.select("doc_id", "lang", "source")
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        z("n_tokens"), z("n_distinct"), z("top_token_n"),
+        z("n_bigrams"), z("top_bigram_n"))
+      .withColumn("dup_word_ratio",
+        Num.guardedRatio(col("n_tokens") - col("n_distinct"),
+          col("n_tokens"), 4))
+      .withColumn("top_token_ratio",
+        Num.guardedRatio(col("top_token_n"), col("n_tokens"), 4))
+      .withColumn("top_bigram_ratio",
+        Num.guardedRatio(col("top_bigram_n"), col("n_bigrams"), 4))
+      .withColumn("is_repetitive",
+        when(col("dup_word_ratio") >= 0.8 ||
+          col("top_token_ratio") >= 0.3 ||
+          col("top_bigram_ratio") >= 0.18, 1).otherwise(0).cast("int"))
+  }
+
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(docs(s, dir))
+
+  // ---------------------------------------------------------------- //
+  // Benchmark decontamination                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Distinct word-5-gram xxhash64 signatures per document. Grams travel
+    * as 8-byte hashes, not strings (the [[TextOps.ngramJaccard]] trick):
+    * overlap COUNTS are what downstream compares, and those match the
+    * string-set counts unless two distinct grams of one corpus collide
+    * (~1e-11 here; the oracle uses the string form and agrees). */
+  private def gramSigs(d: DataFrame, n: Int): DataFrame =
+    d.withColumn("toks", expr(toksExpr))
+      // sequence(1, 0) is DESCENDING, so guard the short-doc case with an
+      // explicit CASE rather than greatest().
+      .withColumn("grams", expr(
+        s"CASE WHEN size(toks) >= $n THEN " +
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $n))))) " +
+          s"ELSE array() END"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("grams")).as("n_grams"), col("grams"))
+
+  /** Test-set decontamination: flag every training document sharing at
+    * least one word-5-gram with the benchmark partition (`benchSource`) —
+    * the standard eval-leakage sweep a pre-training pipeline runs before
+    * the corpus ships.
+    *
+    * Plan shape: benchmark grams deduplicate to one small distinct set;
+    * the training side explodes to (doc_id, gram) and equi-joins on the
+    * gram hash. No broadcast hint on purpose — a real benchmark suite is
+    * MBs (AQE turns the join into a broadcast on its own), but nothing
+    * in the contract caps it, and the shuffle join stays correct and
+    * linear when it outgrows the threshold. The gram explode is the only
+    * fan-out and is bounded by corpus token count. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    n: Int = 5): DataFrame = {
+    val benchGrams = gramSigs(bench, n)
+      .select(explode(col("grams")).as("gh")).distinct()
+    val t = gramSigs(train, n)
+    val hits = t.select(col("doc_id"), explode(col("grams")).as("gh"))
+      .join(benchGrams, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    t.select("doc_id", "lang", "source", "n_grams")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("is_contaminated",
+        when(col("n_contaminated") > 0, 1).otherwise(0).cast("int"))
+  }
+
+  /** Registered form: `src0` is the held-out benchmark partition; every
+    * other source is training data swept against it. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    decontaminate(d.filter(col("source") =!= "src0"),
+      d.filter(col("source") === "src0"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Data-derived source rebalancing                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Temperature-based source rebalancing (α = 0.5): per-source keep rate
+    * ∝ √(min_count / n_source), so the rarest source keeps 100% and a
+    * source 4× the minimum keeps 50% — the multilingual-sampling move,
+    * applied to sources, with DATA-DERIVED rates (vs the fixed rates of
+    * [[TextOps.sampleStratified]]). Selection is the same content-
+    * independent md5 bucketing as hashSplit: reproducible on any engine,
+    * stable under repartitioning.
+    *
+    * Cross-engine exactness: n/min are integers; `/`, `sqrt`, `*` are
+    * correctly-rounded IEEE ops on both engines and `floor` is exact, so
+    * the derived integer rate is identical — no double survives into the
+    * output. Plan shape: one fixed-width aggregate (≤ |sources| rows),
+    * broadcast back over the scan, narrow filter. One shuffle total. */
+  def weightedSourceSample(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val minc = counts.agg(min(col("n_src")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .withColumn("keep_rate_pct",
+        greatest(lit(1), floor(lit(100) *
+          sqrt(col("min_n").cast("double") / col("n_src"))).cast("int")))
+      .select("source", "n_src", "keep_rate_pct")
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket100", expr(
+        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
+          "15), 16, 10) as bigint), 100L) as int)"))
+      .filter(col("bucket100") < col("keep_rate_pct"))
+      .select("doc_id", "lang", "source", "n_src", "keep_rate_pct",
+        "bucket100")
+  }
+
+  def weightedSourceSample(s: SparkSession, dir: String): DataFrame =
+    weightedSourceSample(docs(s, dir))
+
+  // ---------------------------------------------------------------- //
+  // PII masking                                                      //
+  // ---------------------------------------------------------------- //
+
+  /** PII patterns shared verbatim by Spark (Java regex) and the DuckDB
+    * oracle (RE2): only constructs with identical semantics in both —
+    * explicit classes, `{m,n}` bounds, ASCII `\b`. No `\s`/`\d`
+    * shorthands (engine-dependent class membership). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}"
+
+  /** PII detection + masking: count and redact emails, IPv4 addresses and
+    * international phone numbers — the scrub every shipped training
+    * corpus needs. Pure row-level projection (regexp count + replace
+    * chain), zero shuffles at any scale. Masking order is fixed
+    * (email → ip → phone) and identical in the oracle, so overlapping
+    * matches resolve the same way on both engines. */
+  def piiMask(d: DataFrame): DataFrame =
+    // lit(pattern) keeps the regex out of SQL-literal escape processing
+    // (an expr() single-quoted '\b' would silently become a backspace).
+    d.withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .withColumn("masked",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+      .withColumn("masked_len", length(col("masked")))
+      .withColumn("is_clean",
+        when(col("n_emails") + col("n_ipv4") + col("n_phones") === 0, 1)
+          .otherwise(0).cast("int"))
+      .select("doc_id", "lang", "source", "n_emails", "n_ipv4",
+        "n_phones", "masked_len", "is_clean")
+
+  def piiMask(s: SparkSession, dir: String): DataFrame =
+    piiMask(docs(s, dir))
+
+  // ---------------------------------------------------------------- //
+  // Composite keep-set pipeline                                      //
+  // ---------------------------------------------------------------- //
+
+  /** The full curation pipeline as one dataflow: a training document
+    * survives iff it (a) passes the shape-quality gates
+    * ([[TextOps.qualityFilter]]), (b) is the canonical copy in the exact-
+    * dedup pass (doc_id = min over its fingerprint group), (c) is not
+    * repetition-flagged, and (d) shares no 5-gram with the benchmark
+    * partition. Output carries every gate's verdict for provenance — the
+    * audit trail curation pipelines keep per shipped document.
+    *
+    * Every component subtree is doc_id-keyed, so the final joins
+    * co-partition on one key; the corpus scan is re-read per component
+    * (at 100 TB the tokenized scan would be cached or staged once — the
+    * gates themselves are one linear pass each either way). */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val training = docs(s, dir).filter(col("source") =!= "src0")
+    val quality = TextOps.textStats(s, dir)
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+        col("punct_ratio") <= 0.05 && col("digit_ratio") <= 0.2 &&
+        col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+      .select(col("doc_id"), lit(1).cast("int").as("pass_quality"))
+    val canonical = TextOps.dedupExact(s, dir)
+      .select(col("canonical_doc_id").as("doc_id"),
+        lit(1).cast("int").as("is_canonical"))
+    val rep = repetitionStats(s, dir)
+      .select(col("doc_id"), col("is_repetitive"))
+    val cont = decontaminate(s, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    training.select("doc_id", "lang", "source")
+      .join(quality, Seq("doc_id"), "left")
+      .join(canonical, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(cont, Seq("doc_id"))
+      .withColumn("pass_quality", coalesce(col("pass_quality"), lit(0)))
+      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(0)))
+      .filter(col("pass_quality") === 1 && col("is_canonical") === 1 &&
+        col("is_repetitive") === 0 && col("is_contaminated") === 0)
+      .select("doc_id", "lang", "source", "pass_quality", "is_canonical",
+        "is_repetitive", "is_contaminated")
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.text.CorpusOps
+import graft.sim.KMeans
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the corpus-curation batch on synthetic inputs the
+  * harness corpus can't exercise (planted repetition, PII strings,
+  * contamination overlaps, separable clusters). Registered-query parity on
+  * the real tables is the DuckDB oracle's job. */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("repetitionStats flags a degenerate doc and clears a diverse one") {
+    val d = docsDf(
+      1L -> "spam spam spam spam spam spam spam spam",
+      2L -> "one two three four five six seven eight nine ten")
+    val out = CorpusOps.repetitionStats(d)
+      .select("doc_id", "n_tokens", "n_distinct", "top_token_n",
+        "top_bigram_n", "is_repetitive")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    assert(spam.getLong(1) == 8 && spam.getLong(2) == 1)
+    assert(spam.getLong(3) == 8 && spam.getLong(4) == 7)
+    assert(spam.getInt(5) == 1, "fully repeated doc must be flagged")
+    val ok = out(2L)
+    assert(ok.getLong(1) == 10 && ok.getLong(2) == 10)
+    assert(ok.getLong(3) == 1 && ok.getLong(4) == 1)
+    assert(ok.getInt(5) == 0, "all-distinct doc must pass")
+  }
+
+  test("repetitionStats survives an empty document") {
+    val d = docsDf(1L -> "", 2L -> "a b")
+    val out = CorpusOps.repetitionStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_word_ratio")))
+      .toMap
+    assert(out(1L) == ((0L, 0.0)))
+    assert(out(2L)._1 == 2L)
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram") {
+    val bench = docsDf(
+      100L -> "the quick brown fox jumps over the lazy dog")
+    val train = docsDf(
+      1L -> "intro text then the quick brown fox jumps and more",
+      2L -> "completely different words with no shared phrases here",
+      3L -> "quick brown fox jumps over something else entirely now")
+    val out = CorpusOps.decontaminate(train, bench)
+      .select("doc_id", "n_contaminated", "is_contaminated")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L)._2 == 1 && out(1L)._1 >= 1,
+      "doc 1 shares 'the quick brown fox jumps'")
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L)._2 == 1, "doc 3 shares 'quick brown fox jumps over'")
+  }
+
+  test("piiMask redacts emails, IPs and phones; counts survive") {
+    val d = docsDf(
+      1L -> "contact alice.smith+x@example.org or 10.0.42.7 today",
+      2L -> "call +49 170 1234 567 now",
+      3L -> "perfectly clean text with nothing sensitive")
+    val masked = d.withColumn("masked",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        CorpusOps.EmailRe, "<EMAIL>"), CorpusOps.Ipv4Re, "<IP>"),
+        CorpusOps.PhoneRe, "<PHONE>"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("masked")).toMap
+    assert(masked(1L) == "contact <EMAIL> or <IP> today")
+    assert(masked(2L) == "call <PHONE> now")
+    val out = CorpusOps.piiMask(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"),
+          r.getAs[Int]("n_phones"), r.getAs[Int]("is_clean"))).toMap
+    assert(out(1L) == ((1, 1, 0, 0)))
+    assert(out(2L) == ((0, 0, 1, 0)))
+    assert(out(3L) == ((0, 0, 0, 1)))
+  }
+
+  test("weightedSourceSample: rarest source keeps 100%, 4x source ~50%") {
+    val d = (1L to 400L).map(i => (i, "txt", "en",
+        if (i <= 80) "rare" else "common"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rates = CorpusOps.weightedSourceSample(d)
+      .select("source", "keep_rate_pct").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rates("rare") == 100)
+    assert(rates("common") == 50, "4x the min count -> sqrt(1/4) = 50%")
+  }
+
+  test("kmeans separates two obvious clusters and is deterministic") {
+    // Build a parquet embeddings table: ids 0..7 seed the centroids; two
+    // tight blobs around orthogonal axes must end in different clusters.
+    val dir = tmpDir("kmeans")
+    val dim = 64
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * eps)
+      a(axis) = 1.0f; a
+    }
+    val rows = (0 until 40).map { i =>
+      val axis = if (i % 2 == 0) 0 else 32
+      (i.toLong, vec(axis, (i % 5) + 1).toSeq, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = KMeans.fit(spark, dir, k = 8, iters = 1)
+    // k-means never merges clusters, so several seeds survive per blob;
+    // the invariant is PURITY: no cluster mixes the two blobs.
+    val purity = out.groupBy("cluster")
+      .agg(countDistinct("label").as("nl")).collect()
+    assert(purity.forall(_.getLong(1) == 1),
+      "no cluster may mix the two orthogonal blobs")
+    val again = KMeans.fit(spark, dir, k = 8, iters = 1)
+    assert(out.orderBy("vec_id").collect()
+      .sameElements(again.orderBy("vec_id").collect()),
+      "fit is deterministic")
+  }
+
+  test("corpusClean output joins all four gate verdicts") {
+    val out = CorpusOps.corpusClean(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("pass_quality") == 1 &&
+      r.getAs[Int]("is_canonical") == 1 &&
+      r.getAs[Int]("is_repetitive") == 0 &&
+      r.getAs[Int]("is_contaminated") == 0))
+    assert(rows.forall(r => r.getAs[String]("source") != "src0"),
+      "benchmark partition never ships in the training keep-set")
+  }
+}
