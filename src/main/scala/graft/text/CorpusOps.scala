@@ -165,14 +165,22 @@ object CorpusOps {
     * output. Plan shape: one fixed-width aggregate (≤ |sources| rows),
     * broadcast back over the scan, narrow filter. One shuffle total. */
   def weightedSourceSample(d: DataFrame): DataFrame = {
+    // The per-source count table is metadata-scale (≤ |sources| rows —
+    // same contract-bounded-collect class as IvfCosine's centroids), so
+    // the min and the rates are derived driver-side from ONE scan
+    // instead of letting the min() re-execute the counts subtree (which
+    // would re-scan the corpus). Integer counts → one IEEE sqrt/÷ →
+    // floor: the same engine-exact math as the oracle.
     val counts = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
-    val minc = counts.agg(min(col("n_src")).as("min_n"))
-    val rates = counts.crossJoin(broadcast(minc))
-      .withColumn("keep_rate_pct",
-        greatest(lit(1), floor(lit(100) *
-          sqrt(col("min_n").cast("double") / col("n_src"))).cast("int")))
-      .select("source", "n_src", "keep_rate_pct")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val minN = counts.map(_._2).min
+    val rates = d.sparkSession.createDataFrame(counts.toSeq.map {
+      case (src, n) =>
+        val pct = math.max(1,
+          math.floor(100 * math.sqrt(minN.toDouble / n)).toInt)
+        (src, n, pct)
+    }).toDF("source", "n_src", "keep_rate_pct")
     d.join(broadcast(rates), Seq("source"))
       .withColumn("bucket100", expr(
         "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
