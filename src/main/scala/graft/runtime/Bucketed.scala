@@ -31,13 +31,25 @@ object Bucketed {
     * additionally sorted by (user_id, start_us) so user-ordered windows
     * read presorted runs. */
   def writeSilver(spark: SparkSession, table: String, df: DataFrame,
-                  buckets: Int = 8): Unit =
+                  buckets: Int = 8): Unit = {
+    // Overwrite must also survive an ORPHANED location: with the
+    // in-memory catalog a previous process' managed-table directory
+    // outlives its metadata, and CREATE then fails with
+    // locationAlreadyExists. Drop what the catalog knows, then clear the
+    // default location it would assign.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, "user_id")
       .sortBy("user_id", "start_us")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Per-(user, date) session metrics over the bucketed silver table —
     * the [[graft.gold.UserDaily]] base aggregate re-planned against the

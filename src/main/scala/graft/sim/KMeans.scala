@@ -50,7 +50,11 @@ object KMeans {
   private def update(emb: DataFrame, assigned: DataFrame): DataFrame =
     assigned.select("vec_id", "cluster")
       .join(emb.select("vec_id", "q"), Seq("vec_id"))
-      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "qv")))
+      // posexplode_outer: avoids the InferFiltersFromGenerate filter that
+      // would re-run the quantization transform twice more per vector.
+      .select(col("cluster"), posexplode_outer(col("q"))
+        .as(Seq("dim", "qv")))
+      .filter(col("qv").isNotNull)
       .groupBy(col("cluster"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("c"))
       .withColumn("mq", expr("cast(round(cast(s as double) / c, 0) " +

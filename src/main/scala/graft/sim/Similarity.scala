@@ -140,8 +140,13 @@ object Similarity {
     * corpus size. Integer sums are exact, so the mean (one IEEE division,
     * scale-0 round) matches DuckDB cell-for-cell. */
   def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    // posexplode_outer: the plain form's inferred size/isnotnull filter
+    // (InferFiltersFromGenerate) re-runs the quantization transform twice
+    // more per vector after pushdown; q is never empty, so outer emits
+    // the same rows without the synthesized filter.
     quantized(s, dir)
-      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .select(col("label"), posexplode_outer(col("q")).as(Seq("dim", "qv")))
+      .filter(col("qv").isNotNull)
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
       .withColumn("mean_q", Num.ratio(col("sum_q"), col("n_vectors"), 2))

@@ -52,8 +52,18 @@ object CorpusOps {
           "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))" +
           " ELSE array() END").as("bigrams"))
+    // explode_outer + post-generate null filter, NOT plain explode: on
+    // explode() the InferFiltersFromGenerate rule synthesizes
+    // `size(arr) > 0 AND isnotnull(arr)` below the Generate, and after
+    // pushdown that filter carries the array-builder expression fully
+    // inlined — for the bigram lambda every element_at() re-evaluates the
+    // whole tokenization subtree, turning one tokenization per doc into
+    // ~4·|bigrams| (measured 25× slower at sf0.1). explode_outer infers
+    // nothing; the null row an empty array emits dies in the cheap
+    // attribute filter.
     val uni = base
-      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -61,7 +71,8 @@ object CorpusOps {
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_token_n"))
     val bi = base
-      .select(col("doc_id"), explode(col("bigrams")).as("b"))
+      .select(col("doc_id"), explode_outer(col("bigrams")).as("b"))
+      .filter(col("b").isNotNull)
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -124,10 +135,15 @@ object CorpusOps {
     * fan-out and is bounded by corpus token count. */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     n: Int = 5): DataFrame = {
+    // explode_outer + null filter for the same InferFiltersFromGenerate
+    // reason as repetitionStats: the inferred size/isnotnull filter would
+    // re-tokenize per slice() call inside the gram lambda.
     val benchGrams = gramSigs(bench, n)
-      .select(explode(col("grams")).as("gh")).distinct()
+      .select(explode_outer(col("grams")).as("gh"))
+      .filter(col("gh").isNotNull).distinct()
     val t = gramSigs(train, n)
-    val hits = t.select(col("doc_id"), explode(col("grams")).as("gh"))
+    val hits = t.select(col("doc_id"), explode_outer(col("grams")).as("gh"))
+      .filter(col("gh").isNotNull)
       .join(benchGrams, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))

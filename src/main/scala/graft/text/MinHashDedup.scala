@@ -113,11 +113,18 @@ object MinHashDedup {
     // Narrow (3 longs/row) and read three times — by the bucket-size
     // aggregate and both sides of the pair self-join, which would
     // otherwise re-execute the explode subtree per side.
+    // posexplode_outer, not posexplode: on the plain form the
+    // InferFiltersFromGenerate rule plants a size/isnotnull filter that
+    // re-evaluates the whole 32-band transform twice more per doc (3×
+    // the band hashing). The band array is never empty (minhash is
+    // fixed-length), so outer emits identical rows; the null guard is
+    // belt-and-braces.
     val banded = sigs
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
       .persist()
     val buckets = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))

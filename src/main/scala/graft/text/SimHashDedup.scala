@@ -49,10 +49,15 @@ object SimHashDedup {
     require(maxHamming <= MaxCompleteHamming,
       s"chunk blocking is complete only up to $MaxCompleteHamming")
     val sigs = signatures(docs)
+    // posexplode_outer: plain posexplode triggers InferFiltersFromGenerate,
+    // whose size/isnotnull filter re-derives the simhash + chunk transform
+    // twice more per doc after pushdown (the array is never empty — the
+    // outer form emits identical rows, minus the synthesized filter).
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
+      posexplode_outer(expr(
         "transform(sequence(0, 7), j -> (simhash >> (j * 8)) & 255)"))
         .as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk").isNotNull)
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,

@@ -153,8 +153,12 @@ object TextOps {
     * is a TakeOrdered, so the plan never materializes the full sorted
     * token list. */
   def tokenTopK(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    // explode_outer: plain explode gains an inferred size/isnotnull
+    // filter (InferFiltersFromGenerate) that re-splits the text twice
+    // more per doc; the null row outer emits dies in the =!= "" filter.
     Layout.spread(docs(s, dir))
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .select(explode_outer(split(lower(trim(col("text"))), "\\s+"))
+        .as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
@@ -174,7 +178,9 @@ object TextOps {
     val n = d.select(count(lit(1)).as("n_docs"))
     val terms = Layout.spread(d)
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        // explode_outer for the same InferFiltersFromGenerate reason as
+        // tokenTopK; nulls die in the =!= "" filter.
+        explode_outer(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
