@@ -87,6 +87,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pii mask is a pure projection - no shuffle, no join") {
+    val p = plan("text_pii_mask")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("no registered query re-derives arrays under a Generate filter") {
+    // InferFiltersFromGenerate plants size/isnotnull filters whose
+    // pushdown inlines the array-builder into per-element lambdas (the
+    // 25x text_repetition regression). Outer explodes infer nothing, so
+    // no optimized plan may contain a Filter over a size(<non-attribute
+    // subtree>) feeding a Generate.
+    for (q <- Seq("text_repetition", "text_decontaminate",
+        "dedup_simhash", "embed_centroids", "embed_kmeans",
+        "dedup_minhash_lsh")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("size(transform(") &&
+        !p.contains("size(filter(split("),
+        s"$q re-derives a built array inside an inferred filter")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pivot reads the table once, not one pass per column") {
     val p = plan("pivot_order_status")
     assert("FileScan".r.findAllIn(p).size == 1, p)
