@@ -2,7 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.{AsOfJoin, EventOps, TimeWindows}
+import graft.ops.{AsOfJoin, EventOps, Features, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -134,6 +134,10 @@ object SparkEntry {
     // refinement): every intermediate is integer or a correctly-rounded
     // IEEE op, so the DuckDB oracle replays the iteration exactly.
     "embed_kmeans" -> ((s, dir) => KMeans.fit(s, dir)),
+    // Point-in-time-correct feature assembly (the feature-store op):
+    // daily snapshots servable from the next midnight, attached to
+    // purchase labels via the union+window as-of plan.
+    "features_user_pit" -> Features.userPitFeatures _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,5 +200,6 @@ object SparkEntry {
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
     "pipeline_corpus_clean" -> OpsOracles.pipelineCorpusClean,
     "embed_kmeans" -> OpsOracles.embedKmeans,
+    "features_user_pit" -> OpsOracles.featuresUserPit,
   )
 }

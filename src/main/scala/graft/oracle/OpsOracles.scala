@@ -1139,6 +1139,47 @@ object OpsOracles {
        |  JOIN rep USING (doc_id) JOIN cont USING (doc_id)
        |WHERE is_repetitive = 0 AND is_contaminated = 0""".stripMargin
 
+  /** Mirrors ops.Features.userPitFeatures: daily snapshots become
+    * servable at the NEXT midnight (leakage-free point-in-time
+    * semantics), attached with DuckDB's native ASOF LEFT JOIN — the
+    * independent formulation of the union+window as-of plan. */
+  val featuresUserPit: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |    CAST(date_trunc('day', ts) AS DATE) AS event_date
+      |  FROM events
+      |),
+      |daily AS (
+      |  SELECT user_id, event_date,
+      |    CAST(count(*) AS BIGINT) AS n_events_day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN value_cents
+      |      ELSE 0 END) AS BIGINT) AS spend_day_cents
+      |  FROM e GROUP BY 1, 2
+      |),
+      |snaps AS (
+      |  SELECT user_id, event_date AS feat_date,
+      |    epoch_us(CAST(event_date + INTERVAL 1 DAY AS TIMESTAMP))
+      |      AS snap_ts_us,
+      |    n_events_day, spend_day_cents,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY event_date) AS INT) AS days_active_to_date,
+      |    CAST(SUM(spend_day_cents) OVER (PARTITION BY user_id
+      |      ORDER BY event_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS spend_to_date_cents
+      |  FROM daily
+      |),
+      |labels AS (
+      |  SELECT user_id, event_id AS purchase_event_id, ts_us, value_cents
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT l.user_id, l.purchase_event_id, l.ts_us, l.value_cents,
+      |  s.feat_date, s.snap_ts_us, s.n_events_day, s.spend_day_cents,
+      |  s.days_active_to_date, s.spend_to_date_cents
+      |FROM labels l ASOF LEFT JOIN snaps s
+      |  ON l.user_id = s.user_id AND l.ts_us >= s.snap_ts_us""".stripMargin
+
   /** Mirrors sim.KMeans.fit(k = 8, iters = 1): deterministic seed
     * (vec_id < 8), quantized-cosine argmax (ties → lowest cluster), one
     * integer-mean Lloyd update, final assignment. Every intermediate is
