@@ -138,6 +138,12 @@ object SparkEntry {
     // daily snapshots servable from the next midnight, attached to
     // purchase labels via the union+window as-of plan.
     "features_user_pit" -> Features.userPitFeatures _,
+    // Asymmetric containment (|a∩b|/|a|): the quote/boilerplate lens
+    // Jaccard misses on unequal sizes.
+    "dedup_containment" -> ((s, dir) => TextOps.containment(s, dir)),
+    // GK quantile sketch next to the exact percentiles, emitting the
+    // rank-error contract columns (the agg_approx_distinct pattern).
+    "percentile_approx_contract" -> EventOps.approxPercentileSpend _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,5 +207,7 @@ object SparkEntry {
     "pipeline_corpus_clean" -> OpsOracles.pipelineCorpusClean,
     "embed_kmeans" -> OpsOracles.embedKmeans,
     "features_user_pit" -> OpsOracles.featuresUserPit,
+    "dedup_containment" -> OpsOracles.containment,
+    "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
   )
 }

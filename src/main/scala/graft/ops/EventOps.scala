@@ -90,6 +90,66 @@ object EventOps {
           abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users").cast("double") <= 0.05).as("within_pct"))
 
+  /** The 100 TB percentile path: Greenwald-Khanna sketches
+    * (`approx_percentile`) next to the exact quantiles they approximate —
+    * the [[approxDistinctUsers]] contract pattern applied to quantiles.
+    * The GK buffer is fixed-size and mergeable (map-side partials, ~KB
+    * per group through the shuffle) where exact `percentile` buffers
+    * every value per group.
+    *
+    * GK at accuracy A guarantees the returned value's RANK is within
+    * ε = 1/A of the target, so the contract verifies exactly that:
+    * count the group's values strictly below / at-or-below the sketch
+    * output (a second fixed-width pass joined back by the tiny
+    * broadcast of per-group sketch results) and assert some rank in
+    * [⌊(p−ε)n⌋, ⌈(p+ε)n⌉] holds the returned value. Unlike
+    * value-bracketing by exact (p±kε) quantiles, the rank check is the
+    * guarantee itself — valid at every group size (interpolation-vs-
+    * data-value boundary effects bracketed checks out at small n). The
+    * oracle recomputes n and the exact quantiles (bit-identical:
+    * integer cents + one IEEE interpolation, the percentile_spend
+    * precedent) and expects both contract columns literally TRUE. */
+  def approxPercentileSpend(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val eps = 1.0 / acc
+    val e = graft.ingest.Events.raw(spark, dir)
+      .withColumn("value_cents",
+        expr("cast(round(value * 100, 0) as bigint)"))
+      .select("event_type", "value_cents")
+    val sk = e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("percentile(value_cents, 0.5)").as("p50_exact"),
+        expr("percentile(value_cents, 0.9)").as("p90_exact"),
+        expr(s"approx_percentile(value_cents, 0.5, $acc)").as("p50_gk"),
+        expr(s"approx_percentile(value_cents, 0.9, $acc)").as("p90_gk"))
+    val ranks = e
+      .join(broadcast(sk.select("event_type", "p50_gk", "p90_gk")),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value_cents") < col("p50_gk"), 1L).otherwise(0L))
+          .as("below50"),
+        sum(when(col("value_cents") <= col("p50_gk"), 1L).otherwise(0L))
+          .as("beloweq50"),
+        sum(when(col("value_cents") < col("p90_gk"), 1L).otherwise(0L))
+          .as("below90"),
+        sum(when(col("value_cents") <= col("p90_gk"), 1L).otherwise(0L))
+          .as("beloweq90"))
+    // The returned value occupies ranks (below, beloweq]; the GK window
+    // [⌊(p−ε)n⌋, ⌈(p+ε)n⌉] must intersect it.
+    def within(p: Double, below: String, beloweq: String) = {
+      val lo = floor((lit(p) - eps) * col("n_events"))
+      val hi = ceil((lit(p) + eps) * col("n_events"))
+      col(beloweq) >= lo && col(below) < hi
+    }
+    sk.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        col("p50_exact"), col("p90_exact"),
+        within(0.5, "below50", "beloweq50").as("p50_within"),
+        within(0.9, "below90", "beloweq90").as("p90_within"))
+  }
+
   /** Trailing-7-day per-user purchase spend, one row per purchase: a
     * RANGE window frame over integer µs event time (rowsBetween counts
     * rows; rangeBetween bounds the ORDER BY value — the only way to

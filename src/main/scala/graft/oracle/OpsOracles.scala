@@ -1139,6 +1139,57 @@ object OpsOracles {
        |  JOIN rep USING (doc_id) JOIN cont USING (doc_id)
        |WHERE is_repetitive = 0 AND is_contaminated = 0""".stripMargin
 
+  /** Mirrors TextOps.containment (string-trigram form; hashed-set counts
+    * equal string-set counts modulo the ~1e-11 collision argument). */
+  val containment: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |),
+      |tg AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN length(norm) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, CAST(length(norm) AS INT) - 1),
+      |        i -> substr(norm, CAST(i AS INT), 3)))
+      |    ELSE CAST([] AS VARCHAR[]) END AS tg
+      |  FROM d
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS inter,
+      |    CAST(len(a.tg) AS BIGINT) AS sz_a
+      |  FROM tg a JOIN tg b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id <> b.doc_id
+      |),
+      |c AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN sz_a > 0
+      |      THEN round((inter::DOUBLE / sz_a) * 10000, 0) / 10000.0
+      |      ELSE 0.0 END AS containment
+      |  FROM pairs
+      |)
+      |SELECT doc_a, doc_b, containment FROM c
+      |WHERE containment >= 0.7""".stripMargin
+
+  /** Mirrors EventOps.approxPercentileSpend: exact quantiles are
+    * bit-identical (integer cents + one IEEE interpolation — the
+    * percentile_spend precedent); the GK contract columns must be
+    * literally TRUE. */
+  val approxPercentileSpend: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  quantile_cont(value_cents, 0.5) AS p50_exact,
+      |  quantile_cont(value_cents, 0.9) AS p90_exact,
+      |  TRUE AS p50_within, TRUE AS p90_within
+      |FROM e GROUP BY event_type""".stripMargin
+
   /** Mirrors ops.Features.userPitFeatures: daily snapshots become
     * servable at the NEXT midnight (leakage-free point-in-time
     * semantics), attached with DuckDB's native ASOF LEFT JOIN — the

@@ -199,18 +199,17 @@ object TextOps {
 
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Trigrams are carried as SORTED xxhash64 arrays, not strings: the
-    // oracle compares Jaccard VALUES, and |∩| / |∪| over distinct 64-bit
-    // hashes equals the string-set result unless two distinct trigrams of
-    // one pair collide (~1e-11 for this corpus; BASELINE.md). The hashed
-    // form shuffles 8 bytes/trigram instead of a string cell and confirms
-    // with the codegen'd two-pointer merge (graft_sorted_intersect) rather
-    // than array_intersect's per-pair hash set — same exact math as the
-    // MinHashDedup confirm stage.
+  /** doc_id + SORTED distinct xxhash64 char-trigram arrays, shared by the
+    * pairwise set-similarity baselines ([[ngramJaccard]],
+    * [[containment]]): 8 bytes/trigram through the shuffle and the
+    * codegen'd two-pointer merge (graft_sorted_intersect) for |∩| — the
+    * same exact math as the MinHashDedup confirm stage. Set sizes over
+    * distinct 64-bit hashes equal the string-set sizes unless two
+    * distinct trigrams of one pair collide (~1e-11; BASELINE.md). */
+  private def hashedTrigrams(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SignatureExpressions.register(s, 1, Array(1L),
       Array(0L), 2147483647L)
-    val withTg = Layout.spread(docs(s, dir))
+    Layout.spread(docs(s, dir))
       .withColumn("norm",
         lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("tg", expr(
@@ -220,6 +219,10 @@ object TextOps {
           "i -> xxhash64(substring(norm, i, 3))))) " +
           "ELSE array() END"))
       .select("doc_id", "lang", "source", "tg")
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val withTg = hashedTrigrams(s, dir)
     val a = withTg.as("a")
     val b = withTg.as("b")
     a.join(b,
@@ -236,6 +239,37 @@ object TextOps {
       .withColumn("is_near_dup",
         when(col("jaccard") >= 0.5, 1).otherwise(0).cast("int"))
       .select("doc_a", "doc_b", "jaccard", "is_near_dup")
+  }
+
+  /** Asymmetric containment near-dup: ordered pairs where doc_a's trigram
+    * set is mostly inside doc_b's — C(a→b) = |a∩b| / |a| ≥ threshold.
+    * Jaccard misses these when the containee is much smaller (a quote, a
+    * boilerplate block, a doc embedded in a digest): C ≥ J always, and a
+    * 10:1 size ratio caps J at ~0.1 while C can be 1.0. The standard
+    * second lens of a dedup sweep.
+    *
+    * Same (lang, source)-blocked pairwise shape as [[ngramJaccard]] — the
+    * declared exact baseline; the scale path replaces blocks with MinHash
+    * band buckets exactly as in [[MinHashDedup]] (asymmetric prefix bounds
+    * exist for containment too — Vernica et al. §4). */
+  def containment(s: SparkSession, dir: String,
+                  threshold: Double = 0.7): DataFrame = {
+    val withTg = hashedTrigrams(s, dir)
+    val a = withTg.as("a")
+    val b = withTg.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("graft_sorted_intersect(a.tg, b.tg)").cast("bigint")
+          .as("inter"),
+        size(col("a.tg")).cast("bigint").as("sz_a"))
+      .withColumn("containment",
+        Num.guardedRatio(col("inter"), col("sz_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
   }
 
   /** Stratified deterministic sampling: per-language keep rates applied by

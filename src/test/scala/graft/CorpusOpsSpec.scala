@@ -127,6 +127,30 @@ class CorpusOpsSpec extends SparkSpec {
       "fit is deterministic")
   }
 
+  test("containment catches a quote Jaccard misses") {
+    val dir = tmpDir("containment")
+    val big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega one two three four five six seven eight nine ten")
+    val quote = "lambda mu nu xi omicron pi rho sigma"
+    Seq((1L, big), (2L, quote), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextOps.containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2L, 1L)), "quote ⊂ source must be flagged")
+    assert(!out.contains((1L, 2L)), "the big doc is NOT inside the quote")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // and the symmetric Jaccard on the same pair stays below its cut
+    val j = graft.text.TextOps.ngramJaccard(spark, dir)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .collect().head
+    assert(j.getAs[Int]("is_near_dup") == 0,
+      "Jaccard must miss the asymmetric pair (that is containment's job)")
+  }
+
   test("corpusClean output joins all four gate verdicts") {
     val out = CorpusOps.corpusClean(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
