@@ -116,13 +116,19 @@ object EventOps {
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .select("event_type", "value_cents")
-    val sk = e.groupBy(col("event_type"))
+    val sk0 = e.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         expr("percentile(value_cents, 0.5)").as("p50_exact"),
         expr("percentile(value_cents, 0.9)").as("p90_exact"),
         expr(s"approx_percentile(value_cents, 0.5, $acc)").as("p50_gk"),
         expr(s"approx_percentile(value_cents, 0.9, $acc)").as("p90_gk"))
+    // One row per group (metadata-scale): collect once and rebuild as a
+    // local frame, or the aggregate — including exact percentile, which
+    // buffers every group value — would execute twice (once under the
+    // ranks broadcast, once in the final join).
+    val sk = spark.createDataFrame(
+      java.util.Arrays.asList(sk0.collect(): _*), sk0.schema)
     val ranks = e
       .join(broadcast(sk.select("event_type", "p50_gk", "p90_gk")),
         Seq("event_type"))

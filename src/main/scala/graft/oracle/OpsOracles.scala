@@ -971,8 +971,8 @@ object OpsOracles {
   val textRepetition: String =
     """WITH base AS (
       |  SELECT doc_id, lang, source,
-      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |      t -> t <> '') AS toks
+      |    list_filter(string_split_regex(lower(trim(text)),
+      |      '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
       |  FROM documents
       |),
       |bg AS (
@@ -1039,8 +1039,8 @@ object OpsOracles {
   val textDecontaminate: String =
     """WITH d AS (
       |  SELECT doc_id, lang, source,
-      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |      t -> t <> '') AS toks
+      |    list_filter(string_split_regex(lower(trim(text)),
+      |      '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
       |  FROM documents
       |),
       |g AS (

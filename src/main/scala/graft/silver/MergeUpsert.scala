@@ -44,8 +44,16 @@ object MergeUpsert {
       // Affected partitions only: metadata-scale collect (dates, not rows).
       val affected = stage.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
-      val target = spark.read.parquet(targetDir)
-        .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+      val (nonNullVals, hasNull) =
+        (affected.filter(_ != null), affected.contains(null))
+      // isin() never matches NULL (SQL three-valued logic), so a null
+      // partition value needs its own predicate or its pre-existing
+      // target rows would be silently dropped by the swap.
+      val affectedPred = {
+        val p = col(partitionCol).isin(nonNullVals.toIndexedSeq: _*)
+        if (hasNull) p || col(partitionCol).isNull else p
+      }
+      val target = spark.read.parquet(targetDir).filter(affectedPred)
       val merged = target
         .join(stage, keyCols, "left_anti")
         .unionByName(stage)
@@ -56,16 +64,25 @@ object MergeUpsert {
       def renameOrFail(from: Path, to: Path): Unit =
         if (!fs.rename(from, to))
           throw new java.io.IOException(s"rename $from -> $to failed")
+      // Swap the partition directories the staging write ACTUALLY
+      // produced (one per affected value, by construction — every
+      // affected value has staged rows). Deriving names from the values
+      // would have to reproduce Spark's partition-path encoding exactly
+      // (escaped chars, timestamp formatting, null →
+      // __HIVE_DEFAULT_PARTITION__) — listing sidesteps the whole class.
       try {
-        affected.foreach { v =>
-          val part = s"$partitionCol=${String.valueOf(v)}"
-          val tgt = new Path(rootPath, part)
-          val stg = new Path(stagingDir, part)
-          val bak = new Path(rootPath, s".backup-$uuid-$part")
-          if (fs.exists(tgt)) renameOrFail(tgt, bak)
-          if (fs.exists(stg)) renameOrFail(stg, tgt)
-          if (fs.exists(bak)) fs.delete(bak, true)
-        }
+        fs.listStatus(stagingDir)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"$partitionCol="))
+          .map(_.getPath.getName)
+          .foreach { part =>
+            val tgt = new Path(rootPath, part)
+            val stg = new Path(stagingDir, part)
+            val bak = new Path(rootPath, s".backup-$uuid-$part")
+            if (fs.exists(tgt)) renameOrFail(tgt, bak)
+            renameOrFail(stg, tgt)
+            if (fs.exists(bak)) fs.delete(bak, true)
+          }
       } finally fs.delete(stagingDir, true)
     }
   }

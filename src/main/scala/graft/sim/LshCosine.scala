@@ -112,7 +112,11 @@ object LshCosine {
     val p = 1.0 - math.acos(threshold) / math.Pi
     val lnInvDelta = math.log(1.0 / delta)
     var b = 2
-    while (lnInvDelta / math.pow(p, b + 1) <= maxTables) b += 1
+    // Cap at 31: bucketsFor packs bits with int shiftleft(1, bit), whose
+    // shift count wraps mod 32 — past 31 the extra bits would silently
+    // ALIAS onto low bits (recall survives, the designed 2^-b selectivity
+    // does not). τ ≥ ~0.984 hits the cap; the table count compensates.
+    while (b < 31 && lnInvDelta / math.pow(p, b + 1) <= maxTables) b += 1
     (b, math.ceil(lnInvDelta / math.pow(p, b)).toInt)
   }
 

@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Layout.spread(s.read.parquet(s"$dir/documents.parquet"))
 
   /** Lowered whitespace tokens; empty-string tokens dropped so a trailing
     * space never mints a token (DuckDB's string_split_regex agrees once
-    * both sides filter empties). */
+    * both sides filter empties). The whitespace class is spelled out
+    * (the TextOps.regexTokens rule): Java's \s includes \x0B, RE2's does
+    * not, and the oracle must tokenize a vertical-tab corpus
+    * identically. */
   private val toksExpr =
-    "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"
+    "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), " +
+      "t -> t <> '')"
 
   // ---------------------------------------------------------------- //
   // Repetition signals (Gopher-style quality gates)                  //
@@ -190,6 +194,10 @@ object CorpusOps {
     val counts = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty)
+      return d.select(col("doc_id"), col("lang"), col("source"),
+        lit(0L).as("n_src"), lit(0).as("keep_rate_pct"),
+        lit(0).as("bucket100")).limit(0)
     val minN = counts.map(_._2).min
     val rates = d.sparkSession.createDataFrame(counts.toSeq.map {
       case (src, n) =>
@@ -247,7 +255,10 @@ object CorpusOps {
         "n_phones", "masked_len", "is_clean")
 
   def piiMask(s: SparkSession, dir: String): DataFrame =
-    piiMask(docs(s, dir))
+    // No Layout.spread here: the op's contract is a zero-shuffle pure
+    // projection (PlanSpec), and regex matching parallelizes with the
+    // scan's own splits on any real table.
+    piiMask(s.read.parquet(s"$dir/documents.parquet"))
 
   // ---------------------------------------------------------------- //
   // Composite keep-set pipeline                                      //
@@ -267,10 +278,9 @@ object CorpusOps {
     * gates themselves are one linear pass each either way). */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     val training = docs(s, dir).filter(col("source") =!= "src0")
-    val quality = TextOps.textStats(s, dir)
-      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
-        col("punct_ratio") <= 0.05 && col("digit_ratio") <= 0.2 &&
-        col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+    // The gate IS qualityFilter (one source of truth — its thresholds and
+    // this query's oracle, which composes $qualityFilter, move together).
+    val quality = TextOps.qualityFilter(s, dir)
       .select(col("doc_id"), lit(1).cast("int").as("pass_quality"))
     val canonical = TextOps.dedupExact(s, dir)
       .select(col("canonical_doc_id").as("doc_id"),
