@@ -254,15 +254,15 @@ object OpsOracles {
       |  SELECT doc_id, lang, source, n_chars,
       |    CAST(length(text) AS INT) AS n_chars_actual,
       |    CASE WHEN trim(text) = '' THEN CAST(0 AS INT)
-      |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INT)
       |      END AS n_tokens,
       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
       |      AS punct_chars,
       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT)
       |      AS digit_chars,
-      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT)
+      |    CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS INT)
       |      AS nonws_chars,
-      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INT)
       |      AS stopword_count
       |  FROM documents
@@ -315,13 +315,13 @@ object OpsOracles {
 
   val fingerprint: String =
     """SELECT doc_id,
-      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
   val dedupExact: String =
     """WITH f AS (
       |  SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |    md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
       |  FROM documents
       |)
       |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
@@ -331,7 +331,7 @@ object OpsOracles {
   val ngramJaccard: String =
     """WITH d AS (
       |  SELECT doc_id, lang, source,
-      |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |    lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
@@ -428,7 +428,7 @@ object OpsOracles {
 
   val tokenTopK: String =
     """WITH toks AS (
-      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
       |  FROM documents
       |),
       |agg AS (
@@ -440,7 +440,7 @@ object OpsOracles {
   val tfIdfTopTerms: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
       |  FROM documents
       |),
       |tf AS (
@@ -538,7 +538,7 @@ object OpsOracles {
     * array. */
   val simhashPairs: String =
     """WITH d AS (
-      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |t AS (
@@ -581,7 +581,7 @@ object OpsOracles {
     * components. */
   val minhashClusters: String =
     """WITH RECURSIVE d AS (
-      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
@@ -1144,7 +1144,7 @@ object OpsOracles {
   val containment: String =
     """WITH d AS (
       |  SELECT doc_id, lang, source,
-      |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |    lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
