@@ -40,6 +40,27 @@ class RuntimeSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("upsert merges partitions whose values Spark path-escapes") {
+    // ':' is escaped (%3A) in partition directory names; the swap must
+    // follow the STAGED directory names, not reconstruct them from raw
+    // values, or these partitions' merges silently vanish.
+    val dir = tmpDir("merge-esc")
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("session_id", "stamp", "max_value")
+    MergeUpsert.upsert(spark, dir, df(Seq(
+      ("s1", "2024-01-01 10:00:00", 1.0),
+      ("s2", "2024-01-01 10:00:00", 2.0))),
+      Seq("session_id", "stamp"), partitionCol = "stamp")
+    MergeUpsert.upsert(spark, dir, df(Seq(
+      ("s2", "2024-01-01 10:00:00", 20.0),
+      ("s3", "2024-01-02 11:30:00", 3.0))),
+      Seq("session_id", "stamp"), partitionCol = "stamp")
+    val out = spark.read.parquet(dir)
+      .select("session_id", "max_value").as[(String, Double)]
+      .collect().toMap
+    assert(out == Map("s1" -> 1.0, "s2" -> 20.0, "s3" -> 3.0))
+  }
+
   test("upsert write failure leaves the target fully readable (staged swap)") {
     val dir = tmpDir("merge3")
     MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
