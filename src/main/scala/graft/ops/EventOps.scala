@@ -119,6 +119,11 @@ object EventOps {
     val sk0 = e.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
+        // The rank base must count the VALUES the sketch ranked —
+        // percentile/approx_percentile and the below/beloweq sums all
+        // skip NULLs, so count(*) would inflate the window on nullable
+        // data and fail the contract on correct GK output.
+        count(col("value_cents")).as("n_valued"),
         expr("percentile(value_cents, 0.5)").as("p50_exact"),
         expr("percentile(value_cents, 0.9)").as("p90_exact"),
         expr(s"approx_percentile(value_cents, 0.5, $acc)").as("p50_gk"),
@@ -145,8 +150,8 @@ object EventOps {
     // The returned value occupies ranks (below, beloweq]; the GK window
     // [⌊(p−ε)n⌋, ⌈(p+ε)n⌉] must intersect it.
     def within(p: Double, below: String, beloweq: String) = {
-      val lo = floor((lit(p) - eps) * col("n_events"))
-      val hi = ceil((lit(p) + eps) * col("n_events"))
+      val lo = floor((lit(p) - eps) * col("n_valued"))
+      val hi = ceil((lit(p) + eps) * col("n_valued"))
       col(beloweq) >= lo && col(below) < hi
     }
     sk.join(ranks, Seq("event_type"))

@@ -651,11 +651,12 @@ object OpsOracles {
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
       |  FROM embeddings
       |),
-      |n AS (
+      |n0 AS (
       |  SELECT vec_id, q,
       |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
       |  FROM e
       |),
+      |n AS (SELECT * FROM n0 WHERE nn > 0),
       |pairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
@@ -678,11 +679,12 @@ object OpsOracles {
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
       |  FROM embeddings
       |),
-      |n AS (
+      |n0 AS (
       |  SELECT vec_id, q,
       |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
       |  FROM e
       |),
+      |n AS (SELECT * FROM n0 WHERE nn > 0),
       |pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
@@ -774,23 +776,24 @@ object OpsOracles {
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
        |  FROM embeddings
        |),
-       |n AS (
+       |n0 AS (
        |  SELECT vec_id, q,
        |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
        |  FROM e
        |),
+       |n AS (SELECT * FROM n0 WHERE nn > 0),
        |hp AS (
        |  SELECT * FROM (VALUES
        |      $hpRows
        |  ) AS t(tbl, bit, s)
        |),
        |bits AS (
-       |  SELECT e.vec_id, hp.tbl,
+       |  SELECT n.vec_id, hp.tbl,
        |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
-       |        list_zip(e.q, hp.s), z -> z[1] * z[2])) AS BIGINT) >= 0
+       |        list_zip(n.q, hp.s), z -> z[1] * z[2])) AS BIGINT) >= 0
        |      THEN (1 << hp.bit) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM e CROSS JOIN hp
-       |  GROUP BY e.vec_id, hp.tbl
+       |  FROM n CROSS JOIN hp
+       |  GROUP BY n.vec_id, hp.tbl
        |),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -1241,11 +1244,12 @@ object OpsOracles {
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
       |  FROM embeddings
       |),
-      |n AS (
+      |n0 AS (
       |  SELECT vec_id, label, q,
       |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
       |  FROM e
       |),
+      |n AS (SELECT * FROM n0 WHERE nn > 0),
       |c0 AS (
       |  SELECT CAST(vec_id AS INT) AS cluster, q AS cq, nn AS cn
       |  FROM n WHERE vec_id < 8

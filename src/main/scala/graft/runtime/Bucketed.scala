@@ -38,9 +38,12 @@ object Bucketed {
     // locationAlreadyExists. Drop what the catalog knows, then clear the
     // default location it would assign.
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // Parse, don't wrap: TableIdentifier("db.tbl") would be a single
+    // unqualified name and defaultTablePath would point at
+    // <warehouse>/db.tbl instead of <warehouse>/db.db/tbl.
     val path = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
     df.write

@@ -118,13 +118,20 @@ object IvfCosine {
            iters: Int = 3): DataFrame = {
     val nv = normalized(vectors, idCol, vecCol).cache()
     val centroids = trainNormalized(nv, nlist, iters)
+    // Zero-norm vectors score 0/0 = NaN in Spark vs NULL in DuckDB —
+    // excluded from both the index and the query side, mirroring the
+    // cosine oracles' `nn > 0` (Similarity.quantizedNonZero rule).
     val qz = quantizedVecs(vectors, idCol, vecCol)
+      .filter(col("nq") > 0)
     val indexed = assign(nv, centroids).join(qz, Seq("vid"))
       .select(col("vid").as("neighbor_id"), col("cluster_id"),
         col("q").as("cv"), col("nq").as("cn"))
 
     val qn = normalized(queries, idCol, vecCol)
       .select(col("vid").as("query_id"), col("nv"))
+      .join(quantizedVecs(queries, idCol, vecCol)
+        .filter(col("nq") > 0).select("vid").withColumnRenamed(
+          "vid", "query_id"), Seq("query_id"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("cluster_id"))
     val probes = qn.crossJoin(broadcast(centroids))

@@ -54,7 +54,7 @@ object KMeans {
       // would re-run the quantization transform twice more per vector.
       .select(col("cluster"), posexplode_outer(col("q"))
         .as(Seq("dim", "qv")))
-      .filter(col("qv").isNotNull)
+      .filter(col("dim").isNotNull) // pos-null = empty-array row only
       .groupBy(col("cluster"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("c"))
       .withColumn("mq", expr("cast(round(cast(s as double) / c, 0) " +
@@ -70,7 +70,14 @@ object KMeans {
     * (vec_id, label, cluster, cosine). */
   def fit(s: SparkSession, dir: String, k: Int = 8,
           iters: Int = 1): DataFrame = {
-    val emb = Similarity.quantized(s, dir)
+    // Zero-norm vectors are excluded on both engines (cosine undefined:
+    // Spark would score them NaN — which sorts above every real cosine —
+    // where DuckDB scores NULL). Persist the quantized frame: it feeds
+    // 2 + 2·iters subtrees (each assign and update), which would
+    // otherwise re-run the quantization transform per lineage; the
+    // eager localCheckpoint of the result lets it unpersist here instead
+    // of leaking past return.
+    val emb = Similarity.quantizedNonZero(s, dir).persist()
     val init = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("q").as("cq"), col("n").as("cn"))
@@ -80,6 +87,8 @@ object KMeans {
       cents = update(emb, assigned)
       assigned = assign(emb, cents)
     }
-    assigned
+    val out = assigned.localCheckpoint()
+    emb.unpersist()
+    out
   }
 }

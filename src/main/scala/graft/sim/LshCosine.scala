@@ -127,7 +127,7 @@ object LshCosine {
     * than k members returns fewer rows. */
   def topK(s: SparkSession, dir: String, nQueries: Int = 10,
            k: Int = 5): DataFrame =
-    topKFrom(Similarity.quantized(s, dir), nQueries, k)
+    topKFrom(Similarity.quantizedNonZero(s, dir), nQueries, k)
 
   /** [[topK]] over an already-quantized (vec_id, q, n) frame. The frame
     * is deliberately NOT cached: it is read three times (index build,

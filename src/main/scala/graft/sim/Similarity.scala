@@ -33,6 +33,16 @@ object Similarity {
       .select("vec_id", "label", "q", "n")
   }
 
+  /** [[quantized]] minus zero-norm vectors — the frame every COSINE
+    * consumer must score against: 0/0 is NaN in Spark but NULL in
+    * DuckDB (and NaN sorts ABOVE every real cosine in Spark), so a
+    * vector that quantizes to all zeros would silently diverge the two
+    * engines and poison top-k rankings. Both sides exclude them
+    * (`WHERE nn > 0` in the cosine oracles); aggregate consumers
+    * (embedCentroids) keep the full frame — means are defined there. */
+  def quantizedNonZero(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).filter(col("n") > 0)
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
     * quantized cosine meets the threshold — the embedding-space flavor of
     * the dedup family.
@@ -60,7 +70,7 @@ object Similarity {
   def cosineNearDup(s: SparkSession, dir: String,
                     threshold: Double = 0.4): DataFrame = {
     val (bits, tables) = LshCosine.deriveParams(threshold)
-    val emb = quantized(s, dir)
+    val emb = quantizedNonZero(s, dir)
     val idx = LshCosine.bucketsFor(emb, tables, bits)
     val cands = idx.select(col("vec_id").as("vec_a"), col("tbl"),
         col("bucket"))
@@ -88,7 +98,7 @@ object Similarity {
     * this at the registered threshold. Not registered as a query. */
   def cosineNearDupExact(s: SparkSession, dir: String,
                          threshold: Double = 0.4): DataFrame = {
-    val emb = quantized(s, dir)
+    val emb = quantizedNonZero(s, dir)
     val a = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
       col("n").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
@@ -108,7 +118,7 @@ object Similarity {
     * pass, no shuffle until the per-query top-k window. */
   def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10,
                  k: Int = 5): DataFrame = {
-    val emb = quantized(s, dir)
+    val emb = quantizedNonZero(s, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("n").as("qn"))
@@ -146,7 +156,10 @@ object Similarity {
     // the same rows without the synthesized filter.
     quantized(s, dir)
       .select(col("label"), posexplode_outer(col("q")).as(Seq("dim", "qv")))
-      .filter(col("qv").isNotNull)
+      // Filter on the POSITION column: only the spurious row an empty
+      // array emits has a null pos — a legitimately-null array ELEMENT
+      // keeps plain-posexplode semantics (the oracle counts it).
+      .filter(col("dim").isNotNull)
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
       .withColumn("mean_q", Num.ratio(col("sum_q"), col("n_vectors"), 2))

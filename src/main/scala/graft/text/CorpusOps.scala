@@ -289,15 +289,16 @@ object CorpusOps {
       .select(col("doc_id"), col("is_repetitive"))
     val cont = decontaminate(s, dir)
       .select(col("doc_id"), col("is_contaminated"))
+    // quality/canonical filtering IS the inner join (a miss means drop),
+    // so join inner and carry the surviving verdicts as the provenance
+    // columns (constant 1 by construction — the oracle writes the same
+    // literals).
     training.select("doc_id", "lang", "source")
-      .join(quality, Seq("doc_id"), "left")
-      .join(canonical, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(canonical, Seq("doc_id"))
       .join(rep, Seq("doc_id"))
       .join(cont, Seq("doc_id"))
-      .withColumn("pass_quality", coalesce(col("pass_quality"), lit(0)))
-      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(0)))
-      .filter(col("pass_quality") === 1 && col("is_canonical") === 1 &&
-        col("is_repetitive") === 0 && col("is_contaminated") === 0)
+      .filter(col("is_repetitive") === 0 && col("is_contaminated") === 0)
       .select("doc_id", "lang", "source", "pass_quality", "is_canonical",
         "is_repetitive", "is_contaminated")
   }

@@ -124,7 +124,7 @@ object MinHashDedup {
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
-      .filter(col("band_key").isNotNull)
+      .filter(col("band_idx").isNotNull) // pos-null = empty array only
       .persist()
     val buckets = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))

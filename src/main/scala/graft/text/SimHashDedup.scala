@@ -57,7 +57,7 @@ object SimHashDedup {
       posexplode_outer(expr(
         "transform(sequence(0, 7), j -> (simhash >> (j * 8)) & 255)"))
         .as(Seq("chunk_idx", "chunk")))
-      .filter(col("chunk").isNotNull)
+      .filter(col("chunk_idx").isNotNull) // pos-null = empty array only
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
