@@ -151,6 +151,44 @@ class CorpusOpsSpec extends SparkSpec {
       "Jaccard must miss the asymmetric pair (that is containment's job)")
   }
 
+  test("weightedSourceSample returns an empty frame on an empty corpus") {
+    val d = docsDf().limit(0)
+    val out = CorpusOps.weightedSourceSample(d)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "source", "n_src",
+      "keep_rate_pct", "bucket100"))
+  }
+
+  test("zero-norm vectors are excluded from cosine paths, kept by " +
+      "centroids") {
+    // vec 63 quantizes to all zeros (|x| < 5e-7): cosine against it is
+    // 0/0 — NaN in Spark, NULL in DuckDB — so every cosine consumer
+    // must drop it (both engines do); the centroid aggregate keeps it
+    // (means are defined).
+    val dir = tmpDir("zeronorm")
+    val dim = 64
+    val rows = (0 until 64).map { i =>
+      val v =
+        if (i == 63) Array.fill(dim)(1e-7f)
+        else { val a = Array.fill(dim)(0.01f); a(i % dim) = 1.0f; a }
+      (i.toLong, v.toSeq, i % 4)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val topk = graft.sim.Similarity.cosineTopK(spark, dir)
+    assert(topk.filter(col("neighbor_id") === 63L).count() == 0,
+      "zero-norm vector must never appear as a neighbor")
+    assert(!topk.collect().exists(r => r.getDouble(2).isNaN),
+      "no NaN cosine may be emitted")
+    val km = graft.sim.KMeans.fit(spark, dir)
+    assert(km.filter(col("vec_id") === 63L).count() == 0)
+    assert(graft.sim.Similarity.embedCentroids(spark, dir)
+      .filter(col("label") === 3).head().getLong(2) == 16L,
+      "centroids keep the zero-norm vector (n_vectors counts it)")
+  }
+
   test("corpusClean output joins all four gate verdicts") {
     val out = CorpusOps.corpusClean(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
