@@ -6,7 +6,7 @@ import graft.ops.{AsOfJoin, EventOps, Features, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
-import graft.sim.{IvfCosine, KMeans, LshCosine, Similarity}
+import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, Similarity}
 import graft.text.{CorpusOps, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -141,6 +141,10 @@ object SparkEntry {
     // Asymmetric containment (|a∩b|/|a|): the quote/boilerplate lens
     // Jaccard misses on unequal sizes.
     "dedup_containment" -> ((s, dir) => TextOps.containment(s, dir)),
+    // Product-quantization ANN (codebooks + ADC, integer squared-L2
+    // end-to-end) — the 32x-compressed index contract, deterministic
+    // like sim_lsh_topk's bucket contract.
+    "sim_pq_topk" -> ((s, dir) => ProductQuantizer.topK(s, dir)),
     // GK quantile sketch next to the exact percentiles, emitting the
     // rank-error contract columns (the agg_approx_distinct pattern).
     "percentile_approx_contract" -> EventOps.approxPercentileSpend _,
@@ -208,6 +212,7 @@ object SparkEntry {
     "embed_kmeans" -> OpsOracles.embedKmeans,
     "features_user_pit" -> OpsOracles.featuresUserPit,
     "dedup_containment" -> OpsOracles.containment,
+    "sim_pq_topk" -> OpsOracles.pqTopK,
     "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
   )
 }

@@ -1302,4 +1302,94 @@ object OpsOracles {
       |    PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rk
       |  FROM p1)
       |WHERE rk = 1""".stripMargin
+
+  /** Mirrors sim.ProductQuantizer.topK (M=8 subspaces x SubDim=8, K=16
+    * codes, one integer-mean Lloyd step from the vec_id<16 seed, ADC
+    * scoring). Every quantity is an exact integer (squared-L2 via dots,
+    * integer-mean re-quantization) -- no float ever enters the compare. */
+  val pqTopK: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |sub AS (
+      |  SELECT vec_id, CAST(t.s AS INT) AS s,
+      |    list_slice(q, CAST(t.s AS INT) * 8 + 1,
+      |      CAST(t.s AS INT) * 8 + 8) AS sv
+      |  FROM e, range(0, 8) t(s)
+      |),
+      |subn AS (
+      |  SELECT vec_id, s, sv,
+      |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT) AS svn
+      |  FROM sub
+      |),
+      |c0 AS (
+      |  SELECT s, CAST(vec_id AS INT) AS code, sv AS cv,
+      |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT) AS cvn
+      |  FROM sub WHERE vec_id < 16
+      |),
+      |a0p AS (
+      |  SELECT subn.vec_id, subn.s, c0.code,
+      |    subn.svn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(subn.sv, c0.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + c0.cvn AS d2
+      |  FROM subn JOIN c0 ON subn.s = c0.s
+      |),
+      |a0 AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM a0p)
+      |  WHERE rk = 1
+      |),
+      |mem AS (
+      |  SELECT a0.s, a0.code,
+      |    unnest(list_zip(subn.sv, range(1, len(subn.sv) + 1))) AS zz
+      |  FROM a0 JOIN subn ON a0.vec_id = subn.vec_id AND a0.s = subn.s
+      |),
+      |upd AS (
+      |  SELECT s, code, CAST(zz[2] AS INT) AS dim,
+      |    CAST(round(CAST(sum(zz[1]) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS mx
+      |  FROM mem GROUP BY 1, 2, 3
+      |),
+      |c1a AS (
+      |  SELECT s, code, list(mx ORDER BY dim) AS cv FROM upd
+      |  GROUP BY s, code
+      |),
+      |c1 AS (
+      |  SELECT s, code, cv,
+      |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS cvn
+      |  FROM c1a
+      |),
+      |encp AS (
+      |  SELECT subn.vec_id, subn.s, c1.code,
+      |    subn.svn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(subn.sv, c1.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + c1.cvn AS d2
+      |  FROM subn JOIN c1 ON subn.s = c1.s
+      |),
+      |enc AS (
+      |  SELECT vec_id AS neighbor_id, s, code FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM encp)
+      |  WHERE rk = 1
+      |),
+      |qt AS (
+      |  SELECT vec_id AS query_id, s, code, d2 AS qd FROM encp
+      |  WHERE vec_id < 10
+      |),
+      |adc AS (
+      |  SELECT qt.query_id, enc.neighbor_id,
+      |    CAST(SUM(qt.qd) AS BIGINT) AS approx_d2
+      |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+      |  WHERE enc.neighbor_id <> qt.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, approx_d2, "rank" FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS INT)
+      |    AS "rank"
+      |  FROM adc)
+      |WHERE "rank" <= 5""".stripMargin
 }

@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the memory-bound embedding index for
+  * corpora whose raw vectors don't fit storage: each vector is encoded as
+  * [[M]] sub-codes (one byte-ish code per [[SubDim]]-dim subspace), and
+  * queries score candidates with asymmetric distance computation (ADC):
+  * a per-query table of exact query→centroid distances per subspace,
+  * summed over the candidate's codes. 64-dim float vectors become
+  * [[M]] codes (8 bytes) — a 32× compression — and scoring touches only
+  * the code table, never the raw vectors (Jégou et al., TPAMI 2011).
+  *
+  * Deterministic and integer-exact end-to-end, so the DuckDB oracle
+  * replays it cell-for-cell: micro-unit quantization first, codebooks
+  * seeded from the first [[K]] vectors' sub-slices, one integer-mean
+  * Lloyd refinement per subspace (the [[KMeans]] recipe, keyed by
+  * subspace), and ALL distances are integer squared-L2 — no division,
+  * no sqrt, no doubles anywhere.
+  *
+  * Plan shape at scale: codebooks are M·K·SubDim longs (tiny, broadcast);
+  * encoding is one narrow pass over the corpus (M·K integer dots per
+  * vector, argmin per subspace); ADC is a broadcast equi-join of the
+  * per-query distance tables against the code table on (subspace, code)
+  * followed by a fixed fan-in (M rows per candidate) sum — no shuffle
+  * grows with corpus size except the final per-query top-k. */
+object ProductQuantizer {
+
+  val M = 8       // subspaces
+  val SubDim = 8  // dims per subspace (M * SubDim = 64)
+  val K = 16      // centroids per subspace
+
+  /** (vec_id, s, sv): the quantized vector split into M subspace slices.
+    * posexplode_outer + pos-null filter per the repo-wide generate rule. */
+  private def subVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode_outer(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"s -> slice(q, s * $SubDim + 1, $SubDim))"))
+        .as(Seq("s", "sv")))
+      .filter(col("s").isNotNull)
+
+  /** Integer squared-L2 between two SubDim slices via dot products:
+    * |x−c|² = x·x − 2x·c + c·c (all exact longs). */
+  private def dist2(svn: String, cvn: String, dotc: String) =
+    col(svn) - lit(2L) * col(dotc) + col(cvn)
+
+  /** Nearest-code assignment of sub-vectors against a (s, code, cv, cvn)
+    * codebook; ties break to the lowest code. */
+  private def assign(sub: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2").asc, col("code").asc)
+    sub.join(broadcast(books), Seq("s"))
+      .withColumn("dot", expr("graft_dot(sv, cv)"))
+      .withColumn("d2", dist2("svn", "cvn", "dot"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "s", "code")
+  }
+
+  /** Codebooks after one integer-mean Lloyd step from the deterministic
+    * seed (sub-slices of vectors vec_id < K). */
+  private def trainedBooks(sub: DataFrame): DataFrame = {
+    val init = sub.filter(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+      .withColumn("cvn", expr("graft_dot(cv, cv)"))
+    val a0 = assign(sub, init)
+    a0.join(sub, Seq("vec_id", "s"))
+      .select(col("s"), col("code"),
+        posexplode_outer(col("sv")).as(Seq("dim", "x")))
+      .filter(col("dim").isNotNull)
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      .withColumn("mx",
+        expr("cast(round(cast(sx as double) / c, 0) as bigint)"))
+      .groupBy(col("s"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mx))), " +
+        "p -> p.mx)").as("cv"))
+      .withColumn("cvn", expr("graft_dot(cv, cv)"))
+  }
+
+  /** Registered query: ADC top-k for queries vec_id < nQueries over the
+    * PQ-encoded corpus (query itself excluded). The score is the PQ
+    * APPROXIMATION of squared L2 — the contract is the deterministic
+    * index's output, exactly like [[LshCosine.topK]]'s bucket contract;
+    * recall vs exact search is a measured property (PqSpec). */
+  def topK(s: SparkSession, dir: String, nQueries: Int = 10,
+           k: Int = 5): DataFrame = {
+    val emb = Similarity.quantized(s, dir).select("vec_id", "q")
+    val sub = subVectors(emb)
+      .withColumn("svn", expr("graft_dot(sv, sv)"))
+      .persist()
+    val books = trainedBooks(sub)
+    val codes = assign(sub, books)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // Per-query subspace distance tables: nQueries × M × K rows (tiny).
+    val qt = sub.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(books), Seq("s"))
+      .withColumn("dot", expr("graft_dot(sv, cv)"))
+      .withColumn("qd", dist2("svn", "cvn", "dot"))
+      .select("query_id", "s", "code", "qd")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    val out = codes.join(broadcast(qt), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_d2", "rank")
+      .localCheckpoint()
+    sub.unpersist()
+    out
+  }
+}
