@@ -152,7 +152,10 @@ object EventOps {
     def within(p: Double, below: String, beloweq: String) = {
       val lo = floor((lit(p) - eps) * col("n_valued"))
       val hi = ceil((lit(p) + eps) * col("n_valued"))
-      col(beloweq) >= lo && col(below) < hi
+      // Vacuously TRUE when the group has no values at all: the sketch
+      // returns NULL and there is no rank guarantee to fail (the oracle
+      // emits literal TRUE for every group).
+      col("n_valued") === 0 || (col(beloweq) >= lo && col(below) < hi)
     }
     sk.join(ranks, Seq("event_type"))
       .select(col("event_type"), col("n_events"),

@@ -9,6 +9,13 @@ package graft.oracle
   */
 object OpsOracles {
 
+  /** Substitutes the SINGLE source of truth for the cross-engine
+    * whitespace class (TextOps.Ws — see its doc for the Java-vs-RE2
+    * divergence) into oracle SQL written with a `<WS>` placeholder, so
+    * the Spark pattern and its DuckDB mirror can never drift apart. */
+  private def ws(sql: String): String =
+    sql.replace("<WS>", graft.text.TextOps.Ws)
+
   val q1PricingSummary: String =
     """WITH li AS (
       |  SELECT l_returnflag, l_linestatus,
@@ -250,19 +257,19 @@ object OpsOracles {
       |FROM agg""".stripMargin
 
   val textStats: String =
-    """WITH s1 AS (
+    ws("""WITH s1 AS (
       |  SELECT doc_id, lang, source, n_chars,
       |    CAST(length(text) AS INT) AS n_chars_actual,
       |    CASE WHEN trim(text) = '' THEN CAST(0 AS INT)
-      |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INT)
+      |      ELSE CAST(len(string_split_regex(trim(text), '<WS>+')) AS INT)
       |      END AS n_tokens,
       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
       |      AS punct_chars,
       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT)
       |      AS digit_chars,
-      |    CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS INT)
+      |    CAST(length(regexp_replace(text, '<WS>', '', 'g')) AS INT)
       |      AS nonws_chars,
-      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '<WS>+'),
       |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INT)
       |      AS stopword_count
       |  FROM documents
@@ -281,7 +288,7 @@ object OpsOracles {
       |  CASE WHEN n_tokens > 0
       |    THEN round((stopword_count::DOUBLE / n_tokens) * 10000, 0) / 10000.0
       |    ELSE 0.0 END AS stopword_ratio
-      |FROM s1""".stripMargin
+      |FROM s1""".stripMargin)
 
   def qualityFilter: String =
     s"""SELECT doc_id, lang, source, n_tokens, avg_token_len, stopword_ratio
@@ -314,24 +321,24 @@ object OpsOracles {
       |FROM p""".stripMargin
 
   val fingerprint: String =
-    """SELECT doc_id,
-      |  md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
-      |FROM documents""".stripMargin
+    ws("""SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '<WS>+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin)
 
   val dedupExact: String =
-    """WITH f AS (
+    ws("""WITH f AS (
       |  SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
+      |    md5(lower(regexp_replace(text, '<WS>+', ' ', 'g'))) AS fp
       |  FROM documents
       |)
       |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
       |  CAST(count(*) AS BIGINT) AS dup_count
-      |FROM f GROUP BY fp""".stripMargin
+      |FROM f GROUP BY fp""".stripMargin)
 
   val ngramJaccard: String =
-    """WITH d AS (
+    ws("""WITH d AS (
       |  SELECT doc_id, lang, source,
-      |    lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+      |    lower(regexp_replace(text, '<WS>+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
@@ -360,7 +367,7 @@ object OpsOracles {
       |SELECT doc_a, doc_b, jaccard,
       |  CAST(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS INT)
       |    AS is_near_dup
-      |FROM j""".stripMargin
+      |FROM j""".stripMargin)
 
   /** Native DuckDB ASOF LEFT JOIN — the oracle for the union+window
     * as-of implementation in graft.ops.AsOfJoin. */
@@ -427,20 +434,20 @@ object OpsOracles {
       |GROUP BY 1, 2, 3""".stripMargin
 
   val tokenTopK: String =
-    """WITH toks AS (
-      |  SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
+    ws("""WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '<WS>+')) AS token
       |  FROM documents
       |),
       |agg AS (
       |  SELECT token, CAST(count(*) AS BIGINT) AS n
       |  FROM toks WHERE token <> '' GROUP BY 1
       |)
-      |SELECT token, n FROM agg ORDER BY n DESC, token LIMIT 100""".stripMargin
+      |SELECT token, n FROM agg ORDER BY n DESC, token LIMIT 100""".stripMargin)
 
   val tfIdfTopTerms: String =
-    """WITH t AS (
+    ws("""WITH t AS (
       |  SELECT doc_id,
-      |    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
+      |    unnest(string_split_regex(lower(trim(text)), '<WS>+')) AS token
       |  FROM documents
       |),
       |tf AS (
@@ -460,7 +467,7 @@ object OpsOracles {
       |  FROM scored
       |)
       |SELECT doc_id, token, tf, df, score_ppm, rk FROM r
-      |WHERE rk <= 5""".stripMargin
+      |WHERE rk <= 5""".stripMargin)
 
   val setOpsCustomers: String =
     """SELECT o_custkey FROM orders
@@ -537,8 +544,8 @@ object OpsOracles {
     * simhash 0 via the left join, matching the Spark fold over an empty
     * array. */
   val simhashPairs: String =
-    """WITH d AS (
-      |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+    ws("""WITH d AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '<WS>+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |t AS (
@@ -570,7 +577,7 @@ object OpsOracles {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin)
 
   /** Exact near-duplicate clusters: connected components of the all-pairs
     * "trigram Jaccard >= 0.6" graph, canonical = component-minimum doc_id.
@@ -580,8 +587,8 @@ object OpsOracles {
     * connected-components path must reproduce the exact graph's
     * components. */
   val minhashClusters: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+    ws("""WITH RECURSIVE d AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '<WS>+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
@@ -617,7 +624,7 @@ object OpsOracles {
       |  WHERE reach.lbl < e.dst
       |)
       |SELECT doc_id, CAST(MIN(lbl) AS BIGINT) AS canonical_id
-      |FROM reach GROUP BY doc_id""".stripMargin
+      |FROM reach GROUP BY doc_id""".stripMargin)
 
   /** Mirrors MultimodalOps.mediaTable → decodeFeatures → featureStats.
     * The corpus is pure ASCII, so UTF-8 payload byte sums equal codepoint
@@ -972,10 +979,10 @@ object OpsOracles {
     * counts via unnest + two-level GROUP BY — the same shape as the
     * Spark plan, so counts and scale-0-rounded ratios match exactly. */
   val textRepetition: String =
-    """WITH base AS (
+    ws("""WITH base AS (
       |  SELECT doc_id, lang, source,
       |    list_filter(string_split_regex(lower(trim(text)),
-      |      '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
+      |      '<WS>+'), t -> t <> '') AS toks
       |  FROM documents
       |),
       |bg AS (
@@ -1033,17 +1040,17 @@ object OpsOracles {
       |  CAST(CASE WHEN dup_word_ratio >= 0.8 OR top_token_ratio >= 0.3
       |    OR top_bigram_ratio >= 0.18 THEN 1 ELSE 0 END AS INT)
       |    AS is_repetitive
-      |FROM r""".stripMargin
+      |FROM r""".stripMargin)
 
   /** Mirrors CorpusOps.decontaminate. The oracle joins on gram STRINGS
     * where Spark joins on their xxhash64 values — overlap counts agree
     * unless two distinct grams of the corpus collide (~1e-11, the
     * ngramJaccard argument). */
   val textDecontaminate: String =
-    """WITH d AS (
+    ws("""WITH d AS (
       |  SELECT doc_id, lang, source,
       |    list_filter(string_split_regex(lower(trim(text)),
-      |      '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
+      |      '<WS>+'), t -> t <> '') AS toks
       |  FROM documents
       |),
       |g AS (
@@ -1067,7 +1074,7 @@ object OpsOracles {
       |  coalesce(n_contaminated, 0) AS n_contaminated,
       |  CAST(CASE WHEN coalesce(n_contaminated, 0) > 0 THEN 1 ELSE 0 END
       |    AS INT) AS is_contaminated
-      |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin
+      |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin)
 
   /** Mirrors CorpusOps.weightedSourceSample: integer counts → one IEEE
     * sqrt/division → floor, so the derived rate is engine-exact; same
@@ -1145,9 +1152,9 @@ object OpsOracles {
   /** Mirrors TextOps.containment (string-trigram form; hashed-set counts
     * equal string-set counts modulo the ~1e-11 collision argument). */
   val containment: String =
-    """WITH d AS (
+    ws("""WITH d AS (
       |  SELECT doc_id, lang, source,
-      |    lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+      |    lower(regexp_replace(text, '<WS>+', ' ', 'g')) AS norm
       |  FROM documents
       |),
       |tg AS (
@@ -1175,7 +1182,7 @@ object OpsOracles {
       |  FROM pairs
       |)
       |SELECT doc_a, doc_b, containment FROM c
-      |WHERE containment >= 0.7""".stripMargin
+      |WHERE containment >= 0.7""".stripMargin)
 
   /** Mirrors EventOps.approxPercentileSpend: exact quantiles are
     * bit-identical (integer cents + one IEEE interpolation — the
@@ -1308,11 +1315,12 @@ object OpsOracles {
     * scoring). Every quantity is an exact integer (squared-L2 via dots,
     * integer-mean re-quantization) -- no float ever enters the compare. */
   val pqTopK: String =
-    """WITH e AS (
+    """WITH e0 AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
       |  FROM embeddings
       |),
+      |e AS (SELECT * FROM e0 WHERE len(q) = 64),
       |sub AS (
       |  SELECT vec_id, CAST(t.s AS INT) AS s,
       |    list_slice(q, CAST(t.s AS INT) * 8 + 1,

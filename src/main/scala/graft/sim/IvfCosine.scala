@@ -129,9 +129,6 @@ object IvfCosine {
 
     val qn = normalized(queries, idCol, vecCol)
       .select(col("vid").as("query_id"), col("nv"))
-      .join(quantizedVecs(queries, idCol, vecCol)
-        .filter(col("nq") > 0).select("vid").withColumnRenamed(
-          "vid", "query_id"), Seq("query_id"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("cluster_id"))
     val probes = qn.crossJoin(broadcast(centroids))
@@ -139,7 +136,10 @@ object IvfCosine {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cluster_id"))
+      // The nq > 0 query-side zero-norm exclusion rides the join that
+      // attaches the scoring representation anyway (no extra pass).
       .join(quantizedVecs(queries, idCol, vecCol)
+        .filter(col("nq") > 0)
         .select(col("vid").as("query_id"), col("q").as("qv"),
           col("nq").as("qn")), Seq("query_id"))
 

@@ -88,7 +88,13 @@ object ProductQuantizer {
     * recall vs exact search is a measured property (PqSpec). */
   def topK(s: SparkSession, dir: String, nQueries: Int = 10,
            k: Int = 5): DataFrame = {
+    // Full-dimension vectors only (oracle: WHERE len(q) = 64): a short
+    // vector's past-the-end slice is an EMPTY array, whose norm is 0 in
+    // Spark (graft_dot) but NULL in DuckDB (list_sum) — divergent code
+    // assignment. The guard makes the contract explicit instead of
+    // conventional.
     val emb = Similarity.quantized(s, dir).select("vec_id", "q")
+      .filter(size(col("q")) === M * SubDim)
     val sub = subVectors(emb)
       .withColumn("svn", expr("graft_dot(sv, sv)"))
       .persist()

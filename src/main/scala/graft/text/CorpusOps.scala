@@ -28,7 +28,7 @@ object CorpusOps {
     * not, and the oracle must tokenize a vertical-tab corpus
     * identically. */
   private val toksExpr =
-    "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), " +
+    s"filter(split(lower(trim(text)), '${TextOps.WsSql}+'), " +
       "t -> t <> '')"
 
   // ---------------------------------------------------------------- //

@@ -82,7 +82,7 @@ object MinHashDedup {
     SignatureExpressions.register(docs.sparkSession, NumPerms,
       permA.toArray, permB.toArray, Prime)
     Layout.spread(docs)
-      .withColumn("norm", lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+      .withColumn("norm", lower(regexp_replace(col("text"), (TextOps.Ws + "+"), " ")))
       .withColumn("tg", expr(
         "CASE WHEN length(norm) >= 3 THEN " +
           "array_distinct(transform(sequence(1, length(norm) - 2), " +

@@ -31,7 +31,7 @@ object SimHashDedup {
     SignatureExpressions.register(docs.sparkSession, 64,
       Array(1L), Array(0L), 2147483647L)
     Layout.spread(docs)
-      .withColumn("norm", lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+      .withColumn("norm", lower(regexp_replace(col("text"), (TextOps.Ws + "+"), " ")))
       .withColumn("toks", expr(
         "CASE WHEN trim(norm) = '' THEN array() " +
           "ELSE split(trim(norm), ' ') END"))

@@ -22,6 +22,15 @@ object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The cross-engine whitespace class, defined ONCE: Java's \s includes
+    * \x0B, RE2's does not, so every oracle-compared regex spells the
+    * class out — and every spelling must come from here (two escaping
+    * contexts: [[Ws]] for Java-regex strings and DuckDB SQL, [[WsSql]]
+    * for patterns embedded in Spark SQL string literals, which unescape
+    * backslashes once). */
+  val Ws: String = "[ \\t\\n\\x0B\\f\\r]"
+  val WsSql: String = Ws.replace("\\", "\\\\")
+
   /** Token counts + quality ratios (P-class row transforms, no shuffle). */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val sw = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -29,15 +38,15 @@ object TextOps {
       .withColumn("n_chars_actual", length(col("text")))
       .withColumn("n_tokens", expr(
         "CASE WHEN trim(text) = '' THEN CAST(0 AS INT) " +
-          "ELSE size(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')) END"))
+          s"ELSE size(split(trim(text), '$WsSql+')) END"))
       .withColumn("punct_chars",
         length(regexp_replace(col("text"), "[^.,;:!?]", "")))
       .withColumn("digit_chars",
         length(regexp_replace(col("text"), "[^0-9]", "")))
       .withColumn("nonws_chars",
-        length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", "")))
+        length(regexp_replace(col("text"), Ws, "")))
       .withColumn("stopword_count", expr(
-        s"size(filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), t -> t IN ($sw)))"))
+        s"size(filter(split(lower(trim(text)), '$WsSql+'), t -> t IN ($sw)))"))
       .withColumn("punct_ratio",
         Num.guardedRatio(col("punct_chars"), col("n_chars_actual"), 4))
       .withColumn("digit_ratio",
@@ -88,7 +97,7 @@ object TextOps {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("fp",
-        md5(lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))))
+        md5(lower(regexp_replace(col("text"), (Ws + "+"), " "))))
       .select("doc_id", "fp")
 
   /** Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
@@ -157,7 +166,7 @@ object TextOps {
     // filter (InferFiltersFromGenerate) that re-splits the text twice
     // more per doc; the null row outer emits dies in the =!= "" filter.
     Layout.spread(docs(s, dir))
-      .select(explode_outer(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+      .select(explode_outer(split(lower(trim(col("text"))), (Ws + "+")))
         .as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
@@ -180,7 +189,7 @@ object TextOps {
       .select(col("doc_id"),
         // explode_outer for the same InferFiltersFromGenerate reason as
         // tokenTopK; nulls die in the =!= "" filter.
-        explode_outer(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("token"))
+        explode_outer(split(lower(trim(col("text"))), (Ws + "+"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -211,7 +220,7 @@ object TextOps {
       Array(0L), 2147483647L)
     Layout.spread(docs(s, dir))
       .withColumn("norm",
-        lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+        lower(regexp_replace(col("text"), (Ws + "+"), " ")))
       .withColumn("tg", expr(
         "CASE WHEN length(norm) >= 3 THEN " +
           "array_sort(array_distinct(transform(" +
