@@ -7,7 +7,7 @@ import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
 import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, Similarity}
-import graft.text.{CorpusOps, MinHashDedup, SimHashDedup, TextOps}
+import graft.text.{ContainmentDedup, CorpusOps, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -139,8 +139,11 @@ object SparkEntry {
     // purchase labels via the union+window as-of plan.
     "features_user_pit" -> Features.userPitFeatures _,
     // Asymmetric containment (|a∩b|/|a|): the quote/boilerplate lens
-    // Jaccard misses on unequal sizes.
-    "dedup_containment" -> ((s, dir) => TextOps.containment(s, dir)),
+    // Jaccard misses on unequal sizes. Candidates from the asymmetric
+    // prefix filter (complete at the measured local scales, so the
+    // all-pairs oracle matches exactly); dense corpora auto-switch to
+    // capped probe buckets — never a blocked all-pairs self-join.
+    "dedup_containment" -> ((s, dir) => ContainmentDedup.pairs(s, dir)),
     // Product-quantization ANN (codebooks + ADC, integer squared-L2
     // end-to-end) — the 32x-compressed index contract, deterministic
     // like sim_lsh_topk's bucket contract.

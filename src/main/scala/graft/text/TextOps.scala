@@ -215,7 +215,7 @@ object TextOps {
     * same exact math as the MinHashDedup confirm stage. Set sizes over
     * distinct 64-bit hashes equal the string-set sizes unless two
     * distinct trigrams of one pair collide (~1e-11; BASELINE.md). */
-  private def hashedTrigrams(s: SparkSession, dir: String): DataFrame = {
+  private[text] def hashedTrigrams(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SignatureExpressions.register(s, 1, Array(1L),
       Array(0L), 2147483647L)
     Layout.spread(docs(s, dir))
@@ -258,9 +258,10 @@ object TextOps {
     * second lens of a dedup sweep.
     *
     * Same (lang, source)-blocked pairwise shape as [[ngramJaccard]] — the
-    * declared exact baseline; the scale path replaces blocks with MinHash
-    * band buckets exactly as in [[MinHashDedup]] (asymmetric prefix bounds
-    * exist for containment too — Vernica et al. §4). */
+    * declared exact all-pairs baseline, kept for spec cross-validation
+    * only. The REGISTERED query is [[ContainmentDedup.pairs]]: asymmetric
+    * prefix-filter candidates (Vernica et al. §4) + exact rerank, with
+    * measured arm selection — never this blocked self-join. */
   def containment(s: SparkSession, dir: String,
                   threshold: Double = 0.7): DataFrame = {
     val withTg = hashedTrigrams(s, dir)

@@ -110,6 +110,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("containment candidates join on token buckets, never the " +
+      "(lang, source) block alone") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (capped <- Seq(false, true)) {
+        val p = graft.text.ContainmentDedup
+          .candidateFrame(spark, dir, capped = capped)
+          .queryExecution.executedPlan
+        val joins = p.collect { case j: BaseJoinExec => j }
+        assert(joins.nonEmpty, "candidate generation must be a join plan")
+        for (j <- joins) {
+          assert(j.leftKeys.nonEmpty,
+            s"nested-loop/cartesian join in containment candidates: $j")
+          assert(j.leftKeys.exists { k =>
+            val ks = k.toString
+            !ks.contains("lang") && !ks.contains("source")
+          }, s"join keyed on the block alone: ${j.leftKeys}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pivot reads the table once, not one pass per column") {
     val p = plan("pivot_order_status")
     assert("FileScan".r.findAllIn(p).size == 1, p)
