@@ -88,6 +88,12 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(s, dir)),
+    // The sub-quadratic LSH regime (τ=0.85 → 9 bits × 53 tables,
+    // selectivity ≈ 0.10) over the corpus + its doubled planted copies —
+    // the τ=0.4 row above exercises the regime FLOOR, this one the
+    // regime the bucketed design exists for.
+    "dedup_embedding_cosine_t85" -> ((s, dir) =>
+      Similarity.cosineNearDupT85(s, dir)),
     // LSH candidates + exact-Jaccard confirm + connected components:
     // output is the doc -> canonical cluster map, which the DuckDB oracle
     // recomputes from the exact all-pairs graph (OpsOracles).
@@ -199,6 +205,7 @@ object SparkEntry {
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
+    "dedup_embedding_cosine_t85" -> OpsOracles.cosineNearDupT85,
     "multimodal_features" -> OpsOracles.multimodalFeatures,
     "sessionize_gap" -> OpsOracles.sessionizeGap,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,

@@ -680,6 +680,44 @@ object OpsOracles {
       |SELECT vec_a, vec_b, cosine FROM scored
       |WHERE cosine >= 0.4""".stripMargin
 
+  /** Mirrors Similarity.cosineNearDupT85: the same all-pairs scoring over
+    * the corpus unioned with its exactly-doubled planted copies
+    * (vec_id + 1000000, q′ = 2q, n′ = 4n — integer-exact in both
+    * engines). */
+  val cosineNearDupT85: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n0 AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |nz AS (SELECT * FROM n0 WHERE nn > 0),
+      |u AS (
+      |  SELECT vec_id, q, nn FROM nz
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(q, v -> v * 2),
+      |    nn * 4 FROM nz
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+      |      s -> s[1] * s[2])) AS BIGINT) AS dot,
+      |    a.nn AS qn, b.nn AS cn
+      |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+      |),
+      |scored AS (
+      |  SELECT vec_a, vec_b,
+      |    round((dot::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(cn::DOUBLE)))
+      |      * 1000000, 0) / 1000000.0 AS cosine
+      |  FROM pairs
+      |)
+      |SELECT vec_a, vec_b, cosine FROM scored
+      |WHERE cosine >= 0.85""".stripMargin
+
   val cosineTopK: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding,

@@ -68,9 +68,43 @@ object Similarity {
     * shuffle — only (vec_id, tbl, bucket) longs; the KB-scale q arrays
     * join back in only for the final exact re-rank. */
   def cosineNearDup(s: SparkSession, dir: String,
-                    threshold: Double = 0.4): DataFrame = {
+                    threshold: Double = 0.4): DataFrame =
+    bucketedNearDup(quantizedNonZero(s, dir), threshold)
+
+  /** Plant offset for [[cosineNearDupT85]]'s derived duplicates. */
+  val PlantOffset = 1000000L
+
+  /** [[quantizedNonZero]] unioned with an exactly-DOUBLED copy of every
+    * vector under `vec_id + PlantOffset`: q′ = 2q (integer, exact in both
+    * engines), n′ = 4n. Doubling preserves the sign of every hyperplane
+    * dot product, so each copy lands in the SAME sign-LSH bucket as its
+    * original in every table — planted-pair recall through the bucket
+    * join is deterministic, not probabilistic — and cosine(q, 2q) rounds
+    * to exactly 1.0 at scale 6 in both engines. */
+  private def plantedNonZero(s: SparkSession, dir: String): DataFrame = {
+    val base = quantizedNonZero(s, dir)
+    base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
+      .withColumn("q", expr("transform(q, v -> v * 2L)"))
+      .withColumn("n", col("n") * 4))
+  }
+
+  /** Registered sub-quadratic-regime variant of [[cosineNearDup]]:
+    * τ = 0.85, where [[LshCosine.deriveParams]] yields (9 bits, 53
+    * tables) and bucket selectivity T·2^−b ≈ 0.10 — the regime the
+    * bucketed design exists for (at the τ = 0.4 query the selectivity
+    * floor makes LSH ~all-pairs; BASELINE.md). The measured corpus has
+    * ZERO organic pairs at 0.85, which would make the row vacuous, so
+    * the query unions in [[plantedNonZero]]'s doubled copies: the output
+    * is exactly one (vec_id, vec_id + PlantOffset, 1.0) row per nonzero
+    * vector, and the all-pairs DuckDB oracle replays the same union. */
+  def cosineNearDupT85(s: SparkSession, dir: String): DataFrame =
+    bucketedNearDup(plantedNonZero(s, dir), 0.85)
+
+  /** The shared two-stage bucketed plan over a quantized frame. */
+  private def bucketedNearDup(emb: DataFrame,
+                              threshold: Double): DataFrame = {
     val (bits, tables) = LshCosine.deriveParams(threshold)
-    val emb = quantizedNonZero(s, dir)
     val idx = LshCosine.bucketsFor(emb, tables, bits)
     val cands = idx.select(col("vec_id").as("vec_a"), col("tbl"),
         col("bucket"))

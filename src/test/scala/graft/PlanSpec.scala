@@ -65,9 +65,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_embedding_cosine: bucket equi-join, no nested-loop plan") {
-    val p = plan("dedup_embedding_cosine")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    for (q <- Seq("dedup_embedding_cosine", "dedup_embedding_cosine_t85")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
   }
 
   test("no partition-less WindowExec in any registered query") {

@@ -94,6 +94,20 @@ class SimLshSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("registered t85 query finds exactly the planted doubles at 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.sim.Similarity.cosineNearDupT85(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val nz = graft.sim.Similarity.quantizedNonZero(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val planted = nz.map(v =>
+      (v, v + graft.sim.Similarity.PlantOffset, 1.0))
+    assert(out == planted,
+      s"planted recall must be deterministic: missed " +
+        s"${(planted -- out).size}, invented ${(out -- planted).size}")
+    assert(out.nonEmpty)
+  }
+
   test("deriveParams: pinned at 0.4, selective at near-dup thresholds") {
     assert(LshCosine.deriveParams(0.4) == (4, 59))
     val (b85, t85) = LshCosine.deriveParams(0.85)
