@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Media-feature record produced by the decode stage. `byte_sum` is the
-  * exact integer payload sum so downstream means stay order-independent. */
+  * exact integer payload sum so downstream means stay order-independent.
+  * `width`/`height`/`pixel_mean` are REAL decoded values for image
+  * payloads (pixel_mean = mean RGB channel value, scale-2); non-image
+  * payloads keep the metadata dims and pixel_mean 0. */
 case class MediaFeatures(
     media_id: Long,
     media_type: String,
@@ -13,23 +16,28 @@ case class MediaFeatures(
     header_hash: Long,
     mean_byte: Double,
     width: Int,
-    height: Int)
+    height: Int,
+    pixel_mean: Double)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded batch-wise on executors.
   *
-  * The Spark-side architecture is real and tested — schema (binary payload
-  * + metadata struct), partition spreading before the CPU-heavy decode, a
-  * typed `mapPartitions` batch stage (the Scala analogue of a Pandas-UDF
+  * The Spark-side architecture — schema (binary payload + metadata
+  * struct), partition spreading before the CPU-heavy decode, a typed
+  * `mapPartitions` batch stage (the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage: one iterator per batch, amortized setup), and
   * downstream relational ops on the extracted features.
   *
-  * The codec itself is STUBBED: this container has no image/audio
-  * libraries, so [[decodeStub]] derives deterministic fake features
-  * (length, header hash, mean byte). A real deployment replaces only the
-  * body of decodeStub with e.g. javax.imageio / ffmpeg bindings; every
-  * signature, schema, and partitioning decision stays as-is.
-  */
+  * The IMAGE codec is real: payloads whose magic bytes announce
+  * PNG/JPEG/GIF/BMP decode through `javax.imageio` (in the JDK — no
+  * external libraries) to true width/height and the mean RGB channel
+  * value; MultimodalSpec drives generated PNGs through the stage and
+  * checks the decoded values pixel-for-pixel. Audio/video payloads have
+  * no JDK codec, so they deterministically fall back to raw byte
+  * features (length, header hash, byte mean) — the place an ffmpeg
+  * binding would slot in without touching any signature or schema. The
+  * registered harness query wraps text as payloads (none sniff as
+  * images), so its DuckDB oracle stays byte-exact. */
 object MultimodalOps {
 
   /** Harness media source: wraps `documents` as binary payloads so the
@@ -47,10 +55,9 @@ object MultimodalOps {
           (col("n_chars") % 1080).cast("int").as("height"),
           col("source").as("origin")).as("meta"))
 
-  /** ======= STUB DECODER =======
-    * Stands in for the real image/audio decode (not available in this
-    * container). Deterministic: features derive only from the bytes. */
-  private def decodeStub(payload: Array[Byte]): (Long, Long, Double) = {
+  /** Raw byte features, computed for every payload regardless of type:
+    * 8-byte header hash, exact byte sum, scale-2 byte mean. */
+  private def byteStats(payload: Array[Byte]): (Long, Long, Double) = {
     var h = 1125899906842597L
     var i = 0
     val n = math.min(payload.length, 8)
@@ -62,9 +69,43 @@ object MultimodalOps {
     (h, s, math.round(mean * 100) / 100.0)
   }
 
-  /** Batch decode: typed mapPartitions — one setup per partition (where a
-    * real codec would init its native context), then a streaming loop.
-    * Input is spread so decode parallelism doesn't depend on file count. */
+  /** Magic-byte sniff for the formats `javax.imageio` decodes out of the
+    * box: PNG (89 'P' 'N' 'G'), JPEG (FF D8 FF), GIF ("GIF8"), BMP
+    * ("BM"). */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Decoded image summary: true dims + exact integer RGB channel sum
+    * (order-independent, so the mean is deterministic). */
+  private def pixelStats(im: java.awt.image.BufferedImage)
+      : (Int, Int, Double) = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val mean =
+      if (w * h == 0) 0.0 else s.toDouble / (3.0 * w * h)
+    (w, h, math.round(mean * 100) / 100.0)
+  }
+
+  /** Batch decode: typed mapPartitions — one setup per partition (the
+    * codec-context init point), then a streaming loop. Image payloads
+    * (by magic bytes) decode through the JDK's ImageIO to real
+    * width/height/pixel-mean; everything else keeps raw byte features
+    * and the metadata dims. Input is spread so decode parallelism
+    * doesn't depend on file count. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     val spread = media.repartition(
@@ -74,11 +115,25 @@ object MultimodalOps {
         col("meta.width").as("width"), col("meta.height").as("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
-        // real codec: initialize decoder context here, once per partition
+        // codec init, once per partition: no temp-file cache for the
+        // in-memory streams ImageIO reads below
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, mtype, payload, w, h) =>
-          val (hash, byteSum, mean) = decodeStub(payload)
-          MediaFeatures(id, mtype, payload.length.toLong, byteSum, hash,
-            mean, w, h)
+          val (hash, byteSum, mean) = byteStats(payload)
+          val decoded =
+            if (looksLikeImage(payload))
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+            else None
+          decoded match {
+            case Some(im) =>
+              val (iw, ih, pmean) = pixelStats(im)
+              MediaFeatures(id, mtype, payload.length.toLong, byteSum,
+                hash, mean, iw, ih, pmean)
+            case None =>
+              MediaFeatures(id, mtype, payload.length.toLong, byteSum,
+                hash, mean, w, h, 0.0)
+          }
         }
       }
   }

@@ -28,6 +28,41 @@ class MultimodalSpec extends SparkSpec {
     a.values.foreach { f => assert(f.n_bytes == doc(f.media_id)) }
   }
 
+  test("real PNG payloads decode to true dimensions and pixel mean") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(3, 2)((_, _) => 0x646464) // r=g=b=100 everywhere
+    val checker = png(4, 4)((x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff) // half black half white
+    val media = Seq(
+      (1L, "image", gray, 0, 0, "t"),      // meta dims WRONG on purpose
+      (2L, "image", checker, 0, 0, "t"),
+      (3L, "audio", Array[Byte](1, 2, 3), 7, 9, "t"))
+      .toDF("media_id", "media_type", "payload", "w", "h", "origin")
+      .select(col("media_id"), col("media_type"), col("payload"),
+        struct(col("w").as("width"), col("h").as("height"),
+          col("origin")).as("meta"))
+    val f = MultimodalOps.decodeFeatures(spark, media)
+      .collect().map(x => x.media_id -> x).toMap
+    // decoded dims override the (wrong) metadata; pixel means are exact
+    assert(f(1L).width == 3 && f(1L).height == 2, "true PNG dims")
+    assert(f(1L).pixel_mean == 100.0)
+    assert(f(2L).width == 4 && f(2L).height == 4)
+    assert(f(2L).pixel_mean == 127.5)
+    // non-image payloads keep metadata dims and no pixel stats
+    assert(f(3L).width == 7 && f(3L).height == 9 && f(3L).pixel_mean == 0.0)
+    // byte features stay exact over the PNG CONTAINER bytes
+    assert(f(1L).n_bytes == gray.length.toLong)
+    assert(f(2L).n_bytes == checker.length.toLong)
+  }
+
   test("frame sampling yields offsets within payload bounds") {
     val media = MultimodalOps.mediaTable(spark, dir)
     val frames = MultimodalOps.sampleFrames(media, stepBytes = 100)
