@@ -52,6 +52,17 @@ object SparkEntry {
       WebtoonDaily.build(sess, EpisodeDaily.build(sess).persist())
     }),
     "gold_country_daily" -> ((s, dir) => CountryDaily.build(sessions(s, dir))),
+    // The zero-Exchange layout path: the SAME user gold re-planned over a
+    // bucketBy(user_id) silver table, so the groupBys, lag window and
+    // side-aggregate joins all run with ZERO ShuffleExchangeExec
+    // (PlanSpec asserts it). Same rows as gold_user_daily, same oracle —
+    // what changes is only where the one silver shuffle happens: once at
+    // the layout write instead of once per gold job (runtime/Bucketed).
+    "gold_user_daily_bucketed" -> ((s, dir) => {
+      graft.runtime.Bucketed.writeSilver(s, "silver_bucketed_q",
+        Sessionize.sessions(Events.cleansed(s, dir)))
+      graft.runtime.Bucketed.userDaily(s, "silver_bucketed_q")
+    }),
     "gold_platform_device_daily" -> ((s, dir) =>
       PlatformDeviceDaily.build(sessions(s, dir))),
     "q1_pricing_summary" -> CoreOps.q1PricingSummary _,
@@ -167,6 +178,7 @@ object SparkEntry {
     "gold_episode_daily" -> Oracles.goldEpisodeDaily,
     "gold_webtoon_daily" -> Oracles.goldWebtoonDaily,
     "gold_country_daily" -> Oracles.goldCountryDaily,
+    "gold_user_daily_bucketed" -> Oracles.goldUserDaily,
     "gold_platform_device_daily" -> Oracles.goldPlatformDeviceDaily,
     "q1_pricing_summary" -> OpsOracles.q1PricingSummary,
     "q3_revenue_topk" -> OpsOracles.q3RevenueTopK,

@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object UserDaily {
 
-  def build(sessions: DataFrame): DataFrame = {
+  /** `d` is the distinct-count aggregate. The default exact
+    * `countDistinct` plans the five distincts as one Expand (gid)
+    * pipeline — correct everywhere, but ExpandExec discards its child's
+    * partitioning, so even a bucketed scan pays two shuffles. The
+    * bucketed layout path ([[graft.runtime.Bucketed.userDaily]]) passes
+    * `size(collect_set(...))` instead: identical semantics (both drop
+    * nulls; set size = distinct count), no Expand, single pass, and the
+    * scan's clustering survives — zero Exchange (PlanSpec). */
+  def build(sessions: DataFrame,
+            d: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+              c => countDistinct(c)): DataFrame = {
     // A2/A3/A4/A5/A6/A8 main aggregate.
     val base = sessions.groupBy(col("datetime"), col("user_id")).agg(
-      countDistinct(col("session_id")).as("total_sessions"),
-      countDistinct(struct(col("webtoon_id"), col("episode_id")))
+      d(col("session_id")).as("total_sessions"),
+      d(struct(col("webtoon_id"), col("episode_id")))
         .as("content_items"),
-      countDistinct(col("webtoon_id")).as("webtoons_read"),
-      countDistinct(when(col("is_complete") === 1, col("session_id")))
+      d(col("webtoon_id")).as("webtoons_read"),
+      d(when(col("is_complete") === 1, col("session_id")))
         .as("completed_sessions"),
-      countDistinct(when(col("is_exit") === 1, col("session_id")))
+      d(when(col("is_exit") === 1, col("session_id")))
         .as("exit_sessions"),
       count(lit(1)).as("n_rows"),
       sum(when(col("is_complete") === 0, 1).otherwise(0))

@@ -70,6 +70,18 @@ object Bucketed {
         org.apache.spark.sql.functions.max(col("max_value_cents"))
           .as("max_value_cents"))
 
+  /** The FULL user gold re-planned for the bucketed layout: same rows as
+    * [[graft.gold.UserDaily.build]] (same oracle), but distinct counts
+    * run as `size(collect_set(...))` so no Expand breaks the scan's
+    * clustering — the whole job (main aggregate, lag window, both
+    * side-aggregate joins) plans with ZERO ShuffleExchangeExec over a
+    * `bucketBy(user_id)` table. Per-group set state is bounded by a
+    * user-day's session count, not the corpus. */
+  def userDaily(spark: SparkSession, table: String): DataFrame =
+    graft.gold.UserDaily.build(spark.table(table),
+      c => org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.collect_set(c)).cast("bigint"))
+
   /** Same-bucket self-join (user_id): with both sides reading one
     * bucketed table, the equi-join needs no Exchange on either side. */
   def selfJoin(spark: SparkSession, table: String): DataFrame = {

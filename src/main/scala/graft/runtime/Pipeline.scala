@@ -8,31 +8,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** C5: the deterministic job DAG (reference gold_daily_dag.py:146 runs the
   * five gold jobs strictly sequentially because webtoon reads the episode
   * Gold table). In our engine the chain is plain code: bronze-shaped events
-  * → silver merge-upsert → gold tables in dependency order, with the C4
-  * completeness gate between layers and a failure callback standing in for
-  * the reference's alerting hook (C6).
+  * → silver merge-upsert → bucketed silver layout → gold tables in
+  * dependency order, with the C4 completeness gate between layers and the
+  * C6 failure alert (file sink + callback) standing in for the reference's
+  * Slack hook.
   */
 object Pipeline {
 
   case class Result(table: String, rows: Long)
 
+  /** C6 alert delivery: one JSON file per failure under
+    * `<warehouseDir>/_alerts/`, carrying the reference Slack payload's
+    * fields re-expressed for an engine (silver_dag.py:25-62 posts dag id,
+    * task id, execution time, try context; here: pipeline, stage, ts_ms,
+    * error class + message, warehouse). Written through the Hadoop
+    * filesystem of the warehouse path so delivery works wherever the
+    * warehouse lives, with no network dependency — a deployment points
+    * its webhook relay at the directory. Alerting must never mask the
+    * original failure, so errors here are swallowed. */
+  private def writeAlert(spark: SparkSession, warehouseDir: String,
+                         stageName: String, e: Throwable): Unit =
+    try {
+      val ts = System.currentTimeMillis()
+      val path = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/_alerts/alert-$ts-$stageName.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def q(s: String): String = "\"" + Option(s).getOrElse("").flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json =
+        s"""{"pipeline": "daily", "stage": ${q(stageName)}, """ +
+          s""""ts_ms": $ts, "error_class": ${q(e.getClass.getName)}, """ +
+          s""""error": ${q(e.getMessage)}, """ +
+          s""""warehouse": ${q(warehouseDir)}}"""
+      val out = fs.create(path, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Throwable => () }
+
   /** Runs the full chain for one source dir into `warehouseDir`.
-    * Returns per-table row counts; calls `onFailure` and rethrows on the
-    * first failing stage. */
+    * Returns per-table row counts; on the first failing stage writes a C6
+    * alert record, calls `onFailure`, and rethrows.
+    *
+    * Silver lands twice by design: the incremental merge-upsert parquet
+    * (the system of record MergeUpsert maintains across runs) and the
+    * `bucketBy(user_id)` managed table the gold jobs actually read — so
+    * no gold job pays the per-job user_id shuffle (see [[Bucketed]]; at
+    * 100 TB that shuffle, not the aggregation, is the bill). */
   def runDaily(spark: SparkSession, sfDir: String, warehouseDir: String,
                minSilverFiles: Int = 1,
-               onFailure: (String, Throwable) => Unit = (_, _) => ())
+               onFailure: (String, Throwable) => Unit = (_, _) => (),
+               bucketedTable: String = "silver_sessions_bucketed")
       : Seq[Result] = {
     def stage[T](name: String)(body: => T): T =
       try body
-      catch { case e: Throwable => onFailure(name, e); throw e }
+      catch { case e: Throwable =>
+        writeAlert(spark, warehouseDir, name, e)
+        onFailure(name, e)
+        throw e
+      }
 
     val silverDir = s"$warehouseDir/silver_sessions"
     val silver = stage("silver") {
       val sessions =
         Sessionize.sessions(Dedup.keepLatest(Events.cleansed(spark, sfDir)))
       MergeUpsert.upsert(spark, silverDir, sessions, Sessionize.SessionKey)
-      spark.read.parquet(silverDir)
+      // The layout write: rewrite the bucketed table from the merged
+      // silver so every downstream user-keyed groupBy/window/self-join
+      // plans with zero Exchange (BucketedSpec / PlanSpec assert this).
+      Bucketed.writeSilver(spark, bucketedTable,
+        spark.read.parquet(silverDir))
+      spark.table(bucketedTable)
     }
 
     // C4 gate: silver partitions must exist before gold runs.

@@ -23,12 +23,23 @@ class PipelineSpec extends SparkSpec {
       res2.map(r => r.table -> r.rows).toMap)
   }
 
-  test("failure callback fires and propagates") {
+  test("failure callback fires, propagates, and lands a C6 alert file") {
     var failed: Option[String] = None
+    val wh = tmpDir("wh2")
     intercept[Throwable] {
-      Pipeline.runDaily(spark, "/nonexistent-input", tmpDir("wh2"),
+      Pipeline.runDaily(spark, "/nonexistent-input", wh,
         onFailure = (stage, _) => failed = Some(stage))
     }
     assert(failed.contains("silver"))
+    // C6 delivery: one JSON alert record per failure under _alerts/,
+    // carrying the reference Slack payload's fields (stage, time, error).
+    val alerts = new java.io.File(s"$wh/_alerts").listFiles()
+    assert(alerts != null && alerts.exists(_.getName.endsWith(".json")),
+      "failing stage must write an alert record")
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      alerts.filter(_.getName.endsWith(".json")).head.toPath), "UTF-8")
+    assert(txt.contains("\"stage\": \"silver\""), txt)
+    assert(txt.contains("\"error_class\":") && txt.contains("\"ts_ms\":"),
+      txt)
   }
 }

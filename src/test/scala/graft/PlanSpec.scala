@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("gold_user_daily_bucketed plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("gold_user_daily_bucketed")(spark, dir)
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val n = p.collect { case s: ShuffleExchangeExec => s }.size
+    assert(n == 0,
+      s"bucketed gold must not exchange — the layout IS the shuffle:\n$p")
+  }
+
   test("pii mask is a pure projection - no shuffle, no join") {
     val p = plan("text_pii_mask")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
