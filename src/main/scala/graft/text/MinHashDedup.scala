@@ -98,61 +98,59 @@ object MinHashDedup {
     * are rare, so a large bucket means a genuine template family — hub
     * edges keep it connected for the component step at O(size·K) cost,
     * and K hubs give every member K independent chances of a confirmed
-    * (≥ threshold) link into its component. */
-  val AllPairsMaxBucket = 1024
+    * (≥ threshold) link into its component (and every band re-rolls the
+    * chance: a family bucket recurs in all [[Bands]] bands). The cap
+    * bounds per-bucket quadratic work at 128²/2 ≈ 8k pairs. */
+  val AllPairsMaxBucket = 128
   val HubsPerBucket = 32
 
   /** LSH candidate edges (doc_a < doc_b). Work per bucket is
-    * O(min(size², size·K)): quadratic only while small. */
+    * O(min(size², size·K)): quadratic only while small.
+    *
+    * Pairs are generated from DISTINCT bucket member-lists, not from a
+    * per-band self-join: one aggregate collects each bucket's sorted
+    * doc_ids, identical lists are deduped ACROSS bands (a template
+    * family lands the same member set in every band — near-identical
+    * docs share the whole signature), and a narrow generator expression
+    * emits each list's pairs once. On the dense sf0.1 corpus this cuts
+    * the pre-distinct pair volume ~[[Bands]]× (measured 4.2 s → 1.2 s
+    * for this stage) while producing the IDENTICAL distinct pair set:
+    * the pair rule is a function of the sorted member list only —
+    * all i<j pairs of the first `kk` members against their successors,
+    * where kk = n for small buckets (all pairs) and `hubs` for big ones
+    * (hub rule: every member links to the K smallest ids). */
   def candidateEdges(sigs: DataFrame,
                      allPairsMax: Int = AllPairsMaxBucket,
                      hubs: Int = HubsPerBucket): DataFrame = {
-    // Band key = hash of the band's minhash slice (long join key, not a
+    // Band key = hash of the band's minhash slice (long group key, not a
     // concatenated string; false bucket collisions are filtered by the
-    // estimate/confirm stages anyway).
-    // Narrow (3 longs/row) and read three times — by the bucket-size
-    // aggregate and both sides of the pair self-join, which would
-    // otherwise re-execute the explode subtree per side.
-    // posexplode_outer, not posexplode: on the plain form the
-    // InferFiltersFromGenerate rule plants a size/isnotnull filter that
-    // re-evaluates the whole 32-band transform twice more per doc (3×
-    // the band hashing). The band array is never empty (minhash is
-    // fixed-length), so outer emits identical rows; the null guard is
-    // belt-and-braces.
+    // estimate/confirm stages anyway). posexplode_outer, not posexplode:
+    // the plain form's InferFiltersFromGenerate filter would re-evaluate
+    // the whole 32-band transform twice more per doc.
     val banded = sigs
       .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
       .filter(col("band_idx").isNotNull) // pos-null = empty array only
-      .persist()
-    val buckets = banded.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(buckets, Seq("band_idx", "band_key"))
-    val small = sized.filter(col("bucket_n") <= allPairsMax)
-      .drop("bucket_n").persist()
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Oversized buckets: rank members by doc_id inside the bucket (the
-    // window is partitioned by bucket — a sort, never a cross product)
-    // and link every member to the first `hubs` members.
-    val big = sized.filter(col("bucket_n") > allPairsMax).drop("bucket_n")
-    val w = Window.partitionBy(col("band_idx"), col("band_key"))
-      .orderBy(col("doc_id"))
-    val rankedBig = big.withColumn("rn", row_number().over(w))
-    val hubDocs = rankedBig.filter(col("rn") <= hubs)
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("hub_id"))
-    val hubEdges = rankedBig.join(hubDocs, Seq("band_idx", "band_key"))
-      .filter(col("hub_id") < col("doc_id"))
-      .select(col("hub_id").as("doc_a"), col("doc_id").as("doc_b"))
-    // Materialize (two longs per row) so the banded/small caches can be
-    // released here rather than leaking into long-lived sessions.
-    val out = smallPairs.unionByName(hubEdges).distinct().localCheckpoint()
-    small.unpersist()
-    banded.unpersist()
+    val memberLists = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids")).distinct()
+    // kk = how many leading members pair with all their successors.
+    val out = memberLists
+      .withColumn("kk", when(size(col("ids")) <= allPairsMax,
+        size(col("ids"))).otherwise(lit(hubs)))
+      .select(explode_outer(expr(
+        "flatten(transform(slice(ids, 1, kk), (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .filter(col("p").isNotNull) // outer-null = singleton bucket only
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    // No materialization: the pair list feeds one linear estimate →
+    // confirm plan (downstream callers persist the CONFIRMED edges,
+    // which are what gets re-read).
     out
   }
 
@@ -228,21 +226,36 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Upper estimate of the prefix join's pre-distinct output volume:
-    * Σ_tok shortBucket(tok) · probeBucket(tok) — one aggregate over the
-    * already-persisted [[rankedPrefix]] frame, so the arm decision costs
-    * a single cheap job, not a speculative join. */
-  private def prefixVolumeEstimate(ranked: DataFrame,
-                                   threshold: Double): Long = {
+  /** Sampled estimate of the prefix join's pre-distinct output volume.
+    *
+    * The exact quantity is Σ_tok shortBucket(tok) · probePrefixBucket
+    * (tok), but measuring it needs per-doc frequency ranks for EVERY doc
+    * (a full-corpus window) — ~2 s of pure decision cost at sf0.1 when
+    * the answer is "LSH". Instead: rank only a deterministic 25% doc
+    * sample (xxhash64(doc_id) mod 4), weight each sampled short-prefix
+    * row by the token's FULL document frequency, and scale ×4. Linear
+    * in the sampled rows, so unbiased for Σ sc·dfreq; and dfreq ≈ the
+    * probe-prefix bucket size for the rare tokens prefixes hold —
+    * measured within 2% of the exact estimator at sf0.001 (4.0k/doc),
+    * sf0.01 (4.0k), sf0.1 (38.7k) and the DedupSpec template family
+    * (14.8k), so the [[PrefixBudgetPerDoc]] calibration carries over
+    * unchanged. An empty sample (tiny corpus) reads 0 → the complete
+    * prefix arm, the safe default. */
+  private def sampledVolumeEstimate(sigs: DataFrame,
+                                    threshold: Double): Long = {
     val tp = math.max(threshold - 1e-4, 0.0)
     val idxFrac = 2 * tp / (1 + tp)
-    val sc = ranked
+    val toks = sigs.select(col("doc_id"), size(col("tgh")).as("n"),
+      explode(col("tgh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val sample = toks.filter(
+      pmod(xxhash64(col("doc_id")), lit(4)) === 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("tok"))
+    sample.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(idxFrac) * col("n")) + lit(1))
-      .groupBy(col("tok")).agg(count(lit(1)).as("sc"))
-    val lc = ranked.groupBy(col("tok")).agg(count(lit(1)).as("lc"))
-    val r = sc.join(lc, Seq("tok"))
-      .agg(coalesce(sum(col("sc") * col("lc")), lit(0L))).head()
-    r.getLong(0)
+      .agg(coalesce(sum(col("dfreq")), lit(0L))).head().getLong(0) * 4
   }
 
   /** (row count, total token count) of a signature frame — the size
@@ -466,38 +479,32 @@ object MinHashDedup {
     * prefix bucket is a constant fraction of the corpus) the LSH arm's
     * hub-edge buckets keep per-bucket work linear at the documented
     * borderline-miss probability. The budget is deliberately ~2× the
-    * measured harness-gate volume (~4.1k pairs/doc at sf0.001/sf0.01) and
-    * ~5× under the sf0.1 density (~39k), so the gate scales stay on the
+    * measured harness-gate volume (~4.0k pairs/doc at sf0.001/sf0.01) and
+    * ~5× under the sf0.1 density (~38.7k), so the gate scales stay on the
     * exact arm and the dense bench scale exercises the LSH arm. */
   val PrefixBudgetPerDoc: Long = 8192L
 
   /** Measured arm choice for a signature frame — the [[AutoArm]] rule,
-    * exposed so tests (and operators) can observe the decision. */
-  def selectArm(sigs: DataFrame, threshold: Double, nDocs: Long): Arm = {
-    val ranked = rankedPrefix(sigs, threshold)
-    val est = prefixVolumeEstimate(ranked, threshold)
-    ranked.unpersist()
-    if (est <= PrefixBudgetPerDoc * nDocs) PrefixArm else LshArm
-  }
+    * exposed so tests (and operators) can observe the decision. The
+    * measurement is the sampled estimator ([[sampledVolumeEstimate]]):
+    * one cheap window over a 25% doc sample, not a full-corpus rank. */
+  def selectArm(sigs: DataFrame, threshold: Double, nDocs: Long): Arm =
+    if (sampledVolumeEstimate(sigs, threshold) <=
+      PrefixBudgetPerDoc * nDocs) PrefixArm
+    else LshArm
 
-  /** Resolve an arm into candidate edges; AutoArm reuses one ranked
-    * build for both the estimate and (when chosen) the prefix join. */
+  /** Resolve an arm into candidate edges. */
   private def resolveCands(sigs: DataFrame, threshold: Double, arm: Arm,
-                           nDocs: Long): DataFrame = arm match {
-    case PrefixArm => prefixCandidates(sigs, threshold)
-    case LshArm =>
-      estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-    case AutoArm =>
-      val ranked = rankedPrefix(sigs, threshold)
-      val est = prefixVolumeEstimate(ranked, threshold)
-      if (est <= PrefixBudgetPerDoc * nDocs) {
-        val out = prefixJoin(ranked, threshold).localCheckpoint()
-        ranked.unpersist()
-        out
-      } else {
-        ranked.unpersist()
+                           nDocs: Long): DataFrame = {
+    val resolved = arm match {
+      case AutoArm => selectArm(sigs, threshold, nDocs)
+      case fixed => fixed
+    }
+    resolved match {
+      case LshArm =>
         estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-      }
+      case _ => prefixCandidates(sigs, threshold)
+    }
   }
 
   /** The registered query: near-duplicate cluster assignment over the

@@ -78,17 +78,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("star edges keep oversized buckets connected (no skip)") {
-    // 100 identical docs: every band bucket holds all of them (size 100 >
-    // AllPairsMaxBucket), so connectivity must come from the star edges.
+    // 200 identical docs: every band bucket holds all of them (size 200 >
+    // AllPairsMaxBucket = 128), so connectivity must come from the hub
+    // (star) edges alone.
     val dir = tmpDir("minhash-dense")
-    val dense = (0L until 100L).map(i => (i, base))
+    val dense = (0L until 200L).map(i => (i, base))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
     dense.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = MinHashDedup.clusters(spark, dir, threshold = 0.6)
       .as[(Long, Long)].collect().toMap
-    assert(got.size == 100 && got.values.forall(_ == 0L))
+    assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
   test("distributed components path matches the driver union-find") {
