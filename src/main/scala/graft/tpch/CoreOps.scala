@@ -314,54 +314,44 @@ object CoreOps {
     *
     * NO global (partition-less) window anywhere: a global rank would
     * funnel |customers| rows — billions at 100 TB — through one task.
-    * Instead the classic distributed composition:
+    * Instead ONE range partitioning feeds every column:
     *
-    *  1. tie groups `(spend_c, cnt)` are range-partitioned BY KEY, so a
-    *     tie group never spans partitions; rank offsets compose from
-    *     per-partition windows plus P driver-collected partition totals
-    *     (P = shuffle parallelism — metadata-scale, like IvfCosine's
-    *     nlist centroids);
-    *  2. `rank = rows_before_partition + rows_before_in_partition + 1`,
-    *     `dense_rank = groups_before_partition + local_row_number`;
+    *  1. the per-customer spend frame is range-partitioned by spend_c
+    *     ALONE — RangePartitioner sends equal keys to one partition, so
+    *     a tie group never spans partitions and local `rank` /
+    *     `dense_rank` / `row_number` windows are globally stitchable;
+    *  2. one driver-collected pid-stats pass (P rows — metadata-scale,
+    *     like IvfCosine's nlist centroids) yields per-partition row and
+    *     tie-group offsets: `rank = rows_off + local_rank`,
+    *     `dense_rank = groups_off + local_dense_rank`;
     *  3. `percent_rank = (rank−1)/(n−1)` with the total n a driver
     *     scalar folded into the plan — one IEEE division on exact
     *     integers, identical in both engines;
-    *  4. `ntile` composes the same way from the (spend_c, o_custkey)
-    *     range partitioning: global row_number = partition row offset +
-    *     local row_number, then the SQL-standard bucket formula (first
-    *     n mod k buckets get one extra row) on the broadcast total.
+    *  4. `ntile` from the stitched global row_number over the
+    *     (spend_c, o_custkey) total order (same partitioning — the
+    *     local window just orders by the full key) via the SQL-standard
+    *     bucket formula (first n mod k buckets get one extra row).
     *
     * Values are invariant to where the sampled range boundaries fall, so
-    * RangePartitioner's sampling does not affect determinism. The ranked
-    * tie-group frame (≤ |distinct spends| rows) joins back on spend_c —
-    * AQE broadcasts it when small. */
+    * RangePartitioner's sampling does not affect determinism. One
+    * persist, one collect, no join-back — the round-3 two-frame
+    * composition (groups + rows, two offset jobs) fused. */
   def rankSpendDeciles(s: SparkSession, dir: String): DataFrame = {
     val parts = s.sessionState.conf.numShufflePartitions
-    // Persisted: spend feeds four lineages (groups, rows, two offset
-    // jobs), and persisting groups/rows freezes the sampled range
-    // boundaries so pid assignment is identical between the offset job
-    // and the final composition. Released by the harness' clearCache.
+    // Persisted: the frame feeds the stats job and the composition, and
+    // persisting freezes the sampled range boundaries so pid assignment
+    // is identical between them. Released by the harness' clearCache.
     val spend = read(s, dir, "orders")
       .withColumn("price_c", cents("o_totalprice"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("price_c")).as("spend_c"), count(lit(1)).as("orders"))
-      .persist()
-
-    // -- ranks over the tie-group frame (key = spend_c only) -----------
-    val groups = spend.groupBy(col("spend_c"))
-      .agg(count(lit(1)).as("cnt"))
       .repartitionByRange(parts, col("spend_c"))
       .withColumn("pid", spark_partition_id())
       .persist()
-    val wg = Window.partitionBy(col("pid")).orderBy(col("spend_c"))
-    val local = groups
-      .withColumn("rows_before_local",
-        coalesce(sum(col("cnt")).over(
-          wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("groups_before_local",
-        row_number().over(wg).cast("long") - 1L)
-    val pidStats = groups.groupBy(col("pid"))
-      .agg(sum(col("cnt")).as("rows_in"), count(lit(1)).as("groups_in"))
+
+    val pidStats = spend.groupBy(col("pid"))
+      .agg(count(lit(1)).as("rows_in"),
+        countDistinct(col("spend_c")).as("groups_in"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val n = pidStats.map(_._2).sum
@@ -381,51 +371,31 @@ object CoreOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("groups_off",
           org.apache.spark.sql.types.LongType))))
-    val ranked = local.join(broadcast(offsetsDf), Seq("pid"))
-      .select(col("spend_c"),
-        (col("rows_off") + col("rows_before_local") + 1L)
-          .cast("int").as("spend_rank"),
-        (col("groups_off") + col("groups_before_local") + 1L)
-          .cast("int").as("spend_dense_rank"))
 
-    // -- row_number / ntile over the (spend_c, o_custkey) total order --
-    val rows = spend
-      .repartitionByRange(parts, col("spend_c"), col("o_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val wr = Window.partitionBy(col("pid"))
+    val wSpend = Window.partitionBy(col("pid")).orderBy(col("spend_c"))
+    val wTotal = Window.partitionBy(col("pid"))
       .orderBy(col("spend_c"), col("o_custkey"))
-    val rowStats = rows.groupBy(col("pid")).agg(count(lit(1)).as("rows_in"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val rowOffsets = {
-      var acc = 0L
-      rowStats.map { case (pid, ri) => val o = (pid, acc); acc += ri; o }
-    }
-    val rowOffsetsDf = s.createDataFrame(
-      s.sparkContext.parallelize(rowOffsets.toIndexedSeq, 1)
-        .map(o => org.apache.spark.sql.Row(o._1, o._2)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("pid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("rn_off",
-          org.apache.spark.sql.types.LongType))))
     // SQL-standard ntile(k): q = n div k rows per bucket, the first
     // n mod k buckets take one extra.
     val k = 10L
     val q = n / k; val rem = n % k
     val qSafe = if (q == 0) 1L else q
-    val withRn = rows
-      .withColumn("rn_local", row_number().over(wr).cast("long"))
-      .join(broadcast(rowOffsetsDf), Seq("pid"))
-      .withColumn("rn", col("rn_local") + col("rn_off"))
+    spend
+      .withColumn("rank_local", rank().over(wSpend).cast("long"))
+      .withColumn("dense_local", dense_rank().over(wSpend).cast("long"))
+      .withColumn("rn_local", row_number().over(wTotal).cast("long"))
+      .join(broadcast(offsetsDf), Seq("pid"))
+      .withColumn("spend_rank",
+        (col("rows_off") + col("rank_local")).cast("int"))
+      .withColumn("spend_dense_rank",
+        (col("groups_off") + col("dense_local")).cast("int"))
+      .withColumn("rn", col("rows_off") + col("rn_local"))
       .withColumn("decile",
         when(lit(rem) > 0 && col("rn") <= lit(rem * (q + 1)),
           expr(s"cast((rn + $q) div ${q + 1} as int)"))
           .otherwise(
             expr(s"cast($rem + (rn - ${rem * (q + 1)} + ${qSafe - 1}) " +
               s"div $qSafe as int)")))
-    withRn
-      .join(ranked, Seq("spend_c"))
       .withColumn("spend_percent_rank",
         if (n <= 1L) lit(0.0)
         else (col("spend_rank").cast("double") - 1.0) / (n - 1).toDouble)
