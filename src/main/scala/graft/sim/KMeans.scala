@@ -65,11 +65,15 @@ object KMeans {
       .withColumn("cn", expr("graft_dot(cq, cq)"))
       .filter(col("cn") > 0)
 
-  /** `iters` Lloyd refinements from the deterministic seed (first k
-    * vectors by vec_id); returns the final assignment
-    * (vec_id, label, cluster, cosine). */
+  /** `iters` Lloyd refinements from the deterministic seed (the first k
+    * vectors by vec_id — a true order-by-limit, so sparse or non-zero-
+    * based id spaces still select k seeds); returns the final assignment
+    * (vec_id, label, cluster, cosine). Cluster ids are the seeds' ranks
+    * 0..k−1, which on a dense 0-based corpus coincide with the seed
+    * vec_ids — the oracle's formulation. */
   def fit(s: SparkSession, dir: String, k: Int = 8,
           iters: Int = 1): DataFrame = {
+    import s.implicits._
     // Zero-norm vectors are excluded on both engines (cosine undefined:
     // Spark would score them NaN — which sorts above every real cosine —
     // where DuckDB scores NULL). Persist the quantized frame: it feeds
@@ -78,14 +82,25 @@ object KMeans {
     // eager localCheckpoint of the result lets it unpersist here instead
     // of leaking past return.
     val emb = Similarity.quantizedNonZero(s, dir).persist()
-    val init = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"),
-        col("q").as("cq"), col("n").as("cn"))
+    // Seed selection is a TakeOrderedAndProject + driver build (k·dim
+    // longs — metadata-scale, the IvfCosine centroid pattern); a window
+    // would be partition-less (PlanSpec forbids) and `vec_id < k` would
+    // under-seed sparse id spaces.
+    val init = emb.select(col("vec_id"), col("q"), col("n"))
+      .orderBy(col("vec_id")).limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1), r.getLong(2)) }
+      .toSeq.toDF("cluster", "cq", "cn")
     var cents = init
     var assigned = assign(emb, cents)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       cents = update(emb, assigned)
       assigned = assign(emb, cents)
+      // Truncate lineage at each refinement boundary: without this,
+      // iteration i's plan nests all prior assign/update subtrees and
+      // re-executes them multiplicatively for iters > 1. The final
+      // iteration is checkpointed below as the result.
+      if (iters > 1 && i < iters) assigned = assigned.localCheckpoint()
     }
     val out = assigned.localCheckpoint()
     emb.unpersist()

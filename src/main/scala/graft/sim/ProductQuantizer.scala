@@ -60,11 +60,20 @@ object ProductQuantizer {
   }
 
   /** Codebooks after one integer-mean Lloyd step from the deterministic
-    * seed (sub-slices of vectors vec_id < K). */
+    * seed: sub-slices of the first [[K]] vectors by vec_id (a true
+    * order-by-limit — sparse or non-zero-based id spaces still seed K
+    * centroids; codes are the seeds' ranks 0..K−1, which coincide with
+    * the seed vec_ids on a dense 0-based corpus — the oracle's
+    * formulation). */
   private def trainedBooks(sub: DataFrame): DataFrame = {
-    val init = sub.filter(col("vec_id") < K)
-      .select(col("s"), col("vec_id").cast("int").as("code"),
-        col("sv").as("cv"))
+    import sub.sparkSession.implicits._
+    // Driver-built rank map over K ids — metadata-scale, like the
+    // KMeans seed collect.
+    val seedCodes = sub.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(K).collect().map(_.getLong(0))
+      .sorted.zipWithIndex.toSeq.toDF("vec_id", "code")
+    val init = sub.join(broadcast(seedCodes), Seq("vec_id"))
+      .select(col("s"), col("code"), col("sv").as("cv"))
       .withColumn("cvn", expr("graft_dot(cv, cv)"))
     val a0 = assign(sub, init)
     a0.join(sub, Seq("vec_id", "s"))

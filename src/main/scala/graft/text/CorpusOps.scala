@@ -273,11 +273,14 @@ object CorpusOps {
     * audit trail curation pipelines keep per shipped document.
     *
     * Every component subtree is doc_id-keyed, so the final joins
-    * co-partition on one key; the corpus scan is re-read per component
-    * (at 100 TB the tokenized scan would be cached or staged once — the
-    * gates themselves are one linear pass each either way). */
+    * co-partition on one key. The docs frame is persisted for the run:
+    * the repetition and decontamination gates (frame-based forms) read
+    * the cached rows instead of re-scanning the corpus, and the two
+    * TextOps gates keep their dir-based entry (their tokenizations are
+    * gate-specific either way — each gate is one linear pass). */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    val training = docs(s, dir).filter(col("source") =!= "src0")
+    val d = docs(s, dir).persist()
+    val training = d.filter(col("source") =!= "src0")
     // The gate IS qualityFilter (one source of truth — its thresholds and
     // this query's oracle, which composes $qualityFilter, move together).
     val quality = TextOps.qualityFilter(s, dir)
@@ -285,9 +288,9 @@ object CorpusOps {
     val canonical = TextOps.dedupExact(s, dir)
       .select(col("canonical_doc_id").as("doc_id"),
         lit(1).cast("int").as("is_canonical"))
-    val rep = repetitionStats(s, dir)
+    val rep = repetitionStats(d)
       .select(col("doc_id"), col("is_repetitive"))
-    val cont = decontaminate(s, dir)
+    val cont = decontaminate(training, d.filter(col("source") === "src0"))
       .select(col("doc_id"), col("is_contaminated"))
     // quality/canonical filtering IS the inner join (a miss means drop),
     // so join inner and carry the surviving verdicts as the provenance

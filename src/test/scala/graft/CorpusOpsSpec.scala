@@ -127,6 +127,37 @@ class CorpusOpsSpec extends SparkSpec {
       "fit is deterministic")
   }
 
+  test("kmeans seeds the first k vectors even on sparse, offset ids") {
+    // Same two-blob corpus but vec_ids 1000, 1010, 1020, … — the old
+    // `vec_id < k` seed predicate would select ZERO seeds here and
+    // silently return an empty clustering. 'First k by vec_id' must
+    // hold on any id space, with cluster ids the seed ranks 0..k−1.
+    val dir = tmpDir("kmeans-sparse")
+    val dim = 64
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * eps)
+      a(axis) = 1.0f; a
+    }
+    val rows = (0 until 40).map { i =>
+      val axis = if (i % 2 == 0) 0 else 32
+      (1000L + 10L * i, vec(axis, (i % 5) + 1).toSeq, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = KMeans.fit(spark, dir, k = 8, iters = 1)
+    assert(out.count() == 40, "every vector must be assigned")
+    val clusters = out.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.nonEmpty && clusters.subsetOf((0 until 8).toSet),
+      s"cluster ids must be seed ranks 0..7, got $clusters")
+    val purity = out.groupBy("cluster")
+      .agg(countDistinct("label").as("nl")).collect()
+    assert(purity.forall(_.getLong(1) == 1),
+      "no cluster may mix the two orthogonal blobs")
+  }
+
   test("containment catches a quote Jaccard misses") {
     val dir = tmpDir("containment")
     val big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
