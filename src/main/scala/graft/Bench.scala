@@ -72,9 +72,16 @@ object Bench {
     println(json)
     // Also land the full line on disk: the driver captures stdout's TAIL,
     // which has truncated the first per-query timings in past rounds —
-    // the file is the complete record.
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      json.getBytes("UTF-8"))
+    // the file is the complete record. Best-effort: the backup sink must
+    // never fail the benchmark it backs up (missing target/ dir, foreign
+    // working directory).
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

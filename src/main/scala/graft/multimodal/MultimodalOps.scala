@@ -120,10 +120,15 @@ object MultimodalOps {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, mtype, payload, w, h) =>
           val (hash, byteSum, mean) = byteStats(payload)
+          // Try, not a bare call: magic bytes only SNIFF — text that
+          // happens to start with "BM"/"GIF8" makes the JDK reader claim
+          // the stream and THROW on the malformed body, and a decode
+          // stage must degrade to byte features, never fail the job.
           val decoded =
             if (looksLikeImage(payload))
-              Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(payload)))
+              scala.util.Try(Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))))
+                .toOption.flatten
             else None
           decoded match {
             case Some(im) =>

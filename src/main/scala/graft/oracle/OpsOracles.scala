@@ -1279,10 +1279,13 @@ object OpsOracles {
       |FROM labels l ASOF LEFT JOIN snaps s
       |  ON l.user_id = s.user_id AND l.ts_us >= s.snap_ts_us""".stripMargin
 
-  /** Mirrors sim.KMeans.fit(k = 8, iters = 1): deterministic seed
-    * (vec_id < 8), quantized-cosine argmax (ties → lowest cluster), one
-    * integer-mean Lloyd update, final assignment. Every intermediate is
-    * integer or a correctly-rounded IEEE op, so the replay is exact. */
+  /** Mirrors sim.KMeans.fit(k = 8, iters = 1): deterministic seed (the
+    * FIRST 8 nonzero vectors by vec_id, clusters = seed ranks — the
+    * engine's order-by-limit formulation, which equals `vec_id < 8` on
+    * this dense 0-based corpus but also holds on sparse id spaces),
+    * quantized-cosine argmax (ties → lowest cluster), one integer-mean
+    * Lloyd update, final assignment. Every intermediate is integer or a
+    * correctly-rounded IEEE op, so the replay is exact. */
   val embedKmeans: String =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding,
@@ -1296,8 +1299,9 @@ object OpsOracles {
       |),
       |n AS (SELECT * FROM n0 WHERE nn > 0),
       |c0 AS (
-      |  SELECT CAST(vec_id AS INT) AS cluster, q AS cq, nn AS cn
-      |  FROM n WHERE vec_id < 8
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |    AS cluster, q AS cq, nn AS cn
+      |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)
       |),
       |p0 AS (
       |  SELECT n.vec_id, c0.cluster,
@@ -1370,10 +1374,16 @@ object OpsOracles {
       |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT) AS svn
       |  FROM sub
       |),
+      |seedids AS (
+      |  SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 16)
+      |),
       |c0 AS (
-      |  SELECT s, CAST(vec_id AS INT) AS code, sv AS cv,
-      |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT) AS cvn
-      |  FROM sub WHERE vec_id < 16
+      |  SELECT sub.s, seedids.code, sub.sv AS cv,
+      |    CAST(list_sum(list_transform(sub.sv, v -> v * v)) AS BIGINT)
+      |      AS cvn
+      |  FROM sub JOIN seedids USING (vec_id)
       |),
       |a0p AS (
       |  SELECT subn.vec_id, subn.s, c0.code,

@@ -27,31 +27,33 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, sorted managed table. Bucket files are
+  /** Write `df` as a bucketed, sorted table. Bucket files are
     * additionally sorted by (user_id, start_us) so user-ordered windows
-    * read presorted runs. */
+    * read presorted runs. With `location` set the table is EXTERNAL at
+    * that path (a pipeline keeps its layout inside its own warehouse
+    * dir instead of the session-global default); unset = managed. */
   def writeSilver(spark: SparkSession, table: String, df: DataFrame,
-                  buckets: Int = 8): Unit = {
-    // Overwrite must also survive an ORPHANED location: with the
-    // in-memory catalog a previous process' managed-table directory
-    // outlives its metadata, and CREATE then fails with
-    // locationAlreadyExists. Drop what the catalog knows, then clear the
-    // default location it would assign.
+                  buckets: Int = 8,
+                  location: Option[String] = None): Unit = {
+    // Overwrite must also survive an ORPHANED location: a previous
+    // process' table directory outlives the (in-memory) catalog's
+    // metadata, and CREATE then fails with locationAlreadyExists. Drop
+    // what the catalog knows, then clear the location it would use.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // Parse, don't wrap: TableIdentifier("db.tbl") would be a single
     // unqualified name and defaultTablePath would point at
     // <warehouse>/db.tbl instead of <warehouse>/db.db/tbl.
-    val path = new org.apache.hadoop.fs.Path(
+    val path = new org.apache.hadoop.fs.Path(location.getOrElse(
       spark.sessionState.catalog.defaultTablePath(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).toString))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    df.write
+    val writer = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, "user_id")
       .sortBy("user_id", "start_us")
       .format("parquet")
-      .saveAsTable(table)
+    location.fold(writer)(l => writer.option("path", l)).saveAsTable(table)
   }
 
   /** Per-(user, date) session metrics over the bucketed silver table —

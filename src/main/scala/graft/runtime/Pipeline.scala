@@ -63,8 +63,7 @@ object Pipeline {
   def runDaily(spark: SparkSession, sfDir: String, warehouseDir: String,
                minSilverFiles: Int = 1,
                onFailure: (String, Throwable) => Unit = (_, _) => (),
-               bucketedTable: String = "silver_sessions_bucketed")
-      : Seq[Result] = {
+               bucketedTable: String = ""): Seq[Result] = {
     def stage[T](name: String)(body: => T): T =
       try body
       catch { case e: Throwable =>
@@ -73,6 +72,15 @@ object Pipeline {
         throw e
       }
 
+    // Warehouse-scoped table name + location: two pipelines sharing one
+    // session (a backfill beside the daily run, parallel tests) must not
+    // cross-talk through a catalog-global default name, and the layout
+    // must live INSIDE the pipeline's warehouse dir — archiving the
+    // warehouse keeps the system-of-record layout with it.
+    val btable =
+      if (bucketedTable.nonEmpty) bucketedTable
+      else "silver_sessions_bucketed_" +
+        Integer.toHexString(warehouseDir.hashCode)
     val silverDir = s"$warehouseDir/silver_sessions"
     val silver = stage("silver") {
       val sessions =
@@ -81,9 +89,9 @@ object Pipeline {
       // The layout write: rewrite the bucketed table from the merged
       // silver so every downstream user-keyed groupBy/window/self-join
       // plans with zero Exchange (BucketedSpec / PlanSpec assert this).
-      Bucketed.writeSilver(spark, bucketedTable,
-        spark.read.parquet(silverDir))
-      spark.table(bucketedTable)
+      Bucketed.writeSilver(spark, btable, spark.read.parquet(silverDir),
+        location = Some(s"$warehouseDir/$btable"))
+      spark.table(btable)
     }
 
     // C4 gate: silver partitions must exist before gold runs.
@@ -100,8 +108,13 @@ object Pipeline {
     }
 
     // Reference order (C5): user → episode → webtoon (reads episode gold)
-    // → platform/device → country.
-    val user = writeGold("gold_user_daily", UserDaily.build(silver))
+    // → platform/device → country. The user gold runs the
+    // layout-specialized form: UserDaily's default countDistinct plans
+    // an Expand that discards the bucketed partitioning, which would
+    // re-shuffle the table the layout write exists to keep in place —
+    // Bucketed.userDaily (set-based distincts, identical rows) keeps
+    // the whole job exchange-free.
+    val user = writeGold("gold_user_daily", Bucketed.userDaily(spark, btable))
     val episode = writeGold("gold_episode_daily", EpisodeDaily.build(silver))
     val episodeGold =
       spark.read.parquet(s"$warehouseDir/gold_episode_daily")

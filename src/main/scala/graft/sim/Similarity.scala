@@ -83,6 +83,15 @@ object Similarity {
     * to exactly 1.0 at scale 6 in both engines. */
   private def plantedNonZero(s: SparkSession, dir: String): DataFrame = {
     val base = quantizedNonZero(s, dir)
+    // Guard the id arithmetic: a corpus whose vec_ids reach the offset
+    // would alias planted copies onto REAL vectors — and the oracle
+    // would replay the same collision, going green on a semantically
+    // wrong answer. One metadata-scale aggregate; fail loud instead.
+    val maxId = base.agg(coalesce(max(col("vec_id")), lit(-1L)))
+      .head().getLong(0)
+    require(maxId < PlantOffset,
+      s"vec_id $maxId >= PlantOffset $PlantOffset: planted ids would " +
+        "alias real vectors")
     base.unionByName(base
       .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
       .withColumn("q", expr("transform(q, v -> v * 2L)"))

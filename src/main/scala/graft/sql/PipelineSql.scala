@@ -86,7 +86,8 @@ object PipelineSql {
     s"""WITH base AS (
        |  SELECT datetime, user_id,
        |    count(DISTINCT session_id) AS total_sessions,
-       |    count(DISTINCT webtoon_id, episode_id) AS content_items,
+       |    count(DISTINCT struct(webtoon_id, episode_id))
+       |      AS content_items,
        |    count(DISTINCT webtoon_id) AS webtoons_read,
        |    count(DISTINCT CASE WHEN is_complete = 1 THEN session_id END)
        |      AS completed_sessions,

@@ -295,8 +295,10 @@ object CorpusOps {
     // quality/canonical filtering IS the inner join (a miss means drop),
     // so join inner and carry the surviving verdicts as the provenance
     // columns (constant 1 by construction — the oracle writes the same
-    // literals).
-    training.select("doc_id", "lang", "source")
+    // literals). The verdict frame is narrow — materialize it eagerly so
+    // the shared docs cache releases here instead of leaking into
+    // long-lived sessions (the ContainmentDedup/KMeans convention).
+    val out = training.select("doc_id", "lang", "source")
       .join(quality, Seq("doc_id"))
       .join(canonical, Seq("doc_id"))
       .join(rep, Seq("doc_id"))
@@ -304,5 +306,8 @@ object CorpusOps {
       .filter(col("is_repetitive") === 0 && col("is_contaminated") === 0)
       .select("doc_id", "lang", "source", "pass_quality", "is_canonical",
         "is_repetitive", "is_contaminated")
+      .localCheckpoint()
+    d.unpersist()
+    out
   }
 }

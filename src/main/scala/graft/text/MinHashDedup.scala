@@ -107,18 +107,23 @@ object MinHashDedup {
   /** LSH candidate edges (doc_a < doc_b). Work per bucket is
     * O(min(size², size·K)): quadratic only while small.
     *
-    * Pairs are generated from DISTINCT bucket member-lists, not from a
-    * per-band self-join: one aggregate collects each bucket's sorted
-    * doc_ids, identical lists are deduped ACROSS bands (a template
-    * family lands the same member set in every band — near-identical
-    * docs share the whole signature), and a narrow generator expression
-    * emits each list's pairs once. On the dense sf0.1 corpus this cuts
-    * the pre-distinct pair volume ~[[Bands]]× (measured 4.2 s → 1.2 s
-    * for this stage) while producing the IDENTICAL distinct pair set:
-    * the pair rule is a function of the sorted member list only —
-    * all i<j pairs of the first `kk` members against their successors,
-    * where kk = n for small buckets (all pairs) and `hubs` for big ones
-    * (hub rule: every member links to the K smallest ids). */
+    * SMALL buckets (≤ [[AllPairsMaxBucket]]) generate pairs from
+    * DISTINCT bucket member-lists, not a per-band self-join: one
+    * aggregate collects each bucket's sorted doc_ids (arrays bounded at
+    * allPairsMax elements — never corpus-scale state), identical lists
+    * are deduped ACROSS bands (a template family lands the same member
+    * set in every band — near-identical docs share the whole
+    * signature), and a narrow generator expression emits each list's
+    * i<j pairs once. On the dense sf0.1 corpus this cuts the
+    * pre-distinct pair volume ~[[Bands]]× (measured 4.2 s → 1.2 s for
+    * the stage) with the IDENTICAL distinct pair set.
+    *
+    * BIG buckets (template families) keep the bounded-state window
+    * formulation — rank members inside the bucket (external sort,
+    * spillable at ANY family size) and link every member to the first
+    * [[HubsPerBucket]] — because collecting a multi-million-member
+    * family into one aggregation-buffer array row is exactly the
+    * unbounded-row failure the hub rule exists to avoid. */
   def candidateEdges(sigs: DataFrame,
                      allPairsMax: Int = AllPairsMaxBucket,
                      hubs: Int = HubsPerBucket): DataFrame = {
@@ -126,32 +131,45 @@ object MinHashDedup {
     // concatenated string; false bucket collisions are filtered by the
     // estimate/confirm stages anyway). posexplode_outer, not posexplode:
     // the plain form's InferFiltersFromGenerate filter would re-evaluate
-    // the whole 32-band transform twice more per doc.
+    // the whole 32-band transform twice more per doc. Not persisted: the
+    // three consumers re-run a narrow codegen'd transform over the
+    // cached signature frame.
     val banded = sigs
       .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
       .filter(col("band_idx").isNotNull) // pos-null = empty array only
-    val memberLists = banded
+    val counts = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val sized = banded.join(counts, Seq("band_idx", "band_key"))
+
+    val smallLists = sized.filter(col("bucket_n") <= allPairsMax)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(col("ids")).distinct()
-    // kk = how many leading members pair with all their successors.
-    val out = memberLists
-      .withColumn("kk", when(size(col("ids")) <= allPairsMax,
-        size(col("ids"))).otherwise(lit(hubs)))
+    val smallPairs = smallLists
       .select(explode_outer(expr(
-        "flatten(transform(slice(ids, 1, kk), (x, i) -> " +
+        "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), " +
           "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
       .filter(col("p").isNotNull) // outer-null = singleton bucket only
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+
+    val big = sized.filter(col("bucket_n") > allPairsMax).drop("bucket_n")
+    val w = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col("doc_id"))
+    val rankedBig = big.withColumn("rn", row_number().over(w))
+    val hubDocs = rankedBig.filter(col("rn") <= hubs)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("hub_id"))
+    val hubEdges = rankedBig.join(hubDocs, Seq("band_idx", "band_key"))
+      .filter(col("hub_id") < col("doc_id"))
+      .select(col("hub_id").as("doc_a"), col("doc_id").as("doc_b"))
+
     // No materialization: the pair list feeds one linear estimate →
     // confirm plan (downstream callers persist the CONFIRMED edges,
     // which are what gets re-read).
-    out
+    smallPairs.unionByName(hubEdges).distinct()
   }
 
   /** Prefix-filtering candidate pairs (doc_a < doc_b) — COMPLETE for
