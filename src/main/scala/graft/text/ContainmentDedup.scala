@@ -201,12 +201,13 @@ object ContainmentDedup {
       case AutoArm   =>
         volumeEstimate(ranked, threshold) > PrefixBudgetPerDoc * nDocs
     }
-    // Materialize the two-long pair list so the token/trigram caches can
-    // be released here instead of leaking into long-lived sessions.
-    val cands = candidates(ranked, threshold, capped).localCheckpoint()
-    ranked.unpersist()
+    // One linear candidates → confirm plan; the narrow confirmed output
+    // is the only materialization, after which the token/trigram caches
+    // release instead of leaking into long-lived sessions.
+    val cands = candidates(ranked, threshold, capped)
     val out = exactConfirm(base, cands, threshold, totTokens, nDocs)
       .localCheckpoint()
+    ranked.unpersist()
     base.unpersist()
     out
   }
