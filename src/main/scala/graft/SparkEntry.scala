@@ -168,6 +168,13 @@ object SparkEntry {
     // GK quantile sketch next to the exact percentiles, emitting the
     // rank-error contract columns (the agg_approx_distinct pattern).
     "percentile_approx_contract" -> EventOps.approxPercentileSpend _,
+    // Sequence assembly: pack curated docs into fixed-token-budget
+    // training sequences (shard-parallel greedy-by-start — never a
+    // global window) and chunk long docs into overlapping context
+    // windows (pure projection + generator, zero shuffle).
+    "pack_sequences" -> ((s, dir) => graft.text.Packing.packSequences(s, dir)),
+    "chunk_documents" -> ((s, dir) =>
+      graft.text.Packing.chunkDocuments(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,5 +243,7 @@ object SparkEntry {
     "dedup_containment" -> OpsOracles.containment,
     "sim_pq_topk" -> OpsOracles.pqTopK,
     "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
+    "pack_sequences" -> OpsOracles.packSequences,
+    "chunk_documents" -> OpsOracles.chunkDocuments,
   )
 }

@@ -537,6 +537,56 @@ object OpsOracles {
       |    WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
       |FROM b""".stripMargin
 
+  /** Mirrors Packing.packSequences (budget 2048, 8 shards): md5 shard
+    * bucket, textStats whitespace tokenization, per-shard cumulative
+    * start, greedy-by-start sequence assignment. */
+  val packSequences: String =
+    ws("""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 8 AS INT) AS shard,
+      |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(len(string_split_regex(trim(text), '<WS>+'))
+      |        AS BIGINT) END AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM t
+      |)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(shard AS BIGINT) * 1000000000 + (cum_before // 2048)
+      |    AS seq_id,
+      |  cum_before % 2048 AS seq_offset
+      |FROM c""".stripMargin)
+
+  /** Mirrors Packing.chunkDocuments (chunk 512, overlap 64 → stride
+    * 448): 1-based starts every stride chars, md5 digests of the
+    * substrings. chunk_idx recomputed as (start−1)//stride — identical
+    * to Spark's posexplode position. */
+  val chunkDocuments: String =
+    """WITH s1 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) >= 1
+      |      THEN range(1, CAST(length(text) AS BIGINT) + 1, 448)
+      |      ELSE CAST([] AS BIGINT[]) END AS starts
+      |  FROM documents
+      |),
+      |e AS (
+      |  SELECT doc_id, text, CAST(unnest(starts) AS BIGINT) AS cs
+      |  FROM s1
+      |)
+      |SELECT doc_id,
+      |  CAST((cs - 1) // 448 AS INT) AS chunk_idx,
+      |  CAST(cs AS INT) AS chunk_start,
+      |  CAST(length(substr(text, CAST(cs AS INT), 512)) AS INT)
+      |    AS chunk_len,
+      |  md5(substr(text, CAST(cs AS INT), 512)) AS chunk_md5
+      |FROM e""".stripMargin
+
   /** All-pairs simhash Hamming distance <= 7 — recomputes the md5-derived
     * 60-bit simhash from scratch and brute-forces every pair, which the
     * Spark side's 8×8-bit chunk blocking must reproduce exactly

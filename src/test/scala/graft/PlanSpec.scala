@@ -108,6 +108,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("chunk_documents is projection + generator - no keyed shuffle, " +
+      "no join") {
+    val p = plan("chunk_documents")
+    // Layout.spread's round-robin fan-out of the single-file harness
+    // scan is allowed (a no-op at real file counts); keyed shuffles and
+    // joins are not.
+    assert(!p.contains("hashpartitioning") &&
+      !p.contains("rangepartitioning") && !p.contains("Join"), p)
+  }
+
   test("no registered query re-derives arrays under a Generate filter") {
     // InferFiltersFromGenerate plants size/isnotnull filters whose
     // pushdown inlines the array-builder into per-element lambdas (the
