@@ -558,20 +558,22 @@ object OpsOracles {
       |  FROM t
       |)
       |SELECT doc_id, shard, n_tokens,
-      |  CAST(shard AS BIGINT) * 1000000000 + (cum_before // 2048)
+      |  CAST(shard AS BIGINT) * 281474976710656 + (cum_before // 2048)
       |    AS seq_id,
       |  cum_before % 2048 AS seq_offset
       |FROM c""".stripMargin)
 
   /** Mirrors Packing.chunkDocuments (chunk 512, overlap 64 → stride
-    * 448): 1-based starts every stride chars, md5 digests of the
-    * substrings. chunk_idx recomputed as (start−1)//stride — identical
-    * to Spark's posexplode position. */
+    * 448): 1-based starts every stride chars up to len − overlap (a
+    * later window would be wholly inside the previous chunk), md5
+    * digests of the substrings. chunk_idx recomputed as
+    * (start−1)//stride — identical to Spark's posexplode position. */
   val chunkDocuments: String =
     """WITH s1 AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(text) >= 1
-      |      THEN range(1, CAST(length(text) AS BIGINT) + 1, 448)
+      |      THEN range(1,
+      |        greatest(CAST(length(text) AS BIGINT) - 64, 1) + 1, 448)
       |      ELSE CAST([] AS BIGINT[]) END AS starts
       |  FROM documents
       |),

@@ -19,35 +19,35 @@ object Packing {
     * content-independent md5 bucket (the [[TextOps.hashSplit]] scheme —
     * reproducible on any engine, stable under repartitioning), order
     * each shard by doc_id, and place a doc in the sequence its
-    * CUMULATIVE token start falls in: seq = ⌊cum_before / budget⌋. A
-    * doc longer than the budget owns its start sequence (packing never
-    * splits a doc — chunking, [[chunkDocuments]], is the op that
-    * splits). seq_id = shard·10⁹ + seq, so ids are unique across
-    * shards.
+    * CUMULATIVE token start falls in: seq = cum_before div budget
+    * (integral division — matches the oracle's `//` at every
+    * magnitude). A doc longer than the budget owns its start sequence
+    * (packing never splits a doc — chunking, [[chunkDocuments]], is the
+    * op that splits). seq_id = shard·2⁴⁸ + seq: a shard would need
+    * budget·2⁴⁸ cumulative tokens (≫ any corpus) to overflow into the
+    * next shard's id space, so ids are unique across shards even at
+    * petabyte token counts.
     *
     * Scale shape: one narrow projection (token count), one window per
     * SHARD (bounded partitions — shard count is the parallelism knob,
-    * never a global window), zero joins. The token count mirrors
-    * [[TextOps.textStats]]'s whitespace tokenization so the oracle
-    * tokenizes identically. */
+    * never a global window), zero joins. Token count and shard bucket
+    * are the SHARED [[TextOps.tokenCountExpr]] /
+    * [[TextOps.md5BucketExpr]] definitions, so this operator, textStats
+    * and hashSplit can never silently desynchronize from their
+    * oracles. */
   def packSequences(s: SparkSession, dir: String, budget: Long = 2048L,
                     shards: Int = 8): DataFrame = {
     val d = graft.util.Layout.spread(
       s.read.parquet(s"$dir/documents.parquet"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("shard", expr(
-        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
-          s"15), 16, 10) as bigint), ${shards}L) as int)"))
-      .withColumn("n_tokens", expr(
-        "CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) " +
-          s"ELSE cast(size(split(trim(text), '${TextOps.WsSql}+')) " +
-          "as bigint) END"))
+    d.withColumn("shard", expr(TextOps.md5BucketExpr(shards.toLong)))
+      .withColumn("n_tokens",
+        expr(TextOps.tokenCountExpr).cast("bigint"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_id",
-        col("shard").cast("long") * 1000000000L +
-          (col("cum_before") / budget).cast("long"))
+      .withColumn("seq_id", expr(
+        s"cast(shard as bigint) * ${1L << 48}L + (cum_before div $budget)"))
       .withColumn("seq_offset", col("cum_before") % budget)
       .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
   }
@@ -55,9 +55,14 @@ object Packing {
   /** Split documents into fixed-size overlapping context windows:
     * chunk starts at 1, 1+stride, 1+2·stride, … (stride =
     * chunk − overlap), each `chunk` chars long (the final one may be
-    * shorter; empty docs yield no chunks). Chunks travel as md5 digests
-    * + lengths, not text — downstream dedup/indexing consumes the
-    * digest, and the oracle compares exactly without shipping bodies.
+    * shorter; empty docs yield no chunks). Starts stop at
+    * len − overlap: a later start's window would sit wholly inside the
+    * previous chunk (which already reached the end of the doc), so the
+    * bound suppresses fully-redundant trailing windows while keeping
+    * every character covered (the last kept start is > len − chunk).
+    * Chunks travel as md5 digests + lengths, not text — downstream
+    * dedup/indexing consumes the digest, and the oracle compares
+    * exactly without shipping bodies.
     *
     * Scale shape: pure narrow projection + generator — no shuffle, no
     * join at any corpus size (PlanSpec asserts it). posexplode_outer +
@@ -71,7 +76,7 @@ object Packing {
     graft.util.Layout.spread(s.read.parquet(s"$dir/documents.parquet"))
       .withColumn("starts", expr(
         "CASE WHEN length(text) >= 1 THEN " +
-          s"sequence(1, length(text), $stride) " +
+          s"sequence(1, greatest(length(text) - $overlap, 1), $stride) " +
           "ELSE array() END")) // sequence(1, 0) would DESCEND, not empty
       .select(col("doc_id"), col("text"),
         posexplode_outer(col("starts")).as(Seq("chunk_idx", "chunk_start")))

@@ -36,9 +36,7 @@ object TextOps {
     val sw = Stopwords.map(w => s"'$w'").mkString(", ")
     docs(s, dir)
       .withColumn("n_chars_actual", length(col("text")))
-      .withColumn("n_tokens", expr(
-        "CASE WHEN trim(text) = '' THEN CAST(0 AS INT) " +
-          s"ELSE size(split(trim(text), '$WsSql+')) END"))
+      .withColumn("n_tokens", expr(tokenCountExpr))
       .withColumn("punct_chars",
         length(regexp_replace(col("text"), "[^.,;:!?]", "")))
       .withColumn("digit_chars",
@@ -116,11 +114,24 @@ object TextOps {
     * construction of the id; and md5 so the DuckDB oracle reproduces the
     * exact assignment). 80/10/10 by bucket < 8 / < 9 / else. Narrow
     * (no shuffle): at any scale this is a projection over the scan. */
+  /** Content-independent md5 doc-id bucket, SQL-expression form — THE
+    * single definition of the scheme [[hashSplit]], [[sampleStratified]]
+    * and [[Packing.packSequences]] (and their DuckDB oracles) all rely
+    * on being byte-identical. */
+  private[text] def md5BucketExpr(mod: Long): String =
+    "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
+      s"15), 16, 10) as bigint), ${mod}L) as int)"
+
+  /** Whitespace token count, SQL-expression form (INT; empty/blank text
+    * counts 0) — the [[textStats]] tokenization, shared so
+    * [[Packing.packSequences]] and its oracle tokenize identically. */
+  private[text] def tokenCountExpr: String =
+    "CASE WHEN trim(text) = '' THEN CAST(0 AS INT) " +
+      s"ELSE size(split(trim(text), '$WsSql+')) END"
+
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("bucket", expr(
-        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
-          "15), 16, 10) as bigint), 10L) as int)"))
+      .withColumn("bucket", expr(md5BucketExpr(10)))
       .withColumn("split", expr(
         "CASE WHEN bucket < 8 THEN 'train' " +
           "WHEN bucket < 9 THEN 'val' ELSE 'test' END"))
@@ -291,9 +302,7 @@ object TextOps {
     * scale. */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("bucket100", expr(
-        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
-          "15), 16, 10) as bigint), 100L) as int)"))
+      .withColumn("bucket100", expr(md5BucketExpr(100)))
       .withColumn("keep_rate", expr(
         "CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 90 END"))
       .filter(col("bucket100") < col("keep_rate"))

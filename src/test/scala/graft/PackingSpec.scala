@@ -53,6 +53,20 @@ class PackingSpec extends SparkSpec {
     assert(chunks.filter(col("doc_id") === 2L).count() == 2) // "ab","c"
   }
 
+  test("a trailing window wholly inside the previous chunk is suppressed") {
+    val dir = tmpDir("chunk-tail")
+    // len 81, chunk 30, overlap 10 (stride 20): naive starts 1..81 would
+    // end with a chunk at 81 covering 81..81 — already inside the chunk
+    // at 61 (61..81). The bound len-overlap = 71 drops it; coverage
+    // still reaches the end.
+    writeDocs(dir, Seq((1L, "x" * 81)))
+    val out = Packing.chunkDocuments(spark, dir, chunk = 30, overlap = 10)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[Int]("chunk_start")).toSeq == Seq(1, 21, 41, 61))
+    assert(out.last.getAs[Int]("chunk_start") +
+      out.last.getAs[Int]("chunk_len") - 1 == 81, "still covers the end")
+  }
+
   test("chunks cover every char and overlap by exactly `overlap`") {
     val dir = tmpDir("chunk")
     val text = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
