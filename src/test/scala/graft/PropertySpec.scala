@@ -76,6 +76,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunking covers every char with exact overlaps") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val chunk = 16 + rnd.nextInt(48)
+      val overlap = rnd.nextInt(chunk) // in [0, chunk)
+      val stride = chunk - overlap
+      val dir = tmpDir(s"prop-chunk-$seed")
+      val docs = (1L to 20L).map(i =>
+        (i, new Random(seed * 100 + i)
+          .alphanumeric.take(rnd.nextInt(300)).mkString))
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.text.Packing
+        .chunkDocuments(spark, dir, chunk, overlap)
+        .collect().groupBy(_.getLong(0))
+      for ((id, text) <- docs) {
+        val chunks = out.getOrElse(id, Array.empty)
+          .sortBy(_.getAs[Int]("chunk_idx"))
+        if (text.isEmpty) assert(chunks.isEmpty)
+        else {
+          // starts advance by exactly stride; first is 1
+          val starts = chunks.map(_.getAs[Int]("chunk_start")).toSeq
+          assert(starts == starts.indices.map(i => 1 + i * stride))
+          // last chunk reaches the end of the doc (full coverage)
+          val last = chunks.last
+          assert(last.getAs[Int]("chunk_start") +
+            last.getAs[Int]("chunk_len") - 1 == text.length,
+            s"doc $id len ${text.length} not covered")
+          // no fully-redundant trailing window
+          if (chunks.length > 1)
+            assert(starts.last <= text.length - overlap)
+          // digest honesty on a random chunk
+          val c = chunks(rnd.nextInt(chunks.length))
+          val sub = text.substring(c.getAs[Int]("chunk_start") - 1,
+            math.min(c.getAs[Int]("chunk_start") - 1 + chunk, text.length))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          assert(c.getAs[String]("chunk_md5") ==
+            md.digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  test("property: packing is a partition of docs with in-budget offsets") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val budget = 8L + rnd.nextInt(40)
+      val dir = tmpDir(s"prop-pack-$seed")
+      val docs = (1L to 60L).map(i =>
+        (i, ("w " * rnd.nextInt(15)).trim))
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.text.Packing
+        .packSequences(spark, dir, budget, shards = 4).collect()
+      assert(out.length == 60, "every doc assigned exactly once")
+      out.foreach { r =>
+        val off = r.getAs[Long]("seq_offset")
+        assert(off >= 0 && off < budget, s"offset $off out of budget")
+        // seq_id decodes back to (shard, seq)
+        val sid = r.getAs[Long]("seq_id")
+        assert((sid >> 48) == r.getAs[Int]("shard").toLong)
+      }
+      // within a (shard, seq), docs are contiguous by doc_id: sequences
+      // never interleave
+      out.groupBy(r => r.getAs[Int]("shard")).foreach { case (_, rows) =>
+        val byId = rows.sortBy(_.getLong(0))
+        val seqs = byId.map(_.getAs[Long]("seq_id"))
+        assert(seqs.sameElements(seqs.sorted),
+          "sequence ids must be monotone in doc order within a shard")
+      }
+    }
+  }
+
   test("property: salted aggregation equals plain aggregation") {
     for (seed <- 21 to 25) {
       val rnd = new Random(seed)
