@@ -158,6 +158,35 @@ class CorpusOpsSpec extends SparkSpec {
       "no cluster may mix the two orthogonal blobs")
   }
 
+  test("kmeans multi-iteration refinement is deterministic and pure") {
+    // Exercises the iters > 1 lineage-checkpoint branch: three Lloyd
+    // refinements must stay deterministic, keep blob purity, and agree
+    // with themselves run-to-run.
+    val dir = tmpDir("kmeans-iters")
+    val dim = 64
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * eps)
+      a(axis) = 1.0f; a
+    }
+    val rows = (0 until 40).map { i =>
+      val axis = if (i % 2 == 0) 0 else 32
+      (i.toLong, vec(axis, (i % 5) + 1).toSeq, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val a = KMeans.fit(spark, dir, k = 8, iters = 3)
+    val b = KMeans.fit(spark, dir, k = 8, iters = 3)
+    assert(a.orderBy("vec_id").collect()
+      .sameElements(b.orderBy("vec_id").collect()),
+      "multi-iteration fit must be deterministic")
+    val purity = a.groupBy("cluster")
+      .agg(countDistinct("label").as("nl")).collect()
+    assert(purity.forall(_.getLong(1) == 1),
+      "refinement must not mix the orthogonal blobs")
+  }
+
   test("containment catches a quote Jaccard misses") {
     val dir = tmpDir("containment")
     val big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +

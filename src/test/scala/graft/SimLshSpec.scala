@@ -108,6 +108,23 @@ class SimLshSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("t85 planting fails loud when vec_ids reach the plant offset") {
+    // A corpus whose ids touch PlantOffset would alias planted copies
+    // onto real vectors — and the oracle would replay the same
+    // collision, going green on a wrong answer. The guard must throw.
+    val dir = tmpDir("t85-alias")
+    Seq((graft.sim.Similarity.PlantOffset + 1L,
+        Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.Similarity.cosineNearDupT85(spark, dir)
+    }
+    assert(e.getMessage.contains("PlantOffset"))
+  }
+
   test("deriveParams: pinned at 0.4, selective at near-dup thresholds") {
     assert(LshCosine.deriveParams(0.4) == (4, 59))
     val (b85, t85) = LshCosine.deriveParams(0.85)
