@@ -17,9 +17,33 @@ import org.apache.spark.sql.SparkSession
   * regression rule is meant to police — while means/single shots measure
   * the neighbors. Caches are cleared between reps, so each rep re-executes
   * every operator; only JVM/codegen warm-up and OS page cache carry over,
-  * which is exactly the steady state a long-lived cluster runs in. */
+  * which is exactly the steady state a long-lived cluster runs in.
+  *
+  * Noise attribution (round 5 showed the driver's record inflating ~18
+  * untouched queries 2-4× under sustained neighbor load, which min-of-3
+  * alone cannot see through):
+  *   - `reps_detail` carries every per-rep timing, so a reader can tell a
+  *     tight [0.31,0.33,0.32] from a storm-shaped [0.31,4.2,3.9];
+  *   - a fixed cheap sentinel query is re-timed (min-of-Reps) at battery
+  *     start AND end; the record is flagged `noise_flag:true` when either
+  *     sentinel exceeds 2× its recorded calm-machine cost (known SF dirs
+  *     only) or the two sentinels disagree by more than 2× (noise arrived
+  *     or left mid-battery) — so a slow round is attributable without a
+  *     judge re-run. */
 object Bench {
   val Reps = 3
+
+  /** Sentinel: cheap, plan-stable, touches only the lineitem scan path. */
+  val SentinelName = "q1_pricing_summary"
+
+  /** Calm-machine min-of-3 cost of the sentinel per SF dir basename,
+    * measured on an idle box (round 6). Unknown dirs get start-vs-end
+    * comparison only. */
+  val SentinelCalmSec: Map[String, Double] = Map(
+    "sf0.1"   -> 0.55,
+    "sf0.01"  -> 0.35,
+    "sf0.001" -> 0.32
+  )
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,24 +75,38 @@ object Bench {
       dt
     }
 
-    def run(name: String): Double = {
-      val times = Seq.fill(Reps)(runOnce(name))
+    def run(name: String): Seq[Double] = Seq.fill(Reps)(runOnce(name))
+    def minOf(times: Seq[Double]): Double =
       if (times.exists(_ < 0)) -1.0 else times.min
-    }
 
-    runOnce("q1_pricing_summary") // warm-up: JVM + codegen + parquet footers
+    runOnce(SentinelName) // warm-up: JVM + codegen + parquet footers
+    val sentinelStart = minOf(run(SentinelName))
     // Dev knob: SPARK_GRAFT_ONLY=a,b,c restricts the battery (profiling a
     // single query without paying for the other 60). Unset = full battery.
-    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(only) => only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val names = only match {
+      case Some(o) => o.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val sentinelEnd = minOf(run(SentinelName))
+    val calm = SentinelCalmSec.get(new java.io.File(sfDir).getName)
+    val noisy =
+      calm.exists(c => sentinelStart > 2 * c || sentinelEnd > 2 * c) ||
+        (sentinelStart > 0 && sentinelEnd > 2 * sentinelStart) ||
+        (sentinelEnd > 0 && sentinelStart > 2 * sentinelEnd)
+    val qs = results.map { case (k, v) => s""""$k":${minOf(v)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val reps = results.map { case (k, v) =>
+      s""""$k":[${v.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    val sentinel =
+      s"""{"name":"$SentinelName","start_sec":$sentinelStart,"end_sec":$sentinelEnd,"calm_sec":${calm.map(_.toString).getOrElse("null")}}"""
+    // A SPARK_GRAFT_ONLY subset emits "filtered":true so its (partial)
+    // total is never mistaken for a full-battery baseline.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"min","reps_detail":$reps,"sentinel":$sentinel,"noise_flag":$noisy,"filtered":${only.isDefined}}"""
     println(json)
     // Also land the full line on disk: the driver captures stdout's TAIL,
     // which has truncated the first per-query timings in past rounds —

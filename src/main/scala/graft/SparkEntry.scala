@@ -175,6 +175,11 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => graft.text.Packing.packSequences(s, dir)),
     "chunk_documents" -> ((s, dir) =>
       graft.text.Packing.chunkDocuments(s, dir)),
+    // The manifest a tokenizer consumes (per-seq membership, token +
+    // truncation accounting, ordered span list) and the chunk → pack
+    // composition (long docs chunked, chunks packed under one budget).
+    "pack_manifest" -> ((s, dir) => graft.text.Packing.packManifest(s, dir)),
+    "pack_chunks" -> ((s, dir) => graft.text.Packing.packChunks(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +250,7 @@ object SparkEntry {
     "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
     "pack_sequences" -> OpsOracles.packSequences,
     "chunk_documents" -> OpsOracles.chunkDocuments,
+    "pack_manifest" -> OpsOracles.packManifest,
+    "pack_chunks" -> OpsOracles.packChunks,
   )
 }

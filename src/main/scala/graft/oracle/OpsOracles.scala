@@ -552,12 +552,97 @@ object OpsOracles {
       |),
       |c AS (
       |  SELECT doc_id, shard, n_tokens,
-      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       |      AS cum_before
       |  FROM t
       |)
       |SELECT doc_id, shard, n_tokens,
+      |  CAST(shard AS BIGINT) * 281474976710656 + (cum_before // 2048)
+      |    AS seq_id,
+      |  cum_before % 2048 AS seq_offset
+      |FROM c""".stripMargin)
+
+  /** Mirrors Packing.packManifest: group the packSequences assignment
+    * by seq_id; spans CSV ordered by (offset, doc_id); window coverage
+    * arithmetic in BIGINT with an explicit cast back from DuckDB's
+    * HUGEINT sum. fill_ratio is BIGINT/BIGINT `/` (double on both
+    * engines; budget is a power of two so the quotient is exact). */
+  val packManifest: String =
+    ws("""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 8 AS INT) AS shard,
+      |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(len(string_split_regex(trim(text), '<WS>+'))
+      |        AS BIGINT) END AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t
+      |),
+      |a AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(shard AS BIGINT) * 281474976710656 + (cum_before // 2048)
+      |      AS seq_id,
+      |    cum_before % 2048 AS seq_offset
+      |  FROM c
+      |)
+      |SELECT seq_id,
+      |  CAST(seq_id // 281474976710656 AS INT) AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(greatest(max(seq_offset + n_tokens) - 2048, 0) AS BIGINT)
+      |    AS overflow_tokens,
+      |  least(max(seq_offset + n_tokens), 2048) / 2048 AS fill_ratio,
+      |  string_agg(doc_id || '@' || seq_offset || '+' || n_tokens, ','
+      |    ORDER BY seq_offset, doc_id) AS doc_spans
+      |FROM a GROUP BY seq_id""".stripMargin)
+
+  /** Mirrors Packing.packChunks: the chunkDocuments geometry (512/64 →
+    * stride 448), chunk bodies tokenized with the corpus tokenizer,
+    * packed per doc-md5 shard ordered by (doc_id, chunk_idx). */
+  val packChunks: String =
+    ws("""WITH s1 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) >= 1
+      |      THEN range(1,
+      |        greatest(CAST(length(text) AS BIGINT) - 64, 1) + 1, 448)
+      |      ELSE CAST([] AS BIGINT[]) END AS starts
+      |  FROM documents
+      |),
+      |e AS (
+      |  SELECT doc_id, text, CAST(unnest(starts) AS BIGINT) AS cs
+      |  FROM s1
+      |),
+      |ch AS (
+      |  SELECT doc_id,
+      |    CAST((cs - 1) // 448 AS INT) AS chunk_idx,
+      |    substr(text, CAST(cs AS INT), 512) AS chunk_text
+      |  FROM e
+      |),
+      |t AS (
+      |  SELECT doc_id, chunk_idx,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 8 AS INT) AS shard,
+      |    CASE WHEN trim(chunk_text) = '' THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(len(string_split_regex(trim(chunk_text), '<WS>+'))
+      |        AS BIGINT) END AS n_tokens
+      |  FROM ch
+      |),
+      |c AS (
+      |  SELECT doc_id, chunk_idx, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+      |      ORDER BY doc_id, chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t
+      |)
+      |SELECT doc_id, chunk_idx, shard, n_tokens,
       |  CAST(shard AS BIGINT) * 281474976710656 + (cum_before // 2048)
       |    AS seq_id,
       |  cum_before % 2048 AS seq_offset

@@ -79,8 +79,9 @@ object Pipeline {
     // warehouse keeps the system-of-record layout with it.
     val btable =
       if (bucketedTable.nonEmpty) bucketedTable
-      else "silver_sessions_bucketed_" +
-        Integer.toHexString(warehouseDir.hashCode)
+      else "silver_sessions_bucketed_" + java.security.MessageDigest
+        .getInstance("MD5").digest(warehouseDir.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
     val silverDir = s"$warehouseDir/silver_sessions"
     val silver = stage("silver") {
       val sessions =

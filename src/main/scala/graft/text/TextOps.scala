@@ -125,9 +125,13 @@ object TextOps {
   /** Whitespace token count, SQL-expression form (INT; empty/blank text
     * counts 0) — the [[textStats]] tokenization, shared so
     * [[Packing.packSequences]] and its oracle tokenize identically. */
-  private[text] def tokenCountExpr: String =
-    "CASE WHEN trim(text) = '' THEN CAST(0 AS INT) " +
-      s"ELSE size(split(trim(text), '$WsSql+')) END"
+  private[text] def tokenCountExpr: String = tokenCountExprOn("text")
+
+  /** [[tokenCountExpr]] over an arbitrary string column (chunk bodies in
+    * [[Packing.packChunks]] tokenize with the identical definition). */
+  private[text] def tokenCountExprOn(c: String): String =
+    s"CASE WHEN trim($c) = '' THEN CAST(0 AS INT) " +
+      s"ELSE size(split(trim($c), '$WsSql+')) END"
 
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -67,6 +67,53 @@ class PackingSpec extends SparkSpec {
       out.last.getAs[Int]("chunk_len") - 1 == 81, "still covers the end")
   }
 
+  test("manifest accounts every token: spans contiguous, fill 1.0 " +
+      "except the shard-last window, overflow = spill past the budget") {
+    val dir = tmpDir("pack-manifest")
+    // one shard, budget 16; docs 10,10,30,4 tokens →
+    // seq 0: docs 1,2 (offsets 0,10; doc2 spills 4) ;
+    // seq 1: doc 3 at offset 4 (spills 18 past 16) ;
+    // seq 2: (doc 3's tail) ; doc 4 starts cum 50 → seq 3 offset 2.
+    writeDocs(dir, Seq((1L, ("tok " * 10).trim), (2L, ("tok " * 10).trim),
+      (3L, ("tok " * 30).trim), (4L, ("tok " * 4).trim)))
+    val m = Packing.packManifest(spark, dir, budget = 16L, shards = 1)
+      .orderBy("seq_id").collect()
+    assert(m.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 1L, 3L),
+      "windows with no ASSIGNED doc (pure spill) have no manifest row")
+    assert(m.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 1L, 1L))
+    assert(m.map(_.getAs[Long]("total_tokens")).toSeq == Seq(20L, 30L, 4L))
+    // seq 0 ends at 20 → 4 past budget; seq 1: 4+30=34 → 18 past.
+    assert(m.map(_.getAs[Long]("overflow_tokens")).toSeq ==
+      Seq(4L, 18L, 0L))
+    assert(m.map(_.getAs[Double]("fill_ratio")).toSeq ==
+      Seq(1.0, 1.0, 6.0 / 16.0), "last window: spans offsets 2..6 of 16")
+    assert(m.map(_.getAs[String]("doc_spans")).toSeq ==
+      Seq("1@0+10,2@10+10", "3@4+30", "4@2+4"))
+  }
+
+  test("chunk → pack composition: every chunk packed once, doc-local " +
+      "order preserved, budget windows advance on cumulative tokens") {
+    val dir = tmpDir("pack-chunks")
+    // 25 tokens of 4 chars + 24 spaces = 124 chars; chunk 40 / overlap 0
+    // → 4 chunks (40,40,40,4 chars ⇒ 10,10,10,1 tokens).
+    val text = (1 to 25).map(i => f"t$i%03d").mkString(" ")
+    writeDocs(dir, Seq((1L, text), (2L, text)))
+    val out = Packing.packChunks(spark, dir, budget = 16L, shards = 1,
+      chunk = 40, overlap = 0).orderBy("doc_id", "chunk_idx").collect()
+    val chunks = Packing.chunkDocuments(spark, dir, chunk = 40, overlap = 0)
+    assert(out.length == chunks.count(), "one assignment per chunk")
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq ==
+      Seq(10L, 10L, 10L, 1L))
+    // cum 0,10,20,30 under budget 16 → seqs 0,0,1,1; doc 2 continues the
+    // same shard at cum 31 → seq 1 offset 15, then 41→2, 51→3, 61→3.
+    assert(d1.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L, 1L))
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[Long]("seq_id")).toSeq == Seq(1L, 2L, 3L, 3L))
+    assert(d2.map(_.getAs[Long]("seq_offset")).toSeq ==
+      Seq(15L, 9L, 3L, 13L))
+  }
+
   test("chunks cover every char and overlap by exactly `overlap`") {
     val dir = tmpDir("chunk")
     val text = (1 to 100).map(i => ('a' + i % 26).toChar).mkString

@@ -42,6 +42,7 @@ class SqlParitySpec extends SparkSpec {
       "cleansed_events"))
 
     assertSameFrame(dfSilver, spark.table("silver_sessions_sql"), "silver")
+    spark.sql("DROP TABLE IF EXISTS silver_sessions_sql")
   }
 
   test("user gold: SQL SELECT over the silver table == DataFrame path") {
