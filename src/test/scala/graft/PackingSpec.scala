@@ -95,7 +95,8 @@ class PackingSpec extends SparkSpec {
       "order preserved, budget windows advance on cumulative tokens") {
     val dir = tmpDir("pack-chunks")
     // 25 tokens of 4 chars + 24 spaces = 124 chars; chunk 40 / overlap 0
-    // → 4 chunks (40,40,40,4 chars ⇒ 10,10,10,1 tokens).
+    // → 4 chunks (40,40,40,4 chars). Each token occupies 5 chars incl.
+    // its separator space, so a 40-char chunk holds 8 tokens ⇒ 8,8,8,1.
     val text = (1 to 25).map(i => f"t$i%03d").mkString(" ")
     writeDocs(dir, Seq((1L, text), (2L, text)))
     val out = Packing.packChunks(spark, dir, budget = 16L, shards = 1,
@@ -104,14 +105,15 @@ class PackingSpec extends SparkSpec {
     assert(out.length == chunks.count(), "one assignment per chunk")
     val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
     assert(d1.map(_.getAs[Long]("n_tokens")).toSeq ==
-      Seq(10L, 10L, 10L, 1L))
-    // cum 0,10,20,30 under budget 16 → seqs 0,0,1,1; doc 2 continues the
-    // same shard at cum 31 → seq 1 offset 15, then 41→2, 51→3, 61→3.
+      Seq(8L, 8L, 8L, 1L))
+    // cum 0,8,16,24 under budget 16 → seqs 0,0,1,1; doc 2 continues the
+    // same shard at cum 25 → starts 25,33,41,49 ⇒ seqs 1,2,2,3 with
+    // offsets 9,1,9,1 (cum mod budget).
     assert(d1.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L, 1L))
     val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
-    assert(d2.map(_.getAs[Long]("seq_id")).toSeq == Seq(1L, 2L, 3L, 3L))
+    assert(d2.map(_.getAs[Long]("seq_id")).toSeq == Seq(1L, 2L, 2L, 3L))
     assert(d2.map(_.getAs[Long]("seq_offset")).toSeq ==
-      Seq(15L, 9L, 3L, 13L))
+      Seq(9L, 1L, 9L, 1L))
   }
 
   test("chunks cover every char and overlap by exactly `overlap`") {
