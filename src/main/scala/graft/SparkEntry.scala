@@ -125,6 +125,17 @@ object SparkEntry {
       IvfCosine.topK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", nlist = 16, nprobe = 12, k = 5)
     }),
+    // The SERVING shape of IVF: train + encode ONCE into a persisted
+    // cluster-partitioned postings layout (first call per JVM), then the
+    // registered query is index scan + probe join only — no Lloyd, no
+    // assignment in the query plan (AnnIndexSpec pins the plan). Same
+    // covering-nprobe contract, so the same brute-force oracle.
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val idx = graft.sim.AnnIndex.dir(s, dir, "ivf")
+      graft.sim.AnnIndex.ensure(idx)(
+        IvfCosine.buildIndex(s, dir, idx, nlist = 16, iters = 3))
+      IvfCosine.topKIndexed(s, dir, idx, nQueries = 10, nprobe = 12, k = 5)
+    }),
     // Hyperplane-LSH ANN: the contract is top-k BY EXACT COSINE among
     // LSH-bucket candidates — deterministic (integer buckets from fixed
     // ±1 hyperplanes), so the oracle recomputes the identical index.
@@ -165,6 +176,15 @@ object SparkEntry {
     // end-to-end) — the 32x-compressed index contract, deterministic
     // like sim_lsh_topk's bucket contract.
     "sim_pq_topk" -> ((s, dir) => ProductQuantizer.topK(s, dir)),
+    // PQ serving split: codebooks + 32x-compressed code table persisted
+    // once; the query builds ADC tables from the stored books and scores
+    // the stored codes — zero training in the query plan.
+    "sim_pq_indexed" -> ((s, dir) => {
+      val idx = graft.sim.AnnIndex.dir(s, dir, "pq")
+      graft.sim.AnnIndex.ensure(idx)(
+        ProductQuantizer.buildIndex(s, dir, idx))
+      ProductQuantizer.topKIndexed(s, dir, idx)
+    }),
     // GK quantile sketch next to the exact percentiles, emitting the
     // rank-error contract columns (the agg_approx_distinct pattern).
     "percentile_approx_contract" -> EventOps.approxPercentileSpend _,
@@ -226,6 +246,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OpsOracles.minhashClusters,
     "dedup_simhash" -> OpsOracles.simhashPairs,
     "sim_ivf_topk" -> OpsOracles.cosineTopK,
+    "sim_ivf_indexed" -> OpsOracles.cosineTopK,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
@@ -247,6 +268,7 @@ object SparkEntry {
     "features_user_pit" -> OpsOracles.featuresUserPit,
     "dedup_containment" -> OpsOracles.containment,
     "sim_pq_topk" -> OpsOracles.pqTopK,
+    "sim_pq_indexed" -> OpsOracles.pqTopK,
     "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
     "pack_sequences" -> OpsOracles.packSequences,
     "chunk_documents" -> OpsOracles.chunkDocuments,

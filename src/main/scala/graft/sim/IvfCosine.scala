@@ -105,6 +105,84 @@ object IvfCosine {
       .select(col(idCol).as("vid"), col("q"), col("nq"))
   }
 
+  /** SERVING split — index once, query many (the shape the inline
+    * [[topK]] can't give a real user: at 100 TB nobody re-runs Lloyd per
+    * query). Persists the two artifacts the query phase needs:
+    *
+    *   `indexDir/centroids/`              (cluster_id, cv) — nlist rows,
+    *                                      broadcast at query time;
+    *   `indexDir/postings/cluster_id=<c>/` (neighbor_id, cv, cn) —
+    *                                      the inverted lists, quantized
+    *                                      scoring representation inline,
+    *                                      PARTITIONED by list id.
+    *
+    * Partitioning the postings by cluster_id is the scale lever: the
+    * probe join in [[topKIndexed]] is a broadcast hash join ON the
+    * partition column, so dynamic partition pruning reads only the
+    * probed nprobe/nlist of the index — on a 1000-executor cluster the
+    * query touches the probed lists' files and nothing else. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 indexDir: String, nlist: Int = 16,
+                 iters: Int = 3): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nv = normalized(emb, "vec_id", "embedding").cache()
+    try {
+      val centroids = trainNormalized(nv, nlist, iters)
+      centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+      // Zero-norm exclusion as in topK (Similarity.quantizedNonZero rule).
+      val qz = quantizedVecs(emb, "vec_id", "embedding")
+        .filter(col("nq") > 0)
+      assign(nv, centroids).join(qz, Seq("vid"))
+        .select(col("vid").as("neighbor_id"), col("q").as("cv"),
+          col("nq").as("cn"), col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$indexDir/postings")
+    } finally nv.unpersist()
+  }
+
+  /** Query phase against a persisted [[buildIndex]] layout: centroid
+    * scan (tiny, broadcast) → per-query top-nprobe probe → postings scan
+    * joined on the probed lists → exact quantized re-score. No training,
+    * no assignment, no corpus-wide pass — the plan is an index scan plus
+    * a probe join (AnnIndexSpec pins exactly two Window nodes: the probe
+    * top-nprobe and the final rank). Scoring is identical to [[topK]] /
+    * [[Similarity.cosineTopK]], so with covering nprobe the output is
+    * cell-identical to the brute-force oracle. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  indexDir: String, nQueries: Int = 10, nprobe: Int = 12,
+                  k: Int = 5): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val qEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < nQueries)
+    val qn = normalized(qEmb, "vec_id", "embedding")
+      .select(col("vid").as("query_id"), col("nv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cluster_id"))
+    val probes = qn.crossJoin(broadcast(centroids))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cluster_id"))
+      .join(quantizedVecs(qEmb, "vec_id", "embedding")
+        .filter(col("nq") > 0)
+        .select(col("vid").as("query_id"), col("q").as("qv"),
+          col("nq").as("qn")), Seq("query_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    postings.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq", expr("graft_dot(qv, cv)"))
+      .withColumn("cosine",
+        graft.util.Num.r(col("dotq").cast("double") /
+          (org.apache.spark.sql.functions.sqrt(col("qn").cast("double")) *
+            org.apache.spark.sql.functions.sqrt(col("cn").cast("double"))),
+          6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Top-k by cosine among vectors whose list is one of the query's
     * nprobe nearest centroids. IVF prunes the candidate set (a query
     * touches nprobe/nlist of the index); the FINAL score is the exact

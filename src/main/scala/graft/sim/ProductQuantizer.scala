@@ -90,6 +90,65 @@ object ProductQuantizer {
       .withColumn("cvn", expr("graft_dot(cv, cv)"))
   }
 
+  /** SERVING split (the [[IvfCosine.buildIndex]] pattern): persist the
+    * trained codebooks and the encoded corpus so queries never re-train.
+    *
+    *   `indexDir/books/` (s, code, cv, cvn)   — M·K rows, broadcast;
+    *   `indexDir/codes/` (neighbor_id, s, code) — the 32×-compressed
+    *                                              corpus encoding.
+    *
+    * The codes scan is inherent to ADC (every candidate's M codes are
+    * summed); composing this with the IVF partitioned-postings layout
+    * (IVF-PQ: partition the codes by coarse list id) is how the scan
+    * itself gets pruned at 100 TB. */
+  def buildIndex(s: SparkSession, dir: String, indexDir: String): Unit = {
+    val emb = Similarity.quantized(s, dir).select("vec_id", "q")
+      .filter(size(col("q")) === M * SubDim)
+    val sub = subVectors(emb)
+      .withColumn("svn", expr("graft_dot(sv, sv)"))
+      .persist()
+    try {
+      val books = trainedBooks(sub)
+      books.write.mode("overwrite").parquet(s"$indexDir/books")
+      assign(sub, s.read.parquet(s"$indexDir/books"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .write.mode("overwrite").parquet(s"$indexDir/codes")
+    } finally sub.unpersist()
+  }
+
+  /** Query phase against a persisted [[buildIndex]] layout: build the
+    * per-query ADC distance tables from the PERSISTED books (broadcast),
+    * score the PERSISTED code table with one broadcast join + fixed
+    * fan-in sum, rank. No codebook training, no corpus encoding — one
+    * Window node total (the final rank; AnnIndexSpec pins it). Identical
+    * deterministic output to [[topK]] / the pqTopK oracle. */
+  def topKIndexed(s: SparkSession, dir: String, indexDir: String,
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.SignatureExpressions.register(
+      s, 64, Array(1L), Array(0L), 2147483647L)
+    val books = s.read.parquet(s"$indexDir/books")
+    val codes = s.read.parquet(s"$indexDir/codes")
+    val qEmb = Similarity.quantized(s, dir).select("vec_id", "q")
+      .filter(size(col("q")) === M * SubDim)
+      .filter(col("vec_id") < nQueries)
+    val qt = subVectors(qEmb)
+      .withColumn("svn", expr("graft_dot(sv, sv)"))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(books), Seq("s"))
+      .withColumn("dot", expr("graft_dot(sv, cv)"))
+      .withColumn("qd", dist2("svn", "cvn", "dot"))
+      .select("query_id", "s", "code", "qd")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    codes.join(broadcast(qt), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_d2", "rank")
+  }
+
   /** Registered query: ADC top-k for queries vec_id < nQueries over the
     * PQ-encoded corpus (query itself excluded). The score is the PQ
     * APPROXIMATION of squared L2 — the contract is the deterministic
