@@ -44,12 +44,14 @@ object SparkEntry {
       EpisodeDaily.build(sessions(s, dir))),
     "gold_webtoon_daily" -> ((s, dir) => {
       val sess = sessions(s, dir)
-      // The gold→gold dependency: persist the episode gold input so the
-      // deepest-episode argmax doesn't re-execute the episode aggregate
-      // subtree (mirrors the reference reading the MATERIALIZED episode
-      // table, gold_webtoon_daily_metrics.py:74-77). Released by the
-      // harness' clearCache between queries.
-      WebtoonDaily.build(sess, EpisodeDaily.build(sess).persist())
+      // The gold→gold dependency (C5): the deepest-episode argmax reads
+      // the episode gold, as the reference reads the MATERIALIZED episode
+      // table (gold_webtoon_daily_metrics.py:74-77). NOT persisted here:
+      // it has exactly one consumer, and leaving it lazy lets Catalyst
+      // prune the episode aggregate down to the one column the argmax
+      // needs (a persist would force materializing every episode metric —
+      // measured +1.1 s at sf0.1 for zero reuse).
+      WebtoonDaily.build(sess, EpisodeDaily.build(sess))
     }),
     "gold_country_daily" -> ((s, dir) => CountryDaily.build(sessions(s, dir))),
     // The zero-Exchange layout path: the SAME user gold re-planned over a

@@ -16,15 +16,42 @@ import org.apache.spark.sql.functions._
 object WebtoonDaily {
 
   def build(sessions: DataFrame, episodeDaily: DataFrame): DataFrame = {
-    val base = sessions.groupBy(col("datetime"), col("webtoon_id")).agg(
-      countDistinct(col("session_id")).as("total_sessions"),
-      countDistinct(col("user_id")).as("total_users"),
-      countDistinct(col("episode_id")).as("episodes_read"),
-      count(lit(1)).as("n_rows"),
-      sum(col("is_complete")).cast("bigint").as("complete_rows"),
-      sum(col("is_exit")).cast("bigint").as("exit_rows"),
-      sum(col("sum_value_cents")).as("value_cents_total"),
-      sum(col("n_events")).as("events_total"))
+    // Pre-reduction: ONE pass at the (day, webtoon, USER) grain replaces
+    // both the former three-countDistinct base aggregate — whose Expand
+    // multiplied every session row ×4 through the shuffle — and the
+    // separate binge double-aggregate. session_id is user-scoped
+    // ("<user_id>_<seq>", Sessionize.sessions:52), so the webtoon-day
+    // distinct-session count is exactly the sum of per-user distincts;
+    // per-group collect_set state is one user's webtoon-day (a handful
+    // of sessions/episodes), bounded at any corpus size.
+    val perUser = sessions
+      .groupBy(col("datetime"), col("webtoon_id"), col("user_id"))
+      .agg(
+        size(collect_set(col("session_id"))).cast("bigint")
+          .as("u_sessions"),
+        collect_set(col("episode_id")).as("u_eps"),
+        count(lit(1)).as("u_rows"),
+        sum(col("is_complete")).cast("bigint").as("u_complete"),
+        sum(col("is_exit")).cast("bigint").as("u_exit"),
+        sum(col("sum_value_cents")).as("u_value_cents"),
+        sum(col("n_events")).as("u_events"))
+
+    // Final rollup with NO distinct aggregate anywhere: users ARE the
+    // rows, sessions sum, episodes_read is the union of the per-user
+    // sets (state bounded by one webtoon's episode catalog, not the
+    // corpus). A9 binge rides the same pass: a user's distinct-episode
+    // count is size(u_eps).
+    val base = perUser.groupBy(col("datetime"), col("webtoon_id")).agg(
+      sum(col("u_sessions")).as("total_sessions"),
+      count(lit(1)).as("total_users"),
+      size(array_distinct(flatten(collect_list(col("u_eps")))))
+        .cast("bigint").as("episodes_read"),
+      sum(col("u_rows")).as("n_rows"),
+      sum(col("u_complete")).as("complete_rows"),
+      sum(col("u_exit")).as("exit_rows"),
+      sum(col("u_value_cents")).as("value_cents_total"),
+      sum(col("u_events")).as("events_total"),
+      count(when(size(col("u_eps")) >= 3, lit(1))).as("binge_users"))
       .withColumn("completion_rate",
         Num.ratio(col("complete_rows"), col("n_rows"), 4))
       .withColumn("exit_rate",
@@ -49,19 +76,14 @@ object WebtoonDaily {
           col("episode_id").as("deepest_episode_id"))
     }
 
-    // A9: binge users — two-level aggregate (per-user distinct episodes,
-    // then conditional count-distinct of users with >= 3).
-    val binge = sessions
-      .groupBy(col("datetime"), col("webtoon_id"), col("user_id"))
-      .agg(countDistinct(col("episode_id")).as("eps"))
-      .groupBy(col("datetime"), col("webtoon_id"))
-      .agg(countDistinct(when(col("eps") >= 3, col("user_id")))
-        .as("binge_users"))
-
-    // J5: yesterday-anchored retention. Left join yesterday's distinct
-    // (webtoon, user) set to today's; retention = returned / yesterday.
-    val wtUsers = sessions.select(col("datetime"), col("webtoon_id"),
-      col("user_id")).distinct()
+    // J5: yesterday-anchored retention over the ALREADY-DISTINCT
+    // (day, webtoon, user) triple — perUser's grouping key, so all three
+    // consumers share one exchange (ReuseExchange). The left self-join
+    // keys on the full unique triple and therefore preserves y-row
+    // uniqueness: the former two countDistincts are plain counts — no
+    // Expand on this branch either.
+    val wtUsers = perUser.select(col("datetime"), col("webtoon_id"),
+      col("user_id"))
     val y = wtUsers.as("y")
     val t = wtUsers.as("t")
     val retention = y.join(t,
@@ -71,15 +93,13 @@ object WebtoonDaily {
       .groupBy(date_add(col("y.datetime"), 1).as("datetime"),
         col("y.webtoon_id").as("webtoon_id"))
       .agg(
-        countDistinct(col("y.user_id")).as("yesterday_users"),
-        countDistinct(when(col("t.user_id").isNotNull, col("y.user_id")))
-          .as("returned_users"))
+        count(lit(1)).as("yesterday_users"),
+        count(col("t.user_id")).as("returned_users"))
       .withColumn("retention_rate",
         Num.guardedRatio(col("returned_users"), col("yesterday_users"), 4))
 
     base
       .join(deepest, Seq("datetime", "webtoon_id"), "left")    // J4
-      .join(binge, Seq("datetime", "webtoon_id"), "left")
       .join(retention, Seq("datetime", "webtoon_id"), "left")
       .na.fill(Map("binge_users" -> 0L, "yesterday_users" -> 0L,
         "returned_users" -> 0L, "retention_rate" -> 0.0,
