@@ -22,14 +22,26 @@ import org.apache.spark.sql.SparkSession
   * Noise attribution (round 5 showed the driver's record inflating ~18
   * untouched queries 2-4× under sustained neighbor load, which min-of-3
   * alone cannot see through):
+  *   - reps are INTERLEAVED round-robin across the battery (rep 1 of
+  *     every query, then rep 2, …): back-to-back reps let a ~1-minute
+  *     burst poison all Reps timings of one query (round 6's
+  *     text_decontaminate showed 3.5/4.1/3.8 vs 0.94 calm); spread
+  *     across the whole battery, a burst inflates at most one rep of
+  *     any query and min-of-Reps self-corrects;
   *   - `reps_detail` carries every per-rep timing, so a reader can tell a
   *     tight [0.31,0.33,0.32] from a storm-shaped [0.31,4.2,3.9];
+  *   - `burst_count` counts queries whose LATER reps (rep 1 is excluded
+  *     — it pays that query's codegen) still disagree by more than 2×:
+  *     under interleaving that only happens when noise outlasted a full
+  *     battery pass, so many-query spread is itself a noise signal and
+  *     flips `noise_flag`;
   *   - a fixed cheap sentinel query is re-timed (min-of-Reps) at battery
   *     start AND end; the record is flagged `noise_flag:true` when either
   *     sentinel exceeds 2× its recorded calm-machine cost (known SF dirs
-  *     only) or the two sentinels disagree by more than 2× (noise arrived
-  *     or left mid-battery) — so a slow round is attributable without a
-  *     judge re-run. */
+  *     only, overridable via $SPARK_GRAFT_SENTINEL_CALM on foreign
+  *     hardware) or the two sentinels disagree by more than 2× (noise
+  *     arrived or left mid-battery) — so a slow round is attributable
+  *     without a judge re-run. */
 object Bench {
   val Reps = 3
 
@@ -38,7 +50,8 @@ object Bench {
 
   /** Calm-machine min-of-3 cost of the sentinel per SF dir basename,
     * measured on an idle box (round 6). Unknown dirs get start-vs-end
-    * comparison only. */
+    * comparison only; $SPARK_GRAFT_SENTINEL_CALM (seconds) overrides
+    * these constants on hardware where they don't apply. */
   val SentinelCalmSec: Map[String, Double] = Map(
     "sf0.1"   -> 0.55,
     "sf0.01"  -> 0.35,
@@ -88,13 +101,27 @@ object Bench {
       case Some(o) => o.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    val results = names.map(n => n -> run(n))
+    // Round-robin interleaving: one full battery pass per rep.
+    val acc = scala.collection.mutable.LinkedHashMap(
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to Reps; n <- names) acc(n) = acc(n) :+ runOnce(n)
+    val results: Seq[(String, Seq[Double])] =
+      acc.toSeq.map { case (k, v) => k -> v.toSeq }
     val sentinelEnd = minOf(run(SentinelName))
-    val calm = SentinelCalmSec.get(new java.io.File(sfDir).getName)
+    val calm = sys.env.get("SPARK_GRAFT_SENTINEL_CALM")
+      .flatMap(_.toDoubleOption)
+      .orElse(SentinelCalmSec.get(new java.io.File(sfDir).getName))
+    // Queries whose post-warmup reps still spread >2x: under
+    // interleaving that means noise outlasted a whole battery pass.
+    val burstCount = results.count { case (_, v) =>
+      val later = v.drop(1).filter(_ > 0)
+      later.size >= 2 && later.max > 2 * later.min
+    }
     val noisy =
       calm.exists(c => sentinelStart > 2 * c || sentinelEnd > 2 * c) ||
         (sentinelStart > 0 && sentinelEnd > 2 * sentinelStart) ||
-        (sentinelEnd > 0 && sentinelStart > 2 * sentinelEnd)
+        (sentinelEnd > 0 && sentinelStart > 2 * sentinelEnd) ||
+        burstCount >= math.max(3, names.size / 8)
     val qs = results.map { case (k, v) => s""""$k":${minOf(v)}""" }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, v) =>
@@ -106,7 +133,7 @@ object Bench {
     // A SPARK_GRAFT_ONLY subset emits "filtered":true so its (partial)
     // total is never mistaken for a full-battery baseline.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"min","reps_detail":$reps,"sentinel":$sentinel,"noise_flag":$noisy,"filtered":${only.isDefined}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"min","rep_order":"interleaved","reps_detail":$reps,"sentinel":$sentinel,"burst_count":$burstCount,"noise_flag":$noisy,"filtered":${only.isDefined}}"""
     println(json)
     // Also land the full line on disk: the driver captures stdout's TAIL,
     // which has truncated the first per-query timings in past rounds —
