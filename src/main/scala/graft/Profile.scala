@@ -52,6 +52,37 @@ object Profile {
       println(s"  confirmed = ${c.count()}"); c
     }
     time("components")(force(components(sigs.select("doc_id"), conf)))
+
+    // Gold country/webtoon branch timings (round-8 Expand-removal work).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_GOLD")) {
+      import org.apache.spark.sql.functions._
+      val sess = time("silver materialize") {
+        val x = graft.silver.Sessionize
+          .sessions(graft.ingest.Events.cleansed(spark, sfDir)).persist()
+        x.count(); x
+      }
+      time("country perPair+sums") {
+        force(sess.groupBy(col("datetime"), col("country"), col("user_id"),
+            col("webtoon_id"), col("episode_id"))
+          .agg(count(lit(1)).as("p_rows"))
+          .groupBy(col("datetime"), col("country"))
+          .agg(count(lit(1)).as("pairs"), sum(col("p_rows")).as("n")))
+      }
+      time("country perUserS cascade") {
+        force(sess.select(col("datetime"), col("country"), col("user_id"),
+            col("session_id")).distinct()
+          .groupBy(col("datetime"), col("country"), col("user_id"))
+          .agg(count(lit(1)).as("u_sessions")))
+      }
+      time("country full") {
+        force(graft.gold.CountryDaily.build(sess))
+      }
+      time("webtoon full") {
+        force(graft.gold.WebtoonDaily.build(sess,
+          graft.gold.EpisodeDaily.build(sess)))
+      }
+      sess.unpersist()
+    }
     spark.stop()
   }
 }

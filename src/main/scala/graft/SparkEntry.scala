@@ -28,7 +28,16 @@ object SparkEntry {
     * reference's silver table); here each query persists the shared
     * sessions input so its side-aggregate branches reuse one computation
     * instead of re-running the sessionize subtree per branch. The
-    * silver-side dedup is exercised in `silver_sessions`. */
+    * silver-side dedup is exercised in `silver_sessions`.
+    *
+    * DATA CONTRACT for the gold builders downstream: session_id is
+    * user-scoped ("<user_id>_<seq>" — Sessionize.sessions guarantees it).
+    * WebtoonDaily and CountryDaily pre-reduce at a per-user grain and SUM
+    * per-user distinct-session counts, which is exact only under this
+    * contract; do NOT wire them to a sessionsFromProvided silver whose
+    * producer session ids can span users. WebtoonDaily's total_users also
+    * counts a NULL-user group (count(*) over per-user rows) that a plain
+    * countDistinct(user_id) would exclude — harness events are non-null. */
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(Events.cleansed(s, dir)).persist()
 

@@ -12,27 +12,54 @@ import org.apache.spark.sql.functions._
 object CountryDaily {
 
   def build(sessions: DataFrame): DataFrame = {
-    val base = sessions.groupBy(col("datetime"), col("country")).agg(
-      countDistinct(col("session_id")).as("total_sessions"),
-      countDistinct(col("user_id")).as("total_users"),
-      countDistinct(struct(col("user_id"), col("webtoon_id"),
-        col("episode_id"))).as("user_content_pairs"),
-      count(lit(1)).as("n_rows"),
-      sum(col("is_complete")).cast("bigint").as("complete_rows"),
-      sum(col("sum_value_cents")).as("value_cents_total"),
-      sum(col("n_events")).as("events_total"))
+    // The former base planned three distinct aggregates in ONE Aggregate
+    // (two plain + one struct ⇒ RewriteDistinctAggregates' Expand ×4 of
+    // every session row through the shuffle). Instead: two cascades of
+    // single-purpose pre-aggregations. Each level is a codegen hash
+    // aggregate with one-row group state whose map-side partial reduces
+    // before its shuffle — the shuffles carry only distinct keys (≤ the
+    // input, vs Expand's 4× the input), bounded at any corpus size. The
+    // cascade heads re-join on (day, country), whose cardinality is
+    // days × countries — broadcast-sized forever. NULL semantics match
+    // the former countDistincts: the isNotNull filters mirror
+    // countDistinct's null-skipping, and the struct distinct counted
+    // null-field tuples, as the unfiltered perPair distinct does.
+    val key = Seq(col("datetime"), col("country"))
+    // The plain sums RIDE the pair-distinct's first level: aggregate once
+    // at the (day, country, user, webtoon, episode) grain (per-group
+    // state = one row of partial sums, bounded), then roll up — the
+    // level-2 count(*) IS user_content_pairs and the sums re-sum exactly.
+    val perPair = sessions
+      .groupBy(col("datetime"), col("country"), col("user_id"),
+        col("webtoon_id"), col("episode_id"))
+      .agg(
+        count(lit(1)).as("p_rows"),
+        sum(col("is_complete")).cast("bigint").as("p_complete"),
+        sum(col("sum_value_cents")).as("p_value_cents"),
+        sum(col("n_events")).as("p_events"))
+    val sums = perPair.groupBy(key: _*).agg(
+      count(lit(1)).as("user_content_pairs"),
+      sum(col("p_rows")).as("n_rows"),
+      sum(col("p_complete")).as("complete_rows"),
+      sum(col("p_value_cents")).as("value_cents_total"),
+      sum(col("p_events")).as("events_total"))
+    val base = sums
       .withColumn("completion_rate",
         Num.ratio(col("complete_rows"), col("n_rows"), 4))
       .withColumn("avg_event_value",
         Num.r(col("value_cents_total").cast("double") /
           (col("events_total") * 100), 2))
 
-    // A10: re-aggregate the aggregate per day — weighted global rates.
-    val globals = base.groupBy(col("datetime")).agg(
-      sum(col("complete_rows")).as("g_complete"),
-      sum(col("n_rows")).as("g_rows"),
-      sum(col("value_cents_total")).as("g_cents"),
-      sum(col("events_total")).as("g_events"))
+    // A10: the per-day global re-aggregation. Summed DIRECTLY from the
+    // (persisted) sessions input, not from `base`: per-day sums over all
+    // countries equal the sum of per-country sums, and consuming `base`
+    // here would recompute the whole perPair cascade for a second
+    // consumer (measured ~0.7 s of pure recompute at sf0.1).
+    val globals = sessions.groupBy(col("datetime")).agg(
+      sum(col("is_complete")).cast("bigint").as("g_complete"),
+      count(lit(1)).as("g_rows"),
+      sum(col("sum_value_cents")).as("g_cents"),
+      sum(col("n_events")).as("g_events"))
       .withColumn("global_completion_rate",
         Num.ratio(col("g_complete"), col("g_rows"), 4))
       .withColumn("global_avg_event_value",
@@ -40,22 +67,36 @@ object CountryDaily {
       .select(col("datetime"), col("global_completion_rate"),
         col("global_avg_event_value"))
 
-    // J6: today-anchored retention — left join yesterday's user set, count
-    // matches via the null check (the reference's anti-join emulation).
-    val cUsers = sessions.select(col("datetime"), col("country"),
-      col("user_id")).distinct()
-    val t = cUsers.as("t")
-    val y = cUsers.as("y")
-    val retention = t.join(y,
-        col("y.country") === col("t.country") &&
-          col("y.user_id") === col("t.user_id") &&
-          col("y.datetime") === date_sub(col("t.datetime"), 1), "left")
-      .groupBy(col("t.datetime").as("datetime"),
-        col("t.country").as("country"))
+    // Sessions + users + J6 today-anchored retention on ONE cascade:
+    // distinct (day, country, user, session) → per-user session count →
+    // presence window → a single (day, country) rollup. session_id is
+    // user-scoped (Sessionize contract, documented at the SparkEntry
+    // wiring), so summing per-user distinct-session counts IS the former
+    // countDistinct(session_id). lag(datetime) per (country, user) tells
+    // whether the user was present yesterday — exactly what the former
+    // self-join probed — without recomputing the distinct for a second
+    // join input and without the join. Window state is one user's visit
+    // dates (bounded); every aggregate here is a codegen hash aggregate
+    // with one-row groups — no Expand, no collect_*. active_users == the
+    // former total_users (both count day-country distinct non-null
+    // users), so the base needs no separate user branch.
+    val perUserS = sessions
+      .filter(col("user_id").isNotNull && col("session_id").isNotNull)
+      .select(col("datetime"), col("country"), col("user_id"),
+        col("session_id"))
+      .distinct()
+      .groupBy(col("datetime"), col("country"), col("user_id"))
+      .agg(count(lit(1)).as("u_sessions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("country"), col("user_id")).orderBy(col("datetime"))
+    val retention = perUserS
+      .withColumn("prev_dt", lag(col("datetime"), 1).over(w))
+      .groupBy(col("datetime"), col("country"))
       .agg(
-        countDistinct(col("t.user_id")).as("active_users"),
-        countDistinct(when(col("y.user_id").isNotNull, col("t.user_id")))
-          .as("returning_users"))
+        sum(col("u_sessions")).as("total_sessions"),
+        count(lit(1)).as("active_users"),
+        count(when(col("prev_dt") === date_sub(col("datetime"), 1),
+          lit(1))).as("returning_users"))
       .withColumn("new_users", col("active_users") - col("returning_users"))
       .withColumn("returning_ratio",
         Num.guardedRatio(col("returning_users"), col("active_users"), 4))
@@ -63,6 +104,10 @@ object CountryDaily {
     base
       .join(globals, Seq("datetime"), "left")                  // J7
       .join(retention, Seq("datetime", "country"), "left")     // J8
+      .na.fill(Map("total_sessions" -> 0L, "active_users" -> 0L,
+        "returning_users" -> 0L, "new_users" -> 0L,
+        "returning_ratio" -> 0.0))
+      .withColumn("total_users", col("active_users"))
       .withColumn("completion_index",
         when(col("global_completion_rate") > 0,
           Num.r(col("completion_rate") / col("global_completion_rate"), 4))

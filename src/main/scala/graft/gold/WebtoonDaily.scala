@@ -36,16 +36,12 @@ object WebtoonDaily {
         sum(col("sum_value_cents")).as("u_value_cents"),
         sum(col("n_events")).as("u_events"))
 
-    // Final rollup with NO distinct aggregate anywhere: users ARE the
-    // rows, sessions sum, episodes_read is the union of the per-user
-    // sets (state bounded by one webtoon's episode catalog, not the
-    // corpus). A9 binge rides the same pass: a user's distinct-episode
-    // count is size(u_eps).
+    // Final rollup with NO distinct aggregate anywhere AND no unbounded
+    // aggregation buffer: users ARE the rows, sessions sum. A9 binge
+    // rides the same pass: a user's distinct-episode count is size(u_eps).
     val base = perUser.groupBy(col("datetime"), col("webtoon_id")).agg(
       sum(col("u_sessions")).as("total_sessions"),
       count(lit(1)).as("total_users"),
-      size(array_distinct(flatten(collect_list(col("u_eps")))))
-        .cast("bigint").as("episodes_read"),
       sum(col("u_rows")).as("n_rows"),
       sum(col("u_complete")).as("complete_rows"),
       sum(col("u_exit")).as("exit_rows"),
@@ -60,6 +56,22 @@ object WebtoonDaily {
         Num.r(col("value_cents_total").cast("double") /
           (col("events_total") * 100), 2))
       .drop("complete_rows", "exit_rows", "value_cents_total")
+
+    // episodes_read on a bounded side branch DIRECTLY off the (persisted)
+    // sessions input: distinct (day, webtoon, episode) then count. The
+    // distinct is a two-stage codegen hash aggregate whose per-group
+    // state is one row — unlike collect_list, whose buffer grows with
+    // users-per-webtoon-day × episodes each before any dedup runs — and
+    // unlike routing through perUser, which would recompute perUser's
+    // non-codegen collect_set aggregation for this consumer (column
+    // pruning can't remove it here). The isNotNull filter matches
+    // collect_set semantics (NULL episode_ids are not episodes read).
+    val episodesRead = sessions
+      .filter(col("episode_id").isNotNull)
+      .select(col("datetime"), col("webtoon_id"), col("episode_id"))
+      .distinct()
+      .groupBy(col("datetime"), col("webtoon_id"))
+      .agg(count(lit(1)).as("episodes_read"))
 
     // W2: deepest episode = argmax(avg_max_value) per webtoon-day, ties
     // broken by episode_id — row_number + rn=1 filter over the Gold→Gold
@@ -77,32 +89,35 @@ object WebtoonDaily {
     }
 
     // J5: yesterday-anchored retention over the ALREADY-DISTINCT
-    // (day, webtoon, user) triple — perUser's grouping key, so all three
-    // consumers share one exchange (ReuseExchange). The left self-join
-    // keys on the full unique triple and therefore preserves y-row
-    // uniqueness: the former two countDistincts are plain counts — no
-    // Expand on this branch either.
+    // (day, webtoon, user) triple — perUser's grouping key (pruned to a
+    // plain codegen distinct for this consumer), re-expressed as ONE
+    // window pass: lead(datetime) per (webtoon, user) tells whether the
+    // yesterday-user came back today — what the former self-join probed —
+    // without recomputing the distinct for a second join input. Window
+    // state is one user's visit dates (bounded). The isNotNull guard
+    // mirrors the join's null-never-matches semantics for NULL users.
     val wtUsers = perUser.select(col("datetime"), col("webtoon_id"),
       col("user_id"))
-    val y = wtUsers.as("y")
-    val t = wtUsers.as("t")
-    val retention = y.join(t,
-        col("t.webtoon_id") === col("y.webtoon_id") &&
-          col("t.user_id") === col("y.user_id") &&
-          col("t.datetime") === date_add(col("y.datetime"), 1), "left")
-      .groupBy(date_add(col("y.datetime"), 1).as("datetime"),
-        col("y.webtoon_id").as("webtoon_id"))
+    val nxt = Window.partitionBy(col("webtoon_id"), col("user_id"))
+      .orderBy(col("datetime"))
+    val retention = wtUsers
+      .withColumn("next_dt", lead(col("datetime"), 1).over(nxt))
+      .groupBy(date_add(col("datetime"), 1).as("datetime"),
+        col("webtoon_id"))
       .agg(
         count(lit(1)).as("yesterday_users"),
-        count(col("t.user_id")).as("returned_users"))
+        count(when(col("user_id").isNotNull &&
+          col("next_dt") === date_add(col("datetime"), 1), lit(1)))
+          .as("returned_users"))
       .withColumn("retention_rate",
         Num.guardedRatio(col("returned_users"), col("yesterday_users"), 4))
 
     base
+      .join(episodesRead, Seq("datetime", "webtoon_id"), "left")
       .join(deepest, Seq("datetime", "webtoon_id"), "left")    // J4
       .join(retention, Seq("datetime", "webtoon_id"), "left")
-      .na.fill(Map("binge_users" -> 0L, "yesterday_users" -> 0L,
-        "returned_users" -> 0L, "retention_rate" -> 0.0,
-        "deepest_episode_id" -> "none"))
+      .na.fill(Map("binge_users" -> 0L, "episodes_read" -> 0L,
+        "yesterday_users" -> 0L, "returned_users" -> 0L,
+        "retention_rate" -> 0.0, "deepest_episode_id" -> "none"))
   }
 }

@@ -159,6 +159,52 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pre-reduced gold bases plan no Expand (no distinct-agg fanout)") {
+    // The round-7/8 rewrites replaced multi-distinct base aggregates
+    // (Expand ×4 of every session row through the shuffle) with a
+    // per-user pre-reduction; regressing to countDistinct would bring
+    // the Expand back.
+    for (q <- Seq("gold_webtoon_daily", "gold_country_daily")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q plans an Expand:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("gold aggregation state is bounded: no collect_list anywhere, " +
+      "collect_set only at a per-user grain") {
+    // collect_list buffers every input row before any dedup runs — at a
+    // hot-key day that buffer scales with users × items and OOMs the
+    // executor. collect_set is bounded ONLY when the group key pins a
+    // single user (one user's day of sessions/episodes).
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    for (q <- Seq("gold_user_daily", "gold_episode_daily",
+        "gold_webtoon_daily", "gold_country_daily",
+        "gold_platform_device_daily", "silver_sessions")) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      lp.foreach {
+        case a: Aggregate =>
+          assert(!a.aggregateExpressions.exists(_.exists {
+            case _: CollectList => true; case _ => false
+          }), s"$q aggregates with collect_list (unbounded buffer)")
+          val collectsSet = a.aggregateExpressions.exists(_.exists {
+            case _: CollectSet => true; case _ => false
+          })
+          if (collectsSet) assert(
+            a.groupingExpressions.exists(_.exists {
+              case att: Attribute => att.name == "user_id"
+              case _ => false
+            }),
+            s"$q collect_set at a non-user grain — state scales with users")
+        case _ =>
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pivot reads the table once, not one pass per column") {
     val p = plan("pivot_order_status")
     assert("FileScan".r.findAllIn(p).size == 1, p)
