@@ -1,6 +1,7 @@
 package graft
 
-import graft.gold.UserDaily
+import graft.gold.{CountryDaily, EpisodeDaily, PlatformDeviceDaily,
+  UserDaily, WebtoonDaily}
 import graft.ingest.Events
 import graft.silver.{Dedup, Sessionize}
 import graft.sql.PipelineSql
@@ -68,5 +69,40 @@ class SqlParitySpec extends SparkSpec {
     // frame (first test), so transitively SQL gold == the registered
     // DataFrame gold pipeline.
     spark.sql("DROP TABLE IF EXISTS silver_sessions_sql2")
+  }
+
+  test("episode/webtoon/country/platform golds: SQL SELECT == DataFrame") {
+    // One materialized silver feeds all four remaining gold tables, so
+    // the full 6-stage pipeline (silver + 5 golds) is now expressible by
+    // a SQL-only consumer — the reference's tables are consumed through
+    // SQL (Trino/Spark SQL over Iceberg).
+    val wh = tmpDir("sqlparity-gold4")
+    Events.cleansed(spark, dir).createOrReplaceTempView("cleansed_events")
+    val dfSilver =
+      Sessionize.sessions(Dedup.keepLatest(Events.cleansed(spark, dir)))
+    spark.sql("DROP TABLE IF EXISTS silver_sessions_sql4")
+    spark.sql(
+      s"CREATE TABLE silver_sessions_sql4 (${dfSilver.schema.toDDL})" +
+        s" USING parquet LOCATION '$wh/silver_sessions_sql4'")
+    spark.sql(PipelineSql.silverInsert("silver_sessions_sql4",
+      "cleansed_events"))
+    val silver = spark.table("silver_sessions_sql4")
+
+    assertSameFrame(EpisodeDaily.build(silver),
+      spark.sql(PipelineSql.goldEpisodeDailySelect("silver_sessions_sql4")),
+      "gold_episode_daily")
+    assertSameFrame(
+      WebtoonDaily.build(silver, EpisodeDaily.build(silver)),
+      spark.sql(PipelineSql.goldWebtoonDailySelect("silver_sessions_sql4")),
+      "gold_webtoon_daily")
+    assertSameFrame(CountryDaily.build(silver),
+      spark.sql(PipelineSql.goldCountryDailySelect("silver_sessions_sql4")),
+      "gold_country_daily")
+    assertSameFrame(PlatformDeviceDaily.build(silver),
+      spark.sql(
+        PipelineSql.goldPlatformDeviceDailySelect("silver_sessions_sql4")),
+      "gold_platform_device_daily")
+
+    spark.sql("DROP TABLE IF EXISTS silver_sessions_sql4")
   }
 }
