@@ -196,6 +196,21 @@ object SparkEntry {
         ProductQuantizer.buildIndex(s, dir, idx))
       ProductQuantizer.topKIndexed(s, dir, idx)
     }),
+    // Composed IVF-PQ: PQ codes partitioned by the integer-L2 coarse
+    // list id, so the probe join prunes the codes SCAN (partition
+    // pruning) while ADC keeps each scanned row at M codes — the
+    // 100 TB ANN layout. The contract is the deterministic INDEX's
+    // output at nprobe=4 (the sim_lsh_topk / sim_pq_topk pattern —
+    // integer-exact end-to-end, so the oracle replays coarse training,
+    // probing and ADC cell-for-cell); recall vs exhaustive ADC is the
+    // measured property, pinned at nprobe=16 == plain PQ (AnnIndexSpec).
+    "sim_ivfpq_indexed" -> ((s, dir) => {
+      val idx = graft.sim.AnnIndex.dir(s, dir, "ivfpq")
+      graft.sim.AnnIndex.ensure(idx)(
+        graft.sim.IvfPq.buildIndex(s, dir, idx, nlist = 16))
+      graft.sim.IvfPq.topKIndexed(s, dir, idx, nQueries = 10,
+        nprobe = 4, k = 5)
+    }),
     // GK quantile sketch next to the exact percentiles, emitting the
     // rank-error contract columns (the agg_approx_distinct pattern).
     "percentile_approx_contract" -> EventOps.approxPercentileSpend _,
@@ -280,6 +295,7 @@ object SparkEntry {
     "dedup_containment" -> OpsOracles.containment,
     "sim_pq_topk" -> OpsOracles.pqTopK,
     "sim_pq_indexed" -> OpsOracles.pqTopK,
+    "sim_ivfpq_indexed" -> OpsOracles.ivfPqTopK,
     "percentile_approx_contract" -> OpsOracles.approxPercentileSpend,
     "pack_sequences" -> OpsOracles.packSequences,
     "chunk_documents" -> OpsOracles.chunkDocuments,

@@ -1585,4 +1585,177 @@ object OpsOracles {
       |    AS "rank"
       |  FROM adc)
       |WHERE "rank" <= 5""".stripMargin
+
+  /** Mirrors sim.IvfPq.topKIndexed (nlist=16 integer-L2 coarse
+    * quantizer — seeds = first 16 vec_ids, one integer-mean Lloyd step,
+    * the SAME recipe as the PQ codebooks at full dimension — composed
+    * with the pqTopK codebooks/codes/ADC, candidates restricted to each
+    * query's nprobe=4 nearest coarse lists). The contract is the
+    * deterministic INDEX's output (the sim_lsh_topk / sim_pq_topk
+    * pattern): every quantity is an exact integer, so the replay is
+    * cell-exact — recall vs exhaustive ADC is a measured property
+    * (AnnIndexSpec pins nprobe=16 == plain PQ). */
+  val ivfPqTopK: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |e AS (SELECT * FROM e0 WHERE len(q) = 64),
+      |en AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qn
+      |  FROM e
+      |),
+      |sub AS (
+      |  SELECT vec_id, CAST(t.s AS INT) AS s,
+      |    list_slice(q, CAST(t.s AS INT) * 8 + 1,
+      |      CAST(t.s AS INT) * 8 + 8) AS sv
+      |  FROM e, range(0, 8) t(s)
+      |),
+      |subn AS (
+      |  SELECT vec_id, s, sv,
+      |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT) AS svn
+      |  FROM sub
+      |),
+      |seedids AS (
+      |  SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 16)
+      |),
+      |c0 AS (
+      |  SELECT sub.s, seedids.code, sub.sv AS cv,
+      |    CAST(list_sum(list_transform(sub.sv, v -> v * v)) AS BIGINT)
+      |      AS cvn
+      |  FROM sub JOIN seedids USING (vec_id)
+      |),
+      |a0p AS (
+      |  SELECT subn.vec_id, subn.s, c0.code,
+      |    subn.svn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(subn.sv, c0.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + c0.cvn AS d2
+      |  FROM subn JOIN c0 ON subn.s = c0.s
+      |),
+      |a0 AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM a0p)
+      |  WHERE rk = 1
+      |),
+      |mem AS (
+      |  SELECT a0.s, a0.code,
+      |    unnest(list_zip(subn.sv, range(1, len(subn.sv) + 1))) AS zz
+      |  FROM a0 JOIN subn ON a0.vec_id = subn.vec_id AND a0.s = subn.s
+      |),
+      |upd AS (
+      |  SELECT s, code, CAST(zz[2] AS INT) AS dim,
+      |    CAST(round(CAST(sum(zz[1]) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS mx
+      |  FROM mem GROUP BY 1, 2, 3
+      |),
+      |c1a AS (
+      |  SELECT s, code, list(mx ORDER BY dim) AS cv FROM upd
+      |  GROUP BY s, code
+      |),
+      |c1 AS (
+      |  SELECT s, code, cv,
+      |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS cvn
+      |  FROM c1a
+      |),
+      |encp AS (
+      |  SELECT subn.vec_id, subn.s, c1.code,
+      |    subn.svn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(subn.sv, c1.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + c1.cvn AS d2
+      |  FROM subn JOIN c1 ON subn.s = c1.s
+      |),
+      |enc AS (
+      |  SELECT vec_id AS neighbor_id, s, code FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM encp)
+      |  WHERE rk = 1
+      |),
+      |cseed AS (
+      |  SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT 16)
+      |),
+      |cc0 AS (
+      |  SELECT cseed.cluster, en.q AS cv, en.qn AS cvn
+      |  FROM en JOIN cseed USING (vec_id)
+      |),
+      |ca0p AS (
+      |  SELECT en.vec_id, cc0.cluster,
+      |    en.qn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(en.q, cc0.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + cc0.cvn AS d2
+      |  FROM en, cc0
+      |),
+      |ca0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM ca0p)
+      |  WHERE rk = 1
+      |),
+      |cmem AS (
+      |  SELECT ca0.cluster,
+      |    unnest(list_zip(en.q, range(1, len(en.q) + 1))) AS zz
+      |  FROM ca0 JOIN en USING (vec_id)
+      |),
+      |cupd AS (
+      |  SELECT cluster, CAST(zz[2] AS INT) AS dim,
+      |    CAST(round(CAST(sum(zz[1]) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS mx
+      |  FROM cmem GROUP BY 1, 2
+      |),
+      |cc1a AS (
+      |  SELECT cluster, list(mx ORDER BY dim) AS cv FROM cupd
+      |  GROUP BY cluster
+      |),
+      |cc1 AS (
+      |  SELECT cluster, cv,
+      |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS cvn
+      |  FROM cc1a
+      |),
+      |cd2 AS (
+      |  SELECT en.vec_id, cc1.cluster,
+      |    en.qn - 2 * CAST(list_sum(list_transform(
+      |      list_zip(en.q, cc1.cv), z -> z[1] * z[2])) AS BIGINT)
+      |      + cc1.cvn AS d2
+      |  FROM en, cc1
+      |),
+      |cassign AS (
+      |  SELECT vec_id AS neighbor_id, cluster FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM cd2)
+      |  WHERE rk = 1
+      |),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cluster FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM cd2
+      |    WHERE vec_id < 10)
+      |  WHERE rk <= 4
+      |),
+      |qt AS (
+      |  SELECT vec_id AS query_id, s, code, d2 AS qd FROM encp
+      |  WHERE vec_id < 10
+      |),
+      |adc AS (
+      |  SELECT qt.query_id, enc.neighbor_id,
+      |    CAST(SUM(qt.qd) AS BIGINT) AS approx_d2
+      |  FROM enc
+      |  JOIN cassign USING (neighbor_id)
+      |  JOIN probes ON probes.cluster = cassign.cluster
+      |  JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+      |    AND qt.query_id = probes.query_id
+      |  WHERE enc.neighbor_id <> qt.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, approx_d2, "rank" FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS INT)
+      |    AS "rank"
+      |  FROM adc)
+      |WHERE "rank" <= 5""".stripMargin
 }

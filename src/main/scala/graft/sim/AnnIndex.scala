@@ -24,11 +24,25 @@ object AnnIndex {
   private val built = scala.collection.mutable.Set[String]()
 
   /** Index root under the session warehouse dir (the same place the
-    * bucketed silver layout lives), keyed by the SF dir basename so
-    * sf0.01 and sf0.1 never share an index. */
-  def dir(spark: SparkSession, sfDir: String, kind: String): String =
+    * bucketed silver layout lives), keyed by the CANONICAL source path —
+    * basename for readability plus an 8-hex md5 of the full canonical
+    * path — so sf0.01 and sf0.1 never share an index AND two corpora
+    * that merely share a basename (/a/sf0.1 vs /b/sf0.1) never collide.
+    * Writers are single-process by harness contract (ensure() gates one
+    * build per JVM); concurrent multi-JVM builds of the SAME corpus
+    * would race the overwrite and need an external lock or a
+    * write-then-rename layout. */
+  def dir(spark: SparkSession, sfDir: String, kind: String): String = {
+    val f = new java.io.File(sfDir)
+    val canonical = try f.getCanonicalPath catch {
+      case _: java.io.IOException => f.getAbsolutePath
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_ann_index/" +
-      s"${new java.io.File(sfDir).getName}/$kind"
+      s"${f.getName}-$md5/$kind"
+  }
 
   /** Run `build` unless this JVM already built `path`. */
   def ensure(path: String)(build: => Unit): Unit = built.synchronized {

@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
 object IvfCosine {
 
   /** L2-normalize and cast to double array. */
-  private def normalized(vectors: DataFrame, idCol: String,
-                         vecCol: String): DataFrame =
+  private[sim] def normalized(vectors: DataFrame, idCol: String,
+                              vecCol: String): DataFrame =
     vectors
       .withColumn("v", expr(
         s"transform($vecCol, x -> cast(x as double))"))
@@ -33,7 +33,7 @@ object IvfCosine {
         "CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm) ELSE v END"))
       .select(col(idCol).as("vid"), col("nv"))
 
-  private val dotExpr =
+  private[sim] val dotExpr =
     "aggregate(zip_with(nv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
   /** K-means centroids over normalized vectors: (cluster_id, cv). */
@@ -53,8 +53,8 @@ object IvfCosine {
     * over `nv` (assign → per-dimension mean) instead of re-executing the
     * whole lineage of previous iterations, and the next assign step
     * broadcasts the fresh centroids. */
-  private def trainNormalized(nv: DataFrame, nlist: Int,
-                              iters: Int): DataFrame = {
+  private[sim] def trainNormalized(nv: DataFrame, nlist: Int,
+                                   iters: Int): DataFrame = {
     val spark = nv.sparkSession
     import spark.implicits._
     // Deterministic init: the first nlist vectors by id.

@@ -34,7 +34,7 @@ object ProductQuantizer {
 
   /** (vec_id, s, sv): the quantized vector split into M subspace slices.
     * posexplode_outer + pos-null filter per the repo-wide generate rule. */
-  private def subVectors(emb: DataFrame): DataFrame =
+  private[sim] def subVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${M - 1}), " +
           s"s -> slice(q, s * $SubDim + 1, $SubDim))"))
@@ -43,12 +43,12 @@ object ProductQuantizer {
 
   /** Integer squared-L2 between two SubDim slices via dot products:
     * |x−c|² = x·x − 2x·c + c·c (all exact longs). */
-  private def dist2(svn: String, cvn: String, dotc: String) =
+  private[sim] def dist2(svn: String, cvn: String, dotc: String) =
     col(svn) - lit(2L) * col(dotc) + col(cvn)
 
   /** Nearest-code assignment of sub-vectors against a (s, code, cv, cvn)
     * codebook; ties break to the lowest code. */
-  private def assign(sub: DataFrame, books: DataFrame): DataFrame = {
+  private[sim] def assign(sub: DataFrame, books: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2").asc, col("code").asc)
     sub.join(broadcast(books), Seq("s"))
@@ -65,7 +65,7 @@ object ProductQuantizer {
     * centroids; codes are the seeds' ranks 0..K−1, which coincide with
     * the seed vec_ids on a dense 0-based corpus — the oracle's
     * formulation). */
-  private def trainedBooks(sub: DataFrame): DataFrame = {
+  private[sim] def trainedBooks(sub: DataFrame): DataFrame = {
     import sub.sparkSession.implicits._
     // Driver-built rank map over K ids — metadata-scale, like the
     // KMeans seed collect.

@@ -82,4 +82,65 @@ class AnnIndexSpec extends SparkSpec {
     assert(paths.exists(_.contains(s"$idx/books")) &&
       paths.exists(_.contains(s"$idx/codes")))
   }
+
+  test("IVF-PQ: nprobe=nlist equals plain PQ exactly; nprobe=4 returns " +
+      "only probed-list members; plan is training-free (2 windows) " +
+      "over the partitioned codes") {
+    val idx = tmpDir("ivfpq-index")
+    graft.sim.IvfPq.buildIndex(spark, dir, idx, nlist = 16)
+    // Covering limit: with every list probed the composed index IS
+    // plain PQ — codebooks and code assignments are shared.
+    val inline = ProductQuantizer.topK(spark, dir)
+    val covering = graft.sim.IvfPq.topKIndexed(spark, dir, idx,
+      nQueries = 10, nprobe = 16, k = 5)
+    assert(rows(covering) == rows(inline))
+
+    // The registered nprobe=4 contract: deterministic, and every
+    // returned neighbor lives in one of its query's 4 probed lists.
+    val served = graft.sim.IvfPq.topKIndexed(spark, dir, idx,
+      nQueries = 10, nprobe = 4, k = 5)
+    assert(served.count() > 0)
+    assert(rows(served) == rows(graft.sim.IvfPq.topKIndexed(
+      spark, dir, idx, nQueries = 10, nprobe = 4, k = 5)))
+    // Each query's results span at most nprobe coarse lists.
+    val member = spark.read.parquet(s"$idx/codes")
+      .select(col("neighbor_id"), col("cluster_id")).distinct()
+    val spread = served.join(member, Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions
+        .countDistinct(col("cluster_id")).as("nc"))
+    assert(spread.filter(col("nc") > 4).isEmpty,
+      "a result outside the query's probed lists")
+
+    assert(windows(served) == 2) // probe top-nprobe + final rank
+    val paths = scanPaths(served)
+    assert(paths.exists(_.contains(s"$idx/centroids")) &&
+      paths.exists(_.contains(s"$idx/books")) &&
+      paths.exists(_.contains(s"$idx/codes")))
+    // The codes layout is list-partitioned and the probe join keys on
+    // the partition column, so the codes scan prunes to probed lists.
+    val lists = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("cluster_id="))
+    assert(lists.nonEmpty, "codes materialize as per-list partitions")
+    val physical = served.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruning") ||
+      physical.contains("PartitionFilters: [isnotnull(cluster_id"),
+      "probed-list pruning reaches the codes scan")
+  }
+
+  test("IVF-PQ: a reduced-nprobe query scans fewer code rows (the " +
+      "pruning is real, not cosmetic)") {
+    val idx = tmpDir("ivfpq-prune")
+    graft.sim.IvfPq.buildIndex(spark, dir, idx, nlist = 16)
+    // One coarse list per query: candidate rows must be a strict subset
+    // of the full (covering) probe's candidates.
+    val narrow = graft.sim.IvfPq.topKIndexed(spark, dir, idx,
+      nQueries = 10, nprobe = 1, k = 1000)
+    val covering = graft.sim.IvfPq.topKIndexed(spark, dir, idx,
+      nQueries = 10, nprobe = 16, k = 1000)
+    val n = narrow.count()
+    val c = covering.count()
+    assert(n > 0 && n < c, s"nprobe=1 candidates ($n) < nprobe=16 ($c)")
+  }
 }
