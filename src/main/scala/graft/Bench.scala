@@ -98,7 +98,7 @@ object Bench {
     // single query without paying for the other 60). Unset = full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val names = only match {
-      case Some(o) => o.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case Some(o) => o.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     // Round-robin interleaving: one full battery pass per rep.

@@ -35,6 +35,26 @@ object Profile {
 
     time("json_props_agg")(force(graft.ops.EventOps.jsonPropsAgg(spark, sfDir)))
 
+    // The REGISTERED clusters() path, stage-timed as its jobs actually
+    // run (AutoArm decision → one arm → confirm → components).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_MINHASH")) {
+      import graft.text.MinHashDedup._
+      val d2 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val s2 = time("mh sigs cache+stats") {
+        val s = signatures(d2).cache(); s.count(); s
+      }
+      val arm = time("mh selectArm estimate")(selectArm(s2, 0.6, 5000L))
+      println(s"[profile]   arm = $arm")
+      val conf = time("mh cands+confirm count") {
+        val e = confirmedEdges(s2, candidateEdges(s2), 0.6).persist()
+        println(s"  confirmed = ${e.count()}"); e
+      }
+      time("mh components+assign")(
+        force(components(d2.select("doc_id"), conf)))
+      time("mh clusters() e2e")(force(clusters(spark, sfDir)))
+      spark.catalog.clearCache()
+    }
+
     // MinHash stages, separately materialized.
     import graft.text.MinHashDedup._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -52,6 +72,22 @@ object Profile {
       println(s"  confirmed = ${c.count()}"); c
     }
     time("components")(force(components(sigs.select("doc_id"), conf)))
+
+    // IVF-PQ covering-nprobe scan (round-8): smallest nprobe whose
+    // composed result equals plain PQ, per SF dir.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_IVFPQ")) {
+      val idx = s"/tmp/graft-ivfpq-scan/${new java.io.File(sfDir).getName}"
+      graft.sim.IvfPq.buildIndex(spark, sfDir, idx, nlist = 16)
+      val plain = graft.sim.ProductQuantizer.topK(spark, sfDir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      for (np <- 1 to 16) {
+        val got = graft.sim.IvfPq.topKIndexed(spark, sfDir, idx,
+            nQueries = 10, nprobe = np, k = 5)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        println(s"[profile] ivfpq nprobe=$np covering=${got == plain} " +
+          s"missing=${(plain -- got).size}")
+      }
+    }
 
     // Gold country/webtoon branch timings (round-8 Expand-removal work).
     if (sys.env.contains("SPARK_GRAFT_PROFILE_GOLD")) {

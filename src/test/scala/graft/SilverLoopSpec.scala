@@ -60,4 +60,56 @@ class SilverLoopSpec extends SparkSpec {
     assert(s1.getAs[String]("session_state") == "COMPLETE")
     assert(s1.getAs[Long]("n_events") == 3)
   }
+
+  test("streamed silver feeds the production bucketed layout and a gold " +
+      "read (the C5 chain from a live stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("prod-bronze")
+    val silver = tmpDir("prod-silver")
+    val wmPath = s"${tmpDir("prod-wm")}/wm"
+    val ckpt = tmpDir("prod-ckpt")
+
+    // Two users, two days, a completed and an in-progress session —
+    // enough shape for the gold aggregate to have real rows.
+    val batches = Seq(
+      ev("p1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("p2", 1, "s1", "2024-01-01T10:00:40+00:00", "scroll", 0.5),
+      ev("p3", 1, "s1", "2024-01-01T10:01:20+00:00", "complete", 1.0),
+      ev("p4", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0),
+      ev("p5", 2, "s3", "2024-01-02T09:00:00+00:00", "enter", 0.0),
+      ev("p6", 2, "s3", "2024-01-02T09:00:30+00:00", "complete", 1.0))
+    val stream = MemoryStream[String]
+    stream.addData(batches)
+    SilverLoop.start(BronzeIngest.parse(stream.toDF()), bronze, silver,
+      wmPath, ckpt, toSilver, availableNow = true).awaitTermination()
+
+    // Pipeline's layout write off the STREAMED silver (not a batch
+    // recompute): bucketBy(user_id), then the layout-specialized user
+    // gold over the bucketed table.
+    val streamedSilver = spark.read.parquet(silver)
+    graft.runtime.Bucketed.writeSilver(spark, "silver_loop_bucketed",
+      streamedSilver)
+    val gold = graft.runtime.Bucketed.userDaily(spark, "silver_loop_bucketed")
+
+    // Same rows as the gold over the batch-recomputed silver.
+    val expected = graft.gold.UserDaily.build(
+      toSilver(BronzeIngest.parse(batches.toDF("value"))))
+    val cols = expected.columns.sorted.map(col).toSeq
+    assert(gold.count() > 0)
+    assert(gold.select(cols: _*).exceptAll(expected.select(cols: _*)).isEmpty
+      && expected.select(cols: _*).exceptAll(gold.select(cols: _*)).isEmpty)
+
+    // The layout property survives the streaming origin: the whole gold
+    // job plans with zero shuffle exchanges over the bucketed scan.
+    val plan = gold.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.size
+    assert(shuffles == 0,
+      s"streamed->bucketed gold must be exchange-free:\n$plan")
+  }
 }
