@@ -28,8 +28,10 @@ import org.apache.spark.sql.SparkSession
   *     text_decontaminate showed 3.5/4.1/3.8 vs 0.94 calm); spread
   *     across the whole battery, a burst inflates at most one rep of
   *     any query and min-of-Reps self-corrects;
-  *   - `reps_detail` carries every per-rep timing, so a reader can tell a
-  *     tight [0.31,0.33,0.32] from a storm-shaped [0.31,4.2,3.9];
+  *   - `reps_detail` (in the target/bench.json on-disk record — kept off
+  *     stdout so the line fits the harness's bounded tail capture) carries
+  *     every per-rep timing, so a reader can tell a tight [0.31,0.33,0.32]
+  *     from a storm-shaped [0.31,4.2,3.9];
   *   - `burst_count` counts queries whose LATER reps (rep 1 is excluded
   *     — it pays that query's codegen) still disagree by more than 2×:
   *     under interleaving that only happens when noise outlasted a full
@@ -122,31 +124,40 @@ object Bench {
         (sentinelStart > 0 && sentinelEnd > 2 * sentinelStart) ||
         (sentinelEnd > 0 && sentinelStart > 2 * sentinelEnd) ||
         burstCount >= math.max(3, names.size / 8)
-    val qs = results.map { case (k, v) => s""""$k":${minOf(v)}""" }
+    // The harness captures only a bounded TAIL of stdout; round 8's full-
+    // precision line (~8 KB with reps_detail) overflowed it and the head
+    // of the JSON was cut off → "parsed": null. The stdout line therefore
+    // carries millisecond-rounded per-query minima ONLY (~2 KB for the
+    // current battery); per-rep detail at full precision lands in
+    // target/bench.json for any reader that wants rep-level noise shape.
+    def ms(d: Double): String =
+      if (d < 0) "-1.0"
+      else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s""""$k":${ms(minOf(v))}""" }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, v) =>
       s""""$k":[${v.mkString(",")}]"""
     }.mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    val sentinel =
-      s"""{"name":"$SentinelName","start_sec":$sentinelStart,"end_sec":$sentinelEnd,"calm_sec":${calm.map(_.toString).getOrElse("null")}}"""
+    def sentinelJson(f: Double => String) =
+      s"""{"name":"$SentinelName","start_sec":${f(sentinelStart)},"end_sec":${f(sentinelEnd)},"calm_sec":${calm.map(_.toString).getOrElse("null")}}"""
     // A SPARK_GRAFT_ONLY subset emits "filtered":true so its (partial)
     // total is never mistaken for a full-battery baseline.
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"min","rep_order":"interleaved","reps_detail":$reps,"sentinel":$sentinel,"burst_count":$burstCount,"noise_flag":$noisy,"filtered":${only.isDefined}}"""
-    println(json)
-    // Also land the full line on disk: the driver captures stdout's TAIL,
-    // which has truncated the first per-query timings in past rounds —
-    // the file is the complete record. Best-effort: the backup sink must
-    // never fail the benchmark it backs up (missing target/ dir, foreign
-    // working directory).
+    def line(queries: String, sentinel: String, extra: String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","reps":$Reps,"agg":"min","rep_order":"interleaved",$extra"sentinel":$sentinel,"burst_count":$burstCount,"noise_flag":$noisy,"filtered":${only.isDefined}}"""
+    // Full-detail record on disk FIRST (best-effort: the backup sink must
+    // never fail the benchmark it backs up), compact line on stdout LAST
+    // so the tail capture always ends with a complete parseable object.
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(p,
+        line(qs, sentinelJson(_.toString), s""""reps_detail":$reps,""")
+          .getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
+    println(line(qs, sentinelJson(ms), ""))
     spark.stop()
   }
 }

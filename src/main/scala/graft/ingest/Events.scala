@@ -1,7 +1,8 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Adapter from the harness `events` table (TESTDATA.md: event_id, ts[ns],
   * user_id, event_type, value, props) to the reference-shaped event stream.
@@ -14,10 +15,13 @@ import org.apache.spark.sql.functions._
   * mirrored 1:1 in graft.oracle.Oracles so DuckDB can verify every downstream
   * operator bit-for-bit.
   *
-  * Time domain note: the parquet `ts` column is timestamp[ns]; Spark reads it
-  * as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong) while DuckDB
-  * truncates to microseconds. All time arithmetic therefore happens in
-  * MICROSECONDS (`ts div 1000` here == `epoch_us(ts)` in the oracle).
+  * Time domain note: all time arithmetic happens in integer MICROSECONDS
+  * ([[tsUsCol]] here == `epoch_us(ts)` in the oracle). The harness has
+  * shipped `ts` under two physical encodings across rounds — parquet
+  * timestamp[ns] (a nanosecond long under
+  * spark.sql.legacy.parquet.nanosAsLong) and parquet timestamp[us] (read
+  * as TIMESTAMP_NTZ) — so the epoch derivation is type-adaptive rather
+  * than hard-coded to either.
   *
   * Float policy: doubles never survive an aggregation. Money-like `value` is
   * carried as integer cents (`value_cents`); averages downstream are computed
@@ -44,6 +48,27 @@ object Events {
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
+  /** Canonical epoch-microsecond expression for the raw `ts` column,
+    * adaptive to its physical type:
+    *  - LongType: nanosecond epoch (timestamp[ns] parquet under the
+    *    nanosAsLong read) → `div 1000`;
+    *  - TIMESTAMP: `unix_micros` directly;
+    *  - TIMESTAMP_NTZ (timestamp[us] parquet, the current harness
+    *    encoding): cast to TIMESTAMP first. Every session entry point
+    *    pins spark.sql.session.timeZone=UTC, so the cast interprets the
+    *    naive wall clock as UTC — bit-identical to DuckDB's
+    *    `epoch_us(ts)` on the same file.
+    */
+  def tsUsCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType      => expr("ts div 1000")
+    case TimestampType => unix_micros(col("ts"))
+    case _             => unix_micros(col("ts").cast(TimestampType))
+  }
+
+  /** [[tsUsCol]] appended as the standard `ts_us` column. */
+  def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", tsUsCol(df))
+
   /** Bronze-analog: typed, dimension-enriched events (S2/S3/P1 analogues).
     * Every column codegen-friendly builtins only. The harness events table
     * is a single parquet file (one input split), so the regexp/date parse
@@ -56,8 +81,7 @@ object Events {
   /** Pure form of [[enriched]] for already-loaded raw events (incremental
     * runtime, tests). */
   def enrich(raw: DataFrame): DataFrame =
-    raw
-      .withColumn("ts_us", expr("ts div 1000"))
+    withTsUs(raw)
       .withColumn("datetime", to_date(timestamp_micros(col("ts_us"))))
       .withColumn("k",
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))

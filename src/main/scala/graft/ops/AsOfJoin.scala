@@ -81,7 +81,7 @@ object AsOfJoin {
   def attribution(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     val e = graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
     val purchases = e.filter(col("event_type") === "purchase")

@@ -46,7 +46,7 @@ object EventOps {
       .orderBy(col("ts_us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
@@ -178,7 +178,7 @@ object EventOps {
       .rangeBetween(-sevenDaysUs, 0)
     graft.ingest.Events.raw(spark, dir)
       .filter(col("event_type") === "purchase")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .withColumn("spend_7d_cents", sum(col("value_cents")).over(w))

@@ -53,7 +53,7 @@ object Features {
     * first-day purchases). */
   def userPitFeatures(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .withColumn("event_date", to_date(expr("timestamp_micros(ts_us)")))

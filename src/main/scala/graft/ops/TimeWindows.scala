@@ -18,7 +18,7 @@ object TimeWindows {
     * key; countDistinct expands under RewriteDistinctAggregates. */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"))
@@ -37,7 +37,7 @@ object TimeWindows {
     * operator's Expand, before the single aggregate shuffle. */
   def slidingHourly(spark: SparkSession, dir: String): DataFrame =
     graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
         expr("cast(round(value * 100, 0) as bigint)"))
       .groupBy(window(timestamp_micros(col("ts_us")), "1 hour",

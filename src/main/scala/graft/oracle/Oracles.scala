@@ -4,7 +4,7 @@ package graft.oracle
   *
   * Rules that make hash-equality achievable across engines:
   *  - All time arithmetic in integer MICROSECONDS (`epoch_us(ts)` here ==
-  *    `ts div 1000` on the Spark side, where `ts` is the nanosAsLong read).
+  *    Events.tsUsCol on the Spark side, whatever physical type `ts` has).
   *  - No double survives an aggregation: money is integer cents, durations
   *    integer ms/µs; every double output is round(int/int, n) so both engines
   *    perform one identical IEEE division + round.

@@ -51,7 +51,7 @@ class OpsExtSpec extends SparkSpec {
       .select("purchase_event_id", "last_view_event_id")
       .as[(Long, Option[Long])].collect().toMap
     val e = graft.ingest.Events.raw(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(graft.ingest.Events.withTsUs)
       .select("event_id", "user_id", "ts_us", "event_type")
       .as[(Long, Long, Long, String)].collect()
     val views = e.filter(_._4 == "view")
