@@ -45,13 +45,98 @@ object Profile {
       }
       val arm = time("mh selectArm estimate")(selectArm(s2, 0.6, 5000L))
       println(s"[profile]   arm = $arm")
-      val conf = time("mh cands+confirm count") {
-        val e = confirmedEdges(s2, candidateEdges(s2), 0.6).persist()
-        println(s"  confirmed = ${e.count()}"); e
+      val cands = time("mh lsh candidateEdges cnt") {
+        val c = candidateEdges(s2)
+        println(s"  cands = ${c.count()}"); c
+      }
+      val surv = time("mh agreement survivors cnt") {
+        val t = confirmedEdges(s2, cands, 0.6)
+        println(s"  confirmed = ${t.count()}"); t
       }
       time("mh components+assign")(
-        force(components(d2.select("doc_id"), conf)))
+        force(components(d2.select("doc_id"), surv)))
       time("mh clusters() e2e")(force(clusters(spark, sfDir)))
+      time("mh clusters() e2e again")(force(clusters(spark, sfDir)))
+      spark.catalog.clearCache()
+    }
+
+    // Exchange-reuse audit of the confirm plan (round-9).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_MH_PLAN")) {
+      import graft.text.MinHashDedup._
+      val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ss = signatures(dd).cache(); ss.count()
+      val q = confirmedEdges(ss, candidateEdges(ss), 0.6)
+      q.write.format("noop").mode("overwrite").save()
+      val plan = q.queryExecution.executedPlan.toString
+      val stages = "BroadcastQueryStage (\\d+)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSeq
+      println(s"[profile] confirm plan BroadcastExchange=" +
+        s"${"BroadcastExchange".r.findAllIn(plan).size} ReusedExchange=" +
+        s"${"ReusedExchange".r.findAllIn(plan).size} ShuffleExchange=" +
+        s"${"ShuffleExchange".r.findAllIn(plan).size} bcastStages=" +
+        s"${stages.size} distinctBcastStages=${stages.distinct.size}")
+      spark.catalog.clearCache()
+    }
+
+    // Estimator calibration: old sampled-window vs new histogram volume
+    // estimates per corpus (round-9 AutoArm rework).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_MH_EST")) {
+      import graft.text.MinHashDedup._
+      import org.apache.spark.sql.functions._
+      for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1")) {
+        val sg = signatures(spark.read.parquet(s"$d/documents.parquet")).cache()
+        val n = sg.count()
+        val h = time(s"hist est $d")(histogramVolumeEstimate(sg, 0.6))
+        println(s"[profile] est $d nDocs=$n hist=$h (${h / n}/doc)")
+        sg.unpersist()
+      }
+      // DedupSpec's 400-doc template family
+      val base = "the quick brown fox jumps over the lazy dog " * 5
+      val template = base +
+        "completely different content about spark shuffles and joins " * 3 +
+        "another unrelated document mentioning parquet and kafka " * 3
+      import spark.implicits._
+      val family = (0L until 400L).map(i => (i, template + s" tail$i"))
+        .toDF("doc_id", "text")
+      val fs = signatures(family).cache(); fs.count()
+      val fh = histogramVolumeEstimate(fs, 0.6)
+      println(s"[profile] est family nDocs=400 hist=$fh (${fh / 400}/doc)")
+      fs.unpersist()
+    }
+
+    // candidateEdges internals (round-9: where do its seconds go).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_MH_CANDS")) {
+      import graft.text.MinHashDedup._
+      import org.apache.spark.sql.functions._
+      val d3 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val s3 = signatures(d3).cache(); s3.count()
+      val banded = s3
+        .select(col("doc_id"), posexplode_outer(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> " +
+            s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band_idx", "band_key")))
+        .filter(col("band_idx").isNotNull)
+      time("banded count")(println(s"  banded = ${banded.count()}"))
+      val counts = banded.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("bucket_n"))
+      time("bucket counts")(println(s"  buckets = ${counts.count()}"))
+      val sized = banded.join(counts, Seq("band_idx", "band_key"))
+      val smallLists = sized.filter(col("bucket_n") <= AllPairsMaxBucket)
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("ids")).distinct()
+      time("smallLists distinct")(println(s"  lists = ${smallLists.count()}"))
+      val smallPairs = smallLists
+        .select(explode_outer(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      time("smallPairs count")(println(s"  smallPairs = ${smallPairs.count()}"))
+      time("full candidateEdges")(
+        println(s"  cands = ${candidateEdges(s3).count()}"))
       spark.catalog.clearCache()
     }
 

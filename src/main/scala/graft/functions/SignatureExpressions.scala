@@ -225,6 +225,86 @@ case class LongDotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Bounded-state aggregate: the `cap` SMALLEST distinct long values of the
+  * group, as a sorted array<long>. The LSH bucket grouping uses it in
+  * place of `sort_array(collect_list(...))`: a bucket holding a
+  * multi-million-doc template family would grow a collect_list buffer
+  * linearly with the family (the executor-OOM shape the round-7 verdict
+  * flagged on gold), while this buffer never exceeds `cap` longs — for a
+  * bucket at or under the all-pairs cap the result IS the full sorted
+  * member list, and past it exactly the hub prefix the big-bucket path
+  * needs. Inputs within a group are distinct by construction (one row per
+  * doc per band); duplicate values are still deduped so a re-sent row
+  * cannot fabricate a pair. */
+case class CappedSortedLongs(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_capped_ids"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < cap) { buf.add(v); () }
+    else if (v < buf.last()) { buf.add(v); buf.pollLast(); () }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedSortedLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedSortedLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedSortedLongs =
+    copy(child = newChildren.head)
+}
+
 object SignatureExpressions {
   /** Registers graft_minhash / graft_simhash as SQL functions in the
     * session (idempotent). Expression-level registration keeps the
@@ -245,5 +325,10 @@ object SignatureExpressions {
       args => SortedIntersectSize(args.head, args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", args => LongDotProduct(args.head, args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_capped_ids",
+      args => CappedSortedLongs(args.head,
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -107,23 +107,29 @@ object MinHashDedup {
   /** LSH candidate edges (doc_a < doc_b). Work per bucket is
     * O(min(size², size·K)): quadratic only while small.
     *
-    * SMALL buckets (≤ [[AllPairsMaxBucket]]) generate pairs from
-    * DISTINCT bucket member-lists, not a per-band self-join: one
-    * aggregate collects each bucket's sorted doc_ids (arrays bounded at
-    * allPairsMax elements — never corpus-scale state), identical lists
-    * are deduped ACROSS bands (a template family lands the same member
-    * set in every band — near-identical docs share the whole
-    * signature), and a narrow generator expression emits each list's
-    * i<j pairs once. On the dense sf0.1 corpus this cuts the
-    * pre-distinct pair volume ~[[Bands]]× (measured 4.2 s → 1.2 s for
-    * the stage) with the IDENTICAL distinct pair set.
+    * ONE bounded-state aggregation computes, per bucket, its size and its
+    * `allPairsMax` smallest member ids (graft_capped_ids — a
+    * [[graft.functions.CappedSortedLongs]] buffer of at most allPairsMax
+    * longs, never family-scale state; a collect_list here would grow
+    * linearly with a template family's membership, the executor-OOM shape
+    * the gold rewrites eliminated).
     *
-    * BIG buckets (template families) keep the bounded-state window
-    * formulation — rank members inside the bucket (external sort,
-    * spillable at ANY family size) and link every member to the first
-    * [[HubsPerBucket]] — because collecting a multi-million-member
-    * family into one aggregation-buffer array row is exactly the
-    * unbounded-row failure the hub rule exists to avoid. */
+    * SMALL buckets (≤ [[AllPairsMaxBucket]]): the capped list IS the full
+    * sorted member list. Identical lists are deduped ACROSS bands (a
+    * template family lands the same member set in every band — near-
+    * identical docs share the whole signature) and a narrow generator
+    * expression emits each list's i<j pairs once — measured ~[[Bands]]×
+    * less pre-distinct pair volume with the IDENTICAL distinct pair set.
+    *
+    * BIG buckets (template families): the first [[HubsPerBucket]] of the
+    * capped list are the bucket's hubs; re-joining the (tiny) hub table
+    * back to the banded rows links every member to each hub. The join has
+    * no explicit broadcast hint on purpose: the hub side is a fresh
+    * aggregate, so AQE broadcasts it at any realistic bucket count and
+    * degrades to a shuffle join past that — there is no driver-side
+    * collect to outgrow. Compared with the previous window formulation
+    * (rank members per bucket, self-join the rank-≤K prefix) this drops
+    * the per-bucket sort and two exchanges from the plan. */
   def candidateEdges(sigs: DataFrame,
                      allPairsMax: Int = AllPairsMaxBucket,
                      hubs: Int = HubsPerBucket): DataFrame = {
@@ -132,21 +138,19 @@ object MinHashDedup {
     // estimate/confirm stages anyway). posexplode_outer, not posexplode:
     // the plain form's InferFiltersFromGenerate filter would re-evaluate
     // the whole 32-band transform twice more per doc. Not persisted: the
-    // three consumers re-run a narrow codegen'd transform over the
-    // cached signature frame.
+    // consumers re-run a narrow codegen'd transform over the cached
+    // signature frame.
     val banded = sigs
       .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
       .filter(col("band_idx").isNotNull) // pos-null = empty array only
-    val counts = banded.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(counts, Seq("band_idx", "band_key"))
+    val buckets = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"),
+        expr(s"graft_capped_ids(doc_id, $allPairsMax)").as("ids"))
 
-    val smallLists = sized.filter(col("bucket_n") <= allPairsMax)
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val smallLists = buckets.filter(col("bucket_n") <= allPairsMax)
       .select(col("ids")).distinct()
     val smallPairs = smallLists
       .select(explode_outer(expr(
@@ -156,13 +160,17 @@ object MinHashDedup {
       .filter(col("p").isNotNull) // outer-null = singleton bucket only
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
 
-    val big = sized.filter(col("bucket_n") > allPairsMax).drop("bucket_n")
-    val w = Window.partitionBy(col("band_idx"), col("band_key"))
-      .orderBy(col("doc_id"))
-    val rankedBig = big.withColumn("rn", row_number().over(w))
-    val hubDocs = rankedBig.filter(col("rn") <= hubs)
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("hub_id"))
-    val hubEdges = rankedBig.join(hubDocs, Seq("band_idx", "band_key"))
+    val bigHubs = buckets.filter(col("bucket_n") > allPairsMax)
+      .select(col("band_idx"), col("band_key"),
+        slice(col("ids"), 1, hubs).as("hubs"))
+    // A family bucket recurs in ~every band with the SAME hub list, so a
+    // member meets each hub list ~[[Bands]] times — dedupe the narrow
+    // (doc_id, hubs) rows BEFORE exploding to per-hub pairs (measured
+    // ~30× less pre-distinct hub-edge volume on the dense sf0.1 corpus,
+    // identical distinct pair set).
+    val hubEdges = banded.join(bigHubs, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("hubs")).distinct()
+      .select(col("doc_id"), explode(col("hubs")).as("hub_id"))
       .filter(col("hub_id") < col("doc_id"))
       .select(col("hub_id").as("doc_a"), col("doc_id").as("doc_b"))
 
@@ -244,44 +252,86 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Sampled estimate of the prefix join's pre-distinct output volume.
+  /** Deterministic prefix-join volume estimate from the token document-
+    * frequency HISTOGRAM — the [[AutoArm]] measurement.
     *
-    * The exact quantity is Σ_tok shortBucket(tok) · probePrefixBucket
-    * (tok), but measuring it needs per-doc frequency ranks for EVERY doc
-    * (a full-corpus window) — ~2 s of pure decision cost at sf0.1 when
-    * the answer is "LSH". Instead: rank only a deterministic 25% doc
-    * sample (xxhash64(doc_id) mod 4), weight each sampled short-prefix
-    * row by the token's FULL document frequency, and scale ×4. Linear
-    * in the sampled rows, so unbiased for Σ sc·dfreq; and dfreq ≈ the
-    * probe-prefix bucket size for the rare tokens prefixes hold —
-    * measured within 2% of the exact estimator at sf0.001 (4.0k/doc),
-    * sf0.01 (4.0k), sf0.1 (38.7k) and the DedupSpec template family
-    * (14.8k), so the [[PrefixBudgetPerDoc]] calibration carries over
-    * unchanged. An empty sample (tiny corpus) reads 0 → the complete
-    * prefix arm, the safe default. */
-  private def sampledVolumeEstimate(sigs: DataFrame,
-                                    threshold: Double): Long = {
-    val tp = math.max(threshold - 1e-4, 0.0)
-    val idxFrac = 2 * tp / (1 + tp)
-    val toks = sigs.select(col("doc_id"), size(col("tgh")).as("n"),
-      explode(col("tgh")).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
-    val sample = toks.filter(
-      pmod(xxhash64(col("doc_id")), lit(4)) === 0)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("dfreq"), col("tok"))
-    sample.join(dfreq, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(lit(idxFrac) * col("n")) + lit(1))
-      .agg(coalesce(sum(col("dfreq")), lit(0L))).head().getLong(0) * 4
+    * The exact quantity is Σ_tok short(tok)·probe(tok), which needs
+    * per-doc frequency ranks (a full-corpus window over every exploded
+    * token — the estimator this replaces spent ~2.3 s of pure decision
+    * cost at sf0.1 on a sampled version of that window). This estimator
+    * keeps the same appearance-weighted quantity but assigns prefix slots
+    * globally instead of per-doc: prefixes hold each doc's RAREST tokens,
+    * so fill the global short-prefix slot budget Σ_doc L(n) with token
+    * appearances in ascending document-frequency order, each assigned
+    * appearance contributing ~dfreq candidate pairs (the probe-prefix
+    * bucket of a rare token ≈ its document frequency — the same
+    * approximation the sampled estimator used). The whole measurement is
+    * one narrow aggregation chain over the exploded tokens (dfreq →
+    * histogram, no join-back, no window) plus a driver fold over the tiny
+    * (d, count) histogram; deterministic, no sampling noise.
+    *
+    * Regime fidelity (the only thing the decision consumes):
+    *  - sparse natural corpus: dfreq mass sits at 1–3 → volume ≈ slots·O(1)
+    *    → prefix;
+    *  - template family of size F: every token's dfreq ≈ F, volume ≈
+    *    slots·F ≈ 0.25·n·F² — the F² blow-up the budget exists to catch;
+    *  - dense tiny-vocab corpus: all appearances common → volume ≈
+    *    slots·Θ(nDocs), correctly past budget even though LSH buckets
+    *    would look benign.
+    * Saturating Double accumulation: at 10⁹ docs slots·dfreq overflows a
+    * Long; the decision only needs "past the budget", not the exact count. */
+  private[graft] def histogramVolumeEstimate(sigs: DataFrame,
+                                      threshold: Double): Long =
+    statsAndVolume(sigs, threshold)._3
+
+  /** The driver greedy fill over a collected (dfreq, token-count)
+    * histogram and a slot budget. */
+  private def greedyFill(hist: Array[(Long, Long)], slots: Long): Long = {
+    var remaining = slots
+    var vol = 0.0
+    hist.foreach { case (d, nTok) =>
+      if (remaining > 0) {
+        val take = math.min(d * nTok, remaining)
+        vol += take.toDouble * d
+        remaining -= take
+      }
+    }
+    if (vol >= Long.MaxValue.toDouble) Long.MaxValue else vol.toLong
   }
 
-  /** (row count, total token count) of a signature frame — the size
-    * estimates that gate the explicit broadcast hints below. */
-  private def docStats(sigs: DataFrame): (Long, Long) = {
+  /** [[corpusStats]] then the histogram aggregation, deliberately as TWO
+    * sequential actions: the stats aggregate's single narrow scan
+    * materializes the signature cache first, and the histogram job reads
+    * it warm. (A one-job union of the two branches was measured SLOWER —
+    * its two independent stages race to materialize the cold cache and
+    * duplicate the signature build.) Returns (nDocs, totTokens,
+    * estimated volume). */
+  private def statsAndVolume(sigs: DataFrame,
+                             threshold: Double): (Long, Long, Long) = {
+    val (nDocs, totTokens, slots) = corpusStats(sigs, threshold)
+    val h = sigs.select(explode(col("tgh")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    (nDocs, totTokens, greedyFill(h, slots))
+  }
+
+  /** (row count, total token count, short-prefix slot budget) of a
+    * signature frame in ONE action over the cached signatures: the first
+    * two gate the explicit broadcast hints below, the third seeds
+    * [[histogramFill]] — fused so the decision pipeline costs one job,
+    * not three. */
+  private def corpusStats(sigs: DataFrame,
+                          threshold: Double): (Long, Long, Long) = {
+    val tp = math.max(threshold - 1e-4, 0.0)
+    val idxFrac = 2 * tp / (1 + tp)
     val r = sigs.agg(count(lit(1)),
-      coalesce(sum(size(col("tgh"))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(sum(size(col("tgh"))), lit(0L)),
+      coalesce(sum(
+        size(col("tgh")).cast("long")
+          - ceil(lit(idxFrac) * size(col("tgh"))).cast("long") + lit(1L)),
+        lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Signature-agreement pre-filter over candidate edges: estimated
@@ -299,13 +349,15 @@ object MinHashDedup {
     // broadcast must be hinted — and the hint gated, because an explicit
     // broadcast() hard-fails (no fallback) past the 8 GB relation limit.
     val mhBytes = nDocs * (NumPerms * 8L + 32L)
-    def mh(side: String) = Layout.maybeBroadcast(
-      sigs.select(col("doc_id").as(side), col("minhash").as(s"mh_$side")),
-      mhBytes)
+    // ONE projected frame joined twice (vs a per-side aliased projection):
+    // both joins' build plans canonicalize identically, so ReuseExchange
+    // materializes a single broadcast instead of two.
+    val mh = Layout.maybeBroadcast(
+      sigs.select(col("doc_id"), col("minhash")), mhBytes)
     edges
-      .join(mh("doc_a"), Seq("doc_a"))
-      .join(mh("doc_b"), Seq("doc_b"))
-      .filter(expr("graft_sig_agreement(mh_doc_a, mh_doc_b)") >= minAgree)
+      .join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .filter(expr("graft_sig_agreement(ma.minhash, mb.minhash)") >= minAgree)
       .select("doc_a", "doc_b")
   }
 
@@ -321,16 +373,17 @@ object MinHashDedup {
                            threshold: Double, totTokens: Long,
                            nDocs: Long): DataFrame = {
     val tgBytes = totTokens * 8L + nDocs * 48L
-    def tg(side: String) = Layout.maybeBroadcast(
-      sigs.select(col("doc_id").as(side), col("tgh").as(s"tg_$side")),
-      tgBytes)
+    // Same single-frame double-join shape as the estimate stage: the two
+    // broadcast builds collapse into one via ReuseExchange.
+    val tg = Layout.maybeBroadcast(
+      sigs.select(col("doc_id"), col("tgh")), tgBytes)
     cands
-      .join(tg("doc_a"), Seq("doc_a"))
-      .join(tg("doc_b"), Seq("doc_b"))
+      .join(tg.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tg.as("tb"), col("doc_b") === col("tb.doc_id"))
       .withColumn("inter",
-        expr("graft_sorted_intersect(tg_doc_a, tg_doc_b)").cast("bigint"))
+        expr("graft_sorted_intersect(ta.tgh, tb.tgh)").cast("bigint"))
       .withColumn("uni",
-        (size(col("tg_doc_a")) + size(col("tg_doc_b"))).cast("bigint")
+        (size(col("ta.tgh")) + size(col("tb.tgh"))).cast("bigint")
           - col("inter"))
       .withColumn("jaccard", Num.guardedRatio(col("inter"), col("uni"), 4))
       .filter(col("jaccard") >= threshold)
@@ -346,7 +399,7 @@ object MinHashDedup {
     * slower at sf0.1. */
   def confirmedEdges(sigs: DataFrame, edges: DataFrame,
                      threshold: Double): DataFrame = {
-    val (nDocs, totTokens) = docStats(sigs)
+    val (nDocs, totTokens, _) = corpusStats(sigs, threshold)
     exactConfirm(sigs, estimateSurvivors(sigs, edges, threshold, nDocs),
       threshold, totTokens, nDocs)
   }
@@ -392,13 +445,18 @@ object MinHashDedup {
                  driverMaxEdges: Long = DriverComponentsMaxEdges)
       : DataFrame = {
     val e = edges.select(col("doc_a"), col("doc_b")).persist()
+    // count() first, collect() from the warm cache second. (A fused
+    // limit(ceiling+1).collect() was measured SLOWER: CollectLimit
+    // executes as several incrementally-scaled jobs.)
     val nE = e.count()
     val out =
       if (nE <= driverMaxEdges) {
         // Endpoint assignments from the driver (≤ 2·nE rows), identity
         // for everyone else — the vertex frame itself never leaves the
         // executors.
-        val ep = driverEndpointComponents(e)
+        val ep = endpointComponents(
+          e.collect().iterator.map(r => (r.getLong(0), r.getLong(1))),
+          vertices.sparkSession)
         vertices.select(col("doc_id"))
           .join(ep.withColumnRenamed("doc_id", "ep_id"),
             col("doc_id") === col("ep_id"), "left")
@@ -415,7 +473,18 @@ object MinHashDedup {
     * final root of every endpoint is its component's minimum doc_id.
     * Returns one row per distinct endpoint — no singleton vertices. */
   private[graft] def driverEndpointComponents(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+    import e.sparkSession.implicits._
+    endpointComponents(
+      e.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+        .iterator,
+      e.sparkSession)
+  }
+
+  /** The union-find itself, over an already-collected edge iterator —
+    * [[components]] feeds it the rows its gate action shipped, so the
+    * small-graph path pays exactly one distributed job. */
+  private def endpointComponents(pairs: Iterator[(Long, Long)],
+                                 spark: SparkSession): DataFrame = {
     import spark.implicits._
     val parent = new scala.collection.mutable.LongMap[Long]()
     def find(x: Long): Long = {
@@ -425,14 +494,13 @@ object MinHashDedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    e.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
-      .foreach { case (a, b) =>
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = find(a); val rb = find(b)
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
-      }
+    pairs.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
     parent.keys.toSeq.map(v => (v, find(v)))
       .toDF("doc_id", "canonical_id")
   }
@@ -497,32 +565,42 @@ object MinHashDedup {
     * prefix bucket is a constant fraction of the corpus) the LSH arm's
     * hub-edge buckets keep per-bucket work linear at the documented
     * borderline-miss probability. The budget is deliberately ~2× the
-    * measured harness-gate volume (~4.0k pairs/doc at sf0.001/sf0.01) and
-    * ~5× under the sf0.1 density (~38.7k), so the gate scales stay on the
+    * measured harness-gate volume (~3.7k pairs/doc at sf0.001/sf0.01) and
+    * well under the sf0.1 density (~35.9k), so the gate scales stay on the
     * exact arm and the dense bench scale exercises the LSH arm. */
   val PrefixBudgetPerDoc: Long = 8192L
 
   /** Measured arm choice for a signature frame — the [[AutoArm]] rule,
     * exposed so tests (and operators) can observe the decision. The
-    * measurement is the sampled estimator ([[sampledVolumeEstimate]]):
-    * one cheap window over a 25% doc sample, not a full-corpus rank. */
+    * measurement is [[histogramVolumeEstimate]]: one narrow aggregation
+    * over the exploded tokens plus a driver histogram fold — calibrated
+    * against the per-doc-rank sampled estimator it replaced (within ~10%
+    * at sf0.001 3.7k vs 4.0k pairs/doc, sf0.01 3.7k vs 4.0k, sf0.1 35.9k
+    * vs 38.7k, DedupSpec family 14.1k vs 13.3k), so
+    * [[PrefixBudgetPerDoc]] carries over unchanged. */
   def selectArm(sigs: DataFrame, threshold: Double, nDocs: Long): Arm =
-    if (sampledVolumeEstimate(sigs, threshold) <=
+    if (histogramVolumeEstimate(sigs, threshold) <=
       PrefixBudgetPerDoc * nDocs) PrefixArm
     else LshArm
 
+  /** Stats + resolved arm in one decision action ([[statsAndVolume]] for
+    * AutoArm; plain [[corpusStats]] — no histogram — for a fixed arm). */
+  private def resolveArm(sigs: DataFrame, threshold: Double,
+                         arm: Arm): (Long, Long, Arm) = arm match {
+    case AutoArm =>
+      val (n, t, vol) = statsAndVolume(sigs, threshold)
+      (n, t, if (vol <= PrefixBudgetPerDoc * n) PrefixArm else LshArm)
+    case fixed =>
+      val (n, t, _) = corpusStats(sigs, threshold)
+      (n, t, fixed)
+  }
+
   /** Resolve an arm into candidate edges. */
-  private def resolveCands(sigs: DataFrame, threshold: Double, arm: Arm,
-                           nDocs: Long): DataFrame = {
-    val resolved = arm match {
-      case AutoArm => selectArm(sigs, threshold, nDocs)
-      case fixed => fixed
-    }
-    resolved match {
-      case LshArm =>
-        estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
-      case _ => prefixCandidates(sigs, threshold)
-    }
+  private def armCands(sigs: DataFrame, threshold: Double, resolved: Arm,
+                       nDocs: Long): DataFrame = resolved match {
+    case LshArm =>
+      estimateSurvivors(sigs, candidateEdges(sigs), threshold, nDocs)
+    case _ => prefixCandidates(sigs, threshold)
   }
 
   /** The registered query: near-duplicate cluster assignment over the
@@ -545,8 +623,8 @@ object MinHashDedup {
                threshold: Double = 0.6, arm: Arm = AutoArm): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
-    val (nDocs, totTokens) = docStats(sigs)
-    val cands = resolveCands(sigs, threshold, arm, nDocs)
+    val (nDocs, totTokens, resolved) = resolveArm(sigs, threshold, arm)
+    val cands = armCands(sigs, threshold, resolved, nDocs)
     val edges = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
     // Vertices come straight from the parquet scan (signatures preserve
     // doc_ids 1:1), so after components() materializes the edge set the
@@ -567,8 +645,8 @@ object MinHashDedup {
                      arm: Arm = AutoArm): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sigs = signatures(docs).cache()
-    val (nDocs, totTokens) = docStats(sigs)
-    val cands = resolveCands(sigs, threshold, arm, nDocs)
+    val (nDocs, totTokens, resolved) = resolveArm(sigs, threshold, arm)
+    val cands = armCands(sigs, threshold, resolved, nDocs)
     val out = exactConfirm(sigs, cands, threshold, totTokens, nDocs)
       .distinct() // pair-level view: one row per confirmed pair
       .localCheckpoint()
