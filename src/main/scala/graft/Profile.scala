@@ -60,6 +60,19 @@ object Profile {
       spark.catalog.clearCache()
     }
 
+    // Incremental dedup volumes (round-9).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_INCDEDUP")) {
+      val idx = s"/tmp/graft-incdedup/${new java.io.File(sfDir).getName}"
+      time("incdedup buildIndex")(
+        graft.text.IncrementalDedup.buildIndex(spark, sfDir, idx))
+      val out = time("incdedup checkDelta") {
+        val o = graft.text.IncrementalDedup.checkDelta(spark, sfDir, idx)
+          .persist()
+        println(s"  matches = ${o.count()}"); o
+      }
+      out.unpersist()
+    }
+
     // Exchange-reuse audit of the confirm plan (round-9).
     if (sys.env.contains("SPARK_GRAFT_PROFILE_MH_PLAN")) {
       import graft.text.MinHashDedup._

@@ -7,7 +7,7 @@ import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
 import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, Similarity}
-import graft.text.{ContainmentDedup, CorpusOps, MinHashDedup, SimHashDedup, TextOps}
+import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -183,6 +183,13 @@ object SparkEntry {
     // all-pairs oracle matches exactly); dense corpora auto-switch to
     // capped probe buckets — never a blocked all-pairs self-join.
     "dedup_containment" -> ((s, dir) => ContainmentDedup.pairs(s, dir)),
+    // Incremental dedup serving split: a persisted corpus prefix-postings
+    // index (built once — AnnIndex.ensure) checked by each new-ingest
+    // delta. Complete under the frozen corpus token order + exact
+    // confirm, so the oracle replays the exhaustive delta x corpus
+    // cross join. The 100 TB shape: dedup cost per ingest scales with
+    // the DELTA, not the corpus.
+    "dedup_incremental" -> ((s, dir) => IncrementalDedup.query(s, dir)),
     // Product-quantization ANN (codebooks + ADC, integer squared-L2
     // end-to-end) — the 32x-compressed index contract, deterministic
     // like sim_lsh_topk's bucket contract.
@@ -293,6 +300,7 @@ object SparkEntry {
     "embed_kmeans" -> OpsOracles.embedKmeans,
     "features_user_pit" -> OpsOracles.featuresUserPit,
     "dedup_containment" -> OpsOracles.containment,
+    "dedup_incremental" -> OpsOracles.incrementalDedup,
     "sim_pq_topk" -> OpsOracles.pqTopK,
     "sim_pq_indexed" -> OpsOracles.pqTopK,
     "sim_ivfpq_indexed" -> OpsOracles.ivfPqTopK,

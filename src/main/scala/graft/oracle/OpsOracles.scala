@@ -335,6 +335,45 @@ object OpsOracles {
       |  CAST(count(*) AS BIGINT) AS dup_count
       |FROM f GROUP BY fp""".stripMargin)
 
+  /** Mirrors IncrementalDedup.query: md5-bucket 80/20 corpus/delta
+    * split (the hashSplit scheme), exact trigram Jaccard over the FULL
+    * delta × corpus cross join ≥ 0.8. The engine's asymmetric prefix
+    * candidate join is complete under the frozen corpus token order, so
+    * its pruned plan must equal this exhaustive one cell-for-cell. */
+  val incrementalDedup: String =
+    ws("""WITH d AS (
+      |  SELECT doc_id,
+      |    lower(regexp_replace(text, '<WS>+', ' ', 'g')) AS norm,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 10 AS INT) AS bucket
+      |  FROM documents
+      |),
+      |tg AS (
+      |  SELECT doc_id, bucket,
+      |    CASE WHEN length(norm) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, CAST(length(norm) AS INT) - 1),
+      |        i -> substr(norm, CAST(i AS INT), 3)))
+      |    ELSE CAST([] AS VARCHAR[]) END AS tg
+      |  FROM d
+      |),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_id, c.doc_id AS dup_of,
+      |    CAST(len(list_intersect(x.tg, c.tg)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(x.tg, c.tg))) AS BIGINT)
+      |      AS uni
+      |  FROM tg x JOIN tg c ON x.bucket >= 8 AND c.bucket < 8
+      |),
+      |j AS (
+      |  SELECT doc_id, dup_of,
+      |    CASE WHEN uni > 0
+      |      THEN round((inter::DOUBLE / uni) * 10000, 0) / 10000.0
+      |      ELSE 0.0 END AS jaccard
+      |  FROM pairs
+      |)
+      |SELECT doc_id, dup_of, jaccard FROM j
+      |WHERE jaccard >= 0.8""".stripMargin)
+
   val ngramJaccard: String =
     ws("""WITH d AS (
       |  SELECT doc_id, lang, source,

@@ -130,23 +130,28 @@ object MinHashDedup {
     * collect to outgrow. Compared with the previous window formulation
     * (rank members per bucket, self-join the rank-≤K prefix) this drops
     * the per-bucket sort and two exchanges from the plan. */
-  def candidateEdges(sigs: DataFrame,
-                     allPairsMax: Int = AllPairsMaxBucket,
-                     hubs: Int = HubsPerBucket): DataFrame = {
-    // Band key = hash of the band's minhash slice (long group key, not a
-    // concatenated string; false bucket collisions are filtered by the
-    // estimate/confirm stages anyway). posexplode_outer, not posexplode:
-    // the plain form's InferFiltersFromGenerate filter would re-evaluate
-    // the whole 32-band transform twice more per doc. Not persisted: the
-    // consumers re-run a narrow codegen'd transform over the cached
-    // signature frame.
-    val banded = sigs
+  /** (doc_id, band_idx, band_key) rows — each doc's [[Bands]] LSH bucket
+    * keys. Band key = hash of the band's minhash slice (long group key,
+    * not a concatenated string; false bucket collisions are filtered by
+    * the estimate/confirm stages anyway). posexplode_outer, not
+    * posexplode: the plain form's InferFiltersFromGenerate filter would
+    * re-evaluate the whole 32-band transform twice more per doc. Not
+    * persisted: consumers re-run a narrow codegen'd transform over the
+    * cached signature frame. Shared with [[IncrementalDedup]], whose
+    * persisted band postings must key identically to the delta side. */
+  private[graft] def banded(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(slice(minhash, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
       .filter(col("band_idx").isNotNull) // pos-null = empty array only
-    val buckets = banded.groupBy(col("band_idx"), col("band_key"))
+
+  def candidateEdges(sigs: DataFrame,
+                     allPairsMax: Int = AllPairsMaxBucket,
+                     hubs: Int = HubsPerBucket): DataFrame = {
+    val b = banded(sigs)
+    val buckets = b.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"),
         expr(s"graft_capped_ids(doc_id, $allPairsMax)").as("ids"))
 
@@ -168,7 +173,7 @@ object MinHashDedup {
     // (doc_id, hubs) rows BEFORE exploding to per-hub pairs (measured
     // ~30× less pre-distinct hub-edge volume on the dense sf0.1 corpus,
     // identical distinct pair set).
-    val hubEdges = banded.join(bigHubs, Seq("band_idx", "band_key"))
+    val hubEdges = b.join(bigHubs, Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("hubs")).distinct()
       .select(col("doc_id"), explode(col("hubs")).as("hub_id"))
       .filter(col("hub_id") < col("doc_id"))
