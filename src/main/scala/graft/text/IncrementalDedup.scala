@@ -90,11 +90,17 @@ object IncrementalDedup {
     * per pair — the [[MinHashDedup]] estimate stage) → exact sorted-merge
     * confirm against the stored corpus sets, survivors only. */
   def checkDelta(spark: SparkSession, dir: String, idxDir: String,
-                 threshold: Double = Threshold): DataFrame = {
-    val deltaSigs = MinHashDedup.signatures(
+                 threshold: Double = Threshold): DataFrame =
+    checkDocs(spark,
       bucketed(spark.read.parquet(s"$dir/documents.parquet"))
-        .filter(col("bucket") >= 8))
-      .persist()
+        .filter(col("bucket") >= 8),
+      idxDir, threshold)
+
+  /** [[checkDelta]] over an arbitrary (doc_id, text) frame — the shared
+    * core the batch and streaming entries both run. */
+  def checkDocs(spark: SparkSession, docs: DataFrame, idxDir: String,
+                threshold: Double = Threshold): DataFrame = {
+    val deltaSigs = MinHashDedup.signatures(docs).persist()
     val postings = spark.read.parquet(s"$idxDir/bands")
     val cands = MinHashDedup.banded(deltaSigs)
       .withColumnRenamed("doc_id", "delta_id")
@@ -130,6 +136,27 @@ object IncrementalDedup {
     deltaSigs.unpersist()
     out
   }
+
+  /** Streaming form — dedup-at-ingest: each micro-batch of documents is
+    * checked against the persisted index and its matches appended to
+    * `outDir`. The query holds ZERO streaming state (no cross-batch
+    * aggregation — the corpus lives in the index), so it needs no
+    * watermark, restarts cleanly from the checkpoint, and its per-batch
+    * cost is the [[checkDocs]] serving cost of that batch alone. Exactly
+    * the S5 append-sink lineage (streaming/BronzeIngest) with the
+    * serving join as the transform. */
+  def startStream(docs: DataFrame, idxDir: String, outDir: String,
+                  checkpoint: String, threshold: Double = Threshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        checkDocs(batch.sparkSession, batch, idxDir, threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 
   /** Registered-query entry: ensure the corpus index exists (built at
     * most once per JVM — [[graft.sim.AnnIndex.ensure]]), then run the

@@ -71,6 +71,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 99L), "alien delta doc matched nothing")
   }
 
+  test("streaming dedup-at-ingest: streamed delta matches batch " +
+      "checkDelta, across micro-batches and restart-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val idx = tmpDir("incdedup-stream-idx")
+    IncrementalDedup.buildIndex(spark, dir, idx)
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket", expr(
+        "cast(pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, " +
+          "15), 16, 10) as bigint), 10L) as int)"))
+      .filter(col("bucket") >= 8)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    assert(delta.nonEmpty)
+    val (b1, b2) = delta.splitAt(delta.size / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    stream.addData(b1)
+    stream.addData(b2)
+    val out = tmpDir("incdedup-stream-out")
+    val q = IncrementalDedup.startStream(
+      stream.toDF().toDF("doc_id", "text"), idx, out,
+      tmpDir("incdedup-stream-ckpt"))
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    val want = IncrementalDedup.checkDelta(spark, dir, idx)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      "streamed per-batch serving must equal the batch check")
+  }
+
   test("serving plan reads the index, not the corpus documents") {
     val dir = "/root/testdata/sf0.001"
     val idx = tmpDir("incdedup-plan-idx")
