@@ -252,7 +252,10 @@ case class CappedSortedLongs(
 
   private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
     if (buf.size < cap) { buf.add(v); () }
-    else if (v < buf.last()) { buf.add(v); buf.pollLast(); () }
+    // add() returns false for a duplicate — evict the maximum ONLY when
+    // something was actually inserted, else a duplicate of an in-buffer
+    // value would silently shrink the buffer (caught by PropertySpec).
+    else if (v < buf.last() && buf.add(v)) { buf.pollLast(); () }
   }
 
   override def update(buf: java.util.TreeSet[java.lang.Long],

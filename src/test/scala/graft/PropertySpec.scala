@@ -172,4 +172,26 @@ class PropertySpec extends SparkSpec {
       assert(salted == plain)
     }
   }
+
+  test("property: graft_capped_ids == sorted distinct smallest-cap, " +
+      "any grouping, any partitioning") {
+    graft.functions.SignatureExpressions.register(spark, 4,
+      Array(1L), Array(0L), 7L) // registers graft_capped_ids too
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      val cap = 1 + rnd.nextInt(12)
+      val rows = (0 until 300).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(60).toLong)
+      }
+      val df = rows.toDF("grp", "v")
+        .repartition(1 + rnd.nextInt(7)) // invariance across partitionings
+      val got = df.groupBy(col("grp"))
+        .agg(expr(s"graft_capped_ids(v, $cap)").as("ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).distinct.sorted.take(cap)
+      }
+      assert(got == want, s"seed=$seed cap=$cap")
+    }
+  }
 }
