@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *  - `bands/`   — (band_idx, band_key, doc_id): the corpus docs' LSH
   *                 band postings ([[MinHashDedup.banded]] — the delta
   *                 side MUST band with the identical permutations and
-  *                 slicing, which sharing the code guarantees). At
-  *                 production scale this is the frame to bucket by
-  *                 (band_idx, band_key) so the delta probe co-partitions;
+  *                 slicing, which sharing the code guarantees), written
+  *                 as a table BUCKETED by band_key so the corpus side of
+  *                 the serving join is pre-partitioned and plans with no
+  *                 Exchange (IncrementalDedupSpec asserts it);
   *  - `minhash/` — (doc_id, minhash): fixed-width signatures for the
   *                 cheap agreement pre-filter;
   *  - `tgh/`     — (doc_id, tgh): sorted hashed trigram sets, the
@@ -65,16 +66,51 @@ object IncrementalDedup {
     math.max(0, math.ceil((t - 4 * sigma) * MinHashDedup.NumPerms).toInt)
   }
 
+  /** Bucket count for the band-postings table — a layout constant, like
+    * [[graft.runtime.Bucketed]]'s: small for the harness, thousands at
+    * 100 TB (~1 GB of postings per bucket file). */
+  val BandBuckets = 32
+
+  /** Catalog name for the index's bucketed band table, derived from the
+    * index path (same uniqueness contract as [[graft.sim.AnnIndex.dir]]
+    * — per-corpus, collision-free across SF dirs in one session). */
+  private[graft] def bandsTable(idxDir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(idxDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"graft_incdedup_bands_$md5"
+  }
+
   /** Build (overwrite) the corpus index under `idxDir`: one signature
     * pass, then three pure-projection writes — no training, no
-    * iteration. */
+    * iteration.
+    *
+    * The band postings are written as a table BUCKETED by the join key
+    * (band_idx, band_key) — the [[graft.runtime.Bucketed]] lever: the
+    * bucketed scan already satisfies the serving join's required
+    * clustering, so the CORPUS side of every delta check plans with no
+    * Exchange; only the (small) delta side shuffles. Bucket metadata
+    * lives in the session catalog, so a fresh process re-registers it by
+    * rebuilding ([[graft.sim.AnnIndex.ensure]]'s per-JVM contract). */
   def buildIndex(spark: SparkSession, dir: String, idxDir: String): Unit = {
     val docs = bucketed(spark.read.parquet(s"$dir/documents.parquet"))
       .filter(col("bucket") < 8)
     val sigs = MinHashDedup.signatures(docs).persist()
+    val table = bandsTable(idxDir)
+    // Survive an orphaned location from a previous process (the
+    // in-memory catalog forgets, the directory remains) — the
+    // runtime/Bucketed overwrite discipline.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(s"$idxDir/bands")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     MinHashDedup.banded(sigs)
       .select("band_idx", "band_key", "doc_id")
-      .write.mode("overwrite").parquet(s"$idxDir/bands")
+      .write.mode("overwrite")
+      .bucketBy(BandBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .format("parquet")
+      .option("path", s"$idxDir/bands")
+      .saveAsTable(table)
     sigs.select("doc_id", "minhash")
       .write.mode("overwrite").parquet(s"$idxDir/minhash")
     sigs.select("doc_id", "tgh")
@@ -101,7 +137,7 @@ object IncrementalDedup {
   def checkDocs(spark: SparkSession, docs: DataFrame, idxDir: String,
                 threshold: Double = Threshold): DataFrame = {
     val deltaSigs = MinHashDedup.signatures(docs).persist()
-    val postings = spark.read.parquet(s"$idxDir/bands")
+    val postings = spark.table(bandsTable(idxDir))
     val cands = MinHashDedup.banded(deltaSigs)
       .withColumnRenamed("doc_id", "delta_id")
       .join(postings.withColumnRenamed("doc_id", "corpus_id"),

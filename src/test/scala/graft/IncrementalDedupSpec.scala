@@ -104,6 +104,58 @@ class IncrementalDedupSpec extends SparkSpec {
       "streamed per-batch serving must equal the batch check")
   }
 
+  test("bucketed band postings: corpus side of the serving join plans " +
+      "with no Exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = "/root/testdata/sf0.001"
+    val idx = tmpDir("incdedup-bucket-idx")
+    IncrementalDedup.buildIndex(spark, dir, idx)
+    // At gate scale the 12.8k-row postings side gets BROADCAST (no
+    // exchange either way, and autoBucketedScan rightly skips the bucket
+    // metadata). The layout exists for the 100 TB regime where the
+    // corpus side is far too big to broadcast — pin THAT plan by
+    // disabling broadcast for this test.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val deltaSigs = graft.text.MinHashDedup.signatures(
+        spark.read.parquet(s"$dir/documents.parquet").limit(50))
+      val joined = graft.text.MinHashDedup.banded(deltaSigs)
+        .withColumnRenamed("doc_id", "delta_id")
+        .join(spark.table(IncrementalDedup.bandsTable(idx)),
+          Seq("band_idx", "band_key"))
+        .select("delta_id", "doc_id")
+      joined.write.format("noop").mode("overwrite").save()
+      joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    val bandScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+          s
+    }
+    assert(bandScans.nonEmpty, "bands table scan not found in plan")
+    assert(bandScans.forall(_.bucketedScan), "bands scan must be bucketed")
+    // no shuffle sits above the bucketed corpus scan
+    val shufflesOverBands = plan.collect {
+      case e: ShuffleExchangeExec if e.collectLeaves().exists {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains(idx))
+        case _ => false
+      } => e
+    }
+    assert(shufflesOverBands.isEmpty,
+      "corpus band postings must join without an Exchange")
+  }
+
   test("serving plan reads the index, not the corpus documents") {
     val dir = "/root/testdata/sf0.001"
     val idx = tmpDir("incdedup-plan-idx")
