@@ -74,6 +74,14 @@ object SparkEntry {
         Sessionize.sessions(Events.cleansed(s, dir)))
       graft.runtime.Bucketed.userDaily(s, "silver_bucketed_q")
     }),
+    // The worst-shuffle gold re-planned on the bucketed layout: raw
+    // silver rows never cross an Exchange (every raw-row agg keys on a
+    // superset of user_id), only day/country-grain pre-reductions do.
+    "gold_country_daily_bucketed" -> ((s, dir) => {
+      graft.runtime.Bucketed.writeSilver(s, "silver_bucketed_qc",
+        Sessionize.sessions(Events.cleansed(s, dir)))
+      graft.runtime.Bucketed.countryDaily(s, "silver_bucketed_qc")
+    }),
     "gold_platform_device_daily" -> ((s, dir) =>
       PlatformDeviceDaily.build(sessions(s, dir))),
     "q1_pricing_summary" -> CoreOps.q1PricingSummary _,
@@ -244,6 +252,7 @@ object SparkEntry {
     "gold_webtoon_daily" -> Oracles.goldWebtoonDaily,
     "gold_country_daily" -> Oracles.goldCountryDaily,
     "gold_user_daily_bucketed" -> Oracles.goldUserDaily,
+    "gold_country_daily_bucketed" -> Oracles.goldCountryDaily,
     "gold_platform_device_daily" -> Oracles.goldPlatformDeviceDaily,
     "q1_pricing_summary" -> OpsOracles.q1PricingSummary,
     "q3_revenue_topk" -> OpsOracles.q3RevenueTopK,

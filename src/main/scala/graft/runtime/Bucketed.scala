@@ -84,6 +84,18 @@ object Bucketed {
       c => org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.collect_set(c)).cast("bigint"))
 
+  /** The full country gold re-planned for the bucketed layout — same
+    * rows and oracle as [[graft.gold.CountryDaily.build]]. Every RAW-ROW
+    * aggregation in that build (the perPair cascade head, the
+    * session-distinct, the presence window) groups or partitions on a
+    * superset of user_id, so the bucketed scan satisfies their
+    * clustering and NO silver row ever crosses an Exchange — the only
+    * shuffles left carry (day)- or (day, country)-grain pre-reduced
+    * frames, bounded by days × countries at any corpus size
+    * (BucketedSpec pins the property). */
+  def countryDaily(spark: SparkSession, table: String): DataFrame =
+    graft.gold.CountryDaily.build(spark.table(table))
+
   /** Same-bucket self-join (user_id): with both sides reading one
     * bucketed table, the equi-join needs no Exchange on either side. */
   def selfJoin(spark: SparkSession, table: String): DataFrame = {

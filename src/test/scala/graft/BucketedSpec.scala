@@ -62,4 +62,32 @@ class BucketedSpec extends SparkSpec {
     assert(bucketed.except(expected).isEmpty &&
       expected.except(bucketed).isEmpty)
   }
+
+  test("country gold over the bucketed table: no RAW silver row crosses " +
+      "a shuffle (every exchange input is pre-aggregated)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    val gold = Bucketed.countryDaily(spark, table)
+    assert(gold.count() > 0)
+    val plan = gold.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // An exchange "sees raw rows" if walking down from it reaches the
+    // silver scan without passing through an aggregate (window frames
+    // re-partition pre-distinct rows, which the bucketed scan already
+    // clusters — they plan with no exchange at all, as asserted by the
+    // whole-plan walk).
+    def seesRawScan(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case s: FileSourceScanExec => true
+      case other => other.children.exists(seesRawScan)
+    }
+    val raw = plan.collect {
+      case e: ShuffleExchangeExec if seesRawScan(e.child) => e
+    }
+    assert(raw.isEmpty,
+      s"raw-silver shuffle found:\n$plan")
+  }
 }
