@@ -353,16 +353,25 @@ object MinHashDedup {
     // ~NumPerms·8 bytes per row. Cached parents carry no stats, so the
     // broadcast must be hinted — and the hint gated, because an explicit
     // broadcast() hard-fails (no fallback) past the 8 GB relation limit.
-    val mhBytes = nDocs * (NumPerms * 8L + 32L)
+    val mhBytes = nDocs * (NumPerms * 8L + 40L)
     // ONE projected frame joined twice (vs a per-side aliased projection):
     // both joins' build plans canonicalize identically, so ReuseExchange
-    // materializes a single broadcast instead of two.
+    // materializes a single broadcast instead of two. The projection
+    // carries the set size too: jaccard ≤ min(n)/max(n), so a pair whose
+    // sizes differ by more than the threshold ratio can never confirm —
+    // two integer comparisons prune it before the 128-long agreement
+    // loop ever runs (and before the trigram arrays join in).
+    val tp = math.max(threshold - 1e-4, 0.0)
     val mh = Layout.maybeBroadcast(
-      sigs.select(col("doc_id"), col("minhash")), mhBytes)
+      sigs.select(col("doc_id"), col("minhash"),
+        size(col("tgh")).as("n")), mhBytes)
     edges
       .join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
       .join(mh.as("mb"), col("doc_b") === col("mb.doc_id"))
-      .filter(expr("graft_sig_agreement(ma.minhash, mb.minhash)") >= minAgree)
+      .filter(
+        col("ma.n") >= lit(tp) * col("mb.n") &&
+          col("mb.n") >= lit(tp) * col("ma.n") &&
+          expr("graft_sig_agreement(ma.minhash, mb.minhash)") >= minAgree)
       .select("doc_a", "doc_b")
   }
 
