@@ -6,7 +6,7 @@ import graft.ops.{AsOfJoin, EventOps, Features, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
-import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, Similarity}
+import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, SemDedup, Similarity}
 import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -187,6 +187,12 @@ object SparkEntry {
     // refinement): every intermediate is integer or a correctly-rounded
     // IEEE op, so the DuckDB oracle replays the iteration exactly.
     "embed_kmeans" -> ((s, dir) => KMeans.fit(s, dir)),
+    // SemDeDup (Abbas et al. 2023): the k-means partition bounds the
+    // near-dup pair search (third candidate geometry next to sign-LSH
+    // buckets and IVF lists); keep-the-outlier representative per
+    // duplicate relation. Deterministic end-to-end, so the oracle
+    // replays assignment + pairing + dominance cell-for-cell.
+    "dedup_semantic" -> ((s, dir) => SemDedup.dedup(s, dir)),
     // Point-in-time-correct feature assembly (the feature-store op):
     // daily snapshots servable from the next midnight, attached to
     // purchase labels via the union+window as-of plan.
@@ -313,6 +319,7 @@ object SparkEntry {
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
     "pipeline_corpus_clean" -> OpsOracles.pipelineCorpusClean,
     "embed_kmeans" -> OpsOracles.embedKmeans,
+    "dedup_semantic" -> OpsOracles.semDedup,
     "features_user_pit" -> OpsOracles.featuresUserPit,
     "dedup_containment" -> OpsOracles.containment,
     "dedup_incremental" -> OpsOracles.incrementalDedup,

@@ -1455,6 +1455,98 @@ object OpsOracles {
       |FROM labels l ASOF LEFT JOIN snaps s
       |  ON l.user_id = s.user_id AND l.ts_us >= s.snap_ts_us""".stripMargin
 
+  /** Mirrors sim.SemDedup.dedup(k = 8, iters = 1, tau = 0.80): replays
+    * the [[embedKmeans]] assignment verbatim (CTEs e..a), then joins
+    * same-cluster pairs, keeps pairs whose quantized cosine rounds to
+    * ≥ 0.80, and drops every vector dominated by a near-dup with a
+    * lexicographically lower (centroid-cosine, vec_id). Exact for the
+    * same reason embedKmeans is: integers end-to-end plus correctly
+    * rounded IEEE sqrt/÷ at the compare. */
+  val semDedup: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n0 AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |n AS (SELECT * FROM n0 WHERE nn > 0),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |    AS cluster, q AS cq, nn AS cn
+      |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)
+      |),
+      |p0 AS (
+      |  SELECT n.vec_id, c0.cluster,
+      |    round((CAST(list_sum(list_transform(list_zip(n.q, c0.cq),
+      |      s -> s[1] * s[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(n.nn::DOUBLE) * sqrt(c0.cn::DOUBLE))) * 1000000, 0)
+      |      / 1000000.0 AS cosine
+      |  FROM n, c0
+      |),
+      |a0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rk
+      |    FROM p0)
+      |  WHERE rk = 1
+      |),
+      |mem AS (
+      |  SELECT a0.cluster,
+      |    unnest(list_zip(n.q, range(1, len(n.q) + 1))) AS zz
+      |  FROM a0 JOIN n USING (vec_id)
+      |),
+      |upd AS (
+      |  SELECT cluster, CAST(zz[2] AS INT) AS dim,
+      |    CAST(round(CAST(sum(zz[1]) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS mq
+      |  FROM mem GROUP BY 1, 2
+      |),
+      |c1a AS (
+      |  SELECT cluster, list(mq ORDER BY dim) AS cq FROM upd
+      |  GROUP BY cluster
+      |),
+      |c1 AS (
+      |  SELECT cluster, cq,
+      |    CAST(list_sum(list_transform(cq, v -> v * v)) AS BIGINT) AS cn
+      |  FROM c1a
+      |),
+      |p1 AS (
+      |  SELECT n.vec_id, n.label, c1.cluster,
+      |    round((CAST(list_sum(list_transform(list_zip(n.q, c1.cq),
+      |      s -> s[1] * s[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(n.nn::DOUBLE) * sqrt(c1.cn::DOUBLE))) * 1000000, 0)
+      |      / 1000000.0 AS cosine
+      |  FROM n, c1 WHERE c1.cn > 0
+      |),
+      |a AS (
+      |  SELECT vec_id, label, cluster, cosine FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rk
+      |    FROM p1)
+      |  WHERE rk = 1
+      |),
+      |m AS (
+      |  SELECT a.vec_id, a.label, a.cluster, a.cosine, n.q, n.nn
+      |  FROM a JOIN n USING (vec_id)
+      |),
+      |dropped AS (
+      |  SELECT DISTINCT x.vec_id
+      |  FROM m x JOIN m y ON x.cluster = y.cluster
+      |    AND (y.cosine < x.cosine
+      |      OR (y.cosine = x.cosine AND y.vec_id < x.vec_id))
+      |  WHERE round((CAST(list_sum(list_transform(list_zip(x.q, y.q),
+      |      s -> s[1] * s[2])) AS BIGINT)::DOUBLE
+      |      / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE))) * 1000000, 0)
+      |      / 1000000.0 >= 0.80
+      |)
+      |SELECT m.vec_id, m.label, m.cluster,
+      |  (d.vec_id IS NULL) AS keep
+      |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id""".stripMargin
+
   /** Mirrors sim.KMeans.fit(k = 8, iters = 1): deterministic seed (the
     * FIRST 8 nonzero vectors by vec_id, clusters = seed ranks — the
     * engine's order-by-limit formulation, which equals `vec_id < 8` on
