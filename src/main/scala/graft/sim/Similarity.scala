@@ -43,33 +43,66 @@ object Similarity {
   def quantizedNonZero(s: SparkSession, dir: String): DataFrame =
     quantized(s, dir).filter(col("n") > 0)
 
+  /** Candidate-generation arm for [[cosineNearDup]] (the
+    * [[graft.text.MinHashDedup.Arm]] / [[graft.text.ContainmentDedup.Arm]]
+    * pattern — the registered query REASONS about its arm instead of
+    * hard-wiring one). */
+  sealed trait Arm
+  /** Force the sign-LSH bucketed candidate join. */
+  case object LshArm extends Arm
+  /** Force the blocked triangular exact self-join. */
+  case object BlockArm extends Arm
+  /** Choose by the derived LSH selectivity T·2^−b: below 1 the bucket
+    * join prunes; at or above 1 it EXPANDS (the candidate shuffle would
+    * carry ≥ n²/2 rows, duplicated across tables, plus a distinct), so
+    * scanning each pair exactly once is strictly cheaper. */
+  case object AutoArm extends Arm
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
     * quantized cosine meets the threshold — the embedding-space flavor of
     * the dedup family.
     *
-    * Two-stage bucketed plan (mirrors [[graft.text.MinHashDedup]]'s
-    * estimate/confirm shape): hyperplane-LSH buckets with
-    * threshold-derived (bits, tables) from [[LshCosine.deriveParams]]
-    * generate candidate pairs via a per-table bucket EQUI self-join —
-    * never a cross join — and survivors are re-ranked with the exact
-    * quantized integer cosine. The output therefore depends only on
-    * exact recomputable quantities, and candidate coverage of every
-    * qualifying pair is a deterministic property of the fixed seed-7
-    * hyperplanes + corpus, verified total at sf0.001/sf0.01/sf0.1
-    * (SimLshSpec asserts bucketed == exact all-pairs), so the all-pairs
-    * DuckDB oracle matches cell-for-cell. Per-pair miss probability at
-    * the threshold is ≤ 1e-4 by construction (τ=0.4 → b=4, T=59).
+    * Arm-decided plan. At selective thresholds (τ ≥ ~0.7) hyperplane-LSH
+    * buckets with threshold-derived (bits, tables) from
+    * [[LshCosine.deriveParams]] generate candidate pairs via a per-table
+    * bucket EQUI self-join — never a cross join — and survivors are
+    * re-ranked with the exact quantized integer cosine; candidate
+    * coverage of every qualifying pair is a deterministic property of
+    * the fixed seed-7 hyperplanes + corpus (SimLshSpec asserts the LSH
+    * arm == exact all-pairs), with per-pair miss probability ≤ 1e-4 by
+    * construction. At low thresholds the same derivation yields
+    * T·2^−b ≥ 1 — EVERY LSH family degenerates there (Charikar's
+    * collision bound: a τ=0.4 pair agrees per bit w.p. only ~0.63, so
+    * recall needs more tables than the buckets prune) — and AutoArm
+    * switches to the blocked triangular self-join that scans each of the
+    * n²/2 pairs exactly ONCE ([[blockedNearDup]]): the optimal exact
+    * plan in the regime where no sub-quadratic candidate generator
+    * exists. Both arms end in the identical exact scoring expression, so
+    * the all-pairs DuckDB oracle matches cell-for-cell either way.
     *
-    * At 100 TB the bucket id is the shuffle key: candidates =
-    * Σ_tables Σ_buckets n_b², with selectivity T·2^−b vs random pairs
-    * — strongly sub-quadratic at real near-dup thresholds (τ ≥ 0.7);
-    * at τ = 0.4 the regime itself is the floor (see deriveParams'
-    * scale note). No vector arrays travel through the candidate
-    * shuffle — only (vec_id, tbl, bucket) longs; the KB-scale q arrays
-    * join back in only for the final exact re-rank. */
+    * At 100 TB the LSH arm's bucket id is the shuffle key: candidates =
+    * Σ_tables Σ_buckets n_b², selectivity T·2^−b vs random pairs —
+    * strongly sub-quadratic at real near-dup thresholds; no vector
+    * arrays travel through the candidate shuffle — only
+    * (vec_id, tbl, bucket) longs; the KB-scale q arrays join back in
+    * only for the final exact re-rank. */
   def cosineNearDup(s: SparkSession, dir: String,
-                    threshold: Double = 0.4): DataFrame =
-    bucketedNearDup(quantizedNonZero(s, dir), threshold)
+                    threshold: Double = 0.4,
+                    arm: Arm = AutoArm): DataFrame =
+    nearDup(quantizedNonZero(s, dir), threshold, arm)
+
+  /** Arm dispatch (shared by both registered thresholds). */
+  private[graft] def nearDup(emb: DataFrame, threshold: Double,
+                             arm: Arm): DataFrame = {
+    val (bits, tables) = LshCosine.deriveParams(threshold)
+    val block = arm match {
+      case BlockArm => true
+      case LshArm   => false
+      case AutoArm  => tables.toDouble / (1L << bits) >= 1.0
+    }
+    if (block) blockedNearDup(emb, threshold)
+    else bucketedNearDup(emb, threshold)
+  }
 
   /** Plant offset for [[cosineNearDupT85]]'s derived duplicates. */
   val PlantOffset = 1000000L
@@ -108,9 +141,22 @@ object Similarity {
     * is exactly one (vec_id, vec_id + PlantOffset, 1.0) row per nonzero
     * vector, and the all-pairs DuckDB oracle replays the same union. */
   def cosineNearDupT85(s: SparkSession, dir: String): DataFrame =
-    bucketedNearDup(plantedNonZero(s, dir), 0.85)
+    nearDup(plantedNonZero(s, dir), 0.85, AutoArm)
 
-  /** The shared two-stage bucketed plan over a quantized frame. */
+  /** Exact scoring shared by every candidate arm: the quantized integer
+    * cosine, rounded by the portable scale-0 rule, ≥-filtered. Inputs
+    * carry (vec_a, qa, na, vec_b, qb, nb); cosine is symmetric so the
+    * caller may pass either orientation and normalize ids afterward. */
+  private def scorePairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("dot", expr("graft_dot(qa, qb)"))
+      .withColumn("cosine",
+        Num.r(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6))
+      .filter(col("cosine") >= threshold)
+
+  /** The two-stage bucketed LSH plan over a quantized frame. */
   private def bucketedNearDup(emb: DataFrame,
                               threshold: Double): DataFrame = {
     val (bits, tables) = LshCosine.deriveParams(threshold)
@@ -122,18 +168,53 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
-    cands
+    scorePairs(cands
       .join(emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
         col("n").as("na")), Seq("vec_a"))
       .join(emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
-        col("n").as("nb")), Seq("vec_b"))
-      .withColumn("dot", expr("graft_dot(qa, qb)"))
-      .withColumn("cosine",
-        Num.r(col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
-          6))
-      .filter(col("cosine") >= threshold)
+        col("n").as("nb")), Seq("vec_b")), threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Block count for [[blockedNearDup]]. Triangular block pairs =
+    * B(B+1)/2 (2,080 at 64) — broadcast-size metadata; per-reducer pair
+    * volume scales as (n/B)², so at corpus scale B grows with √n to
+    * keep a block pair inside one task's memory. 64 over-parallelizes
+    * local[32] without fragmenting the harness corpora. */
+  val NearDupBlocks: Int = 64
+
+  /** Blocked triangular exact self-join — the low-threshold arm. Every
+    * unordered pair is scanned exactly once: rows are hashed into B
+    * blocks, the B(B+1)/2 ordered block pairs (ba ≤ bb) are a
+    * driver-built broadcast frame, and two EQUI joins (never a
+    * cartesian: left⋈blockPairs on ba is a broadcast hash join, then
+    * ⋈right on bb) materialize each block pair once — diagonal pairs
+    * keep vec_a < vec_b, cross-block pairs appear only under ba < bb
+    * and are id-normalized after scoring (cosine is symmetric). Unlike
+    * the LSH arm there is no candidate distinct and no ×T table
+    * duplication: shuffle volume is one B-way fan-out of the left ids +
+    * vectors (×(B−ba) ≈ ×B/2 average — bounded metadata-scale
+    * replication, NOT pair-scale) and the n²/2 scoring happens inside
+    * the join's generated loop with no further exchange. */
+  private def blockedNearDup(emb: DataFrame,
+                             threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    val b = NearDupBlocks
+    import s.implicits._
+    val blockPairs = (for { i <- 0 until b; j <- i until b } yield (i, j))
+      .toDF("ba", "bb")
+    val left = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("n").as("na"), pmod(hash(col("vec_id")), lit(b)).as("ba"))
+    val right = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("n").as("nb"), pmod(hash(col("vec_id")), lit(b)).as("bb"))
+    val pairs = left.join(broadcast(blockPairs), Seq("ba"))
+      .join(right, Seq("bb"))
+      // one orientation per unordered pair: strict id order inside the
+      // diagonal block, block order decides across blocks
+      .filter(col("ba") =!= col("bb") || col("vec_a") < col("vec_b"))
+    scorePairs(pairs, threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cosine"))
   }
 
   /** Exact all-pairs baseline for [[cosineNearDup]] — O(N²), spec-only:

@@ -83,15 +83,39 @@ class SimLshSpec extends SparkSpec {
     assert(meanRecall >= 0.9, s"recall $meanRecall too low")
   }
 
-  test("bucketed cosineNearDup == exact all-pairs at the 0.4 threshold") {
+  test("LSH candidate arm == exact all-pairs at the 0.4 threshold") {
     val dir = "/root/testdata/sf0.001"
-    val bucketed = graft.sim.Similarity.cosineNearDup(spark, dir)
+    val bucketed = graft.sim.Similarity
+      .cosineNearDup(spark, dir, arm = graft.sim.Similarity.LshArm)
       .as[(Long, Long, Double)].collect().toSet
     val exact = graft.sim.Similarity.cosineNearDupExact(spark, dir)
       .as[(Long, Long, Double)].collect().toSet
     assert(bucketed == exact,
       s"candidate arm missed ${(exact -- bucketed).size} qualifying pairs")
     assert(exact.nonEmpty)
+  }
+
+  test("blocked arm == exact all-pairs, and AutoArm picks it at 0.4") {
+    val dir = "/root/testdata/sf0.001"
+    // AutoArm at 0.4: derived (4, 59) ⇒ selectivity 59/16 ≥ 1 ⇒ the
+    // registered query runs the blocked triangular scan-once plan.
+    val auto = graft.sim.Similarity.cosineNearDup(spark, dir)
+    val blocked = graft.sim.Similarity
+      .cosineNearDup(spark, dir, arm = graft.sim.Similarity.BlockArm)
+      .as[(Long, Long, Double)].collect()
+    val exact = graft.sim.Similarity.cosineNearDupExact(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // exactly-once pair scan: no duplicate output rows to rely on a
+    // distinct for
+    assert(blocked.length == blocked.toSet.size, "duplicate pair rows")
+    assert(blocked.toSet == exact,
+      s"blocked arm missed ${(exact -- blocked.toSet).size} pairs")
+    assert(auto.collect().toSet ==
+      blocked.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSet)
+    // the blocked plan must stay equi-join shaped — no nested loop
+    val p = auto.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("registered t85 query finds exactly the planted doubles at 1.0") {
