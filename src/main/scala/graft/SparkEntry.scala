@@ -178,6 +178,9 @@ object SparkEntry {
     // (OpsOracles.approxDistinctUsers expects within_pct = TRUE).
     "agg_approx_distinct" -> EventOps.approxDistinctUsers _,
     "text_repetition" -> ((s, dir) => CorpusOps.repetitionStats(s, dir)),
+    // Cross-document duplicated-span stats (the exact-substring dedup
+    // lens): word-8-grams shared by >= 2 docs, counted per document.
+    "text_dup_spans" -> ((s, dir) => CorpusOps.dupSpans(s, dir)),
     "text_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
@@ -314,6 +317,7 @@ object SparkEntry {
     "embed_centroids" -> OpsOracles.embedCentroids,
     "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
     "text_repetition" -> OpsOracles.textRepetition,
+    "text_dup_spans" -> OpsOracles.dupSpanStats,
     "text_decontaminate" -> OpsOracles.textDecontaminate,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,

@@ -1290,6 +1290,49 @@ object OpsOracles {
       |    AS INT) AS is_contaminated
       |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin)
 
+  /** Mirrors CorpusOps.dupSpans (W = 8): string word-8-grams stand in
+    * for the engine's xxhash64 signatures (count-identical, the
+    * textDecontaminate argument); all outputs are integer counts plus
+    * one guarded scale-4 ratio. */
+  val dupSpanStats: String =
+    ws("""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(lower(trim(text)),
+      |      '<WS>+'), t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_transform(
+      |        range(1, greatest(len(toks) - 7, 0) + 1),
+      |        i -> array_to_string(list_slice(toks, CAST(i AS INT),
+      |          CAST(i AS INT) + 7), ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM d
+      |),
+      |pos AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+      |pdg AS (
+      |  SELECT gh, doc_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM pos GROUP BY 1, 2
+      |),
+      |dup AS (SELECT gh FROM pdg GROUP BY gh HAVING count(*) >= 2),
+      |per AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_dup_windows,
+      |    CAST(count(*) AS BIGINT) AS n_dup_grams
+      |  FROM pdg JOIN dup USING (gh) GROUP BY doc_id
+      |)
+      |SELECT g.doc_id, lang, source,
+      |  CAST(len(grams) AS BIGINT) AS n_windows,
+      |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+      |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+      |  CASE WHEN len(grams) > 0
+      |    THEN round((coalesce(n_dup_windows, 0)::DOUBLE / len(grams))
+      |      * 10000, 0) / 10000.0
+      |    ELSE 0.0 END AS dup_frac
+      |FROM g LEFT JOIN per USING (doc_id)""".stripMargin)
+
   /** Mirrors CorpusOps.weightedSourceSample: integer counts → one IEEE
     * sqrt/division → floor, so the derived rate is engine-exact; same
     * md5 bucketing as sampleStratified. */

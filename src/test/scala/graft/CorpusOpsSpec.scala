@@ -47,6 +47,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 2L)
   }
 
+  test("dupSpans counts shared word-8-gram windows, in-doc repeats and " +
+      "short docs") {
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8" // one exact 8-gram
+    val d = docsDf(
+      // doc 1: the span once + unique filler -> 2 extra unique windows
+      1L -> s"$span u1 u2",
+      // doc 2: the span TWICE (in-doc repeat of a shared gram: both
+      // occurrences count as duplicated windows); bridge windows between
+      // the copies exist only here, so they stay unique
+      2L -> s"$span $span",
+      // doc 3: no overlap with anything
+      3L -> "b1 b2 b3 b4 b5 b6 b7 b8 b9",
+      // doc 4: shorter than the window -> zero windows
+      4L -> "c1 c2 c3")
+    val out = CorpusOps.dupSpans(d)
+      .select("doc_id", "n_windows", "n_dup_windows", "n_dup_grams",
+        "dup_frac")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 1L, 0.3333)), s"got ${out(1L)}")
+    // 16 tokens -> 9 windows; positions 1 and 9 are the planted gram
+    assert(out(2L) == ((9L, 2L, 1L, 0.2222)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 0L, 0.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)), s"got ${out(4L)}")
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram") {
     val bench = docsDf(
       100L -> "the quick brown fox jumps over the lazy dog")
