@@ -168,6 +168,10 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
     "sessionize_gap" -> EventOps.sessionizeGap _,
+    // Session-scoped event-transition matrix (which step follows which,
+    // for how many users, how fast) — the funnel lens over the same
+    // gap-session window pass as sessionize_gap.
+    "funnel_transitions" -> EventOps.funnelTransitions _,
     "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
     "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
@@ -310,6 +314,7 @@ object SparkEntry {
     "dedup_embedding_cosine_t85" -> OpsOracles.cosineNearDupT85,
     "multimodal_features" -> OpsOracles.multimodalFeatures,
     "sessionize_gap" -> OpsOracles.sessionizeGap,
+    "funnel_transitions" -> OpsOracles.funnelTransitions,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
     "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,

@@ -64,6 +64,42 @@ object EventOps {
       .withColumn("duration_us", col("end_ts_us") - col("start_ts_us"))
   }
 
+  /** Funnel transition matrix: for every ordered pair of consecutive
+    * events INSIDE one [[sessionizeGap]] session (same user, < 30 min
+    * apart), count transitions, distinct transitioning users, and the
+    * mean gap — the user-flow analytics a clickstream feature store
+    * exists to serve (which paths follow which, and how fast).
+    *
+    * Plan shape: the same single user_id-partitioned Window pass as
+    * sessionizeGap (lag of ts and of event_type share one sort — no
+    * session_idx running sum is even needed: the < gap filter IS the
+    * same-session predicate for consecutive rows), then one hash
+    * aggregate on (from_type, to_type) — a |event_types|²-bounded
+    * output. One user-keyed shuffle + one tiny agg shuffle, nothing
+    * pairwise: the 100 TB plan is identical. Gap stats are integer µs
+    * summed exactly; the mean is one IEEE division rounded by the
+    * portable scale-0 rule. */
+  def funnelTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_ts_us").isNotNull &&
+        col("ts_us") - col("prev_ts_us") < gapUs)
+      .withColumn("gap_us", col("ts_us") - col("prev_ts_us"))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .withColumn("mean_gap_sec",
+        graft.util.Num.ratio(col("sum_gap_us"), col("n_transitions") *
+          lit(1000000L), 2))
+  }
+
   /** The 100 TB count-distinct path: HyperLogLog++ sketches
     * (`approx_count_distinct`) next to the exact count it approximates.
     * The sketch is a fixed-size mergeable aggregation buffer — partial

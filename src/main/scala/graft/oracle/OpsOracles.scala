@@ -1096,6 +1096,36 @@ object OpsOracles {
       |FROM h
       |GROUP BY user_id, session_idx""".stripMargin
 
+  /** Mirrors EventOps.funnelTransitions: lag window, same-session gap
+    * filter, (from, to) aggregate; mean gap is integer sums → one IEEE
+    * division rounded by the portable scale-0 rule. */
+  val funnelTransitions: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |),
+      |f AS (
+      |  SELECT *, lag(ts_us) OVER w AS prev_ts_us,
+      |    lag(event_type) OVER w AS from_type
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |),
+      |t AS (
+      |  SELECT from_type, event_type AS to_type, user_id,
+      |    ts_us - prev_ts_us AS gap_us
+      |  FROM f
+      |  WHERE prev_ts_us IS NOT NULL
+      |    AND ts_us - prev_ts_us < 1800000000
+      |)
+      |SELECT from_type, to_type,
+      |  CAST(count(1) AS BIGINT) AS n_transitions,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+      |  round((CAST(sum(gap_us) AS DOUBLE)
+      |    / (count(1) * 1000000)) * 100, 0) / 100.0 AS mean_gap_sec
+      |FROM t
+      |GROUP BY from_type, to_type""".stripMargin
+
   /** Mirrors CoreOps.rankSpendDeciles: rank family over spend (ties
     * share ranks), ntile over the (spend, custkey) total order. */
   val rankSpendDeciles: String =

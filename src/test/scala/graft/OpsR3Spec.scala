@@ -40,6 +40,27 @@ class OpsR3Spec extends SparkSpec {
     assert(gaps.isEmpty)
   }
 
+  test("funnel transitions: totals tie out against gap sessions") {
+    val sessions = EventOps.sessionizeGap(spark, dir).cache()
+    val trans = EventOps.funnelTransitions(spark, dir).cache()
+    // every within-session consecutive pair is a transition: per session
+    // n_events - 1 of them
+    val expected = sessions
+      .agg(sum(col("n_events") - 1)).head().getLong(0)
+    assert(trans.agg(sum("n_transitions")).head().getLong(0) === expected)
+    // gaps were filtered to < 30 min, so every mean is under 1800 s and
+    // non-negative (events are time-ordered within the window)
+    assert(trans.filter(col("mean_gap_sec") < 0 ||
+      col("mean_gap_sec") >= 1800.0).isEmpty)
+    // from/to types come from the event-type domain
+    val types = graft.ingest.Events.raw(spark, dir)
+      .select("event_type").distinct().as[String].collect().toSet
+    val ft = trans.select("from_type", "to_type")
+      .as[(String, String)].collect()
+    assert(ft.forall { case (a, b) => types(a) && types(b) })
+    sessions.unpersist(); trans.unpersist()
+  }
+
   test("rank battery: rank vs dense_rank vs ntile relationships") {
     val r = CoreOps.rankSpendDeciles(spark, dir).cache()
     val n = r.count()
