@@ -189,6 +189,9 @@ object SparkEntry {
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
       CorpusOps.weightedSourceSample(s, dir)),
+    // Deterministic round-robin mixing order across sources, ranks
+    // stitched from range partitions — no global or per-source window.
+    "mix_interleave" -> ((s, dir) => CorpusOps.mixInterleave(s, dir)),
     "pipeline_corpus_clean" -> CorpusOps.corpusClean _,
     // Deterministic spherical k-means (seeded at vec_id < 8, one Lloyd
     // refinement): every intermediate is integer or a correctly-rounded
@@ -326,6 +329,7 @@ object SparkEntry {
     "text_decontaminate" -> OpsOracles.textDecontaminate,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
+    "mix_interleave" -> OpsOracles.mixInterleave,
     "pipeline_corpus_clean" -> OpsOracles.pipelineCorpusClean,
     "embed_kmeans" -> OpsOracles.embedKmeans,
     "dedup_semantic" -> OpsOracles.semDedup,

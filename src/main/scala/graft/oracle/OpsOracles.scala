@@ -1363,6 +1363,25 @@ object OpsOracles {
       |    ELSE 0.0 END AS dup_frac
       |FROM g LEFT JOIN per USING (doc_id)""".stripMargin)
 
+  /** Mirrors CorpusOps.mixInterleave: per-source rank by doc_id, sorted
+    * source index, arithmetic interleave key — all integers. The oracle
+    * may use plain windows (it is not plan-guarded); the engine derives
+    * the same ranks via range-partition stitching. */
+  val mixInterleave: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS src_pos,
+      |    CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) - 1
+      |      AS src_idx
+      |  FROM documents
+      |),
+      |s AS (SELECT count(DISTINCT source) AS n FROM documents)
+      |SELECT doc_id, lang, source,
+      |  CAST(src_idx AS INT) AS src_idx, src_pos,
+      |  (src_pos - 1) * (SELECT n FROM s) + src_idx AS interleave_key
+      |FROM r""".stripMargin
+
   /** Mirrors CorpusOps.weightedSourceSample: integer counts → one IEEE
     * sqrt/division → floor, so the derived rate is engine-exact; same
     * md5 bucketing as sampleStratified. */

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.util.Num
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale pre-training pipeline runs
@@ -286,6 +287,85 @@ object CorpusOps {
 
   def weightedSourceSample(s: SparkSession, dir: String): DataFrame =
     weightedSourceSample(docs(s, dir))
+
+  // ---------------------------------------------------------------- //
+  // Deterministic source-interleaved training order                  //
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic source-interleaved global training order — the data-
+    * MIXING stage ([[weightedSourceSample]] decides how much of each
+    * source survives; this decides the ORDER the mixture is consumed
+    * in): round-robin across sources, so any contiguous training window
+    * sees every still-alive source at equal rate. Emits per-doc
+    * `src_idx` (position of the doc's source in the sorted source
+    * list), `src_pos` (the doc's 1-based rank within its source, by
+    * doc_id), and the sort key
+    * `interleave_key = (src_pos − 1) · n_sources + src_idx`.
+    * Epoch r of the key space holds the r-th doc of every surviving
+    * source; after a source exhausts, its slots are gaps — harmless in
+    * a SORT key, and the price of deriving the order arithmetically.
+    *
+    * NO global or per-source window anywhere (the rankSpendDeciles
+    * rule: a `partitionBy(source)` window funnels an entire source —
+    * billions of docs at 100 TB — through ONE task). Instead the
+    * corpus is range-partitioned by (source, doc_id), a driver-
+    * collected (pid, source) stats pass (≤ P + |sources| rows —
+    * metadata-scale) yields per-slice rank offsets, and local
+    * row_number windows partitioned by (pid, source) stitch to the
+    * exact per-source rank. One range shuffle + one broadcast join;
+    * values are invariant to where the sampled range boundaries fall. */
+  def mixInterleave(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    val base = d.select(col("doc_id"), col("lang"), col("source"))
+      // persist freezes the sampled range boundaries so pid assignment
+      // is identical between the stats job and the composition
+      .repartitionByRange(parts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val stats = base.groupBy(col("pid"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    if (stats.isEmpty)
+      return base.select(col("doc_id"), col("lang"), col("source"),
+        lit(0).as("src_idx"), lit(0L).as("src_pos"),
+        lit(0L).as("interleave_key")).limit(0)
+    val srcs = stats.map(_._2).distinct.sorted
+    val srcIdx = srcs.zipWithIndex.toMap
+    // per (pid, source) offset = rows of the same source in lower pids
+    // (range partitioning keeps each source's pids contiguous)
+    var curSrc = ""; var acc = 0L
+    val offRows = stats.sortBy(t => (t._2, t._1)).map {
+      case (pid, src, c) =>
+        if (src != curSrc) { curSrc = src; acc = 0L }
+        val r = org.apache.spark.sql.Row(pid, src, acc, srcIdx(src))
+        acc += c; r
+    }
+    val offDf = s.createDataFrame(
+      s.sparkContext.parallelize(offRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("src_off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("src_idx",
+          org.apache.spark.sql.types.IntegerType))))
+    val w = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("doc_id"))
+    base
+      .withColumn("pos_local", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("pid", "source"))
+      .withColumn("src_pos", col("src_off") + col("pos_local"))
+      .withColumn("interleave_key",
+        (col("src_pos") - 1) * lit(srcs.length.toLong) + col("src_idx"))
+      .select("doc_id", "lang", "source", "src_idx", "src_pos",
+        "interleave_key")
+  }
+
+  def mixInterleave(s: SparkSession, dir: String): DataFrame =
+    mixInterleave(docs(s, dir))
 
   // ---------------------------------------------------------------- //
   // PII masking                                                      //

@@ -75,6 +75,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0.0)), s"got ${out(4L)}")
   }
 
+  test("mixInterleave round-robins sources and ranks densely per source") {
+    // sources of unequal size: a has 2 docs, b has 4
+    val d = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "b"))
+      .toDF("doc_id", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("text", lit("x"))
+      .withColumn("n_chars", lit(1L))
+    val out = CorpusOps.mixInterleave(d)
+      .select("doc_id", "source", "src_idx", "src_pos", "interleave_key")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 6)
+    assert(out.map(_._5).distinct.length == 6, "keys must be unique")
+    // per source: dense 1..n positions
+    assert(out.filter(_._2 == "a").map(_._4).sorted.toSeq == Seq(1L, 2L))
+    assert(out.filter(_._2 == "b").map(_._4).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // consuming in key order interleaves while both sources are alive,
+    // then drains the survivor: a1 b2 a3 b4 b5 b6
+    val order = out.sortBy(_._5).map(_._1).toSeq
+    assert(order == Seq(1L, 2L, 3L, 4L, 5L, 6L), s"got $order")
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram") {
     val bench = docsDf(
       100L -> "the quick brown fox jumps over the lazy dog")
