@@ -172,6 +172,9 @@ object SparkEntry {
     // for how many users, how fast) — the funnel lens over the same
     // gap-session window pass as sessionize_gap.
     "funnel_transitions" -> EventOps.funnelTransitions _,
+    // Day-N cohort retention matrix (first-day cohorts; the general
+    // form of the gold tables' 1-day retention self-joins).
+    "cohort_retention" -> EventOps.cohortRetention _,
     "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
     "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
@@ -318,6 +321,7 @@ object SparkEntry {
     "multimodal_features" -> OpsOracles.multimodalFeatures,
     "sessionize_gap" -> OpsOracles.sessionizeGap,
     "funnel_transitions" -> OpsOracles.funnelTransitions,
+    "cohort_retention" -> OpsOracles.cohortRetention,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
     "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,

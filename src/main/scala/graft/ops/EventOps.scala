@@ -100,6 +100,43 @@ object EventOps {
           lit(1000000L), 2))
   }
 
+  /** Cohort retention matrix — the general day-N form of the gold
+    * tables' 1-day retention self-joins: users are cohorted by their
+    * FIRST active day; every (cohort_day, day_offset) cell counts the
+    * cohort members active offset days later, with the retention rate
+    * against the cohort's day-0 size.
+    *
+    * Plan shape: one distinct to (user, day) grain (bounded-state hash
+    * aggregate — the Expand-free path), a user-keyed min() that REUSES
+    * the same user-hashed exchange, a co-partitioned user join back
+    * (no second corpus shuffle of the distinct frame), then a
+    * (cohort, offset) aggregate whose output is |days|² / 2 cells —
+    * metadata-scale however large the corpus. Cohort sizes come from
+    * the offset-0 cells of the SAME aggregate (self-join on the tiny
+    * output), not a second pass over the events. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+    val first = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cells = active.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // offset-0 is the cohort size by construction (every member is
+    // active on their first day)
+    val sizes = cells.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_n"))
+    cells.join(sizes, Seq("cohort_day"))
+      .withColumn("retention_rate",
+        graft.util.Num.ratio(col("n_active"), col("cohort_n"), 4))
+      .select("cohort_day", "day_offset", "n_active", "cohort_n",
+        "retention_rate")
+  }
+
   /** The 100 TB count-distinct path: HyperLogLog++ sketches
     * (`approx_count_distinct`) next to the exact count it approximates.
     * The sketch is a fixed-size mergeable aggregation buffer — partial

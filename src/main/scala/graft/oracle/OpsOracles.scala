@@ -1126,6 +1126,31 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.cohortRetention: first-day cohorts, (cohort,
+    * offset) distinct-user cells, rate vs the offset-0 size — integer
+    * counts and one guarded scale-4 ratio. */
+  val cohortRetention: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |f AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+      |),
+      |c AS (
+      |  SELECT cohort_day,
+      |    CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+      |    CAST(count(1) AS BIGINT) AS n_active
+      |  FROM a JOIN f USING (user_id)
+      |  GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT cohort_day, n_active AS cohort_n FROM c WHERE day_offset = 0
+      |)
+      |SELECT c.cohort_day, day_offset, n_active, cohort_n,
+      |  round((CAST(n_active AS DOUBLE) / cohort_n) * 10000, 0) / 10000.0
+      |    AS retention_rate
+      |FROM c JOIN s USING (cohort_day)""".stripMargin
+
   /** Mirrors CoreOps.rankSpendDeciles: rank family over spend (ties
     * share ranks), ntile over the (spend, custkey) total order. */
   val rankSpendDeciles: String =

@@ -61,6 +61,22 @@ class OpsR3Spec extends SparkSpec {
     sessions.unpersist(); trans.unpersist()
   }
 
+  test("cohort retention: offset-0 diagonal is complete and rates bound") {
+    val r = EventOps.cohortRetention(spark, dir).cache()
+    // every cohort has its day-0 cell at rate exactly 1.0
+    val day0 = r.filter(col("day_offset") === 0)
+    assert(day0.filter(col("retention_rate") =!= 1.0 ||
+      col("n_active") =!= col("cohort_n")).isEmpty)
+    // offsets are non-negative, cells never exceed their cohort
+    assert(r.filter(col("day_offset") < 0 ||
+      col("n_active") > col("cohort_n")).isEmpty)
+    // cohort sizes sum to the distinct-user count
+    val users = graft.ingest.Events.raw(spark, dir)
+      .select("user_id").distinct().count()
+    assert(day0.agg(sum("cohort_n")).head().getLong(0) === users)
+    r.unpersist()
+  }
+
   test("rank battery: rank vs dense_rank vs ntile relationships") {
     val r = CoreOps.rankSpendDeciles(spark, dir).cache()
     val n = r.count()
