@@ -175,6 +175,9 @@ object SparkEntry {
     // Day-N cohort retention matrix (first-day cohorts; the general
     // form of the gold tables' 1-day retention self-joins).
     "cohort_retention" -> EventOps.cohortRetention _,
+    // Trailing-24-bucket z-scores per (event_type, hour) — the
+    // monitoring lens over the tumbling-hourly aggregate.
+    "anomaly_hourly" -> EventOps.anomalyHourly _,
     "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
     "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
@@ -322,6 +325,7 @@ object SparkEntry {
     "sessionize_gap" -> OpsOracles.sessionizeGap,
     "funnel_transitions" -> OpsOracles.funnelTransitions,
     "cohort_retention" -> OpsOracles.cohortRetention,
+    "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
     "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,

@@ -100,6 +100,60 @@ object EventOps {
           lit(1000000L), 2))
   }
 
+  /** Hourly anomaly scores: each (event_type, hour) bucket's count
+    * z-scored against its trailing 24 OBSERVED buckets (rows-frame, so
+    * silent hours simply don't dilute the baseline) — the monitoring
+    * query a streaming gold table feeds. Buckets with fewer than 8
+    * trailing observations or zero variance score 0.
+    *
+    * Cross-engine exactness: trailing sum and sum-of-squares stay
+    * INTEGER through the window (order-independent, unlike a double
+    * sum), and the variance numerator n·Σx² − (Σx)² / denominator
+    * n·(n−1) are integer; the z expression then runs the identical
+    * IEEE op sequence in both engines (two divisions, one sqrt, one
+    * subtraction — each correctly rounded) before the portable scale-4
+    * round. Integer headroom: Σx² caps bigint at per-bucket counts
+    * ~3·10⁸ — beyond that, shard the bucket key (the gold partition
+    * convention) rather than widening to unordered double sums.
+    *
+    * Plan shape: one hash aggregate to the (type, hour) grain —
+    * |types|·|hours| rows, metadata-scale vs the event corpus — then a
+    * type-partitioned 25-row sliding frame over that TINY frame. The
+    * corpus-sized input crosses one exchange, pre-reduced map-side. */
+  def anomalyHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .groupBy(col("event_type"),
+        window(timestamp_micros(col("ts_us")), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start_us")).rowsBetween(-24, -1)
+    hourly
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_trail", coalesce(sum(col("n_events")).over(w),
+        lit(0L)))
+      .withColumn("sumsq_trail",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .withColumn("var_num",
+        col("n_trail") * col("sumsq_trail") -
+          col("sum_trail") * col("sum_trail"))
+      .withColumn("z_score",
+        when(col("n_trail") >= 8 && col("var_num") > 0,
+          graft.util.Num.r(
+            (col("n_events").cast("double") -
+              col("sum_trail").cast("double") / col("n_trail")) /
+              sqrt(col("var_num").cast("double") /
+                (col("n_trail") * (col("n_trail") - 1))), 4))
+          .otherwise(0.0))
+      .withColumn("is_anomaly",
+        when(abs(col("z_score")) >= 3.0, 1).otherwise(0).cast("int"))
+      .select("event_type", "window_start_us", "n_events", "n_trail",
+        "z_score", "is_anomaly")
+  }
+
   /** Cohort retention matrix — the general day-N form of the gold
     * tables' 1-day retention self-joins: users are cohorted by their
     * FIRST active day; every (cohort_day, day_offset) cell counts the

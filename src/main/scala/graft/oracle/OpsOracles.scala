@@ -1126,6 +1126,45 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.anomalyHourly: integer trailing sums through the
+    * 24-row frame, then the identical IEEE z expression (two divisions,
+    * one sqrt, one subtraction) and scale-4 round. */
+  val anomalyHourly: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT *,
+      |    CAST(count(1) OVER w AS BIGINT) AS n_trail,
+      |    CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS sum_trail,
+      |    CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT)
+      |      AS sumsq_trail
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |),
+      |v AS (
+      |  SELECT *, n_trail * sumsq_trail - sum_trail * sum_trail AS var_num
+      |  FROM t
+      |),
+      |z AS (
+      |  SELECT event_type, window_start_us, n_events, n_trail,
+      |    CASE WHEN n_trail >= 8 AND var_num > 0 THEN
+      |      round(((CAST(n_events AS DOUBLE)
+      |        - CAST(sum_trail AS DOUBLE) / n_trail)
+      |        / sqrt(CAST(var_num AS DOUBLE) / (n_trail * (n_trail - 1))))
+      |        * 10000, 0) / 10000.0
+      |    ELSE 0.0 END AS z_score
+      |  FROM v
+      |)
+      |SELECT event_type, window_start_us, n_events, n_trail, z_score,
+      |  CAST(CASE WHEN abs(z_score) >= 3.0 THEN 1 ELSE 0 END AS INT)
+      |    AS is_anomaly
+      |FROM z""".stripMargin
+
   /** Mirrors EventOps.cohortRetention: first-day cohorts, (cohort,
     * offset) distinct-user cells, rate vs the offset-0 size — integer
     * counts and one guarded scale-4 ratio. */

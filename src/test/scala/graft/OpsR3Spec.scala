@@ -61,6 +61,36 @@ class OpsR3Spec extends SparkSpec {
     sessions.unpersist(); trans.unpersist()
   }
 
+  test("anomaly z-scores: warmup rows score 0, a planted spike flags") {
+    // 30 calm hourly buckets (alternating 10/12 events) then one 300:
+    // the spike must flag, the first 8 buckets must score 0 (warmup)
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h % 2 == 0) 10 else 12
+      (0 until n).map(i => (h.toLong * 100 + i, h, "click"))
+    } ++ (0 until 300).map(i => (9000L + i, 30, "click"))
+    val dir = tmpDir("anomaly")
+    rows.toDF("event_id", "h", "event_type")
+      .withColumn("ts", expr(
+        "timestamp_micros(cast(h as bigint) * 3600000000)"))
+      .withColumn("user_id", col("event_id") % 7)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("h")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.anomalyHourly(spark, dir)
+      .orderBy("window_start_us")
+      .select("n_events", "n_trail", "z_score", "is_anomaly")
+      .collect()
+    assert(out.length == 31)
+    // buckets with < 8 trailing observations score exactly 0
+    assert(out.take(8).forall(r => r.getDouble(2) == 0.0))
+    // calm buckets never flag; the planted spike does, with a huge z
+    assert(out.dropRight(1).forall(r => r.getInt(3) == 0))
+    val spike = out.last
+    assert(spike.getLong(0) == 300 && spike.getLong(1) == 24)
+    assert(spike.getInt(3) == 1 && spike.getDouble(2) > 100.0,
+      s"spike z=${spike.getDouble(2)}")
+  }
+
   test("cohort retention: offset-0 diagonal is complete and rates bound") {
     val r = EventOps.cohortRetention(spark, dir).cache()
     // every cohort has its day-0 cell at rate exactly 1.0
