@@ -6,7 +6,7 @@ import graft.ops.{AsOfJoin, EventOps, Features, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
-import graft.sim.{IvfCosine, KMeans, LshCosine, ProductQuantizer, SemDedup, Similarity}
+import graft.sim.{IvfCosine, KMeans, KnnEval, LshCosine, ProductQuantizer, SemDedup, Similarity}
 import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
 import graft.tpch.CoreOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -165,6 +165,9 @@ object SparkEntry {
     // LSH-bucket candidates — deterministic (integer buckets from fixed
     // ±1 hyperplanes), so the oracle recomputes the identical index.
     "sim_lsh_topk" -> ((s, dir) => LshCosine.topK(s, dir)),
+    // Leave-one-out 1-NN label accuracy per label — the embedding-
+    // quality eval, over the blocked exactly-once pair generator.
+    "eval_knn_labels" -> ((s, dir) => KnnEval.labelAccuracy(s, dir)),
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
     "sessionize_gap" -> EventOps.sessionizeGap _,
@@ -319,6 +322,7 @@ object SparkEntry {
     "sim_ivf_indexed" -> OpsOracles.cosineTopK,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
+    "eval_knn_labels" -> OpsOracles.knnLabelAccuracy,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "dedup_embedding_cosine_t85" -> OpsOracles.cosineNearDupT85,
     "multimodal_features" -> OpsOracles.multimodalFeatures,

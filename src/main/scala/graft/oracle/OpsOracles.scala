@@ -856,6 +856,44 @@ object OpsOracles {
       |SELECT vec_a, vec_b, cosine FROM scored
       |WHERE cosine >= 0.4""".stripMargin
 
+  /** Mirrors KnnEval.labelAccuracy: all-pairs quantized cosine, per-
+    * vector argmax (cosine desc, neighbor asc), per-label accuracy. */
+  val knnLabelAccuracy: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |n0 AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nn
+      |  FROM e
+      |),
+      |n AS (SELECT * FROM n0 WHERE nn > 0),
+      |scored AS (
+      |  SELECT a.vec_id AS vec, a.label AS label, b.vec_id AS neighbor,
+      |    b.label AS nn_label,
+      |    round((CAST(list_sum(list_transform(list_zip(a.q, b.q),
+      |        s -> s[1] * s[2])) AS DOUBLE)
+      |      / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)))
+      |      * 1000000, 0) / 1000000.0 AS cosine
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |),
+      |nn1 AS (
+      |  SELECT vec, label, nn_label,
+      |    row_number() OVER (PARTITION BY vec
+      |      ORDER BY cosine DESC, neighbor) AS rn
+      |  FROM scored
+      |)
+      |SELECT label,
+      |  CAST(count(1) AS BIGINT) AS n_vectors,
+      |  CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  round((CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / count(1)) * 10000, 0) / 10000.0 AS accuracy
+      |FROM nn1 WHERE rn = 1
+      |GROUP BY label""".stripMargin
+
   /** Mirrors Similarity.cosineNearDupT85: the same all-pairs scoring over
     * the corpus unioned with its exactly-doubled planted copies
     * (vec_id + 1000000, q′ = 2q, n′ = 4n — integer-exact in both

@@ -217,6 +217,13 @@ object Similarity {
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cosine"))
   }
 
+  /** Every unordered pair exactly-once with its exact quantized cosine
+    * (no threshold cut — the round-6 floor −1.0 passes everything):
+    * the blocked triangular plan exposed for consumers that need the
+    * FULL pairwise structure, e.g. [[KnnEval]]'s leave-one-out 1-NN. */
+  private[sim] def allPairsCosine(emb: DataFrame): DataFrame =
+    blockedNearDup(emb, -1.0)
+
   /** Exact all-pairs baseline for [[cosineNearDup]] — O(N²), spec-only:
     * SimLshSpec proves the bucketed candidate arm loses nothing against
     * this at the registered threshold. Not registered as a query. */

@@ -118,6 +118,23 @@ class SimLshSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("1-NN label accuracy is perfect on well-separated clusters") {
+    // 8 tight clusters, label = cluster id: every vector's nearest
+    // neighbor sits in its own cluster, so per-label accuracy is 1.0
+    val dir = tmpDir("knn-clusters")
+    clustered
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", (col("vec_id") / 40).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.sim.KnnEval.labelAccuracy(spark, dir)
+      .select("label", "n_vectors", "n_correct", "accuracy")
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == (0 until 8).toSet)
+    assert(out.values.forall(_ == ((40L, 40L, 1.0))), s"got $out")
+  }
+
   test("registered t85 query finds exactly the planted doubles at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.sim.Similarity.cosineNearDupT85(spark, dir)
