@@ -153,6 +153,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: mixInterleave keys are unique, ranks dense, and the " +
+      "consumption order round-robins surviving sources") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val nSrc = 2 + rnd.nextInt(4)
+      val rows = (0 until 100 + rnd.nextInt(200)).map { i =>
+        (i.toLong, s"src${rnd.nextInt(nSrc)}")
+      }
+      val d = rows.toDF("doc_id", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("text", lit("x"))
+        .withColumn("n_chars", lit(1L))
+      val out = graft.text.CorpusOps.mixInterleave(d)
+        .select("doc_id", "source", "src_pos", "interleave_key")
+        .as[(Long, String, Long, Long)].collect()
+      assert(out.length == rows.length, s"seed=$seed lost rows")
+      assert(out.map(_._4).distinct.length == out.length,
+        s"seed=$seed duplicate keys")
+      // per source: positions are exactly 1..n in doc_id order
+      for ((src, grp) <- out.groupBy(_._2)) {
+        val byPos = grp.sortBy(_._3)
+        assert(byPos.map(_._3).toSeq == (1L to grp.length).toSeq,
+          s"seed=$seed $src ranks not dense")
+        assert(byPos.map(_._1).toSeq == grp.map(_._1).sorted.toSeq,
+          s"seed=$seed $src not in doc_id order")
+      }
+      // round-robin: consuming in key order, within every window of the
+      // key space each surviving source appears exactly once per epoch
+      val byKey = out.sortBy(_._4)
+      val epochs = byKey.groupBy(t => (t._3 - 1)) // epoch = src_pos - 1
+      for ((ep, grp) <- epochs)
+        assert(grp.map(_._2).distinct.length == grp.length,
+          s"seed=$seed epoch $ep repeats a source")
+    }
+  }
+
+  test("property: dupSpans totals are consistent and vanish on disjoint " +
+      "vocabularies") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      // disjoint per-doc vocabularies -> zero duplicated windows
+      val disjoint = (0 until 20).map { d =>
+        (d.toLong, (0 until 10 + rnd.nextInt(10))
+          .map(i => s"w${d}_$i").mkString(" "))
+      }
+      val d1 = disjoint.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", lit(1L))
+      val o1 = graft.text.CorpusOps.dupSpans(d1)
+      assert(o1.filter(col("n_dup_windows") =!= 0L ||
+        col("dup_frac") =!= 0.0).isEmpty, s"seed=$seed false dup")
+      // duplicating every doc makes EVERY window of long docs duplicated
+      val d2 = d1.unionByName(d1.withColumn("doc_id", col("doc_id") + 100))
+      val o2 = graft.text.CorpusOps.dupSpans(d2)
+      assert(o2.filter(col("n_windows") > 0 &&
+        col("n_dup_windows") =!= col("n_windows")).isEmpty,
+        s"seed=$seed cloned corpus must be fully duplicated")
+    }
+  }
+
   test("property: salted aggregation equals plain aggregation") {
     for (seed <- 21 to 25) {
       val rnd = new Random(seed)
