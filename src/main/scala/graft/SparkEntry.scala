@@ -118,6 +118,9 @@ object SparkEntry {
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
     "text_hash_split" -> TextOps.hashSplit _,
     "text_tfidf_topk" -> ((s, dir) => TextOps.tfIdfTopTerms(s, dir)),
+    // Sparse lexical retrieval: integer tf-idf dot products over a
+    // stopword-pruned inverted-index join (the no-embeddings ANN).
+    "retrieve_tfidf_topk" -> ((s, dir) => TextOps.tfIdfRetrieve(s, dir)),
     "text_regex_tokens" -> TextOps.regexTokens _,
     "dedup_exact" -> TextOps.dedupExact _,
     "dedup_ngram_jaccard" -> TextOps.ngramJaccard _,
@@ -313,6 +316,7 @@ object SparkEntry {
     "text_token_topk" -> OpsOracles.tokenTopK,
     "text_hash_split" -> OpsOracles.hashSplit,
     "text_tfidf_topk" -> OpsOracles.tfIdfTopTerms,
+    "retrieve_tfidf_topk" -> OpsOracles.tfIdfRetrieve,
     "text_regex_tokens" -> OpsOracles.regexTokens,
     "dedup_exact" -> OpsOracles.dedupExact,
     "dedup_ngram_jaccard" -> OpsOracles.ngramJaccard,

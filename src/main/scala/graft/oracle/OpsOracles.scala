@@ -856,6 +856,51 @@ object OpsOracles {
       |SELECT vec_a, vec_b, cosine FROM scored
       |WHERE cosine >= 0.4""".stripMargin
 
+  /** Mirrors TextOps.tfIdfRetrieve: capped rational idf weights,
+    * stopword-pruned postings join, integer dot products, top-k. */
+  val tfIdfRetrieve: String =
+    ws("""WITH d AS (
+      |  SELECT doc_id, list_filter(string_split_regex(
+      |    lower(trim(text)), '<WS>+'), x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |t AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      |      i -> array_to_string(list_slice(toks, CAST(i AS INT),
+      |        CAST(i AS INT) + 2), ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS token
+      |  FROM d
+      |),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2
+      |),
+      |dfq AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id, token,
+      |    least((tf * 100 * n_docs) // df, 100000000) AS w
+      |  FROM tf JOIN dfq USING (token), n
+      |  WHERE df * 2 <= n_docs
+      |),
+      |s AS (
+      |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+      |    CAST(sum(a.w * b.w) AS BIGINT) AS score
+      |  FROM w a JOIN w b USING (token)
+      |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rn
+      |  FROM s
+      |)
+      |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+      |FROM r WHERE rn <= 5""".stripMargin)
+
   /** Mirrors KnnEval.labelAccuracy: all-pairs quantized cosine, per-
     * vector argmax (cosine desc, neighbor asc), per-label accuracy. */
   val knnLabelAccuracy: String =

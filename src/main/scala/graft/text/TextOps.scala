@@ -221,6 +221,75 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "score_ppm", "rk")
   }
 
+  /** Sparse lexical retrieval: top-k documents per query by integer
+    * tf-idf dot product over an inverted-index join — the sparse
+    * complement to the dense ANN family (what a decontamination or
+    * retrieval-augmentation sweep runs when no embeddings exist).
+    *
+    * Terms are word-3-SHINGLES, not unigrams: on a small-vocabulary
+    * corpus every unigram is a stopword by document frequency (measured:
+    * 1 of 31 harness tokens survives the df cut at sf0.1, and real web
+    * corpora have the same fat head), while shingles carry the phrase-
+    * level signal retrieval actually wants — the [[CorpusOps
+    * .decontaminate]] n-gram move pointed at ranking instead of leakage.
+    *
+    * Integer-exact cross-engine ([[tfIdfTopTerms]]'s rational-idf move,
+    * extended to pairwise scores): per-(doc, term) weight
+    * w = least((tf·100·n_docs) div df, 10⁸) — the cap bounds the
+    * df=1 idf spike so a many-term pairwise sum stays far inside
+    * bigint — and score(q, c) = Σ_shared w_q·w_c. No logs, no doubles:
+    * ranking and values replay exactly in DuckDB.
+    *
+    * Scale shape: candidates come ONLY from shared postings (term
+    * equi-join — never all-pairs), and postings for terms with
+    * df·2 > n_docs are dropped on BOTH sides (stopword pruning, the
+    * static form of WAND-style postings skipping: candidate volume is
+    * Σ_t df(t)² and the fat head dominates that sum while contributing
+    * near-zero idf weight). The (query, cand) aggregate is map-side
+    * combinable; the final top-k window partitions by query. */
+  def tfIdfRetrieve(s: SparkSession, dir: String, nQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val terms = Layout.spread(d)
+      .withColumn("toks", expr(
+        s"filter(split(lower(trim(text)), '${WsSql}+'), t -> t <> '')"))
+      // sequence(1, 0) is DESCENDING — guard short docs with CASE
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 3 THEN " +
+          "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))) ELSE array() END"))
+      // explode_outer + null filter: the InferFiltersFromGenerate guard
+      .select(col("doc_id"), explode_outer(col("grams")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = terms.join(df_, Seq("token"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 2 <= col("n_docs"))
+      .withColumn("w", least(expr("(tf * 100L * n_docs) div df"),
+        lit(100000000L)))
+      .select("doc_id", "token", "w")
+    val q = w.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"),
+        col("w").as("wq"))
+    val c = w.select(col("doc_id").as("neighbor_id"), col("token"),
+      col("w").as("wc"))
+    val scored = q.join(c, Seq("token"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("wq") * col("wc")).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
   /** doc_id + SORTED distinct xxhash64 char-trigram arrays, shared by the

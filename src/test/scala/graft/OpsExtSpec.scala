@@ -165,4 +165,28 @@ class OpsExtSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set("rare", "common"))
     assert(out.head._2 == 3000000L && out(1)._2 == 3000000L)
   }
+
+  test("tfIdfRetrieve ranks shingle overlap and prunes stopword postings") {
+    val dir = tmpDir("tfidf-retrieve")
+    // shingle "x y z" sits in 3 of 5 docs (df*2 > n) -> its postings
+    // are pruned, so doc 2, sharing ONLY it with doc 0, must not be a
+    // candidate; "a b c" (df=2) carries the real match
+    Seq(
+      (0L, "x y z a b c"),
+      (1L, "x y z q a b c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r s t u"),
+      (4L, "m n o mm nn oo")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextOps.tfIdfRetrieve(spark, dir)
+      .filter(col("query_id") === 0L)
+      .orderBy("rank")
+      .select("neighbor_id", "score", "rank")
+      .as[(Long, Long, Int)].collect()
+    // w("a b c") = (1*100*5) div 2 = 250 in both docs -> score 62500
+    assert(out.toSeq == Seq((1L, 62500L, 1)), s"got ${out.toSeq}")
+  }
 }
