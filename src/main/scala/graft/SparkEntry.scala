@@ -184,6 +184,9 @@ object SparkEntry {
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
+    // Per-table constraint report (violation counts, fixed-width) —
+    // the promote-gate validation pass.
+    "dq_expectations" -> EventOps.dqExpectations _,
     "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
     "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
@@ -334,6 +337,7 @@ object SparkEntry {
     "funnel_transitions" -> OpsOracles.funnelTransitions,
     "cohort_retention" -> OpsOracles.cohortRetention,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
+    "dq_expectations" -> OpsOracles.dqExpectations,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
     "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,

@@ -154,6 +154,63 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Data-quality expectations report — the validation gate a pipeline
+    * runs before promoting a partition (the Great-Expectations shape,
+    * declaratively in Spark): per-table constraint checks with row and
+    * violation counts, one row per check. Events: non-null user,
+    * positive value, known event-type domain, unique event_id,
+    * timestamps inside the 2024 ingest year. Documents: n_chars
+    * consistent with the text, no empty docs.
+    *
+    * Plan shape: ONE aggregate pass per table computing every violation
+    * count as a conditional sum (map-side combined; the only Expand is
+    * the scalar countDistinct for uniqueness), then a `stack` unpivot of
+    * the single result row. Violation counts, not samples: the report
+    * is fixed-width however large the table. */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val lo = 1704067200000000L // 2024-01-01 UTC, µs
+    val hi = 1735689600000000L // 2025-01-01 UTC, µs
+    val ev = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("null_user"),
+        sum(when(col("value") <= 0.0, 1L).otherwise(0L))
+          .as("nonpos_value"),
+        sum(when(!col("event_type").isin(
+          "view", "click", "purchase", "error", "signup"), 1L)
+          .otherwise(0L)).as("bad_type"),
+        (count(lit(1)) - countDistinct(col("event_id")))
+          .as("dup_event_id"),
+        sum(when(col("ts_us") < lo || col("ts_us") >= hi, 1L)
+          .otherwise(0L)).as("ts_oob"))
+      .select(lit("events").as("table_name"), col("n_rows"),
+        expr("stack(5, " +
+          "'not_null_user_id', null_user, " +
+          "'positive_value', nonpos_value, " +
+          "'known_event_type', bad_type, " +
+          "'unique_event_id', dup_event_id, " +
+          "'ts_in_ingest_year', ts_oob) AS (check_name, n_violations)"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("chars_mismatch"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L))
+          .as("empty_text"))
+      .select(lit("documents").as("table_name"), col("n_rows"),
+        expr("stack(2, " +
+          "'n_chars_consistent', chars_mismatch, " +
+          "'nonempty_text', empty_text) AS (check_name, n_violations)"))
+    ev.unionByName(docs)
+      .withColumn("pass",
+        when(col("n_violations") === 0 && col("n_rows") > 0, 1)
+          .otherwise(0).cast("int"))
+      .select("table_name", "check_name", "n_rows", "n_violations",
+        "pass")
+  }
+
   /** Cohort retention matrix — the general day-N form of the gold
     * tables' 1-day retention self-joins: users are cohorted by their
     * FIRST active day; every (cohort_day, day_offset) cell counts the

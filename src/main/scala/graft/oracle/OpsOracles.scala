@@ -1209,6 +1209,55 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.dqExpectations: one aggregate per table, checks
+    * unpivoted via UNION ALL — integer counts only. */
+  val dqExpectations: String =
+    """WITH e AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS null_user,
+      |    CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nonpos_value,
+      |    CAST(sum(CASE WHEN event_type NOT IN
+      |      ('view', 'click', 'purchase', 'error', 'signup')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+      |      AS dup_event_id,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+      |      OR epoch_us(ts) >= 1735689600000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ts_oob
+      |  FROM events
+      |),
+      |d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS chars_mismatch,
+      |    CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS empty_text
+      |  FROM documents
+      |),
+      |checks AS (
+      |  SELECT 'events' AS table_name, n_rows,
+      |    'not_null_user_id' AS check_name, null_user AS n_violations
+      |    FROM e
+      |  UNION ALL SELECT 'events', n_rows, 'positive_value',
+      |    nonpos_value FROM e
+      |  UNION ALL SELECT 'events', n_rows, 'known_event_type',
+      |    bad_type FROM e
+      |  UNION ALL SELECT 'events', n_rows, 'unique_event_id',
+      |    dup_event_id FROM e
+      |  UNION ALL SELECT 'events', n_rows, 'ts_in_ingest_year',
+      |    ts_oob FROM e
+      |  UNION ALL SELECT 'documents', n_rows, 'n_chars_consistent',
+      |    chars_mismatch FROM d
+      |  UNION ALL SELECT 'documents', n_rows, 'nonempty_text',
+      |    empty_text FROM d
+      |)
+      |SELECT table_name, check_name, n_rows, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 AND n_rows > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS pass
+      |FROM checks""".stripMargin
+
   /** Mirrors EventOps.anomalyHourly: integer trailing sums through the
     * 24-row frame, then the identical IEEE z expression (two divisions,
     * one sqrt, one subtraction) and scale-4 round. */

@@ -91,6 +91,46 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("dq expectations count planted violations per check") {
+    val dqDir = tmpDir("dq")
+    // 5 clean rows + one violation of each events constraint
+    val base = (0 until 5).map(i =>
+      (i.toLong, 1704067200000000L + i * 1000000L, i.toLong,
+        "view", 1.0, "{}"))
+    val bad = Seq(
+      (100L, 1704067200000000L, -1L, "view", 1.0, "{}"),   // stand-in row
+      (101L, 1704067200000000L, 7L, "view", -5.0, "{}"),   // nonpos value
+      (102L, 1704067200000000L, 7L, "mystery", 1.0, "{}"), // bad type
+      (0L, 1704067200000000L, 7L, "view", 1.0, "{}"),      // dup event_id
+      (104L, 1804067200000000L, 7L, "view", 1.0, "{}"))    // ts oob
+    val df = (base ++ bad)
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us")
+      // null user on the stand-in row
+      .withColumn("user_id",
+        when(col("user_id") < 0, lit(null)).otherwise(col("user_id")))
+    df.write.mode("overwrite").parquet(s"$dqDir/events.parquet")
+    Seq((1L, "hello", 5L), (2L, "", 0L), (3L, "abc", 99L))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$dqDir/documents.parquet")
+    val out = EventOps.dqExpectations(spark, dqDir)
+      .select("check_name", "n_violations", "pass")
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("not_null_user_id") == ((1L, 0)))
+    assert(out("positive_value") == ((1L, 0)))
+    assert(out("known_event_type") == ((1L, 0)))
+    assert(out("unique_event_id") == ((1L, 0)))
+    assert(out("ts_in_ingest_year") == ((1L, 0)))
+    assert(out("n_chars_consistent") == ((1L, 0)))
+    assert(out("nonempty_text") == ((1L, 0)))
+    // and on the real harness tables every check passes
+    val clean = EventOps.dqExpectations(spark, dir)
+    assert(clean.filter(col("pass") =!= 1).isEmpty)
+    assert(clean.count() == 7)
+  }
+
   test("cohort retention: offset-0 diagonal is complete and rates bound") {
     val r = EventOps.cohortRetention(spark, dir).cache()
     // every cohort has its day-0 cell at rate exactly 1.0
