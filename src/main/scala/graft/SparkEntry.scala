@@ -171,6 +171,10 @@ object SparkEntry {
     // Leave-one-out 1-NN label accuracy per label — the embedding-
     // quality eval, over the blocked exactly-once pair generator.
     "eval_knn_labels" -> ((s, dir) => KnnEval.labelAccuracy(s, dir)),
+    // Deterministic JL sign-matrix projection 64 -> 16 dims: the md5-
+    // derived matrix folds into the plan as literals; zero shuffles.
+    "embed_project" -> ((s, dir) =>
+      graft.sim.RandomProjection.project(s, dir)),
     "multimodal_features" -> ((s, dir) => MultimodalOps.featureStats(
       MultimodalOps.decodeFeatures(s, MultimodalOps.mediaTable(s, dir)))),
     "sessionize_gap" -> EventOps.sessionizeGap _,
@@ -330,6 +334,7 @@ object SparkEntry {
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "eval_knn_labels" -> OpsOracles.knnLabelAccuracy,
+    "embed_project" -> OpsOracles.randomProjection,
     "dedup_embedding_cosine" -> OpsOracles.cosineNearDup,
     "dedup_embedding_cosine_t85" -> OpsOracles.cosineNearDupT85,
     "multimodal_features" -> OpsOracles.multimodalFeatures,

@@ -901,6 +901,30 @@ object OpsOracles {
       |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
       |FROM r WHERE rn <= 5""".stripMargin)
 
+  /** Mirrors RandomProjection.project: the md5-parity ±1 matrix is
+    * regenerated in SQL and the integer dot products replayed. */
+  val randomProjection: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |grid AS (
+      |  SELECT i, j,
+      |    CASE WHEN strpos('02468ace',
+      |      substr(md5('rp_' || i || '_' || j), 1, 1)) > 0
+      |    THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 16) t1(i), range(0, 64) t2(j)
+      |),
+      |qv AS (
+      |  SELECT vec_id, j, q[CAST(j AS INT) + 1] AS qv
+      |  FROM e, range(0, 64) t(j)
+      |)
+      |SELECT vec_id, CAST(i AS INT) AS out_dim,
+      |  CAST(sum(qv * s) AS BIGINT) AS p
+      |FROM qv JOIN grid USING (j)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors KnnEval.labelAccuracy: all-pairs quantized cosine, per-
     * vector argmax (cosine desc, neighbor asc), per-label accuracy. */
   val knnLabelAccuracy: String =

@@ -118,6 +118,27 @@ class SimLshSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("random projection of unit vectors reads out the sign matrix") {
+    // embedding e_j (1.0 at dim j) quantizes to 10^6 at j, so
+    // p_i = s_ij * 10^6 — the projection must read back the exact
+    // md5-parity matrix
+    val dir = tmpDir("rproj")
+    (0 until 64).map { j =>
+      (j.toLong, Seq.tabulate(64)(d => if (d == j) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.sim.RandomProjection.project(spark, dir)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1.toInt, r._2) -> r._3).toMap
+    assert(out.size == 64 * graft.sim.RandomProjection.OutDim)
+    for (j <- 0 until 64; i <- 0 until graft.sim.RandomProjection.OutDim)
+      assert(out((j, i)) ==
+        graft.sim.RandomProjection.sign(i, j) * 1000000L,
+        s"mismatch at i=$i j=$j")
+  }
+
   test("1-NN label accuracy is perfect on well-separated clusters") {
     // 8 tight clusters, label = cluster id: every vector's nearest
     // neighbor sits in its own cluster, so per-label accuracy is 1.0
