@@ -204,6 +204,10 @@ object SparkEntry {
     // Cross-document duplicated-span stats (the exact-substring dedup
     // lens): word-8-grams shared by >= 2 docs, counted per document.
     "text_dup_spans" -> ((s, dir) => CorpusOps.dupSpans(s, dir)),
+    // Hashed linear classifier scoring (fasttext-stage plumbing with
+    // deterministically stubbed weights — the multimodal-stub move).
+    "text_classifier_score" -> ((s, dir) =>
+      CorpusOps.classifierScore(s, dir)),
     "text_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
@@ -351,6 +355,7 @@ object SparkEntry {
     "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
     "text_repetition" -> OpsOracles.textRepetition,
     "text_dup_spans" -> OpsOracles.dupSpanStats,
+    "text_classifier_score" -> OpsOracles.classifierScore,
     "text_decontaminate" -> OpsOracles.textDecontaminate,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,

@@ -1540,6 +1540,34 @@ object OpsOracles {
       |    AS INT) AS is_contaminated
       |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin)
 
+  /** Mirrors CorpusOps.classifierScore: md5-derived token weights,
+    * per-doc integer logit sums, guarded scale-4 mean. */
+  val classifierScore: String =
+    ws("""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(lower(trim(text)),
+      |      '<WS>+'), t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(coalesce(list_sum(list_transform(toks, tok ->
+      |      CAST(('0x' || substr(md5('qw_' || tok), 1, 2)) AS BIGINT)
+      |        - 128)), 0) AS BIGINT) AS logit_sum
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, source, n_tokens, logit_sum,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round((CAST(logit_sum AS DOUBLE) / n_tokens) * 10000, 0)
+      |      / 10000.0
+      |    ELSE 0.0 END AS mean_logit,
+      |  CAST(CASE WHEN (CASE WHEN n_tokens > 0
+      |    THEN round((CAST(logit_sum AS DOUBLE) / n_tokens) * 10000, 0)
+      |      / 10000.0 ELSE 0.0 END) > 0.0 THEN 1 ELSE 0 END AS INT)
+      |    AS keep
+      |FROM s""".stripMargin)
+
   /** Mirrors CorpusOps.dupSpans (W = 8): string word-8-grams stand in
     * for the engine's xxhash64 signatures (count-identical, the
     * textDecontaminate argument); all outputs are integer counts plus

@@ -169,6 +169,48 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Hashed linear classifier scoring                                 //
+  // ---------------------------------------------------------------- //
+
+  /** Model-based quality scoring plumbing — the fasttext-classifier
+    * stage of a modern curation pipeline (DCLM / FineWeb-Edu style),
+    * with the trained weights STUBBED deterministically (the multimodal
+    * codec-stub philosophy: the Spark-side shape — feature hashing,
+    * per-token weight lookup, per-doc logit aggregation, threshold
+    * gate — is real and verified; swapping in learned weights changes
+    * one expression). Each token hashes to a weight
+    * w(tok) = int(first two md5 hex digits of "qw_<tok>") − 128 ∈
+    * [−128, 127]; the doc's logit_sum is Σ_instances w, mean_logit its
+    * per-token mean, keep = mean_logit > 0. md5 is engine-identical, so
+    * the DuckDB oracle replays weights and logits exactly.
+    *
+    * Plan shape: one token explode (linear in corpus tokens) with the
+    * weight computed INLINE in the projection — no weight-table join;
+    * a real model would broadcast its vocab-sized weight table — then a
+    * single doc-keyed hash aggregate. */
+  def classifierScore(d: DataFrame): DataFrame = {
+    val w = "cast(conv(substring(md5(concat('qw_', tok)), 1, 2), 16, 10)" +
+      " as bigint) - 128"
+    d.withColumn("toks", expr(toksExpr))
+      // explode_outer + null filter: the InferFiltersFromGenerate guard
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode_outer(col("toks")).as("tok"))
+      .withColumn("valid", col("tok").isNotNull)
+      .withColumn("w", when(col("valid"), expr(w)).otherwise(0L))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_tokens"),
+        sum(col("w")).as("logit_sum"))
+      .withColumn("mean_logit",
+        Num.guardedRatio(col("logit_sum"), col("n_tokens"), 4))
+      .withColumn("keep",
+        when(col("mean_logit") > 0.0, 1).otherwise(0).cast("int"))
+  }
+
+  def classifierScore(s: SparkSession, dir: String): DataFrame =
+    classifierScore(docs(s, dir))
+
+  // ---------------------------------------------------------------- //
   // Cross-document duplicated spans                                  //
   // ---------------------------------------------------------------- //
 

@@ -75,6 +75,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0.0)), s"got ${out(4L)}")
   }
 
+  test("classifierScore: weights replay from md5 parity, empty doc safe") {
+    val d = docsDf(1L -> "alpha beta alpha", 2L -> "")
+    val out = CorpusOps.classifierScore(d)
+      .select("doc_id", "n_tokens", "logit_sum", "mean_logit", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // independent weight computation from the same md5 rule
+    def w(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"qw_$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) - 128
+    }
+    val expected = 2 * w("alpha") + w("beta")
+    val (n, ls, ml, keep) = out(1L)
+    assert(n == 3 && ls == expected)
+    assert(ml == math.round(ls.toDouble / 3 * 10000).toDouble / 10000)
+    assert(keep == (if (ml > 0) 1 else 0))
+    assert(out(2L) == ((0L, 0L, 0.0, 0)), "empty doc must score 0")
+  }
+
   test("mixInterleave round-robins sources and ranks densely per source") {
     // sources of unequal size: a has 2 docs, b has 4
     val d = Seq(
