@@ -191,6 +191,10 @@ object SparkEntry {
     // Per-table constraint report (violation counts, fixed-width) —
     // the promote-gate validation pass.
     "dq_expectations" -> EventOps.dqExpectations _,
+    // Whole-trajectory session paths, top-20 — the path-funnel
+    // complement of the pairwise transition matrix.
+    "path_top_sequences" -> ((s, dir) =>
+      EventOps.pathTopSequences(s, dir)),
     "window_rank_deciles" -> CoreOps.rankSpendDeciles _,
     "join_full_outer_churn" -> CoreOps.fullOuterChurn _,
     "grouping_sets_pricing" -> CoreOps.groupingSetsPricing _,
@@ -347,6 +351,7 @@ object SparkEntry {
     "cohort_retention" -> OpsOracles.cohortRetention,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
+    "path_top_sequences" -> OpsOracles.pathTopSequences,
     "window_rank_deciles" -> OpsOracles.rankSpendDeciles,
     "join_full_outer_churn" -> OpsOracles.fullOuterChurn,
     "grouping_sets_pricing" -> OpsOracles.groupingSetsPricing,

@@ -154,6 +154,44 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Top session paths: the ordered event-type sequence of every gap
+    * session, aggregated to the most common paths — the path-funnel
+    * complement of [[funnelTransitions]] (which marginalizes to pairs;
+    * this keeps whole trajectories).
+    *
+    * The per-session event list is bounded by session length (a
+    * 30-minute human session — NOT user- or corpus-scaled), so the
+    * collect_list aggregation state is bounded; events sort inside the
+    * session by the (ts, event_id) total order AFTER collection
+    * (array_sort on structs — deterministic, engine-replayable), so no
+    * window pass is needed beyond the session assignment itself. The
+    * path aggregate's output is bounded by distinct trajectories, and
+    * the final top-20 sorts that aggregate, not the corpus. */
+  def pathTopSequences(spark: SparkSession, dir: String,
+                       topK: Int = 20): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .withColumn("path", concat_ws(">",
+        expr("transform(array_sort(evs), e -> e.event_type)")))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Data-quality expectations report — the validation gate a pipeline
     * runs before promoting a partition (the Great-Expectations shape,
     * declaratively in Spark): per-table constraint checks with row and

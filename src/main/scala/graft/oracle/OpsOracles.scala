@@ -1233,6 +1233,43 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.pathTopSequences: gap sessions, ordered
+    * event-type path strings, top-20 by (count desc, path). */
+  val pathTopSequences: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |),
+      |f AS (
+      |  SELECT *, lag(ts_us) OVER w AS prev_ts_us FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_ts_us IS NULL
+      |      OR ts_us - prev_ts_us >= 1800000000 THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM f
+      |),
+      |h AS (
+      |  SELECT *, sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_idx
+      |  FROM g
+      |),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      |  FROM h GROUP BY user_id, session_idx
+      |),
+      |a AS (
+      |  SELECT path, CAST(count(1) AS BIGINT) AS n_sessions,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM p GROUP BY path
+      |)
+      |SELECT path, n_sessions, n_users FROM a
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** Mirrors EventOps.dqExpectations: one aggregate per table, checks
     * unpivoted via UNION ALL — integer counts only. */
   val dqExpectations: String =

@@ -91,6 +91,32 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("path sequences tie out against gap sessions") {
+    val sessions = EventOps.sessionizeGap(spark, dir).cache()
+    val paths = EventOps.pathTopSequences(spark, dir, topK = 1000000)
+      .cache()
+    // full path table (unbounded topK): session totals must tie out
+    assert(paths.agg(sum("n_sessions")).head().getLong(0) ===
+      sessions.count())
+    // path length distribution matches session event counts
+    val evByLen = sessions.groupBy(col("n_events")).count()
+      .as[(Long, Long)].collect().toMap
+    val pathByLen = paths
+      .withColumn("len", size(split(col("path"), ">")).cast("long"))
+      .groupBy(col("len")).agg(sum("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(pathByLen == evByLen, "path lengths must mirror session sizes")
+    // the registered top-20 is ordered by (count desc, path)
+    val top = EventOps.pathTopSequences(spark, dir)
+      .select("path", "n_sessions").as[(String, Long)].collect()
+    assert(top.length <= 20)
+    assert(top.sliding(2).forall {
+      case Array((pa, ca), (pb, cb)) => ca > cb || (ca == cb && pa < pb)
+      case _ => true
+    })
+    sessions.unpersist(); paths.unpersist()
+  }
+
   test("dq expectations count planted violations per check") {
     val dqDir = tmpDir("dq")
     // 5 clean rows + one violation of each events constraint
