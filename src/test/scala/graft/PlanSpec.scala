@@ -103,6 +103,54 @@ class PlanSpec extends SparkSpec {
       s"bucketed gold must not exchange — the layout IS the shuffle:\n$p")
   }
 
+  test("embed_project is scan + fold + generate - no keyed shuffle, " +
+      "no join") {
+    // the sign matrix is plan literals: nothing to join or broadcast;
+    // Layout.spread's round-robin fan-out of the single-file harness
+    // scan is allowed (the chunk_documents precedent)
+    val p = plan("embed_project")
+    assert(!p.contains("hashpartitioning") &&
+      !p.contains("rangepartitioning") && !p.contains("Join"), p)
+  }
+
+  test("mix_interleave: range + window exchanges only, offsets " +
+      "broadcast, no global window") {
+    val p = plan("mix_interleave")
+    // corpus exchanges: the (source, doc_id) range layout (the cached
+    // base subtree may print it twice) and the window's
+    // ENSURE_REQUIREMENTS hash on (pid, source) — narrow rows both
+    // times; the offset table joins as a broadcast, and the window is
+    // (pid, source)-partitioned, never source-alone (a whole source
+    // through one task) or global
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(pid"), p)
+    assert(!p.contains("windowspecdefinition(source"),
+      "window must not partition by source alone")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("retrieve_tfidf_topk: token join is hash, only scalar " +
+      "nested-loop sides") {
+    val p = plan("retrieve_tfidf_topk")
+    // candidates come from the postings equi-join; the only nested-loop
+    // joins are the deliberate 1-row n_docs scalar broadcasts (the
+    // tfIdfTopTerms convention)
+    assert(p.contains("BroadcastHashJoin [token"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("new analytics queries stay equi-join shaped") {
+    for (q <- Seq("funnel_transitions", "cohort_retention",
+        "anomaly_hourly", "dq_expectations", "path_top_sequences",
+        "eval_knn_labels", "text_dup_spans",
+        "text_classifier_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("pii mask is a pure projection - no shuffle, no join") {
     val p = plan("text_pii_mask")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
