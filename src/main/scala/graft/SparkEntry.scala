@@ -116,6 +116,10 @@ object SparkEntry {
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
+    // Count-Min sketch next to exact counts — a fixed-width mergeable
+    // sketch built from plain aggregates, replayed exactly by the
+    // oracle (md5 buckets).
+    "sketch_count_min" -> ((s, dir) => TextOps.countMinTopTokens(s, dir)),
     "text_hash_split" -> TextOps.hashSplit _,
     "text_tfidf_topk" -> ((s, dir) => TextOps.tfIdfTopTerms(s, dir)),
     // Sparse lexical retrieval: integer tf-idf dot products over a
@@ -185,6 +189,9 @@ object SparkEntry {
     // Day-N cohort retention matrix (first-day cohorts; the general
     // form of the gold tables' 1-day retention self-joins).
     "cohort_retention" -> EventOps.cohortRetention _,
+    // DAU/WAU via the contribute-to-target-days plan (no per-day
+    // 7-day rescans).
+    "metric_dau_wau" -> EventOps.dauWau _,
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
@@ -329,6 +336,7 @@ object SparkEntry {
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
     "text_token_topk" -> OpsOracles.tokenTopK,
+    "sketch_count_min" -> OpsOracles.countMinTopTokens,
     "text_hash_split" -> OpsOracles.hashSplit,
     "text_tfidf_topk" -> OpsOracles.tfIdfTopTerms,
     "retrieve_tfidf_topk" -> OpsOracles.tfIdfRetrieve,
@@ -349,6 +357,7 @@ object SparkEntry {
     "sessionize_gap" -> OpsOracles.sessionizeGap,
     "funnel_transitions" -> OpsOracles.funnelTransitions,
     "cohort_retention" -> OpsOracles.cohortRetention,
+    "metric_dau_wau" -> OpsOracles.dauWau,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
     "path_top_sequences" -> OpsOracles.pathTopSequences,

@@ -154,6 +154,35 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Daily + trailing-7-day active users (DAU / WAU) — the heartbeat
+    * metric of every product dashboard. WAU needs a PER-DAY DISTINCT
+    * over a sliding window, which no window frame expresses; the
+    * scale-correct plan CONTRIBUTES instead of scanning: each (user,
+    * day) activity row fans out to the 7 target days it supports
+    * (explode of a constant 0..6 offset array — ×7, bounded), a
+    * distinct collapses multi-day activity inside one window, and a
+    * plain count per target day finishes. All aggregation state is
+    * bounded hash-agg keys; nothing re-scans a 7-day range per day. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val active = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+    val dau = active.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("user_id"), col("day"),
+        explode_outer(sequence(lit(0), lit(6))).as("off"))
+      .filter(col("off").isNotNull)
+      .select(col("user_id"), expr("date_add(day, off)").as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau_7d"))
+    dau.join(wau, Seq("day"))
+      .select("day", "dau", "wau_7d")
+  }
+
   /** Top session paths: the ordered event-type sequence of every gap
     * session, aggregated to the most common paths — the path-funnel
     * complement of [[funnelTransitions]] (which marginalizes to pairs;

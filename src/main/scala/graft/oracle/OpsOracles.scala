@@ -1233,6 +1233,24 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.dauWau: contribute-to-7-target-days fan-out,
+    * distinct, count — integer counts on date keys. */
+  val dauWau: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |dau AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS dau FROM a GROUP BY day
+      |),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+      |  FROM a, range(0, 7) r(i)
+      |),
+      |wau AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS wau_7d FROM c GROUP BY day
+      |)
+      |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)""".stripMargin
+
   /** Mirrors EventOps.pathTopSequences: gap sessions, ordered
     * event-type path strings, top-20 by (count desc, path). */
   val pathTopSequences: String =
@@ -1576,6 +1594,43 @@ object OpsOracles {
       |  CAST(CASE WHEN coalesce(n_contaminated, 0) > 0 THEN 1 ELSE 0 END
       |    AS INT) AS is_contaminated
       |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin)
+
+  /** Mirrors TextOps.countMinTopTokens: md5-derived buckets, counter
+    * table and min-probe replayed exactly. */
+  val countMinTopTokens: String =
+    ws("""WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(
+      |    lower(trim(text)), '<WS>+'), x -> x <> '')) AS token
+      |  FROM documents
+      |),
+      |ex AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+      |  FROM t GROUP BY 1
+      |  ORDER BY exact_count DESC, token LIMIT 20
+      |),
+      |rb AS (
+      |  SELECT token, i,
+      |    CAST(('0x' || substr(md5('cm' || i || '_' || token), 1, 8))
+      |      AS BIGINT) % 1024 AS bucket
+      |  FROM t, range(0, 4) r(i)
+      |),
+      |counters AS (
+      |  SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM rb GROUP BY 1, 2
+      |),
+      |probes AS (
+      |  SELECT token, exact_count, i,
+      |    CAST(('0x' || substr(md5('cm' || i || '_' || token), 1, 8))
+      |      AS BIGINT) % 1024 AS bucket
+      |  FROM ex, range(0, 4) r(i)
+      |)
+      |SELECT token, exact_count,
+      |  CAST(min(c) AS BIGINT) AS cm_estimate,
+      |  CAST(min(c) AS BIGINT) - exact_count AS overestimate,
+      |  CAST(CASE WHEN CAST(min(c) AS BIGINT) - exact_count >= 0
+      |    THEN 1 ELSE 0 END AS INT) AS bound_holds
+      |FROM probes JOIN counters USING (i, bucket)
+      |GROUP BY token, exact_count""".stripMargin)
 
   /** Mirrors CorpusOps.classifierScore: md5-derived token weights,
     * per-doc integer logit sums, guarded scale-4 mean. */

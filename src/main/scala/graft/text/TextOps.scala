@@ -290,6 +290,65 @@ object TextOps {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Count-Min sketch over corpus token frequencies, with the exact
+    * counts alongside — the approxDistinctUsers contract pattern applied
+    * to a sketch the engine does NOT ship natively, built from plain
+    * aggregates. d = [[CmDepth]] hash rows × w = [[CmWidth]] counters:
+    * counter(i, b) = Σ counts of tokens with bucket_i(tok) = b, and the
+    * estimate for a token is min_i counter(i, bucket_i(tok)) — ≥ the
+    * exact count ALWAYS (counters only ever over-count), which the
+    * emitted `overestimate` column exposes and the oracle verifies
+    * cell-for-cell (buckets derive from md5, identical in both engines,
+    * so the whole sketch replays exactly).
+    *
+    * Scale story: the counter table is FIXED-WIDTH (d·w rows) however
+    * large the corpus — the map side pre-aggregates (i, bucket) partial
+    * sums, the shuffle carries ≤ d·w rows per task, and the final join
+    * probes d rows per reported token. This is the mergeable-sketch
+    * shape (per-partition/per-day sketches SUM), where the exact path
+    * shuffles every distinct token. */
+  def countMinTopTokens(s: SparkSession, dir: String,
+                        topK: Int = 20): DataFrame = {
+    val toks = Layout.spread(docs(s, dir))
+      .select(col("doc_id"),
+        explode_outer(split(lower(trim(col("text"))), (Ws + "+")))
+          .as("token"))
+      .filter(col("token") =!= "")
+    def bucket(i: Int): org.apache.spark.sql.Column =
+      expr(s"cast(conv(substring(md5(concat('cm${i}_', token)), 1, 8), " +
+        s"16, 10) as bigint) % $CmWidth")
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+      .limit(topK)
+    // one pass builds all d rows: explode the (row, bucket) pairs
+    val pairs = toks.select(col("token"),
+      array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row_i"), bucket(i).as("bucket"))): _*).as("rb"))
+      .select(explode_outer(col("rb")).as("rb"))
+      .filter(col("rb").isNotNull)
+      .select(col("rb.row_i"), col("rb.bucket"))
+    val counters = pairs.groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = exact.select(col("token"), col("exact_count"),
+      explode_outer(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row_i"), bucket(i).as("bucket"))): _*))
+        .as("rb"))
+      .filter(col("rb").isNotNull)
+      .select(col("token"), col("exact_count"), col("rb.row_i"),
+        col("rb.bucket"))
+    probes.join(counters, Seq("row_i", "bucket"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("c")).as("cm_estimate"))
+      .withColumn("overestimate", col("cm_estimate") - col("exact_count"))
+      .withColumn("bound_holds",
+        (col("overestimate") >= 0).cast("int"))
+  }
+
+  /** Count-Min depth (hash rows) and width (counters per row). */
+  val CmDepth = 4
+  val CmWidth = 1024
+
   /** Character-trigram Jaccard similarity for candidate pairs within
     * (lang, source) blocks. Set sizes are integers ⇒ exact cross-engine. */
   /** doc_id + SORTED distinct xxhash64 char-trigram arrays, shared by the

@@ -166,6 +166,29 @@ class OpsExtSpec extends SparkSpec {
     assert(out.head._2 == 3000000L && out(1)._2 == 3000000L)
   }
 
+  test("count-min estimates dominate exact counts and match when alone") {
+    val dir = tmpDir("cm")
+    // one hot token (12 instances) + filler; w=1024 makes a same-bucket
+    // collision in ALL 4 rows effectively impossible for 6 tokens, so
+    // the hot token's estimate must be exact
+    Seq(
+      (0L, "hot hot hot hot hot hot"),
+      (1L, "hot hot hot hot hot hot"),
+      (2L, "u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextOps.countMinTopTokens(spark, dir)
+      .select("token", "exact_count", "cm_estimate", "bound_holds")
+      .as[(String, Long, Long, Int)].collect()
+    assert(out.length == 6)
+    assert(out.forall(_._4 == 1), "CM must never under-count")
+    assert(out.forall(r => r._3 >= r._2))
+    val hot = out.find(_._1 == "hot").get
+    assert(hot._2 == 12L && hot._3 == 12L)
+  }
+
   test("tfIdfRetrieve ranks shingle overlap and prunes stopword postings") {
     val dir = tmpDir("tfidf-retrieve")
     // shingle "x y z" sits in 3 of 5 docs (df*2 > n) -> its postings

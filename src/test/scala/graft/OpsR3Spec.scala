@@ -91,6 +91,27 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("dau/wau: wau dominates dau and matches a brute-force rescan") {
+    val out = EventOps.dauWau(spark, dir).cache()
+    assert(out.filter(col("wau_7d") < col("dau")).isEmpty)
+    // brute force: per day, distinct users across the trailing 7 days
+    val active = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct().cache()
+    val brute = active.select(col("day")).distinct().as("d")
+      .join(active.as("a"),
+        col("a.day") <= col("d.day") &&
+          col("a.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("wau_expected"))
+    val mismatch = out.join(brute, Seq("day"))
+      .filter(col("wau_7d") =!= col("wau_expected"))
+    assert(mismatch.isEmpty, mismatch.collect().mkString(","))
+    active.unpersist(); out.unpersist()
+  }
+
   test("path sequences tie out against gap sessions") {
     val sessions = EventOps.sessionizeGap(spark, dir).cache()
     val paths = EventOps.pathTopSequences(spark, dir, topK = 1000000)
