@@ -19,6 +19,18 @@ case class MediaFeatures(
     height: Int,
     pixel_mean: Double)
 
+/** Output record of the resize stage. */
+case class ResizedMedia(
+    media_id: Long,
+    media_type: String,
+    ok: Int,
+    in_w: Int,
+    in_h: Int,
+    out_w: Int,
+    out_h: Int,
+    out_bytes: Long,
+    out_pixel_mean: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded batch-wise on executors.
   *
@@ -138,6 +150,55 @@ object MultimodalOps {
             case None =>
               MediaFeatures(id, mtype, payload.length.toLong, byteSum,
                 hash, mean, w, h, 0.0)
+          }
+        }
+      }
+  }
+
+  /** Deterministic image resize — the preprocessing stage a vision
+    * training pipeline runs between decode and tensorization. Sniffed
+    * image payloads decode (same Try discipline as [[decodeFeatures]]),
+    * scale to `target`×`target` with NEAREST-NEIGHBOR interpolation
+    * (bit-deterministic — no AA, no platform-dependent filtering), and
+    * re-encode as PNG (lossless, so the emitted pixel mean is exact);
+    * non-images and failed decodes degrade to ok = 0 with zeroed output
+    * fields, never a failed job. Same typed mapPartitions batch shape
+    * as the decode stage — the resize kernel is where a GPU/native
+    * library would slot in without touching the schema. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   target: Int = 32): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.repartition(spark.sparkContext.defaultParallelism,
+        col("media_id"))
+      .select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, mtype, payload) =>
+          val decoded =
+            if (looksLikeImage(payload))
+              scala.util.Try(Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))))
+                .toOption.flatten
+            else None
+          decoded match {
+            case Some(im) =>
+              val out = new java.awt.image.BufferedImage(target, target,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints
+                  .VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(im, 0, 0, target, target, null)
+              g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              val (_, _, pmean) = pixelStats(out)
+              ResizedMedia(id, mtype, 1, im.getWidth, im.getHeight,
+                target, target, buf.size().toLong, pmean)
+            case None =>
+              ResizedMedia(id, mtype, 0, 0, 0, 0, 0, 0L, 0.0)
           }
         }
       }

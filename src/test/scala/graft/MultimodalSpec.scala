@@ -63,6 +63,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).n_bytes == checker.length.toLong)
   }
 
+  test("resize stage emits exact 32x32 lossless output, degrades on " +
+      "non-images") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(8, 8)((_, _) => 0x646464) // r=g=b=100 everywhere
+    val media = Seq(
+      (1L, "image", gray),
+      (2L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "payload")
+    val out = MultimodalOps.resizeImages(spark, media)
+      .collect().map(r => r.media_id -> r).toMap
+    val img = out(1L)
+    assert(img.ok == 1 && img.in_w == 8 && img.in_h == 8)
+    assert(img.out_w == 32 && img.out_h == 32 && img.out_bytes > 0)
+    // nearest-neighbor scaling of a constant image stays constant, and
+    // PNG is lossless, so the output mean is exactly the input's
+    assert(img.out_pixel_mean == 100.0, s"got ${img.out_pixel_mean}")
+    assert(out(2L).ok == 0 && out(2L).out_bytes == 0L)
+  }
+
   test("frame sampling yields offsets within payload bounds") {
     val media = MultimodalOps.mediaTable(spark, dir)
     val frames = MultimodalOps.sampleFrames(media, stepBytes = 100)
