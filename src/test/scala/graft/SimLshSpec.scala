@@ -118,6 +118,43 @@ class SimLshSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("blocked arm == brute force on random embeddings across " +
+      "thresholds") {
+    // seeded random vectors (not the clustered fixture): the blocked
+    // triangular generator must lose nothing at any threshold, and the
+    // per-pair exactly-once property must hold with hash-assigned
+    // blocks over arbitrary id patterns (incl. non-dense ids)
+    val rnd = new Random(11)
+    val rows = (0 until 150).map { i =>
+      (i.toLong * 7 + 3, Seq.fill(64)((rnd.nextGaussian()).toFloat))
+    }
+    val qz = quantize(rows.toDF("vec_id", "embedding"))
+      .filter(col("n") > 0)
+    for (t <- Seq(0.2, 0.5)) {
+      val blocked = graft.sim.Similarity
+        .nearDup(qz, t, graft.sim.Similarity.BlockArm)
+        .as[(Long, Long, Double)].collect()
+      assert(blocked.length == blocked.toSet.size,
+        s"t=$t duplicate pair rows")
+      val a = qz.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n").as("na"))
+      val b = qz.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n").as("nb"))
+      val exact = a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr("graft_dot(qa, qb)"))
+        .withColumn("cosine",
+          graft.util.Num.r(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6))
+        .filter(col("cosine") >= t)
+        .select("vec_a", "vec_b", "cosine")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(blocked.toSet == exact,
+        s"t=$t missed ${(exact -- blocked.toSet).size} " +
+          s"invented ${(blocked.toSet -- exact).size}")
+    }
+  }
+
   test("random projection of unit vectors reads out the sign matrix") {
     // embedding e_j (1.0 at dim j) quantizes to 10^6 at j, so
     // p_i = s_ij * 10^6 — the projection must read back the exact
