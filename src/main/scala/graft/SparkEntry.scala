@@ -192,6 +192,9 @@ object SparkEntry {
     // DAU/WAU via the contribute-to-target-days plan (no per-day
     // 7-day rescans).
     "metric_dau_wau" -> EventOps.dauWau _,
+    // Z-order layout key (user x hour) — one codegen'd expression per
+    // row, zero shuffles; the lakehouse multi-dim clustering key.
+    "layout_zorder" -> EventOps.zorderKey _,
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
@@ -358,6 +361,7 @@ object SparkEntry {
     "funnel_transitions" -> OpsOracles.funnelTransitions,
     "cohort_retention" -> OpsOracles.cohortRetention,
     "metric_dau_wau" -> OpsOracles.dauWau,
+    "layout_zorder" -> OpsOracles.zorderKey,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
     "path_top_sequences" -> OpsOracles.pathTopSequences,

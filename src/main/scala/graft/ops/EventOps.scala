@@ -154,6 +154,32 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Z-order (Morton) layout key over (user_id, hour): the
+    * multi-dimensional clustering key a lakehouse layout optimizer
+    * (Delta's OPTIMIZE ZORDER, Iceberg's sort orders) writes files by,
+    * so range predicates on EITHER dimension prune files — a 1-D sort
+    * serves only its leading column. 16 bits of each dimension
+    * interleave into a 32-bit key; the whole derivation is one
+    * codegen'd integer expression per row (the [[graft.sim
+    * .RandomProjection]] literal-fold move — no explode, no join, zero
+    * shuffles), and at write time `repartitionByRange(z)` + sort is the
+    * layout job. Bit arithmetic is engine-exact, so the oracle replays
+    * every key. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until 16).map { i =>
+      s"((shiftright(u16, $i) & 1) * ${1L << (2 * i)}L) + " +
+        s"((shiftright(h16, $i) & 1) * ${1L << (2 * i + 1)}L)"
+    }.mkString(" + ")
+    graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_us div 3600000000").as("hour_idx"))
+      .withColumn("u16", expr("user_id % 65536"))
+      .withColumn("h16", expr("hour_idx % 65536"))
+      .withColumn("z_value", expr(terms))
+      .select("event_id", "user_id", "hour_idx", "z_value")
+  }
+
   /** Daily + trailing-7-day active users (DAU / WAU) — the heartbeat
     * metric of every product dashboard. WAU needs a PER-DAY DISTINCT
     * over a sliding window, which no window frame expresses; the

@@ -1233,6 +1233,25 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.zorderKey: the identical 16-term interleave in
+    * portable integer arithmetic (// and % instead of shifts). */
+  val zorderKey: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((u16 // ${1L << i}) % 2) * ${1L << (2 * i)}) + " +
+        s"(((h16 // ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    epoch_us(ts) // 3600000000 AS hour_idx,
+       |    user_id % 65536 AS u16,
+       |    (epoch_us(ts) // 3600000000) % 65536 AS h16
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, hour_idx,
+       |  CAST($terms AS BIGINT) AS z_value
+       |FROM e""".stripMargin
+  }
+
   /** Mirrors EventOps.dauWau: contribute-to-7-target-days fan-out,
     * distinct, count — integer counts on date keys. */
   val dauWau: String =

@@ -91,6 +91,27 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("z-order key interleaves bits and clusters both dimensions") {
+    val out = EventOps.zorderKey(spark, dir).cache()
+    // independent scalar reimplementation of the interleave
+    def z(u: Long, h: Long): Long = {
+      var acc = 0L
+      for (i <- 0 until 16) {
+        acc += (((u % 65536) >> i) & 1) << (2 * i)
+        acc += (((h % 65536) >> i) & 1) << (2 * i + 1)
+      }
+      acc
+    }
+    val rows = out.select("user_id", "hour_idx", "z_value")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (u, h, zv) => zv == z(u, h) })
+    // locality: equal (user, hour) pairs share a key; changing either
+    // dimension by 1 changes the key
+    assert(z(5, 7) != z(6, 7) && z(5, 7) != z(5, 8))
+    out.unpersist()
+  }
+
   test("dau/wau: wau dominates dau and matches a brute-force rescan") {
     val out = EventOps.dauWau(spark, dir).cache()
     assert(out.filter(col("wau_7d") < col("dau")).isEmpty)
