@@ -195,6 +195,9 @@ object SparkEntry {
     // Z-order layout key (user x hour) — one codegen'd expression per
     // row, zero shuffles; the lakehouse multi-dim clustering key.
     "layout_zorder" -> EventOps.zorderKey _,
+    // SCD Type-2 device history (gaps-and-islands on attribute change,
+    // validity intervals with a NULL-open current version).
+    "scd2_user_device" -> EventOps.scd2UserDevice _,
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
@@ -362,6 +365,7 @@ object SparkEntry {
     "cohort_retention" -> OpsOracles.cohortRetention,
     "metric_dau_wau" -> OpsOracles.dauWau,
     "layout_zorder" -> OpsOracles.zorderKey,
+    "scd2_user_device" -> OpsOracles.scd2UserDevice,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
     "path_top_sequences" -> OpsOracles.pathTopSequences,

@@ -154,6 +154,44 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** SCD Type-2 dimension history: collapse each user's event stream
+    * into device validity intervals — version v is the v-th maximal run
+    * of consecutive events on one device, valid from its first event
+    * until the next run begins (NULL = current) — the
+    * slowly-changing-dimension build every warehouse runs to make
+    * "which device was this user on at time T" joinable (the as-of /
+    * PIT features consume exactly such tables).
+    *
+    * Plan shape: gaps-and-islands on attribute CHANGE (lag + running
+    * sum share one user-partitioned Window pass — the sessionizeGap
+    * plan with the gap predicate swapped for device inequality), a
+    * (user, run) aggregate, then lead() over the RUN-grain frame
+    * (versions-per-user rows — bounded) for valid_to. Integer µs and
+    * strings only. */
+  def scd2UserDevice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = graft.ingest.Events.cleansed(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("device"))
+      .withColumn("prev_device", lag(col("device"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_device").isNull ||
+          col("prev_device") =!= col("device"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"), col("device"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("valid_from_us"))
+    val vw = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(vw))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1).otherwise(0).cast("int"))
+      .select("user_id", "version", "device", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+  }
+
   /** Z-order (Morton) layout key over (user_id, hour): the
     * multi-dimensional clustering key a lakehouse layout optimizer
     * (Delta's OPTIMIZE ZORDER, Iceberg's sort orders) writes files by,

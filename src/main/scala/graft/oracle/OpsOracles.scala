@@ -1233,6 +1233,44 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.scd2UserDevice: gaps-and-islands on device
+    * change over the cleansed enriched frame, run aggregate, lead for
+    * valid_to. */
+  val scd2UserDevice: String =
+    s"""WITH ${graft.oracle.Oracles.enrichedCte},
+       |f AS (
+       |  SELECT user_id, ts_us, event_id, device,
+       |    lag(device) OVER w AS prev_device
+       |  FROM enriched
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |g AS (
+       |  SELECT *, CASE WHEN prev_device IS NULL
+       |      OR prev_device <> device THEN 1 ELSE 0 END AS chg
+       |  FROM f
+       |),
+       |h AS (
+       |  SELECT *, CAST(sum(chg) OVER (
+       |      PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS version
+       |  FROM g
+       |),
+       |runs AS (
+       |  SELECT user_id, version, device,
+       |    CAST(count(1) AS BIGINT) AS n_events,
+       |    min(ts_us) AS valid_from_us
+       |  FROM h GROUP BY user_id, version, device
+       |)
+       |SELECT user_id, version, device, valid_from_us,
+       |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+       |    AS valid_to_us,
+       |  n_events,
+       |  CAST(CASE WHEN lead(valid_from_us) OVER (
+       |      PARTITION BY user_id ORDER BY version) IS NULL
+       |    THEN 1 ELSE 0 END AS INT) AS is_current
+       |FROM runs""".stripMargin
+
   /** Mirrors EventOps.zorderKey: the identical 16-term interleave in
     * portable integer arithmetic (// and % instead of shifts). */
   val zorderKey: String = {

@@ -91,6 +91,36 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("scd2 device history partitions each user's timeline") {
+    val out = EventOps.scd2UserDevice(spark, dir).cache()
+    // versions dense 1..n per user; exactly one open (current) version
+    val byUser = out.groupBy("user_id")
+      .agg(min("version").as("lo"), max("version").as("hi"),
+        count(lit(1)).as("n"),
+        sum("is_current").as("n_open"))
+    assert(byUser.filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+      col("n_open") =!= 1L).isEmpty)
+    // intervals are ordered and ADJACENT: each version's valid_to is
+    // the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val bad = out
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to_us") =!= col("next_from"))
+    assert(bad.isEmpty)
+    // adjacent versions change device
+    val flip = out
+      .withColumn("prev_dev", lag(col("device"), 1).over(w))
+      .filter(col("prev_dev").isNotNull &&
+        col("prev_dev") === col("device"))
+    assert(flip.isEmpty, "consecutive versions must differ in device")
+    // run sizes tie out to the cleansed event count
+    val total = graft.ingest.Events.cleansed(spark, dir).count()
+    assert(out.agg(sum("n_events")).head().getLong(0) === total)
+    out.unpersist()
+  }
+
   test("z-order key interleaves bits and clusters both dimensions") {
     val out = EventOps.zorderKey(spark, dir).cache()
     // independent scalar reimplementation of the interleave
