@@ -198,6 +198,8 @@ object SparkEntry {
     // SCD Type-2 device history (gaps-and-islands on attribute change,
     // validity intervals with a NULL-open current version).
     "scd2_user_device" -> EventOps.scd2UserDevice _,
+    // Dense hourly resample with explicit zero-filled gaps.
+    "resample_hourly_filled" -> EventOps.resampleHourlyFilled _,
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
@@ -366,6 +368,7 @@ object SparkEntry {
     "metric_dau_wau" -> OpsOracles.dauWau,
     "layout_zorder" -> OpsOracles.zorderKey,
     "scd2_user_device" -> OpsOracles.scd2UserDevice,
+    "resample_hourly_filled" -> OpsOracles.resampleHourlyFilled,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
     "path_top_sequences" -> OpsOracles.pathTopSequences,

@@ -154,6 +154,40 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Dense hourly resample with zero-fill: every (event_type, hour)
+    * cell over the corpus's FULL observed hour span, silent hours
+    * explicitly zero — the time-series regularization that makes
+    * downstream row-frame windows (trailing means, [[anomalyHourly]]'s
+    * 24-bucket baseline) mean wall-clock ranges exactly, and the shape
+    * a forecasting consumer exports.
+    *
+    * Plan shape: the corpus reduces to the sparse hourly aggregate
+    * (map-side combined, metadata-scale output), the dense grid is a
+    * GENERATED |types| × |hours| frame (sequence over the min/max hour
+    * span exploded against the distinct types — both driver-scalar
+    * bounded, nothing scans the corpus twice), and a left join +
+    * coalesce fills. At 100 TB only the first aggregate touches data. */
+  def resampleHourlyFilled(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .withColumn("hour_idx", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = hourly.agg(min(col("hour_idx")).as("lo"),
+      max(col("hour_idx")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode_outer(expr("sequence(lo, hi)")).as("hour_idx"))
+      .filter(col("hour_idx").isNotNull)
+    grid.join(hourly, Seq("event_type", "hour_idx"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("window_start_us", col("hour_idx") * lit(3600000000L))
+      .withColumn("is_gap",
+        when(col("n_events") === 0, 1).otherwise(0).cast("int"))
+      .select("event_type", "window_start_us", "n_events", "is_gap")
+  }
+
   /** SCD Type-2 dimension history: collapse each user's event stream
     * into device validity intervals — version v is the v-th maximal run
     * of consecutive events on one device, valid from its first event

@@ -1233,6 +1233,30 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.resampleHourlyFilled: sparse hourly aggregate,
+    * generated dense grid over the observed span, left join + zero
+    * fill. */
+  val resampleHourlyFilled: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |),
+      |span AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM h),
+      |grid AS (
+      |  SELECT t.event_type, CAST(g.hour_idx AS BIGINT) AS hour_idx
+      |  FROM (SELECT DISTINCT event_type FROM h) t,
+      |    (SELECT unnest(range(lo, hi + 1)) AS hour_idx FROM span) g
+      |)
+      |SELECT grid.event_type,
+      |  grid.hour_idx * 3600000000 AS window_start_us,
+      |  coalesce(h.n_events, 0) AS n_events,
+      |  CAST(CASE WHEN coalesce(h.n_events, 0) = 0 THEN 1 ELSE 0 END
+      |    AS INT) AS is_gap
+      |FROM grid LEFT JOIN h
+      |  ON grid.event_type = h.event_type
+      |  AND grid.hour_idx = h.hour_idx""".stripMargin
+
   /** Mirrors EventOps.scd2UserDevice: gaps-and-islands on device
     * change over the cleansed enriched frame, run aggregate, lead for
     * valid_to. */

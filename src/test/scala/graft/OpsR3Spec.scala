@@ -91,6 +91,21 @@ class OpsR3Spec extends SparkSpec {
       s"spike z=${spike.getDouble(2)}")
   }
 
+  test("resample fills every type to the full span, totals preserved") {
+    val out = EventOps.resampleHourlyFilled(spark, dir).cache()
+    val types = out.select("event_type").distinct().count()
+    val hours = out.select("window_start_us").distinct().count()
+    // dense grid: every type has every hour of the global span
+    assert(out.count() === types * hours)
+    // filled zeros are flagged, non-zeros are not
+    assert(out.filter((col("n_events") === 0) =!=
+      (col("is_gap") === 1)).isEmpty)
+    // event totals survive the fill
+    val total = graft.ingest.Events.raw(spark, dir).count()
+    assert(out.agg(sum("n_events")).head().getLong(0) === total)
+    out.unpersist()
+  }
+
   test("scd2 device history partitions each user's timeline") {
     val out = EventOps.scd2UserDevice(spark, dir).cache()
     // versions dense 1..n per user; exactly one open (current) version
