@@ -186,6 +186,9 @@ object SparkEntry {
     // for how many users, how fast) — the funnel lens over the same
     // gap-session window pass as sessionize_gap.
     "funnel_transitions" -> EventOps.funnelTransitions _,
+    // Strict ordered-step conversion funnel (view > click > purchase
+    // in time order within one session).
+    "funnel_steps" -> EventOps.funnelSteps _,
     // Day-N cohort retention matrix (first-day cohorts; the general
     // form of the gold tables' 1-day retention self-joins).
     "cohort_retention" -> EventOps.cohortRetention _,
@@ -364,6 +367,7 @@ object SparkEntry {
     "multimodal_features" -> OpsOracles.multimodalFeatures,
     "sessionize_gap" -> OpsOracles.sessionizeGap,
     "funnel_transitions" -> OpsOracles.funnelTransitions,
+    "funnel_steps" -> OpsOracles.funnelSteps,
     "cohort_retention" -> OpsOracles.cohortRetention,
     "metric_dau_wau" -> OpsOracles.dauWau,
     "layout_zorder" -> OpsOracles.zorderKey,

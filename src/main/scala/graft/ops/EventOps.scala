@@ -376,6 +376,60 @@ object EventOps {
         "pass")
   }
 
+  /** Strict ordered-step conversion funnel over gap sessions: how many
+    * sessions progress view → click → purchase IN TIME ORDER (a click
+    * before the first view does not count, a purchase before the
+    * qualifying click does not count) — the canonical funnel report;
+    * [[funnelTransitions]] is its pairwise marginal.
+    *
+    * Per session the three per-type timestamp lists collect SORTED
+    * (bounded by session length — the pathTopSequences state argument),
+    * and the step chain is pure scalar array logic: t1 = first view,
+    * t2 = first click after t1, t3 = first purchase after t2 (null
+    * comparisons drop out of the filters on both engines identically).
+    * One session aggregate + one fixed-width rollup; the final report
+    * is three rows. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def stepList(t: String) = sort_array(collect_list(
+      when(col("event_type") === t, col("ts_us"))))
+    val per = graft.ingest.Events.raw(spark, dir)
+      .transform(graft.ingest.Events.withTsUs)
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(stepList("view").as("views"),
+        stepList("click").as("clicks"),
+        stepList("purchase").as("purchases"))
+      // get(): null on empty/short arrays (ANSI-safe, unlike [] or
+      // element_at which error out of bounds under ANSI)
+      .withColumn("t1", expr("get(views, 0)"))
+      .withColumn("t2", expr("get(filter(clicks, x -> x > t1), 0)"))
+      .withColumn("t3", expr("get(filter(purchases, x -> x > t2), 0)"))
+    val totals = per.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("t1")).as("s1"),
+      count(col("t2")).as("s2"),
+      count(col("t3")).as("s3"))
+    totals.select(col("n_sessions"), expr(
+      "stack(3, 1, 'view', s1, n_sessions, " +
+        "2, 'view>click', s2, s1, " +
+        "3, 'view>click>purchase', s3, s2) " +
+        "AS (step, step_name, n_reached, n_prev)"))
+      .withColumn("conversion_from_prev",
+        graft.util.Num.guardedRatio(col("n_reached"), col("n_prev"), 4))
+      .withColumn("conversion_from_start",
+        graft.util.Num.guardedRatio(col("n_reached"), col("n_sessions"), 4))
+      .select("step", "step_name", "n_reached", "conversion_from_prev",
+        "conversion_from_start")
+  }
+
   /** Cohort retention matrix — the general day-N form of the gold
     * tables' 1-day retention self-joins: users are cohorted by their
     * FIRST active day; every (cohort_day, day_offset) cell counts the

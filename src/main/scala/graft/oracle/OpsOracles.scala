@@ -1457,6 +1457,71 @@ object OpsOracles {
       |    AS is_anomaly
       |FROM z""".stripMargin
 
+  /** Mirrors EventOps.funnelSteps: gap sessions, per-type sorted ts
+    * lists, scalar step chain, three-row rollup. */
+  val funnelSteps: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |),
+      |f AS (
+      |  SELECT *, lag(ts_us) OVER w AS prev_ts_us FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_ts_us IS NULL
+      |      OR ts_us - prev_ts_us >= 1800000000 THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM f
+      |),
+      |h AS (
+      |  SELECT *, sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_idx
+      |  FROM g
+      |),
+      |per AS (
+      |  SELECT user_id, session_idx,
+      |    list_sort(list(ts_us) FILTER (WHERE event_type = 'view'))
+      |      AS views,
+      |    list_sort(list(ts_us) FILTER (WHERE event_type = 'click'))
+      |      AS clicks,
+      |    list_sort(list(ts_us) FILTER (WHERE event_type = 'purchase'))
+      |      AS purchases
+      |  FROM h GROUP BY user_id, session_idx
+      |),
+      |steps AS (
+      |  SELECT *, views[1] AS t1,
+      |    list_filter(clicks, x -> x > views[1])[1] AS t2
+      |  FROM per
+      |),
+      |steps2 AS (
+      |  SELECT *, list_filter(purchases, x -> x > t2)[1] AS t3 FROM steps
+      |),
+      |tot AS (
+      |  SELECT CAST(count(1) AS BIGINT) AS n_sessions,
+      |    CAST(count(t1) AS BIGINT) AS s1,
+      |    CAST(count(t2) AS BIGINT) AS s2,
+      |    CAST(count(t3) AS BIGINT) AS s3
+      |  FROM steps2
+      |),
+      |rows_ AS (
+      |  SELECT n_sessions, 1 AS step, 'view' AS step_name,
+      |    s1 AS n_reached, n_sessions AS n_prev FROM tot
+      |  UNION ALL SELECT n_sessions, 2, 'view>click', s2, s1 FROM tot
+      |  UNION ALL SELECT n_sessions, 3, 'view>click>purchase', s3, s2
+      |    FROM tot
+      |)
+      |SELECT CAST(step AS INT) AS step, step_name, n_reached,
+      |  CASE WHEN n_prev > 0
+      |    THEN round((CAST(n_reached AS DOUBLE) / n_prev) * 10000, 0)
+      |      / 10000.0 ELSE 0.0 END AS conversion_from_prev,
+      |  CASE WHEN n_sessions > 0
+      |    THEN round((CAST(n_reached AS DOUBLE) / n_sessions) * 10000, 0)
+      |      / 10000.0 ELSE 0.0 END AS conversion_from_start
+      |FROM rows_""".stripMargin
+
   /** Mirrors EventOps.cohortRetention: first-day cohorts, (cohort,
     * offset) distinct-user cells, rate vs the offset-0 size — integer
     * counts and one guarded scale-4 ratio. */

@@ -244,6 +244,30 @@ class OpsR3Spec extends SparkSpec {
     assert(clean.count() == 7)
   }
 
+  test("strict funnel honors step order inside sessions") {
+    val fDir = tmpDir("funnel-steps")
+    val t0 = 1704067200000000L
+    // user 1: full ordered funnel; user 2: click BEFORE the first view
+    // (must not convert); user 3: purchase with no qualifying click;
+    // user 4: no view at all
+    val rows = Seq(
+      (1L, 1L, t0, "view"), (2L, 1L, t0 + 1000000L, "click"),
+      (3L, 1L, t0 + 2000000L, "purchase"),
+      (4L, 2L, t0, "click"), (5L, 2L, t0 + 1000000L, "view"),
+      (6L, 3L, t0, "view"), (7L, 3L, t0 + 1000000L, "purchase"),
+      (8L, 4L, t0, "error"))
+    rows.toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fDir/events.parquet")
+    val out = EventOps.funnelSteps(spark, fDir)
+      .orderBy("step")
+      .select("step", "n_reached", "conversion_from_start")
+      .as[(Int, Long, Double)].collect()
+    assert(out.toSeq == Seq((1, 3L, 0.75), (2, 1L, 0.25), (3, 1L, 0.25)),
+      s"got ${out.toSeq}")
+  }
+
   test("cohort retention: offset-0 diagonal is complete and rates bound") {
     val r = EventOps.cohortRetention(spark, dir).cache()
     // every cohort has its day-0 cell at rate exactly 1.0
