@@ -97,6 +97,9 @@ object SparkEntry {
     "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
     "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
     "agg_salted_skew" -> CoreOps.saltedSkewAgg _,
+    // RFM customer segmentation (recency/frequency/monetary + fixed-
+    // threshold labels) — the feature-store staple over orders.
+    "rfm_segments" -> CoreOps.rfmSegments _,
     "set_ops_customers" -> CoreOps.setOpsCustomers _,
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
@@ -328,6 +331,7 @@ object SparkEntry {
     "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
     "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
     "agg_salted_skew" -> OpsOracles.saltedSkewAgg,
+    "rfm_segments" -> OpsOracles.rfmSegments,
     "set_ops_customers" -> OpsOracles.setOpsCustomers,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,

@@ -1457,6 +1457,32 @@ object OpsOracles {
       |    AS is_anomaly
       |FROM z""".stripMargin
 
+  /** Mirrors CoreOps.rfmSegments: customer aggregate, scalar reference
+    * date, fixed-threshold CASE labels — integers and strings only. */
+  val rfmSegments: String =
+    """WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+      |p AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    CAST(count(1) AS BIGINT) AS f_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey,
+      |  CAST(date_diff('day', last_order, ref_date) AS BIGINT) AS r_days,
+      |  f_orders, m_cents,
+      |  CASE
+      |    WHEN date_diff('day', last_order, ref_date) <= 90
+      |      AND f_orders >= 12 THEN 'champion'
+      |    WHEN date_diff('day', last_order, ref_date) <= 180
+      |      AND f_orders >= 10 THEN 'loyal'
+      |    WHEN date_diff('day', last_order, ref_date) <= 180
+      |      THEN 'active'
+      |    WHEN date_diff('day', last_order, ref_date) <= 365
+      |      THEN 'lapsing'
+      |    ELSE 'dormant' END AS segment
+      |FROM p, ref""".stripMargin
+
   /** Mirrors EventOps.funnelSteps: gap sessions, per-type sorted ts
     * lists, scalar step chain, three-row rollup. */
   val funnelSteps: String =

@@ -463,4 +463,35 @@ object CoreOps {
           .cast("bigint").as("finished_orders"))
       .withColumn("urgent_customer_ratio",
         Num.guardedRatio(col("urgent_customers"), col("customers"), 4))
+
+  /** RFM customer segmentation — the feature-store staple: per customer
+    * Recency (days since last order, against the corpus's max order
+    * date), Frequency (order count), Monetary (exact cents), and a
+    * fixed-threshold segment label (thresholds sit at the measured
+    * corpus quartiles: recency 90/180/365 days, frequency 10/12 —
+    * FIXED constants, not per-run quantiles, so scoring is stable
+    * release-to-release the way a production segment definition is).
+    *
+    * Plan shape: one customer aggregate (map-side combined), the
+    * 1-row reference date broadcast back (the tfIdfRetrieve scalar
+    * pattern), then pure projection. Integer days/counts/cents
+    * end-to-end. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+    val ref = o.agg(max(col("o_orderdate")).as("ref_date"))
+    o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f_orders"),
+        sum(cents("o_totalprice")).as("m_cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("r_days",
+        datediff(col("ref_date"), col("last_order")).cast("long"))
+      .withColumn("segment",
+        when(col("r_days") <= 90 && col("f_orders") >= 12, "champion")
+          .when(col("r_days") <= 180 && col("f_orders") >= 10, "loyal")
+          .when(col("r_days") <= 180, "active")
+          .when(col("r_days") <= 365, "lapsing")
+          .otherwise("dormant"))
+      .select("o_custkey", "r_days", "f_orders", "m_cents", "segment")
+  }
 }

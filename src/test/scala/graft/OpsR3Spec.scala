@@ -244,6 +244,26 @@ class OpsR3Spec extends SparkSpec {
     assert(clean.count() == 7)
   }
 
+  test("rfm segments partition customers and respect thresholds") {
+    val out = graft.tpch.CoreOps.rfmSegments(spark, dir).cache()
+    // every customer exactly once
+    val customers = spark.read
+      .parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(out.count() === customers)
+    // label rules hold row-by-row
+    val bad = out.filter(
+      (col("segment") === "champion" &&
+        !(col("r_days") <= 90 && col("f_orders") >= 12)) ||
+      (col("segment") === "dormant" && col("r_days") <= 365) ||
+      (col("segment") === "active" &&
+        (col("r_days") > 180 || col("f_orders") >= 10)))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+    // the reference customer (r_days == 0 exists by construction of ref)
+    assert(out.filter(col("r_days") === 0).count() >= 1)
+    out.unpersist()
+  }
+
   test("strict funnel honors step order inside sessions") {
     val fDir = tmpDir("funnel-steps")
     val t0 = 1704067200000000L
