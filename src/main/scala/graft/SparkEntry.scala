@@ -206,6 +206,9 @@ object SparkEntry {
     "scd2_user_device" -> EventOps.scd2UserDevice _,
     // Dense hourly resample with explicit zero-filled gaps.
     "resample_hourly_filled" -> EventOps.resampleHourlyFilled _,
+    // Market-basket webtoon co-occurrence at the (user, day) basket
+    // grain with exact rational lift.
+    "cooccurrence_webtoons" -> EventOps.cooccurrenceWebtoons _,
     // Trailing-24-bucket z-scores per (event_type, hour) — the
     // monitoring lens over the tumbling-hourly aggregate.
     "anomaly_hourly" -> EventOps.anomalyHourly _,
@@ -377,6 +380,7 @@ object SparkEntry {
     "layout_zorder" -> OpsOracles.zorderKey,
     "scd2_user_device" -> OpsOracles.scd2UserDevice,
     "resample_hourly_filled" -> OpsOracles.resampleHourlyFilled,
+    "cooccurrence_webtoons" -> OpsOracles.cooccurrenceWebtoons,
     "anomaly_hourly" -> OpsOracles.anomalyHourly,
     "dq_expectations" -> OpsOracles.dqExpectations,
     "path_top_sequences" -> OpsOracles.pathTopSequences,

@@ -154,6 +154,44 @@ object EventOps {
         "z_score", "is_anomaly")
   }
 
+  /** Market-basket co-occurrence of webtoons at the (user, day) basket
+    * grain: for every webtoon pair read by one user on one day, the
+    * pair count (support) and lift — the co-consumption signal a
+    * recommender's candidate generator starts from.
+    *
+    * The pairwise step is bounded COMBINATORICS, not corpus-pairwise:
+    * the self-join keys on (user, day), and one user's one-day distinct
+    * webtoon list is catalog-behavior bounded (~10 here; a power
+    * reader's ceiling, not corpus-scaled) — so pair volume is
+    * Σ_baskets |basket|², linear in baskets. Lift is the exact rational
+    * n_ab·n_baskets / (n_a·n_b), one IEEE division rounded scale-4. */
+  def cooccurrenceWebtoons(spark: SparkSession, dir: String): DataFrame = {
+    val basket = graft.ingest.Events.cleansed(spark, dir)
+      .select(col("user_id"), col("datetime"), col("webtoon_id"))
+      .distinct()
+    val nBaskets = basket.select(col("user_id"), col("datetime"))
+      .distinct().count()
+    val marg = basket.groupBy(col("webtoon_id"))
+      .agg(count(lit(1)).as("n_w"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.datetime") === col("b.datetime") &&
+          col("a.webtoon_id") < col("b.webtoon_id"))
+      .groupBy(col("a.webtoon_id").as("webtoon_a"),
+        col("b.webtoon_id").as("webtoon_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("webtoon_id").as("webtoon_a"),
+        col("n_w").as("n_a"))), Seq("webtoon_a"))
+      .join(broadcast(marg.select(col("webtoon_id").as("webtoon_b"),
+        col("n_w").as("n_b"))), Seq("webtoon_b"))
+      .withColumn("lift", graft.util.Num.r(
+        (col("n_ab") * lit(nBaskets)).cast("double") /
+          (col("n_a") * col("n_b")), 4))
+      .select("webtoon_a", "webtoon_b", "n_ab", "n_a", "n_b", "lift")
+  }
+
   /** Dense hourly resample with zero-fill: every (event_type, hour)
     * cell over the corpus's FULL observed hour span, silent hours
     * explicitly zero — the time-series regularization that makes

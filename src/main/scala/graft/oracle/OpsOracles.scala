@@ -1233,6 +1233,37 @@ object OpsOracles {
       |FROM t
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Mirrors EventOps.cooccurrenceWebtoons: (user, day) baskets,
+    * in-basket pairs, marginals, exact rational lift. */
+  val cooccurrenceWebtoons: String =
+    s"""WITH ${graft.oracle.Oracles.enrichedCte},
+       |basket AS (
+       |  SELECT DISTINCT user_id, datetime, webtoon_id FROM enriched
+       |),
+       |nb AS (
+       |  SELECT CAST(count(1) AS BIGINT) AS n_baskets
+       |  FROM (SELECT DISTINCT user_id, datetime FROM basket)
+       |),
+       |marg AS (
+       |  SELECT webtoon_id, CAST(count(1) AS BIGINT) AS n_w
+       |  FROM basket GROUP BY webtoon_id
+       |),
+       |pairs AS (
+       |  SELECT a.webtoon_id AS webtoon_a, b.webtoon_id AS webtoon_b,
+       |    CAST(count(1) AS BIGINT) AS n_ab
+       |  FROM basket a JOIN basket b
+       |    ON a.user_id = b.user_id AND a.datetime = b.datetime
+       |    AND a.webtoon_id < b.webtoon_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT webtoon_a, webtoon_b, n_ab,
+       |  ma.n_w AS n_a, mb.n_w AS n_b,
+       |  round((CAST(n_ab * n_baskets AS DOUBLE) / (ma.n_w * mb.n_w))
+       |    * 10000, 0) / 10000.0 AS lift
+       |FROM pairs
+       |JOIN marg ma ON pairs.webtoon_a = ma.webtoon_id
+       |JOIN marg mb ON pairs.webtoon_b = mb.webtoon_id, nb""".stripMargin
+
   /** Mirrors EventOps.resampleHourlyFilled: sparse hourly aggregate,
     * generated dense grid over the observed span, left join + zero
     * fill. */

@@ -244,6 +244,27 @@ class OpsR3Spec extends SparkSpec {
     assert(clean.count() == 7)
   }
 
+  test("webtoon co-occurrence pairs are symmetric-complete and lift " +
+      "sane") {
+    val out = graft.ops.EventOps.cooccurrenceWebtoons(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ordered pairs only, no self-pairs, support within marginals
+    assert(rows.forall(r => r.getAs[String]("webtoon_a") <
+      r.getAs[String]("webtoon_b")))
+    assert(out.filter(col("n_ab") > col("n_a") ||
+      col("n_ab") > col("n_b")).isEmpty)
+    // pair totals tie out against a direct basket-size computation:
+    // sum n_ab over pairs == sum C(|basket|, 2) over baskets
+    val baskets = graft.ingest.Events.cleansed(spark, dir)
+      .select("user_id", "datetime", "webtoon_id").distinct()
+      .groupBy("user_id", "datetime").count()
+      .select(expr("count * (count - 1) div 2").as("pairs"))
+      .agg(sum("pairs")).head().getLong(0)
+    assert(out.agg(sum("n_ab")).head().getLong(0) === baskets)
+    out.unpersist()
+  }
+
   test("rfm segments partition customers and respect thresholds") {
     val out = graft.tpch.CoreOps.rfmSegments(spark, dir).cache()
     // every customer exactly once
