@@ -128,21 +128,36 @@ object Bench {
         (sentinelStart > 0 && sentinelEnd > 2 * sentinelStart) ||
         (sentinelEnd > 0 && sentinelStart > 2 * sentinelEnd) ||
         burstCount >= math.max(3, names.size / 8)
-    // The harness captures only a bounded TAIL of stdout; round 8's full-
-    // precision line (~8 KB with reps_detail) overflowed it and the head
-    // of the JSON was cut off → "parsed": null. The stdout line therefore
-    // carries millisecond-rounded per-query minima ONLY (~2 KB for the
-    // current battery); per-rep detail at full precision lands in
-    // target/bench.json for any reader that wants rep-level noise shape.
+    // The harness captures only a bounded 2000-char TAIL of stdout; rounds
+    // 7 AND 8 proved a full per-query line overflows it (head of the JSON
+    // cut off → "parsed": null both rounds; 92 names alone are ~2.5 KB).
+    // The stdout line therefore carries millisecond-rounded minima for the
+    // EXPENSIVE queries (≥ an escalating threshold) plus every failed one
+    // (-1 is the signal that must never be summarized away), and rolls the
+    // cheap remainder into {"count","sum_sec","max_sec"} — the threshold
+    // escalates until the line fits. The complete record (every query,
+    // every rep, full precision) lands in BENCH_FULL.json in the repo root.
     def ms(d: Double): String =
       if (d < 0) "-1.0"
       else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s""""$k":${ms(minOf(v))}""" }
+    val mins: Seq[(String, Double)] =
+      results.map { case (k, v) => k -> minOf(v) }
+    def queriesJson(threshold: Double): String = {
+      val (kept, fast) = mins.partition { case (_, m) =>
+        m < 0 || m >= threshold
+      }
+      val qs = kept.map { case (k, m) => s""""$k":${ms(m)}""" }
+        .mkString("{", ",", "}")
+      val fsum = fast.map(_._2).sum
+      val fmax = if (fast.isEmpty) 0.0 else fast.map(_._2).max
+      qs + s""","fast_omitted":{"count":${fast.size},"sum_sec":${ms(fsum)},"max_sec":${ms(fmax)},"below_sec":$threshold},"detail":"BENCH_FULL.json""""
+    }
+    val qsFull = mins.map { case (k, m) => s""""$k":${ms(m)}""" }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, v) =>
       s""""$k":[${v.mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    val total = mins.map(_._2).filter(_ >= 0).sum
     def sentinelJson(f: Double => String) =
       s"""{"name":"$SentinelName","start_sec":${f(sentinelStart)},"end_sec":${f(sentinelEnd)},"calm_sec":${calm.map(_.toString).getOrElse("null")}}"""
     // A SPARK_GRAFT_ONLY subset emits "filtered":true so its (partial)
@@ -153,15 +168,20 @@ object Bench {
     // never fail the benchmark it backs up), compact line on stdout LAST
     // so the tail capture always ends with a complete parseable object.
     try {
-      val p = java.nio.file.Paths.get("target/bench.json")
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        line(qs, sentinelJson(_.toString), s""""reps_detail":$reps,""")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        line(qsFull, sentinelJson(_.toString), s""""reps_detail":$reps,""")
           .getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    println(line(qs, sentinelJson(ms), ""))
+    // Escalate the omission threshold until the line (plus sbt's trailing
+    // "[success] ..." line, ~80 chars) fits the 2000-char tail window.
+    val fit = Seq(0.0, 0.5, 1.0, 2.0, 4.0, Double.MaxValue).iterator
+      .map(t => line(
+        if (t == 0.0) qsFull else queriesJson(t), sentinelJson(ms), ""))
+      .find(_.length <= 1850)
+      .getOrElse(line(queriesJson(Double.MaxValue), sentinelJson(ms), ""))
+    println(fit)
     spark.stop()
   }
 }
