@@ -160,26 +160,44 @@ object EventOps {
     * recommender's candidate generator starts from.
     *
     * The pairwise step is bounded COMBINATORICS, not corpus-pairwise:
-    * the self-join keys on (user, day), and one user's one-day distinct
-    * webtoon list is catalog-behavior bounded (~10 here; a power
-    * reader's ceiling, not corpus-scaled) — so pair volume is
-    * Σ_baskets |basket|², linear in baskets. Lift is the exact rational
+    * pairs expand INSIDE each basket's distinct-webtoon array, and one
+    * user's one-day distinct webtoon list is catalog-behavior bounded
+    * (~10 here; a power reader's ceiling, not corpus-scaled) — so pair
+    * volume is Σ_baskets |basket|², linear in baskets, with no
+    * corpus-grain self-join anywhere. Lift is the exact rational
     * n_ab·n_baskets / (n_a·n_b), one IEEE division rounded scale-4. */
   def cooccurrenceWebtoons(spark: SparkSession, dir: String): DataFrame = {
-    val basket = graft.ingest.Events.cleansed(spark, dir)
-      .select(col("user_id"), col("datetime"), col("webtoon_id"))
-      .distinct()
-    val nBaskets = basket.select(col("user_id"), col("datetime"))
-      .distinct().count()
-    val marg = basket.groupBy(col("webtoon_id"))
+    // ONE wide shuffle reduces the corpus to (user, day) baskets with a
+    // sorted distinct-webtoon array (bounded state: one user's one-day
+    // catalog behavior; null webtoon_ids drop — they can never join a
+    // marginal, identically to the former plan). The former plan
+    // self-joined a corpus-grain basket relation on (user, day) and
+    // re-derived it for the marginals and the denominator — four
+    // corpus-grain scans/shuffles where one suffices. Pairs are now
+    // in-array combinatorics (Σ|basket|² rows, linear in baskets) and
+    // the marginals/denominator re-aggregate the persisted BASKET-grain
+    // frame, which is the corpus already reduced |events|/|baskets|-fold
+    // (kept cached for its two consumers, the tfIdf prefix-frame
+    // precedent). explode_outer + isNotNull, NOT explode: the inner form
+    // makes InferFiltersFromGenerate inline the array builder into
+    // per-element lambdas (PlanSpec-guarded pitfall).
+    val baskets = graft.ingest.Events.cleansed(spark, dir)
+      .groupBy(col("user_id"), col("datetime"))
+      .agg(sort_array(collect_set(col("webtoon_id"))).as("ws"))
+      .persist()
+    val nBaskets = baskets.count()
+    val marg = baskets
+      .select(explode_outer(col("ws")).as("webtoon_id"))
+      .filter(col("webtoon_id").isNotNull)
+      .groupBy(col("webtoon_id"))
       .agg(count(lit(1)).as("n_w"))
-    val pairs = basket.as("a")
-      .join(basket.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.datetime") === col("b.datetime") &&
-          col("a.webtoon_id") < col("b.webtoon_id"))
-      .groupBy(col("a.webtoon_id").as("webtoon_a"),
-        col("b.webtoon_id").as("webtoon_b"))
+    val pairs = baskets
+      .select(explode_outer(expr(
+        "flatten(transform(ws, (x, i) -> " +
+          "transform(slice(ws, i + 2, size(ws)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("webtoon_a"), col("p.b").as("webtoon_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(marg.select(col("webtoon_id").as("webtoon_a"),
