@@ -167,12 +167,16 @@ object Bench {
     // Full-detail record on disk FIRST (best-effort: the backup sink must
     // never fail the benchmark it backs up), compact line on stdout LAST
     // so the tail capture always ends with a complete parseable object.
+    // A filtered dev run must never clobber the committed full-battery
+    // record — it lands in a sibling file instead.
+    val fullPath =
+      if (only.isDefined) "BENCH_FULL.filtered.json" else "BENCH_FULL.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         line(qsFull, sentinelJson(_.toString), s""""reps_detail":$reps,""")
           .getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}")
     }
     // Escalate the omission threshold until the line (plus sbt's trailing
     // "[success] ..." line, ~80 chars) fits the 2000-char tail window.
