@@ -2,7 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.{AsOfJoin, EventOps, Features, TimeWindows}
+import graft.ops.{AsOfJoin, Binning, EventOps, Features, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -314,6 +314,11 @@ object SparkEntry {
     // composition (long docs chunked, chunks packed under one budget).
     "pack_manifest" -> ((s, dir) => graft.text.Packing.packManifest(s, dir)),
     "pack_chunks" -> ((s, dir) => graft.text.Packing.packChunks(s, dir)),
+    // Exact equi-depth feature binning via a two-level distributed
+    // prefix-sum rank — the global-sort-free exact ntile (a
+    // partition-less ntile window is the anti-pattern PlanSpec bans).
+    "feature_equidepth_bins" -> ((s, dir) =>
+      Binning.equiDepthBins(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -411,5 +416,6 @@ object SparkEntry {
     "chunk_documents" -> OpsOracles.chunkDocuments,
     "pack_manifest" -> OpsOracles.packManifest,
     "pack_chunks" -> OpsOracles.packChunks,
+    "feature_equidepth_bins" -> OpsOracles.equiDepthBins,
   )
 }

@@ -2524,4 +2524,25 @@ object OpsOracles {
       |    AS "rank"
       |  FROM adc)
       |WHERE "rank" <= 5""".stripMargin
+
+  /** Mirrors ops.Binning.equiDepthBins: the flat row_number total order
+    * over (price, l_orderkey, l_linenumber) equals the engine's
+    * two-level stratified rank (the stratum id is monotone in price);
+    * bin = (rank−1)·10 div n; sums compare as exact cent BIGINTs. */
+  val equiDepthBins: String =
+    """WITH r AS (
+      |  SELECT l_extendedprice AS price,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+      |    row_number() OVER (
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL)
+      |SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(price) AS price_lo,
+      |  max(price) AS price_hi,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum
+      |FROM r
+      |GROUP BY 1""".stripMargin
 }
