@@ -2,7 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.{AsOfJoin, Binning, EventOps, Features, TimeWindows}
+import graft.ops.{AsOfJoin, Binning, EventOps, Features, PageRank, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -319,6 +319,10 @@ object SparkEntry {
     // partition-less ntile window is the anti-pattern PlanSpec bans).
     "feature_equidepth_bins" -> ((s, dir) =>
       Binning.equiDepthBins(s, dir)),
+    // Weighted PageRank over episode transitions, fixed-point integer
+    // arithmetic so the 5 damping rounds replay exactly in the oracle.
+    "graph_pagerank_episodes" -> ((s, dir) =>
+      PageRank.episodePageRank(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -417,5 +421,6 @@ object SparkEntry {
     "pack_manifest" -> OpsOracles.packManifest,
     "pack_chunks" -> OpsOracles.packChunks,
     "feature_equidepth_bins" -> OpsOracles.equiDepthBins,
+    "graph_pagerank_episodes" -> OpsOracles.episodePageRank,
   )
 }

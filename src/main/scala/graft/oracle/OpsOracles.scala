@@ -2525,6 +2525,59 @@ object OpsOracles {
       |  FROM adc)
       |WHERE "rank" <= 5""".stripMargin
 
+  /** Mirrors ops.PageRank.episodePageRank: the 5 fixed-point-integer
+    * damping rounds unroll as CTEs — every op is an exact integer op on
+    * both engines, so the replay is cell-for-cell. */
+  val episodePageRank: String = {
+    val iters = (1 to graft.ops.PageRank.Iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    (SELECT CAST(((1000000000 // n) * 15) // 100 AS BIGINT)
+         |       FROM nn)
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((r.rank * e.w) // o.out_w) AS BIGINT) AS s
+         |    FROM e JOIN ow o ON e.src = o.src
+         |    JOIN r${k - 1} r ON r.id = e.src
+         |    GROUP BY 1) c ON c.id = nodes.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graft.oracle.Oracles.enrichedCte},
+       |t AS (
+       |  SELECT user_id, ts_us, event_id, episode_id,
+       |    lag(ts_us) OVER w AS prev_ts_us,
+       |    lag(episode_id) OVER w AS src
+       |  FROM enriched
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |e AS (
+       |  SELECT src, episode_id AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM t
+       |  WHERE prev_ts_us IS NOT NULL
+       |    AND ts_us - prev_ts_us < 1800000000
+       |    AND src <> episode_id
+       |  GROUP BY 1, 2
+       |),
+       |nodes AS (SELECT DISTINCT episode_id AS id FROM enriched),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+       |       FROM e GROUP BY 1),
+       |iw AS (SELECT dst AS id, CAST(SUM(w) AS BIGINT) AS in_w
+       |       FROM e GROUP BY 1),
+       |r0 AS (SELECT id,
+       |         (SELECT CAST(1000000000 // n AS BIGINT) FROM nn) AS rank
+       |       FROM nodes),
+       |$iters
+       |SELECT nodes.id AS episode_id, r${graft.ops.PageRank.Iterations}.rank,
+       |  COALESCE(o.out_w, 0) AS out_w, COALESCE(i.in_w, 0) AS in_w
+       |FROM nodes
+       |JOIN r${graft.ops.PageRank.Iterations}
+       |  ON r${graft.ops.PageRank.Iterations}.id = nodes.id
+       |LEFT JOIN ow o ON o.src = nodes.id
+       |LEFT JOIN iw i ON i.id = nodes.id""".stripMargin
+  }
+
   /** Mirrors ops.Binning.equiDepthBins: the flat row_number total order
     * over (price, l_orderkey, l_linenumber) equals the engine's
     * two-level stratified rank (the stratum id is monotone in price);
