@@ -237,6 +237,11 @@ object SparkEntry {
     "text_classifier_score" -> ((s, dir) =>
       CorpusOps.classifierScore(s, dir)),
     "text_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    // Bloom-pruned decontamination: map-side gram pruning through a
+    // benchmark-built Bloom filter before the explode/shuffle; exact
+    // confirm join keeps the output identical (shared oracle).
+    "text_decontaminate_bloom" -> ((s, dir) =>
+      CorpusOps.decontaminateBloom(s, dir)),
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
       CorpusOps.weightedSourceSample(s, dir)),
@@ -403,6 +408,7 @@ object SparkEntry {
     "text_dup_spans" -> OpsOracles.dupSpanStats,
     "text_classifier_score" -> OpsOracles.classifierScore,
     "text_decontaminate" -> OpsOracles.textDecontaminate,
+    "text_decontaminate_bloom" -> OpsOracles.textDecontaminate,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
     "mix_interleave" -> OpsOracles.mixInterleave,

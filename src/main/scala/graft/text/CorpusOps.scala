@@ -114,7 +114,7 @@ object CorpusOps {
     * overlap COUNTS are what downstream compares, and those match the
     * string-set counts unless two distinct grams of one corpus collide
     * (~1e-11 here; the oracle uses the string form and agrees). */
-  private def gramSigs(d: DataFrame, n: Int): DataFrame =
+  private[graft] def gramSigs(d: DataFrame, n: Int): DataFrame =
     d.withColumn("toks", expr(toksExpr))
       // sequence(1, 0) is DESCENDING, so guard the short-doc case with an
       // explicit CASE rather than greatest().
@@ -165,6 +165,53 @@ object CorpusOps {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     decontaminate(d.filter(col("source") =!= "src0"),
+      d.filter(col("source") === "src0"))
+  }
+
+  /** Bloom-pruned decontamination — IDENTICAL output to
+    * [[decontaminate]] (it shares the oracle), different 100 TB shape:
+    * the benchmark's distinct gram set builds a Bloom filter ONCE
+    * (driver/broadcast state ~1.2 MB per million grams at 1% fpp —
+    * benchmark suites are metadata-scale, the bounded-collect
+    * discipline), and every training document's gram array is pruned
+    * through it MAP-SIDE (`graft_bloom_keep`, a per-doc tight-loop
+    * native expression) BEFORE the explode. The baseline plan explodes
+    * every training gram into the shuffle; here only grams that might
+    * match the benchmark survive — at real-corpus contamination rates
+    * that prunes ~99% of the dominant shuffle. The filter's error is
+    * one-sided (definitely-absent grams drop; false positives ride
+    * through to the SAME exact equi-join), so the output is exact, not
+    * probabilistic — DecontaminateBloomSpec pins frame equality with
+    * the baseline and the oracle is shared verbatim. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame,
+                         n: Int = 5): DataFrame = {
+    val spark = train.sparkSession
+    val benchGrams = gramSigs(bench, n)
+      .select(explode_outer(col("grams")).as("gh"))
+      .filter(col("gh").isNotNull).distinct().persist()
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("gh", nBench, 0.01)
+    graft.functions.BloomKeep.register(spark, bf)
+    val t = gramSigs(train, n)
+    val hits = t
+      .select(col("doc_id"), expr("graft_bloom_keep(grams)").as("bg"))
+      .select(col("doc_id"), explode_outer(col("bg")).as("gh"))
+      .filter(col("gh").isNotNull)
+      .join(benchGrams, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    t.select("doc_id", "lang", "source", "n_grams")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("is_contaminated",
+        when(col("n_contaminated") > 0, 1).otherwise(0).cast("int"))
+  }
+
+  /** Registered bloom form — same split as [[decontaminate]]'s. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    decontaminateBloom(d.filter(col("source") =!= "src0"),
       d.filter(col("source") === "src0"))
   }
 
