@@ -51,11 +51,17 @@ object Binning {
   /** Exact equi-depth bins of lineitem extended price: one row per bin
     * with its row count, value span, and exact cent sum. */
   def equiDepthBins(spark: SparkSession, dir: String,
-                    k: Int = 10): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_extendedprice").as("price"),
-        col("l_orderkey"), col("l_linenumber"))
-      .filter(col("price").isNotNull)
+                    k: Int = 10): DataFrame =
+    equiDepthBinsOf(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_extendedprice").as("price"),
+          col("l_orderkey"), col("l_linenumber")), k)
+
+  /** Pure form over any (price double, l_orderkey, l_linenumber) frame —
+    * the tiebreak columns complete the total order. */
+  def equiDepthBinsOf(rows0: DataFrame, k: Int): DataFrame = {
+    val spark = rows0.sparkSession
+    val li = rows0.filter(col("price").isNotNull)
     val stats = li.agg(min(col("price")), max(col("price")),
       count(lit(1))).head()
     val n = stats.getLong(2)

@@ -33,6 +33,32 @@ class BinningSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("n_rows")).sum == n)
   }
 
+  test("property: random frames (heavy ties included) bin exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(400)
+      // Draw from a SMALL value set so ties — including cross-stratum
+      // boundary values — are common, and a one-value degenerate trial.
+      val domain =
+        if (trial == 8) Array(42.0)
+        else Array.fill(3 + rnd.nextInt(10))(
+          math.round(rnd.nextDouble() * 1000) / 10.0)
+      val rows = (0 until n).map(i =>
+        (domain(rnd.nextInt(domain.length)), i.toLong, i))
+      val df = rows.toDF("price", "l_orderkey", "l_linenumber")
+      val k = 2 + rnd.nextInt(9)
+      val got = graft.ops.Binning.equiDepthBinsOf(df, k).collect()
+        .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_rows")).toMap
+      val expected = rows.sortBy(r => (r._1, r._2, r._3)).zipWithIndex
+        .groupBy { case (_, i) => i.toLong * k / n }
+        .map { case (b, g) => b -> g.size.toLong }
+      assert(got == expected, s"trial $trial k=$k n=$n")
+      val sizes = got.values
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
   test("two-level stratified rank equals the flat total-order rank") {
     // Rebuild bin assignment with a deliberately tiny k over sf0.001 and
     // compare against the naive single-order formulation computed via a

@@ -20,6 +20,27 @@ class BpeSpec extends SparkSpec {
     assert(merges.head._4 == 3L) // count 3 = word count, once per word
   }
 
+  test("property: conservation holds on random histograms") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    for (trial <- 1 to 10) {
+      val hist = Array.fill(5 + rnd.nextInt(30)) {
+        val len = 1 + rnd.nextInt(10)
+        (Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString, 1L + rnd.nextInt(20))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val merges = Bpe.trainMerges(hist, numMerges = 16)
+      val initial = hist.map { case (w, c) => (w.length + 1L) * c }.sum
+      val saved = merges.map(_._4).sum
+      val encoded = hist.map { case (w, c) =>
+        replay(w, merges.map(m => (m._2, m._3))).length * c
+      }.sum
+      assert(encoded == initial - saved,
+        s"trial $trial: initial=$initial saved=$saved encoded=$encoded " +
+          s"merges=${merges.mkString(";")}")
+    }
+  }
+
   test("conservation: every merge's pair_count equals the tokens it saves") {
     // Initial symbols = Σ (len+1)·cnt; each recorded replacement saves
     // exactly one symbol; so re-encoding the training words with the
