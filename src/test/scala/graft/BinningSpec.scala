@@ -33,6 +33,16 @@ class BinningSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("n_rows")).sum == n)
   }
 
+  test("empty input yields an empty, correctly-typed frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Long, Int)]
+      .toDF("price", "l_orderkey", "l_linenumber")
+    val out = graft.ops.Binning.equiDepthBinsOf(empty, 10)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("bin", "n_rows", "price_lo", "price_hi", "cents_sum"))
+  }
+
   test("property: random frames (heavy ties included) bin exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
