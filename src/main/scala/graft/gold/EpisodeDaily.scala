@@ -20,33 +20,62 @@ import org.apache.spark.sql.functions._
 object EpisodeDaily {
 
   def build(sessions: DataFrame): DataFrame = {
-    val base = sessions
-      .groupBy(col("datetime"), col("webtoon_id"), col("episode_id")).agg(
-        countDistinct(col("user_id")).as("viewers"),
-        countDistinct(col("session_id")).as("sessions"),
-        countDistinct(when(col("is_complete") === 1, col("session_id")))
-          .as("completed_sessions"),
-        count(lit(1)).as("n_rows"),
-        sum(col("is_complete")).cast("bigint").as("complete_rows"),
-        sum(col("is_exit")).cast("bigint").as("exit_rows"),
-        sum(col("max_value_cents")).as("mv_cents_sum"),
-        // A5 histogram: 5 conditional-count buckets on max_value (in cents).
+    // Pre-reduce cascade (the country/webtoon pattern): the former base
+    // planned three distincts in ONE Aggregate — RewriteDistinctAggregates'
+    // Expand ×4 of every session row through the shuffle, the flagged
+    // blow-up-at-100× shape. Level 1 aggregates at the (day, webtoon,
+    // episode, USER) grain: session_id is user-scoped
+    // ("<user_id>_<seq>", Sessionize.sessions:52) so per-user
+    // distinct-session counts SUM exactly, and cleansed users are
+    // non-null so level 2's count(1) IS the distinct viewer count.
+    // collect_set state is one user's day-episode sessions — bounded at
+    // any corpus size. Every plain sum re-sums exactly.
+    val perUser = sessions
+      .groupBy(col("datetime"), col("webtoon_id"), col("episode_id"),
+        col("user_id"))
+      .agg(
+        size(collect_set(col("session_id"))).cast("bigint")
+          .as("u_sessions"),
+        // collect_set drops the when()'s null branch — countDistinct's
+        // null-skip, per-user.
+        size(collect_set(when(col("is_complete") === 1,
+          col("session_id")))).cast("bigint").as("u_completed"),
+        count(lit(1)).as("u_rows"),
+        sum(col("is_complete")).cast("bigint").as("u_complete_rows"),
+        sum(col("is_exit")).cast("bigint").as("u_exit_rows"),
+        sum(col("max_value_cents")).as("u_mv_cents"),
+        // A5 histogram: 5 conditional-count buckets on max_value (cents).
         sum(when(col("max_value_cents") < 4000, 1).otherwise(0))
-          .cast("bigint").as("v_bucket_0"),
+          .cast("bigint").as("u_b0"),
         sum(when(col("max_value_cents") >= 4000 &&
           col("max_value_cents") < 8000, 1).otherwise(0))
-          .cast("bigint").as("v_bucket_1"),
+          .cast("bigint").as("u_b1"),
         sum(when(col("max_value_cents") >= 8000 &&
           col("max_value_cents") < 12000, 1).otherwise(0))
-          .cast("bigint").as("v_bucket_2"),
+          .cast("bigint").as("u_b2"),
         sum(when(col("max_value_cents") >= 12000 &&
           col("max_value_cents") < 16000, 1).otherwise(0))
-          .cast("bigint").as("v_bucket_3"),
+          .cast("bigint").as("u_b3"),
         sum(when(col("max_value_cents") >= 16000, 1).otherwise(0))
-          .cast("bigint").as("v_bucket_4"),
+          .cast("bigint").as("u_b4"),
         // A7: conditional mean over exits only, integer-exact.
-        sum(when(col("is_exit") === 1, col("max_value_cents")).otherwise(0L))
-          .as("exit_mv_cents_sum"))
+        sum(when(col("is_exit") === 1, col("max_value_cents"))
+          .otherwise(0L)).as("u_exit_mv_cents"))
+    val base = perUser
+      .groupBy(col("datetime"), col("webtoon_id"), col("episode_id")).agg(
+        count(lit(1)).as("viewers"),
+        sum(col("u_sessions")).as("sessions"),
+        sum(col("u_completed")).as("completed_sessions"),
+        sum(col("u_rows")).as("n_rows"),
+        sum(col("u_complete_rows")).as("complete_rows"),
+        sum(col("u_exit_rows")).as("exit_rows"),
+        sum(col("u_mv_cents")).as("mv_cents_sum"),
+        sum(col("u_b0")).as("v_bucket_0"),
+        sum(col("u_b1")).as("v_bucket_1"),
+        sum(col("u_b2")).as("v_bucket_2"),
+        sum(col("u_b3")).as("v_bucket_3"),
+        sum(col("u_b4")).as("v_bucket_4"),
+        sum(col("u_exit_mv_cents")).as("exit_mv_cents_sum"))
       .withColumn("completion_rate",
         Num.ratio(col("complete_rows"), col("n_rows"), 4))
       .withColumn("exit_rate",
@@ -66,10 +95,14 @@ object EpisodeDaily {
     val nextEp = Window
       .partitionBy(col("datetime"), col("webtoon_id"), col("user_id"))
       .orderBy(col("episode_id"))
+    // count, not countDistinct: userEps is already distinct on
+    // (day, webtoon, user, episode), so each user appears exactly once
+    // per (day, webtoon, episode) group — the distinct machinery would
+    // re-verify a uniqueness the generator guarantees.
     val cont = userEps
       .withColumn("next_episode", lead(col("episode_id"), 1).over(nextEp))
       .groupBy(col("datetime"), col("webtoon_id"), col("episode_id"))
-      .agg(countDistinct(when(col("next_episode").isNotNull, col("user_id")))
+      .agg(count(when(col("next_episode").isNotNull, col("user_id")))
         .as("continuing_users"))
 
     base

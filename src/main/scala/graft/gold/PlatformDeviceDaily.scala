@@ -19,20 +19,44 @@ import org.apache.spark.sql.functions._
 object PlatformDeviceDaily {
 
   def build(sessions: DataFrame): DataFrame = {
-    val base = sessions
-      .groupBy(col("datetime"), col("platform"), col("device"), col("browser"))
+    // Pre-reduce cascade (the country/webtoon/episode pattern): the
+    // former base planned its two distincts as an Expand ×3 of every
+    // session row through the shuffle. Level 1 aggregates at the
+    // (day, platform, device, browser, USER) grain — session_id is
+    // user-scoped so per-user distinct-session counts sum exactly, and
+    // cleansed users are non-null so level 2's count(1) IS
+    // countDistinct(user_id). collect_set state is one user's day on
+    // one surface — bounded at any corpus size; an unsplit
+    // collect_set(user_id) at the surface grain would grow with the
+    // user base, the state bound this cascade exists to avoid.
+    val perUser = sessions
+      .groupBy(col("datetime"), col("platform"), col("device"),
+        col("browser"), col("user_id"))
       .agg(
-        countDistinct(col("session_id")).as("total_sessions"),
-        countDistinct(col("user_id")).as("total_users"),
-        count(lit(1)).as("n_rows"),
-        sum(col("is_complete")).cast("bigint").as("complete_rows"),
+        size(collect_set(col("session_id"))).cast("bigint")
+          .as("u_sessions"),
+        count(lit(1)).as("u_rows"),
+        sum(col("is_complete")).cast("bigint").as("u_complete"),
         sum(when(col("session_state") === "TIMEOUT_EXIT", 1).otherwise(0))
-          .cast("bigint").as("timeout_rows"),
+          .cast("bigint").as("u_timeout"),
         sum(when(col("duration_ms") <= 60000, 1).otherwise(0))
-          .cast("bigint").as("bounce_rows"),
-        sum(col("duration_ms")).as("dur_ms_sum"),
-        sum(col("sum_value_cents")).as("value_cents_total"),
-        sum(col("n_events")).as("events_total"))
+          .cast("bigint").as("u_bounce"),
+        sum(col("duration_ms")).as("u_dur_ms"),
+        sum(col("sum_value_cents")).as("u_value_cents"),
+        sum(col("n_events")).as("u_events"))
+    val base = perUser
+      .groupBy(col("datetime"), col("platform"), col("device"),
+        col("browser"))
+      .agg(
+        sum(col("u_sessions")).as("total_sessions"),
+        count(lit(1)).as("total_users"),
+        sum(col("u_rows")).as("n_rows"),
+        sum(col("u_complete")).as("complete_rows"),
+        sum(col("u_timeout")).as("timeout_rows"),
+        sum(col("u_bounce")).as("bounce_rows"),
+        sum(col("u_dur_ms")).as("dur_ms_sum"),
+        sum(col("u_value_cents")).as("value_cents_total"),
+        sum(col("u_events")).as("events_total"))
       .withColumn("completion_rate",
         Num.ratio(col("complete_rows"), col("n_rows"), 4))
       .withColumn("timeout_rate",

@@ -16,17 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object UserDaily {
 
-  /** `d` is the distinct-count aggregate. The default exact
-    * `countDistinct` plans the five distincts as one Expand (gid)
-    * pipeline — correct everywhere, but ExpandExec discards its child's
-    * partitioning, so even a bucketed scan pays two shuffles. The
-    * bucketed layout path ([[graft.runtime.Bucketed.userDaily]]) passes
-    * `size(collect_set(...))` instead: identical semantics (both drop
-    * nulls; set size = distinct count), no Expand, single pass, and the
-    * scan's clustering survives — zero Exchange (PlanSpec). */
+  /** `d` is the distinct-count aggregate. The DEFAULT is
+    * `size(collect_set(...))`: identical semantics to exact
+    * `countDistinct` (both drop nulls; set size = distinct count) —
+    * the bucketed twin proved the equivalence against the shared oracle
+    * for a full round before the plain path adopted it — but WITHOUT
+    * the Expand pipeline `RewriteDistinctAggregates` plans for five
+    * distincts, which multiplies every session row ×6 through the
+    * shuffle AND discards the child's partitioning (the flagged
+    * blow-up-at-100× shape the country/webtoon cascades removed in the
+    * previous round). Set state is bounded: the group is one user's
+    * day, catalog-behavior-sized at any corpus scale. Exact
+    * `countDistinct` coverage (§2 A2–A4) lives on in
+    * `orders_daily_distinct` and the funnel/path queries. */
   def build(sessions: DataFrame,
             d: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-              c => countDistinct(c)): DataFrame = {
+              c => size(collect_set(c)).cast("bigint")): DataFrame = {
     // A2/A3/A4/A5/A6/A8 main aggregate.
     val base = sessions.groupBy(col("datetime"), col("user_id")).agg(
       d(col("session_id")).as("total_sessions"),
