@@ -242,6 +242,10 @@ object SparkEntry {
     // confirm join keeps the output identical (shared oracle).
     "text_decontaminate_bloom" -> ((s, dir) =>
       CorpusOps.decontaminateBloom(s, dir)),
+    // SpaceSaving frequent-items contract: exact heavy tokens next to
+    // the k-entry sketch's order-independent guarantee booleans (the
+    // agg_approx_distinct pattern; completes HLL/GK/Count-Min).
+    "sketch_heavy_tokens" -> ((s, dir) => CorpusOps.heavyTokens(s, dir)),
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
       CorpusOps.weightedSourceSample(s, dir)),
@@ -409,6 +413,7 @@ object SparkEntry {
     "text_classifier_score" -> OpsOracles.classifierScore,
     "text_decontaminate" -> OpsOracles.textDecontaminate,
     "text_decontaminate_bloom" -> OpsOracles.textDecontaminate,
+    "sketch_heavy_tokens" -> OpsOracles.heavyTokens,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
     "mix_interleave" -> OpsOracles.mixInterleave,

@@ -2525,6 +2525,28 @@ object OpsOracles {
       |  FROM adc)
       |WHERE "rank" <= 5""".stripMargin
 
+  /** Mirrors CorpusOps.heavyTokens: the exact guaranteed-heavy token
+    * set (cnt·k > n, integer form) with the SpaceSaving contract
+    * booleans literally TRUE — the guarantees hold under any merge
+    * order, so TRUE is the deterministic expectation. */
+  val heavyTokens: String =
+    ws("""WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+      |    '<WS>+'), x -> x <> '')) AS token
+      |  FROM documents
+      |),
+      |exact AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM t GROUP BY 1
+      |),
+      |nn AS (
+      |  SELECT CAST(coalesce(sum(n_exact), 0) AS BIGINT) AS n FROM exact
+      |)
+      |SELECT token, n_exact,
+      |  TRUE AS in_sketch, TRUE AS est_ge_true, TRUE AS err_within_bound
+      |FROM exact, nn
+      |WHERE n_exact * 64 > nn.n""".stripMargin)
+
   /** Mirrors ops.PageRank.episodePageRank: the 5 fixed-point-integer
     * damping rounds unroll as CTEs — every op is an exact integer op on
     * both engines, so the replay is cell-for-cell. */

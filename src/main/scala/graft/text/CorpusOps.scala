@@ -216,6 +216,57 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Heavy-hitter tokens (SpaceSaving contract)                       //
+  // ---------------------------------------------------------------- //
+
+  /** Guaranteed-heavy corpus tokens with the SpaceSaving contract —
+    * frequent-items completes the sketch family next to HLL
+    * (approx-distinct), GK (percentiles) and Count-Min (point counts),
+    * on the one column of this corpus with real Zipf skew.
+    *
+    * The agg_approx_distinct pattern: the output rows are the EXACT
+    * heavy hitters (true frequency strictly > n/k, computed by plain
+    * count — the integer form `cnt·k > n` avoids a division), and the
+    * sketch contributes contract BOOLEANS the SpaceSaving guarantees
+    * force TRUE under any merge order: the item is in the k-entry
+    * summary, its estimate over-counts, and the over-count is within
+    * its tracked err ≤ n/k. The raw estimates are deliberately NOT
+    * emitted — the kept-set tail and the counts themselves are
+    * merge-order dependent; the guarantees are not.
+    *
+    * Scale shape: the sketch side is one fixed-width (≤ k entries)
+    * partial per partition merged to a single ~64-entry row — the whole
+    * point of the sketch at 100 TB. The exact side pays the token
+    * shuffle because the CONTRACT needs ground truth next to it, by
+    * design. */
+  def heavyTokens(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.SpaceSaving.register(s)
+    val toks = docs(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .persist()
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .persist()
+    val n = exact.agg(coalesce(sum(col("n_exact")), lit(0L)))
+      .head().getLong(0)
+    val sk = toks.agg(expr(s"graft_spacesaving(token, $k)").as("sk"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import s.implicits._
+    val skDf = sk.toSeq.map { case (t, (est, err)) => (t, est, err) }
+      .toDF("token", "ss_est", "ss_err")
+    exact.filter(col("n_exact") * k > n)
+      .join(broadcast(skDf), Seq("token"), "left")
+      .select(col("token"), col("n_exact"),
+        col("ss_est").isNotNull.as("in_sketch"),
+        (col("ss_est") >= col("n_exact")).as("est_ge_true"),
+        (col("ss_est") - col("n_exact") <= col("ss_err") &&
+          col("ss_err") * k <= lit(n)).as("err_within_bound"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Hashed linear classifier scoring                                 //
   // ---------------------------------------------------------------- //
 
