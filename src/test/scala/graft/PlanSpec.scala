@@ -89,6 +89,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no gold query plans an Expand over raw session rows") {
+    // The per-user pre-reduce cascades replaced every multi-distinct
+    // aggregate in the gold layer; RewriteDistinctAggregates' Expand
+    // multiplies each raw row by (distincts + 1) through the shuffle
+    // AND discards the child's partitioning — the flagged
+    // blow-up-at-100× shape. Expand stays legitimate in the explicit
+    // cube/rollup/grouping-sets queries; the golds must never re-grow
+    // one.
+    import org.apache.spark.sql.execution.ExpandExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("gold_user_daily", "gold_episode_daily",
+        "gold_webtoon_daily", "gold_country_daily",
+        "gold_platform_device_daily")) {
+        val p = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan
+        assert(p.collect { case e: ExpandExec => e }.isEmpty,
+          s"$name re-grew an Expand over raw session rows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("gold_user_daily_bucketed plans with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
