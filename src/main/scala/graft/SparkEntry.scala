@@ -2,7 +2,7 @@ package graft
 
 import graft.gold._
 import graft.ingest.Events
-import graft.ops.{AsOfJoin, Binning, EventOps, Features, PageRank, TimeWindows}
+import graft.ops.{AsOfJoin, Binning, EventOps, Features, IntervalJoin, PageRank, TimeWindows}
 import graft.oracle.{OpsOracles, Oracles}
 import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
@@ -246,6 +246,11 @@ object SparkEntry {
     // the k-entry sketch's order-independent guarantee booleans (the
     // agg_approx_distinct pattern; completes HLL/GK/Count-Min).
     "sketch_heavy_tokens" -> ((s, dir) => CorpusOps.heavyTokens(s, dir)),
+    // Interval-overlap join (range-join class): per-session concurrency
+    // via time-bucket equi-join — never a cartesian; the oracle runs
+    // the naive quadratic overlap join the engine avoids.
+    "join_interval_overlap" -> ((s, dir) =>
+      IntervalJoin.concurrentSessions(s, dir)),
     "text_pii_mask" -> ((s, dir) => CorpusOps.piiMask(s, dir)),
     "sample_weighted_sources" -> ((s, dir) =>
       CorpusOps.weightedSourceSample(s, dir)),
@@ -414,6 +419,7 @@ object SparkEntry {
     "text_decontaminate" -> OpsOracles.textDecontaminate,
     "text_decontaminate_bloom" -> OpsOracles.textDecontaminate,
     "sketch_heavy_tokens" -> OpsOracles.heavyTokens,
+    "join_interval_overlap" -> OpsOracles.concurrentSessions,
     "text_pii_mask" -> OpsOracles.piiMask,
     "sample_weighted_sources" -> OpsOracles.sampleWeightedSources,
     "mix_interleave" -> OpsOracles.mixInterleave,

@@ -2525,6 +2525,23 @@ object OpsOracles {
       |  FROM adc)
       |WHERE "rank" <= 5""".stripMargin
 
+  /** Mirrors ops.IntervalJoin.concurrentSessions: session envelopes,
+    * naive overlap self-join (the oracle may be quadratic; the engine
+    * may not), per-session concurrency count. */
+  val concurrentSessions: String =
+    s"""WITH ${graft.oracle.Oracles.enrichedCte},
+       |${graft.oracle.Oracles.sessionsCte("enriched")},
+       |sess AS (
+       |  SELECT session_id, MIN(start_us) AS s, MAX(end_us) AS e
+       |  FROM sessions GROUP BY 1
+       |)
+       |SELECT a.session_id, a.s AS start_us, a.e AS end_us,
+       |  CAST(count(b.session_id) AS BIGINT) AS n_concurrent
+       |FROM sess a LEFT JOIN sess b
+       |  ON a.session_id <> b.session_id
+       |  AND a.s <= b.e AND b.s <= a.e
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** Mirrors CorpusOps.heavyTokens: the exact guaranteed-heavy token
     * set (cnt·k > n, integer form) with the SpaceSaving contract
     * booleans literally TRUE — the guarantees hold under any merge
