@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap join: bucket equi-join, no nested-loop plan") {
+    // The range-join trap is a cartesian/BNLJ with an inequality
+    // filter; the bucketed plan must meet on bucket EQUALITY.
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no partition-less WindowExec in any registered query") {
     import org.apache.spark.sql.execution.window.WindowExec
     // AQE off so executedPlan is a plain tree collect() can walk.
