@@ -64,6 +64,12 @@ object PageRank {
       .persist()
     val nodes = ev.select(col("episode_id").as("id")).distinct()
       .persist()
+    rank(trans, nodes)
+  }
+
+  /** Pure form over (src, dst, w) edges and (id) nodes — exposed for
+    * the hand-graph spec. */
+  def rank(trans: DataFrame, nodes: DataFrame): DataFrame = {
     val n = nodes.count()
     val outw = trans.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val base = ((Scale / n) * 15L) / 100L
