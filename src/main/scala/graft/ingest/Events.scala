@@ -83,8 +83,15 @@ object Events {
   def enrich(raw: DataFrame): DataFrame =
     withTsUs(raw)
       .withColumn("datetime", to_date(timestamp_micros(col("ts_us"))))
+      // regexp_extract returns "" (not NULL) on no-match, and under
+      // ANSI mode ''::int THROWS — one malformed props record would
+      // kill the whole job (IngestRobustnessSpec reproduces it). Map
+      // no-match to NULL first; the matched group is all-digits, so the
+      // cast can never throw on a non-empty value. Cleanse then drops
+      // the NULL-k row: poison records quarantine instead of crashing.
       .withColumn("k",
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast("int"))
       .withColumn("value_cents", expr("cast(round(value * 100, 0) as bigint)"))
       .withColumn("webtoon_id",
         concat(lit("webtoon_"), (col("k") % 10 + 1).cast("string")))
