@@ -25,8 +25,13 @@ object ReferenceEvents {
 
   def adapt(bronze: DataFrame): DataFrame =
     bronze
-      .withColumn("ts_us", unix_micros(to_timestamp(col("utimestamptz"))))
-      .withColumn("datetime", to_date(col("utimestamptz")))
+      // try_to_timestamp: an unparseable wire timestamp yields NULL
+      // (quarantined by the not-null cleanse) instead of the ANSI-mode
+      // throw that would kill the batch (IngestRobustnessSpec).
+      .withColumn("ts_us",
+        unix_micros(try_to_timestamp(col("utimestamptz"))))
+      .withColumn("datetime",
+        to_date(try_to_timestamp(col("utimestamptz"))))
       .withColumn("event_type", expr(
         "CASE event_type WHEN 'enter' THEN 'view' WHEN 'scroll' THEN 'click' " +
           "WHEN 'complete' THEN 'purchase' WHEN 'exit' THEN 'error' " +

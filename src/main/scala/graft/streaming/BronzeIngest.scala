@@ -59,7 +59,13 @@ object BronzeIngest {
       .select(from_json(col("value").cast("string"),
         Schemas.rawEventSchema).as("data"))
       .select(col("data.*"))
-      .withColumn("datetime", to_date(col("utimestamptz")))
+      // try_to_timestamp, not a bare to_date(string): under ANSI mode
+      // an unparseable timestamp string THROWS from the datetime cast —
+      // a single garbage wire record would kill the streaming query
+      // (IngestRobustnessSpec reproduces it). The try form yields NULL,
+      // which the downstream not-null cleanse quarantines.
+      .withColumn("datetime",
+        to_date(try_to_timestamp(col("utimestamptz"))))
 
   /** S4: console debug sink (dev only — reference
     * bronze_load_raw_data.py:79-82 runs it as a second concurrent query

@@ -59,4 +59,22 @@ class IngestRobustnessSpec extends SparkSpec {
     // The malformed lines surface as all-null records a downstream
     // not-null cleanse drops — poison stays quarantined, not fatal.
   }
+
+  test("valid JSON with a garbage timestamp is quarantined, not fatal") {
+    // Well-formed wire record whose utimestamptz is unparseable: the
+    // date/timestamp derivations must yield NULL (dropped downstream),
+    // never throw under ANSI mode.
+    val bad =
+      """{"event_id":"e9","user_id":1,"webtoon_id":"webtoon_1",
+        |"episode_id":"ep_1","session_id":"s1","utimestamptz":"banana",
+        |"local_timestamptz":"banana","event_type":"enter","country":"KR",
+        |"platform":"ios","device":"phone","browser":"chrome",
+        |"scroll_ratio":0.0,"scroll_event_count":1,"dwell_time_ms":1}"""
+        .stripMargin.replace("\n", "")
+    val parsed = BronzeIngest.parse(Seq(bad).toDF("value"))
+    val r = parsed.collect().head
+    assert(r.getAs[java.sql.Date]("datetime") == null)
+    val adapted = graft.ingest.ReferenceEvents.adapt(parsed).collect().head
+    assert(adapted.isNullAt(adapted.fieldIndex("ts_us")))
+  }
 }
