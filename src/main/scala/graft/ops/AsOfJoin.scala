@@ -83,7 +83,7 @@ object AsOfJoin {
     val e = graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event_id"),
         col("ts_us").as("purchase_ts_us"), col("value_cents"))

@@ -22,7 +22,7 @@ object EventOps {
       .withColumn("k",
         get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -48,7 +48,7 @@ object EventOps {
     graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts_us").isNull ||
@@ -588,7 +588,7 @@ object EventOps {
     val eps = 1.0 / acc
     val e = graft.ingest.Events.raw(spark, dir)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .select("event_type", "value_cents")
     val sk0 = e.groupBy(col("event_type"))
       .agg(
@@ -654,7 +654,7 @@ object EventOps {
       .filter(col("event_type") === "purchase")
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .withColumn("spend_7d_cents", sum(col("value_cents")).over(w))
       .withColumn("n_purchases_7d", count(lit(1)).over(w))
       .select("user_id", "event_id", "ts_us", "value_cents",

@@ -55,7 +55,7 @@ object Features {
     val e = graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .withColumn("event_date", to_date(expr("timestamp_micros(ts_us)")))
     val labels = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event_id"),

@@ -20,7 +20,7 @@ object TimeWindows {
     graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -39,7 +39,7 @@ object TimeWindows {
     graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .withColumn("value_cents",
-        expr("cast(round(value * 100, 0) as bigint)"))
+        expr("try_cast(round(value * 100, 0) as bigint)"))
       .groupBy(window(timestamp_micros(col("ts_us")), "1 hour",
         "30 minutes"))
       .agg(

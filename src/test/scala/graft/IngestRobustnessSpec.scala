@@ -29,7 +29,12 @@ class IngestRobustnessSpec extends SparkSpec {
         // null value → dropped
         Row(4L, t0, 10L, "view", null, """{"k": 7}"""),
         // null event_type → dropped
-        Row(5L, t0, 10L, null, 1.5, """{"k": 7}""")),
+        Row(5L, t0, 10L, null, 1.5, """{"k": 7}"""),
+        // non-finite values → dropped (their cents are uncomputable; a
+        // plain ANSI cast would throw, and NULL cents would silently
+        // drop mass from downstream sums)
+        Row(6L, t0, 10L, "view", Double.NaN, """{"k": 7}"""),
+        Row(7L, t0, 10L, "view", Double.PositiveInfinity, """{"k": 7}""")),
       schema)
     val cleansed = Events.cleanse(Events.enrich(rows))
     val kept = cleansed.select("event_id").collect().map(_.getLong(0))
