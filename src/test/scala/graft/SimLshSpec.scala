@@ -193,6 +193,59 @@ class SimLshSpec extends SparkSpec {
     assert(out.values.forall(_ == ((40L, 40L, 1.0))), s"got $out")
   }
 
+  test("KnnEval arm selection is measured, both directions") {
+    // The DedupSpec pattern: the AutoArm rule itself is pinned at the
+    // boundary — brute force at the budget, IVF one row past it.
+    import graft.sim.KnnEval
+    assert(KnnEval.selectArm(KnnEval.BruteBudget) == KnnEval.BruteArm)
+    assert(KnnEval.selectArm(KnnEval.BruteBudget + 1) == KnnEval.IvfArm)
+    assert(KnnEval.selectArm(1L) == KnnEval.BruteArm)
+  }
+
+  test("KnnEval IVF arm with covering nprobe == brute arm, " +
+      "cell-for-cell") {
+    // Covering contract: nprobe = nlist makes the probed lists the whole
+    // index, so the IVF candidate set is complete and the argmax (same
+    // exact scoring, same tie-break) must reproduce the brute arm
+    // exactly — the same equality SimIvfSpec proves for topK.
+    val dir = tmpDir("knn-arms")
+    clustered
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", (col("vec_id") / 40).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rows(arm: graft.sim.KnnEval.Arm) =
+      graft.sim.KnnEval.labelAccuracy(spark, dir, arm,
+          nprobe = 8, nlist = 8)
+        .select("label", "n_vectors", "n_correct", "accuracy")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val brute = rows(graft.sim.KnnEval.BruteArm)
+    val ivf = rows(graft.sim.KnnEval.IvfArm)
+    assert(brute == ivf, s"brute=$brute ivf=$ivf")
+    assert(brute.nonEmpty)
+  }
+
+  test("KnnEval IVF arm keeps perfect accuracy at sub-covering nprobe " +
+      "on clustered data") {
+    // The recall contract in practice: probing 2 of 8 lists still finds
+    // every same-cluster 1-NN because k-means lists align with the
+    // clusters — the regime the eval presumes at corpus scale.
+    val dir = tmpDir("knn-subprobe")
+    clustered
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", (col("vec_id") / 40).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.sim.KnnEval.labelAccuracy(spark, dir,
+        graft.sim.KnnEval.IvfArm, nprobe = 2, nlist = 8)
+      .select("label", "n_vectors", "n_correct", "accuracy")
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == (0 until 8).toSet)
+    assert(out.values.forall(_ == ((40L, 40L, 1.0))), s"got $out")
+  }
+
   test("registered t85 query finds exactly the planted doubles at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.sim.Similarity.cosineNearDupT85(spark, dir)
