@@ -8,7 +8,7 @@ import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
 import graft.sim.{IvfCosine, KMeans, KnnEval, LshCosine, ProductQuantizer, SemDedup, Similarity}
 import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
-import graft.tpch.CoreOps
+import graft.tpch.{CoreOps, SubqueryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -103,6 +103,12 @@ object SparkEntry {
     "set_ops_customers" -> CoreOps.setOpsCustomers _,
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
+    // Correlated-subquery battery (SubqueryOps): EXISTS / NOT EXISTS /
+    // correlated scalar — exercised as SQL text so Catalyst's
+    // decorrelation (semi/anti-join rewrite) is on the tested path.
+    "q4_order_priority" -> SubqueryOps.q4OrderPriority _,
+    "q21_suppliers_waiting" -> SubqueryOps.q21SuppliersWaiting _,
+    "q17_small_quantity_revenue" -> SubqueryOps.q17SmallQuantityRevenue _,
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "rollup_pricing" -> CoreOps.rollupPricing _,
     "cube_pricing" -> CoreOps.cubePricing _,
@@ -118,6 +124,10 @@ object SparkEntry {
     "text_quality_filter" -> TextOps.qualityFilter _,
     "text_langid" -> TextOps.langId _,
     "text_fingerprint" -> TextOps.fingerprint _,
+    // BPE tokenizer: corpus-trained merges (driver-side loop over the
+    // bounded histogram), native-expression encode in the scan
+    // projection; the oracle replays the encode off the stashed table.
+    "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encodeStats(s, dir)),
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
     // Count-Min sketch next to exact counts — a fixed-width mergeable
     // sketch built from plain aggregates, replayed exactly by the
@@ -361,6 +371,9 @@ object SparkEntry {
     "set_ops_customers" -> OpsOracles.setOpsCustomers,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
+    "q4_order_priority" -> OpsOracles.q4OrderPriority,
+    "q21_suppliers_waiting" -> OpsOracles.q21SuppliersWaiting,
+    "q17_small_quantity_revenue" -> OpsOracles.q17SmallQuantityRevenue,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "rollup_pricing" -> OpsOracles.rollupPricing,
     "cube_pricing" -> OpsOracles.cubePricing,
@@ -376,6 +389,8 @@ object SparkEntry {
     "text_quality_filter" -> OpsOracles.qualityFilter,
     "text_langid" -> OpsOracles.langId,
     "text_fingerprint" -> OpsOracles.fingerprint,
+    "text_bpe_encode" ->
+      OpsOracles.bpeEncode(graft.text.Bpe.lastLearned.toSeq),
     "text_token_topk" -> OpsOracles.tokenTopK,
     "sketch_count_min" -> OpsOracles.countMinTopTokens,
     "text_hash_split" -> OpsOracles.hashSplit,

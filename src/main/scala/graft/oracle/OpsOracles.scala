@@ -203,6 +203,59 @@ object OpsOracles {
       |FROM orders JOIN bo ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** Mirrors SubqueryOps.q4OrderPriority: the same correlated EXISTS —
+    * DuckDB plans its own semi join; counts are exact either way. */
+  val q4OrderPriority: String =
+    """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Mirrors SubqueryOps.q21SuppliersWaiting: EXISTS + NOT EXISTS over
+    * the same lineitem fact, counts only. */
+  val q21SuppliersWaiting: String =
+    """SELECT s.s_name, CAST(count(1) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name""".stripMargin
+
+  /** Mirrors SubqueryOps.q17SmallQuantityRevenue: the integer
+    * cross-multiplied correlated scalar subqueries (no float division
+    * in the predicate), cents-exact revenue via the Num.r tree. DuckDB
+    * SUM over integers is HUGEINT, hence the BIGINT casts before any
+    * comparison or division. */
+  val q17SmallQuantityRevenue: String =
+    """SELECT p.p_brand, CAST(count(1) AS BIGINT) AS n_small,
+      |  round((CAST(CAST(sum(CAST(round(l1.l_extendedprice * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 100) * 100, 0) / 100.0
+      |    AS revenue
+      |FROM lineitem l1
+      |JOIN part p ON p.p_partkey = l1.l_partkey
+      |WHERE CAST(round(l1.l_quantity, 0) AS BIGINT) * 5 *
+      |    (SELECT count(1) FROM lineitem l2
+      |     WHERE l2.l_partkey = l1.l_partkey)
+      |  < (SELECT CAST(sum(CAST(round(l3.l_quantity, 0) AS BIGINT))
+      |       AS BIGINT)
+      |     FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+      |GROUP BY p.p_brand""".stripMargin
+
   val runningCustomerSpend: String =
     """WITH o AS (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
@@ -255,6 +308,66 @@ object OpsOracles {
       |SELECT l_returnflag, l_linestatus, n_items, sum_qty,
       |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
       |FROM agg""".stripMargin
+
+  /** Mirrors Bpe.encodeStats GIVEN a learned merge table (interpolated
+    * from graft.text.Bpe.lastLearned after the query trains — Verify
+    * emits oracle_sql.json only after every query has run; training is
+    * a driver-side iterative loop no single SQL statement expresses,
+    * and the table itself is pinned by BpeSpec's independent trainer).
+    *
+    * The replay applies merges in RANK ORDER as nested `replace()`
+    * calls over a delimited symbol string — each symbol is wrapped
+    * chr(31)…chr(30) (neither byte occurs in any corpus word, and the
+    * two-sided wrapping means adjacent matches share no characters, so
+    * SQL replace's leftmost-non-overlapping scan is exactly Bpe's
+    * left-to-right merge). Rank-order replay equals the expression's
+    * lowest-rank-greedy loop because a merge's components always carry
+    * strictly lower ranks than any pair they enable (BpeSpec proves
+    * expr == replay on real docs). Token count per word = number of
+    * symbol end-marks; words past MaxWordLen skip merging (len+1
+    * tokens), as in training. */
+  def bpeEncode(merges: Seq[(String, String)]): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    def sym(s: String) = s"chr(31) || ${lit(s)} || chr(30)"
+    val syms0 = "regexp_replace(word, '(.)', " +
+      "chr(31) || '\\1' || chr(30), 'g') || " +
+      sym(graft.text.Bpe.EndMark)
+    val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+      s"replace($acc, ${sym(l)} || ${sym(r)}, ${sym(l + r)})"
+    }
+    ws(s"""WITH dw AS (
+      |  SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      |),
+      |words AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(norm, '<WS>+'),
+      |      t -> t <> '')) AS word
+      |  FROM dw
+      |),
+      |uw AS (SELECT DISTINCT word FROM words),
+      |enc AS (
+      |  SELECT word,
+      |    CASE WHEN length(word) > ${graft.text.Bpe.MaxWordLen}
+      |      THEN length(word) + 1
+      |      ELSE length(s) - length(replace(s, chr(30), '')) END
+      |      AS w_tokens
+      |  FROM (SELECT word, $folded AS s FROM uw)
+      |),
+      |agg AS (
+      |  SELECT w.doc_id, CAST(count(1) AS BIGINT) AS n_words,
+      |    CAST(sum(e.w_tokens) AS BIGINT) AS n_tokens
+      |  FROM words w JOIN enc e USING (word) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_words, 0) AS n_words,
+      |  CAST(length(d.norm) AS BIGINT) AS n_chars,
+      |  coalesce(a.n_tokens, 0) AS n_tokens,
+      |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+      |    THEN round((CAST(length(d.norm) AS BIGINT)::DOUBLE
+      |      / a.n_tokens) * 10000, 0) / 10000.0
+      |    ELSE 0.0 END AS chars_per_token
+      |FROM dw d LEFT JOIN agg a USING (doc_id)""".stripMargin)
+  }
 
   val textStats: String =
     ws("""WITH s1 AS (
@@ -2547,7 +2660,7 @@ object OpsOracles {
     * booleans literally TRUE — the guarantees hold under any merge
     * order, so TRUE is the deterministic expectation. */
   val heavyTokens: String =
-    ws("""WITH t AS (
+    ws(s"""WITH t AS (
       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
       |    '<WS>+'), x -> x <> '')) AS token
       |  FROM documents
@@ -2562,7 +2675,8 @@ object OpsOracles {
       |SELECT token, n_exact,
       |  TRUE AS in_sketch, TRUE AS est_ge_true, TRUE AS err_within_bound
       |FROM exact, nn
-      |WHERE n_exact * 64 > nn.n""".stripMargin)
+      |WHERE n_exact * ${graft.text.CorpusOps.HeavyK} > nn.n"""
+      .stripMargin)
 
   /** Mirrors ops.PageRank.episodePageRank: the 5 fixed-point-integer
     * damping rounds unroll as CTEs — every op is an exact integer op on

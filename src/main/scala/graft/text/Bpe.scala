@@ -125,6 +125,18 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Merge table learned by the LAST [[encodeStats]] call in this JVM —
+    * the oracle hook. The DuckDB oracle for `text_bpe_encode` replays
+    * the ENCODE given the learned merges (training itself is the
+    * driver-side loop no single SQL statement can express); Verify
+    * builds `oracle_sql.json` AFTER every registered query has run, so
+    * interpolating this stash hands the oracle the exact
+    * deterministically-trained table the engine used on the same
+    * corpus. The merge table itself is pinned by BpeSpec (hand-checked
+    * first merge, conservation law, independent replay encoder). */
+  @volatile private[graft] var lastLearned: Array[(String, String)] =
+    Array.empty
+
   /** Per-document token accounting under the corpus-trained merges:
     * (doc_id, n_words, n_chars, n_tokens, chars_per_token). The encode
     * runs inside the scan projection via the native expression. */
@@ -133,6 +145,7 @@ object Bpe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val learned = trainMerges(boundedHistogram(docs), numMerges)
       .map { case (_, l, r, _) => (l, r) }.toArray
+    lastLearned = learned
     graft.functions.BpeEncode.register(spark, learned)
     docs
       .withColumn("norm", lower(trim(col("text"))))

@@ -239,7 +239,14 @@ object CorpusOps {
     * point of the sketch at 100 TB. The exact side pays the token
     * shuffle because the CONTRACT needs ground truth next to it, by
     * design. */
-  def heavyTokens(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+  /** Heavy-hitter threshold k shared by [[heavyTokens]] and its oracle
+    * (OpsOracles.heavyTokens interpolates this constant — the
+    * PageRank.Iterations convention — so changing it can't silently
+    * desynchronize engine and oracle). */
+  val HeavyK: Int = 64
+
+  def heavyTokens(s: SparkSession, dir: String,
+                  k: Int = HeavyK): DataFrame = {
     graft.functions.SpaceSaving.register(s)
     val toks = docs(s, dir)
       .withColumn("toks", expr(toksExpr))

@@ -181,6 +181,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlated subqueries decorrelate to semi/anti/aggregate " +
+      "joins - never per-row re-execution") {
+    // RewritePredicateSubquery must turn EXISTS into LeftSemi and NOT
+    // EXISTS into LeftAnti hash joins; the correlated scalar pair in
+    // q17 must become partkey-grain aggregates joined back. No plan may
+    // keep a subquery expression, a nested-loop join, or a cartesian.
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), q4)
+    val q21 = plan("q21_suppliers_waiting")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    val q17 = plan("q17_small_quantity_revenue")
+    assert(q17.contains("HashAggregate"), q17)
+    for ((n, p) <- Seq(("q4", q4), ("q21", q21), ("q17", q17))) {
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+      assert(!p.contains("Subquery"),
+        s"$n: subquery survived decorrelation")
+    }
+  }
+
+  test("eval_knn large arm routes candidates through IVF lists - " +
+      "no corpus x corpus generator") {
+    // Past BruteBudget the AutoArm switches to IVF candidates; that
+    // arm's plan must contain no all-pairs generator (the brute arm's
+    // triangular block fan-out binds vec_a/vec_b; IVF never does), no
+    // nested-loop or cartesian join, and its candidate join must key on
+    // the inverted-list id.
+    val p = SparkEntry.queries("eval_knn_labels")(spark, dir) // small: brute
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("vec_a"), "AutoArm at gate scale must stay brute")
+    val big = graft.sim.KnnEval.labelAccuracy(spark, dir,
+        graft.sim.KnnEval.IvfArm, nprobe = 4, nlist = 8)
+      .queryExecution.explainString(SimpleMode)
+    assert(!big.contains("vec_a") && !big.contains("vec_b"),
+      "large arm must not plan the all-pairs generator")
+    assert(!big.contains("CartesianProduct"), big)
+    // The only admissible nested-loop joins are the nlist-row centroid
+    // broadcasts (IdentityBroadcastMode over a driver-built
+    // LocalTableScan — the IvfCosine.assign convention, like
+    // retrieve_tfidf's scalar sides); candidate generation itself must
+    // be the cluster_id equi-join.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(big).size ==
+      "BroadcastExchange IdentityBroadcastMode".r.findAllIn(big).size, big)
+    assert(big.contains("cluster_id"),
+      "candidates must flow through the inverted-list equi-join")
+  }
+
   test("pii mask is a pure projection - no shuffle, no join") {
     val p = plan("text_pii_mask")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
