@@ -115,20 +115,21 @@ object Events {
   def cleansed(spark: SparkSession, sfDir: String): DataFrame =
     cleanse(enriched(spark, sfDir))
 
-  /** Pure form of [[cleansed]] over an enriched frame. NaN/±Infinity
-    * values quarantine alongside NULLs: they carry no valid cents
-    * (value_cents derives via try_cast — a plain ANSI cast would THROW
-    * on them, the poison-record crash class IngestRobustnessSpec pins),
-    * and letting them through would silently drop mass from cent sums
-    * instead of dropping the row. The oracle's e0 matches: harness data
-    * is finite, so the extra predicate filters nothing there. */
+  /** Pure form of [[cleansed]] over an enriched frame. Money validity
+    * is gated on the DERIVED column: `value_cents IS NOT NULL`
+    * quarantines every input `value` with no valid cents — NULL, NaN,
+    * ±Infinity, AND finite doubles past the Long range (|v| ≳ 9.2e16,
+    * where try_cast overflows to NULL) — in one predicate. Enumerating
+    * bad inputs (the previous NaN/±Inf list) missed the overflow class:
+    * those rows kept a non-null `value` but a NULL `value_cents`,
+    * exactly the silent-mass-drop the filter exists to close
+    * (IngestRobustnessSpec pins all four poison classes). The oracle's
+    * e0 matches: harness data is finite and in-range, so on it this
+    * predicate equals `value IS NOT NULL`. */
   def cleanse(enriched: DataFrame): DataFrame =
     enriched
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-        col("event_type").isNotNull && col("value").isNotNull &&
-        !isnan(col("value")) &&
-        col("value") =!= Double.PositiveInfinity &&
-        col("value") =!= Double.NegativeInfinity &&
+        col("event_type").isNotNull && col("value_cents").isNotNull &&
         col("k").isNotNull)
       .na.fill(Map(
         "platform" -> "UNKNOWN", "device" -> "UNKNOWN",

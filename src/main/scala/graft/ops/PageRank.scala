@@ -71,6 +71,22 @@ object PageRank {
     * the hand-graph spec. */
   def rank(trans: DataFrame, nodes: DataFrame): DataFrame = {
     val n = nodes.count()
+    // Empty graph (empty/filtered corpus): return an empty, correctly-
+    // typed frame instead of dividing Scale by zero on the driver —
+    // the Binning.equiDepthBinsOf n==0 convention.
+    if (n == 0)
+      return nodes.sparkSession.createDataFrame(
+        nodes.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("episode_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("out_w",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("in_w",
+            org.apache.spark.sql.types.LongType))))
     val outw = trans.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val base = ((Scale / n) * 15L) / 100L
     // Deliberately NO broadcast hints, even though the node-grain sides

@@ -34,7 +34,11 @@ class IngestRobustnessSpec extends SparkSpec {
         // plain ANSI cast would throw, and NULL cents would silently
         // drop mass from downstream sums)
         Row(6L, t0, 10L, "view", Double.NaN, """{"k": 7}"""),
-        Row(7L, t0, 10L, "view", Double.PositiveInfinity, """{"k": 7}""")),
+        Row(7L, t0, 10L, "view", Double.PositiveInfinity, """{"k": 7}"""),
+        // finite but past Long range → value_cents overflows to NULL
+        // under try_cast — same silent-mass-drop class, same fate
+        Row(8L, t0, 10L, "view", 1.0e18, """{"k": 7}"""),
+        Row(9L, t0, 10L, "view", -1.0e18, """{"k": 7}""")),
       schema)
     val cleansed = Events.cleanse(Events.enrich(rows))
     val kept = cleansed.select("event_id").collect().map(_.getLong(0))

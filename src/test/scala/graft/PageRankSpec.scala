@@ -22,6 +22,16 @@ class PageRankSpec extends SparkSpec {
     assert(got("b") == ((138750000L, 0L, 1L)), got)
   }
 
+  test("empty graph returns an empty typed frame, not a driver " +
+      "divide-by-zero") {
+    val trans = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    val nodes = Seq.empty[String].toDF("id")
+    val out = PageRank.rank(trans, nodes)
+    assert(out.columns.toSeq ==
+      Seq("episode_id", "rank", "out_w", "in_w"))
+    assert(out.count() == 0L)
+  }
+
   test("mass is conserved up to damping leak on the registered graph") {
     val out = PageRank.episodePageRank(spark, "/root/testdata/sf0.001")
       .agg(sum(col("rank")), count(lit(1))).head()
