@@ -128,6 +128,10 @@ object SparkEntry {
     // bounded histogram), native-expression encode in the scan
     // projection; the oracle replays the encode off the stashed table.
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encodeStats(s, dir)),
+    // Physical-layout accounting (metadata-scale driver listing);
+    // oracle re-sizes the same files via DuckDB read_blob.
+    "table_file_stats" ->
+      ((s, dir) => graft.runtime.TableStats.tableFileStats(s, dir)),
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
     // Count-Min sketch next to exact counts — a fixed-width mergeable
     // sketch built from plain aggregates, replayed exactly by the
@@ -391,6 +395,8 @@ object SparkEntry {
     "text_fingerprint" -> OpsOracles.fingerprint,
     "text_bpe_encode" ->
       OpsOracles.bpeEncode(graft.text.Bpe.lastLearned.toSeq),
+    "table_file_stats" ->
+      OpsOracles.tableFileStats(graft.runtime.TableStats.lastDir),
     "text_token_topk" -> OpsOracles.tokenTopK,
     "sketch_count_min" -> OpsOracles.countMinTopTokens,
     "text_hash_split" -> OpsOracles.hashSplit,

@@ -14,9 +14,27 @@ import org.apache.spark.sql.functions._
   * buckets dedupe before counting. Completeness: an overlapping pair
   * shares every bucket containing an overlap point, so bucket equality
   * never misses a true pair. Fan-out is span/bucketWidth per interval —
-  * session-length bounded, not corpus-scaled — and per-bucket work is
-  * quadratic only in the CONCURRENCY of that hour, the quantity the
-  * query measures.
+  * session-length bounded, not corpus-scaled.
+  *
+  * Skew bound (the measured-arm treatment every scale-sensitive op in
+  * this engine gets): per-bucket work is quadratic in that hour's
+  * CONCURRENCY m, so one viral hour at 100× makes one straggler task.
+  * [[AutoArm]] measures max bucket membership in one aggregate; within
+  * [[HotBucketCap]] the plain per-bucket join runs unchanged
+  * ([[ColdArm]] — the harness-scale plan, zero machinery added). Past
+  * it, [[SaltArm]] splits each HOT bucket's members into
+  * g = ⌈m/cap⌉ hash-salt groups and joins on (bucket, saltA, saltB) —
+  * both sides replicate ×g so every (saltA, saltB) cell is its own
+  * task of ≤ cap² pairs; total pair work is unchanged (the OUTPUT is
+  * inherently pair-scale) but the straggler becomes g² parallel tasks.
+  * Each unordered candidate pair is generated exactly once per bucket
+  * (its (saltA, saltB) cell is unique), cold buckets keep the plain
+  * join, and both arms feed the identical overlap filter + distinct,
+  * so the oracle hash is arm-independent (OpsExtSpec proves ColdArm ==
+  * SaltArm cell-for-cell at a forced 1-row cap). The hot-bucket table
+  * broadcast is bounded by CALENDAR TIME, not corpus size: buckets are
+  * hours, so a decade of data has ≤ ~87,600 of them — metadata-scale
+  * by construction, the same argument as the union-find edge gate.
   *
   * Registered form: per-session concurrency — for each session's
   * [min start, max end] envelope, how many OTHER sessions' envelopes
@@ -27,7 +45,27 @@ object IntervalJoin {
   /** Bucket width: one hour of epoch-µs. */
   val BucketUs = 3600000000L
 
-  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate-generation arm (the MinHashDedup.Arm idiom). */
+  sealed trait Arm
+  /** Plain per-bucket equi self-join (the within-cap plan). */
+  case object ColdArm extends Arm
+  /** Salted sub-bucket pass for hot buckets, plain join for the rest. */
+  case object SaltArm extends Arm
+  /** Measure max bucket membership and choose. */
+  case object AutoArm extends Arm
+
+  /** Straggler cap: one bucket-task scores at most cap² ≈ 16M pairs —
+    * seconds of one core's integer work, the same task-size budget as
+    * Similarity.NearDupBlocks' per-block-pair volume. */
+  val HotBucketCap: Long = 4096L
+
+  /** The [[AutoArm]] rule, exposed for specs. */
+  def selectArm(maxBucket: Long, cap: Long = HotBucketCap): Arm =
+    if (maxBucket <= cap) ColdArm else SaltArm
+
+  def concurrentSessions(spark: SparkSession, dir: String,
+                         arm: Arm = AutoArm,
+                         cap: Long = HotBucketCap): DataFrame = {
     // Gold-side convention: sessions over cleansed events (the silver
     // dedup is its own materialization — the goldPre oracle preamble).
     val sess = graft.silver.Sessionize
@@ -41,19 +79,66 @@ object IntervalJoin {
       explode_outer(expr(s"sequence(s div ${BucketUs}L, e div ${BucketUs}L)"))
         .as("bkt"))
       .filter(col("bkt").isNotNull)
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bkt") === col("b.bkt") &&
-          col("a.session_id") =!= col("b.session_id") &&
-          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
-      .select(col("a.session_id").as("session_id"),
-        col("b.session_id").as("other_id"))
-      .distinct()
+    val resolved = arm match {
+      case AutoArm =>
+        // One metadata-scale aggregate decides the arm.
+        val mx = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+          .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+        selectArm(mx, cap)
+      case a => a
+    }
+    val raw = resolved match {
+      case SaltArm => saltedPairs(buckets, cap)
+      case _       => plainPairs(buckets)
+    }
+    val pairs = raw.distinct()
     val counts = pairs.groupBy(col("session_id"))
       .agg(count(lit(1)).as("n_concurrent"))
     sess.join(counts, Seq("session_id"), "left")
       .select(col("session_id"), col("s").as("start_us"),
         col("e").as("end_us"),
         coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+  }
+
+  /** Ordered candidate pairs via the plain per-bucket equi self-join. */
+  private def plainPairs(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bkt") === col("b.bkt") &&
+          col("a.session_id") =!= col("b.session_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.session_id").as("session_id"),
+        col("b.session_id").as("other_id"))
+
+  /** The hot-bucket arm: buckets past `cap` take the 2-D salt split
+    * (join key (bkt, sa, sb); both sides fan out ×g so each cell is an
+    * independent ≤cap² task), cold buckets keep the plain join. The
+    * split is a broadcast semi/anti join against the hot-bucket table
+    * (calendar-bounded — scaladoc above). */
+  private def saltedPairs(buckets: DataFrame, cap: Long): DataFrame = {
+    val hot = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > cap)
+      .select(col("bkt"),
+        expr(s"(m + ${cap}L - 1) div ${cap}L").cast("int").as("g"))
+    val coldB = buckets.join(broadcast(hot.select("bkt")),
+      Seq("bkt"), "left_anti")
+    val hotB = buckets.join(broadcast(hot), Seq("bkt"))
+    val aH = hotB
+      .withColumn("sa", pmod(hash(col("session_id")), col("g")))
+      .withColumn("sb", explode_outer(expr("sequence(0, g - 1)")))
+      .filter(col("sb").isNotNull)
+    val bH = hotB
+      .withColumn("sb", pmod(hash(col("session_id")), col("g")))
+      .withColumn("sa", explode_outer(expr("sequence(0, g - 1)")))
+      .filter(col("sa").isNotNull)
+    val hotPairs = aH.as("a")
+      .join(bH.as("b"),
+        col("a.bkt") === col("b.bkt") &&
+          col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb") &&
+          col("a.session_id") =!= col("b.session_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.session_id").as("session_id"),
+        col("b.session_id").as("other_id"))
+    plainPairs(coldB).unionByName(hotPairs)
   }
 }

@@ -309,6 +309,20 @@ object OpsOracles {
       |  round((rev_i_sum::DOUBLE / 10000) * 100, 0) / 100.0 AS revenue
       |FROM agg""".stripMargin
 
+  /** Mirrors TableStats.tableFileStats against the REAL filesystem:
+    * DuckDB's read_blob sizes each harness table file independently of
+    * the engine's Hadoop listing (dir interpolated from
+    * TableStats.lastDir after the query runs — the Bpe stash
+    * convention). Harness tables are single parquet files; the
+    * engine's directory-walking generality is spec territory
+    * (CompactionSpec / PipelineSpec), not oracle territory. */
+  def tableFileStats(dir: String): String =
+    graft.runtime.TableStats.Tables.map { t =>
+      s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(coalesce(sum(size), 0) AS BIGINT) AS total_bytes
+         |FROM read_blob('$dir/$t.parquet')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Mirrors Bpe.encodeStats GIVEN a learned merge table (interpolated
     * from graft.text.Bpe.lastLearned after the query trains — Verify
     * emits oracle_sql.json only after every query has run; training is

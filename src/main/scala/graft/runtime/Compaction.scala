@@ -1,6 +1,6 @@
 package graft.runtime
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small-file compaction for a partitioned parquet table — the
@@ -18,17 +18,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each rewrite reads ONE partition directory, coalesces to the
   * justified file count (coalesce, not repartition — no shuffle, this
   * is a pure file-merge), writes to a `.compact-<uuid>` staging
-  * directory next to the target, and swaps via the MergeUpsert
-  * rename protocol (target→backup, staging→target, drop backup), so a
-  * crash at any point leaves either the old or the new complete
-  * partition, never a half-written one. Partition VALUES never change
-  * — the hive directory names are preserved verbatim, so readers'
-  * partition pruning is unaffected.
+  * directory next to the target, and swaps via the MergeUpsert rename
+  * protocol (target→backup, staging→target, drop backup). Partition
+  * VALUES never change — the hive directory names are preserved
+  * verbatim, so readers' partition pruning is unaffected.
+  *
+  * Crash-safety is the MergeUpsert single-writer-recovery contract,
+  * stated honestly: each rename is atomic, but a crash BETWEEN the two
+  * renames leaves the partition absent from the table with its
+  * complete old data parked in `.backup-<uuid>--<partition>` (the
+  * backup name ENCODES the partition directory it came from, which is
+  * what makes recovery possible). Every [[compact]] call therefore
+  * opens with a recovery sweep — before any planning — that repairs
+  * whatever a previous writer left behind:
+  *
+  *  - `.backup-*--P` with partition `P` missing (death between the
+  *    renames): the backup is renamed back to `P`, restoring the old
+  *    complete partition;
+  *  - `.backup-*--P` with `P` present (death after the swap, before
+  *    the backup delete): the new data is already live — the stale
+  *    backup is dropped;
+  *  - any remaining `.compact-*` staging (death mid-write or between
+  *    the renames): dropped; the rewrite it staged is simply re-planned
+  *    by this run if still justified.
+  *
+  * So under the single-writer assumption (one maintenance job per
+  * table — the same assumption MergeUpsert documents) every crash
+  * window heals on the next run, no orphan directory survives, and
+  * readers between crash and recovery see either the old or the new
+  * complete partition — except the between-renames window, where the
+  * partition is temporarily absent until the sweep restores it.
   *
   * Returns a report frame (partition, files_before, files_after,
   * bytes) with one row per REWRITTEN partition; empty means the table
   * was already compact. */
 object Compaction {
+
+  private val BackupSep = "--"
+
+  /** Heal the crash windows of a previous writer (scaladoc above).
+    * Backups first — a between-renames backup must be restored before
+    * its staging twin is discarded — then drop every leftover staging.
+    * Returns the number of directories repaired or removed. */
+  private[runtime] def recoverySweep(fs: FileSystem, root: Path): Int = {
+    var actions = 0
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+    entries.filter(_.getPath.getName.startsWith(".backup-")).foreach { b =>
+      val name = b.getPath.getName
+      val sep = name.indexOf(BackupSep)
+      if (sep > 0) {
+        val part = new Path(root, name.substring(sep + BackupSep.length))
+        if (!fs.exists(part)) {
+          if (!fs.rename(b.getPath, part))
+            throw new java.io.IOException(
+              s"recovery rename ${b.getPath} -> $part failed")
+        } else fs.delete(b.getPath, true)
+        actions += 1
+      }
+    }
+    entries.filter(_.getPath.getName.startsWith(".compact-")).foreach {
+      st => fs.delete(st.getPath, true); actions += 1
+    }
+    actions
+  }
 
   def compact(spark: SparkSession, targetDir: String,
               targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
@@ -38,6 +90,7 @@ object Compaction {
     val report = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long)]
     if (fs.exists(root)) {
+      recoverySweep(fs, root)
       val parts = fs.listStatus(root)
         .filter(_.isDirectory)
         .filter(p => !p.getPath.getName.startsWith(".") &&
@@ -62,7 +115,8 @@ object Compaction {
           def renameOrFail(from: Path, to: Path): Unit =
             if (!fs.rename(from, to))
               throw new java.io.IOException(s"rename $from -> $to failed")
-          val backup = new Path(root, s".backup-$uuid")
+          val backup = new Path(root,
+            s".backup-$uuid$BackupSep${p.getPath.getName}")
           renameOrFail(p.getPath, backup)
           renameOrFail(staging, p.getPath)
           // _SUCCESS marker from the staging write is now inside the

@@ -62,6 +62,23 @@ object Incremental {
     }
   }
 
+  /** Time travel: the table AS OF batch `asOf` — every row whose batch
+    * id is ≤ the requested watermark, i.e. exactly the table state a
+    * reader saw before any later append (the Iceberg
+    * `VERSION AS OF` analogue over this runtime's batch_id-partitioned
+    * layout; the partition directory set IS the snapshot history, so no
+    * extra metadata is kept). Pruning is on the partition column, so
+    * the scan touches only the as-of batches' files. A batch id that
+    * was never committed (or was rewritten away) fails loud — an as-of
+    * read against a broken lineage must not silently return a
+    * different snapshot than the caller named. */
+  def readAsOf(spark: SparkSession, tableDir: String,
+               asOf: Long): DataFrame = {
+    require(lineageValid(spark, tableDir, asOf),
+      s"batch $asOf is not in $tableDir's committed history")
+    spark.read.parquet(tableDir).filter(col("batch_id") <= asOf)
+  }
+
   /** C3: watermark persistence (the reference stores it in an Airflow
     * Variable, silver_dag.py:129-133). One small file per consumer;
     * written atomically via rename so a crashed writer can't leave a

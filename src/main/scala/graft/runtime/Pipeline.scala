@@ -125,7 +125,24 @@ object Pipeline {
       PlatformDeviceDaily.build(silver))
     val country = writeGold("gold_country_daily", CountryDaily.build(silver))
 
+    // Maintenance tail: compact every partitioned table this run wrote
+    // (the operational step that keeps the C4 file-count gate honest —
+    // daily dynamic-partition overwrites and streaming micro-batches
+    // both fragment; reference gold_daily_dag.py:49-64 gates on the
+    // file counts this keeps healthy). Idempotent and metadata-planned,
+    // so a run that fragmented nothing rewrites nothing; the row counts
+    // reported above are unaffected (compaction is content-preserving —
+    // CompactionSpec). The silver system-of-record dir is flat
+    // (MergeUpsert keys, not hive partitions), so only the gold tables
+    // participate.
+    val compacted = stage("compact") {
+      Seq("gold_user_daily", "gold_episode_daily", "gold_webtoon_daily",
+        "gold_platform_device_daily", "gold_country_daily").map { t =>
+        Compaction.compact(spark, s"$warehouseDir/$t").count()
+      }.sum
+    }
+
     Seq(Result("silver_sessions", silver.count()), user, episode, webtoon,
-      platform, country)
+      platform, country, Result("compaction_rewrites", compacted))
   }
 }

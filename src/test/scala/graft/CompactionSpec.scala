@@ -46,4 +46,44 @@ class CompactionSpec extends SparkSpec {
     // Idempotent: nothing left to rewrite.
     assert(Compaction.compact(spark, dir).count() == 0)
   }
+
+  test("recovery sweep heals every crash window before planning") {
+    val dir = tmpDir("compact-recover")
+    val ev = graft.ingest.Events.cleansed(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us", "event_type", "datetime")
+    ev.repartition(4).write.partitionBy("datetime")
+      .mode("overwrite").parquet(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted
+    assert(parts.length >= 2, s"need 2+ partitions, got ${parts.toSeq}")
+    val before = spark.read.parquet(dir)
+    val cols = before.columns.map(col).toSeq
+    val snapshot = before.select(cols: _*).collect().toSet
+
+    // Window 1 — death BETWEEN the renames: partition gone, its data
+    // parked in .backup-<uuid>--<partition>, staging complete.
+    val p0 = new Path(root, parts(0))
+    assert(fs.rename(p0, new Path(root, s".backup-w1--${parts(0)}")))
+    fs.mkdirs(new Path(root, ".compact-w1"))
+    // Window 2 — death AFTER the swap, before the backup delete: the
+    // partition is live, a stale backup of partition 2 lingers.
+    fs.mkdirs(new Path(root, s".backup-w2--${parts(1)}"))
+    // Window 3 — death mid-staging-write: orphan staging only.
+    fs.mkdirs(new Path(root, ".compact-w3"))
+
+    Compaction.compact(spark, dir)
+
+    // All three windows healed: partition 1 restored with its full
+    // content, no orphan dot-directories survive, and the table reads
+    // back cell-for-cell.
+    assert(fs.exists(p0), "between-renames partition must be restored")
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".backup-") || n.startsWith(".compact-"))
+    assert(leftovers.isEmpty, s"orphans survived: ${leftovers.toSeq}")
+    assert(spark.read.parquet(dir).select(cols: _*).collect().toSet ==
+      snapshot, "recovery changed table content")
+  }
 }

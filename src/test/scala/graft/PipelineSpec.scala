@@ -12,8 +12,17 @@ class PipelineSpec extends SparkSpec {
     val res = Pipeline.runDaily(spark, "/root/testdata/sf0.001", wh)
     assert(res.map(_.table) == Seq("silver_sessions", "gold_user_daily",
       "gold_episode_daily", "gold_webtoon_daily",
-      "gold_platform_device_daily", "gold_country_daily"))
-    assert(res.forall(_.rows > 0))
+      "gold_platform_device_daily", "gold_country_daily",
+      "compaction_rewrites"))
+    assert(res.filterNot(_.table == "compaction_rewrites")
+      .forall(_.rows > 0))
+    // The maintenance tail ran: every gold table is left COMPACT — a
+    // fresh compaction pass over each finds nothing to rewrite (the
+    // multi-file partitions the partitionBy write fragments get merged
+    // inside runDaily itself), and its accounting matches the layout.
+    for (t <- res.map(_.table) if t.startsWith("gold_"))
+      assert(graft.runtime.Compaction.compact(spark, s"$wh/$t")
+        .count() == 0L, s"$t left uncompacted by the pipeline")
     // gold→gold dependency: webtoon deepest episode comes from episode gold
     val wt = spark.read.parquet(s"$wh/gold_webtoon_daily")
     assert(wt.filter(col("deepest_episode_id") =!= "none").count() > 0)

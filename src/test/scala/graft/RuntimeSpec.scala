@@ -111,6 +111,26 @@ class RuntimeSpec extends SparkSpec {
     assert(Incremental.readSince(spark, dir, Some(99L)).count() == 2)
   }
 
+  test("as-of read reproduces the table state before a later append") {
+    val dir = tmpDir("asof")
+    Incremental.appendBatch(spark, dir, Seq((1, "a")).toDF("id", "v"), 1L)
+    Incremental.appendBatch(spark, dir, Seq((2, "b")).toDF("id", "v"), 2L)
+    val before = Incremental.readSince(spark, dir, None)
+      .select("id", "v").as[(Int, String)].collect().toSet
+    Incremental.appendBatch(spark, dir, Seq((3, "c")).toDF("id", "v"), 3L)
+    // Time travel to watermark 2 == the pre-append snapshot, exactly.
+    assert(Incremental.readAsOf(spark, dir, 2L)
+      .select("id", "v").as[(Int, String)].collect().toSet == before)
+    // The live table has moved on.
+    assert(Incremental.readSince(spark, dir, None).count() == 3)
+    // A batch outside committed history fails loud, never a silent
+    // different snapshot.
+    val e = intercept[IllegalArgumentException] {
+      Incremental.readAsOf(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
   test("watermark persists atomically and round-trips") {
     val path = s"${tmpDir("wm")}/bronze_watermark"
     assert(Incremental.loadWatermark(spark, path).isEmpty)
