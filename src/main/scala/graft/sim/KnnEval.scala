@@ -79,9 +79,14 @@ object KnnEval {
   def labelAccuracy(s: SparkSession, dir: String, arm: Arm = AutoArm,
                     nprobe: Int = 8, nlist: Int = 0): DataFrame = {
     val emb = Similarity.quantizedNonZero(s, dir)
-    // One metadata-scale aggregate decides the arm (the AutoArm idiom)
-    // and derives nlist; skipped entirely when both are pinned.
-    val n = if (arm == AutoArm || nlist <= 0) emb.count() else 0L
+    // The arm gate measures the TABLE row count — a parquet
+    // metadata-only count (footer row counts, no column scan), so the
+    // AutoArm decision costs milliseconds at any corpus size. The
+    // zero-norm exclusion shifts n by at most the degenerate-row count,
+    // irrelevant to a power-of-two budget boundary or a √n list count.
+    val n = if (arm == AutoArm || nlist <= 0)
+      s.read.parquet(s"$dir/embeddings.parquet").count()
+    else 0L
     val resolved = arm match {
       case AutoArm => selectArm(n)
       case a       => a
