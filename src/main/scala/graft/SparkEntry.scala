@@ -351,6 +351,11 @@ object SparkEntry {
     // arithmetic so the 5 damping rounds replay exactly in the oracle.
     "graph_pagerank_episodes" -> ((s, dir) =>
       PageRank.episodePageRank(s, dir)),
+    // Declarative graph compute: WITH RECURSIVE bounded-hop walk count
+    // (Spark UnionLoop) — the SQL-first sibling of the iterative
+    // PageRank driver loop.
+    "graph_reachability" -> ((s, dir) =>
+      graft.ops.Reachability.episodeReachability(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,5 +465,6 @@ object SparkEntry {
     "pack_chunks" -> OpsOracles.packChunks,
     "feature_equidepth_bins" -> OpsOracles.equiDepthBins,
     "graph_pagerank_episodes" -> OpsOracles.episodePageRank,
+    "graph_reachability" -> OpsOracles.episodeReachability,
   )
 }

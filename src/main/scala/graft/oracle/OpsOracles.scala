@@ -2695,6 +2695,36 @@ object OpsOracles {
   /** Mirrors ops.PageRank.episodePageRank: the 5 fixed-point-integer
     * damping rounds unroll as CTEs — every op is an exact integer op on
     * both engines, so the replay is cell-for-cell. */
+  /** Mirrors Reachability.episodeReachability: the same bounded-hop
+    * WITH RECURSIVE over the same distinct transition edges (the
+    * episodePageRank edge preamble, deduplicated). */
+  val episodeReachability: String =
+    s"""WITH RECURSIVE ${graft.oracle.Oracles.enrichedCte},
+       |t AS (
+       |  SELECT user_id, ts_us, event_id, episode_id,
+       |    lag(ts_us) OVER w AS prev_ts_us,
+       |    lag(episode_id) OVER w AS src
+       |  FROM enriched
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |edg AS (
+       |  SELECT DISTINCT src, episode_id AS dst
+       |  FROM t
+       |  WHERE prev_ts_us IS NOT NULL
+       |    AND ts_us - prev_ts_us < 1800000000
+       |    AND src <> episode_id
+       |),
+       |reach AS (
+       |  SELECT src, dst, 1 AS hops FROM edg
+       |  UNION ALL
+       |  SELECT r.src, e.dst AS dst, r.hops + 1 AS hops
+       |  FROM reach r JOIN edg e ON r.dst = e.src
+       |  WHERE r.hops < ${graft.ops.Reachability.MaxHops}
+       |)
+       |SELECT src, dst, CAST(min(hops) AS INT) AS min_hops,
+       |  CAST(count(1) AS BIGINT) AS n_paths
+       |FROM reach GROUP BY src, dst""".stripMargin
+
   val episodePageRank: String = {
     val iters = (1 to graft.ops.PageRank.Iterations).map { k =>
       s"""r$k AS (
