@@ -116,6 +116,8 @@ object SparkEntry {
     "join_band_orders" -> CoreOps.bandJoinOrders _,
     "join_asof_attribution" -> AsOfJoin.attribution _,
     "window_tumbling_hourly" -> TimeWindows.tumblingHourly _,
+    // Time-series regularization: dense hourly grid, zero-fill + LOCF.
+    "timeseries_gapfill" -> TimeWindows.gapfillHourly _,
     "window_sliding_hourly" -> TimeWindows.slidingHourly _,
     "window_range_7d_spend" -> EventOps.rolling7dSpend _,
     "json_props_agg" -> EventOps.jsonPropsAgg _,
@@ -390,6 +392,7 @@ object SparkEntry {
     "join_band_orders" -> OpsOracles.bandJoinOrders,
     "join_asof_attribution" -> OpsOracles.asOfAttribution,
     "window_tumbling_hourly" -> OpsOracles.tumblingHourly,
+    "timeseries_gapfill" -> OpsOracles.gapfillHourly,
     "window_sliding_hourly" -> OpsOracles.slidingHourly,
     "window_range_7d_spend" -> OpsOracles.rolling7dSpend,
     "json_props_agg" -> OpsOracles.jsonPropsAgg,

@@ -30,6 +30,48 @@ object TimeWindows {
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("n_users"), col("sum_value_cents"))
 
+  /** Gap-filled hourly resample per platform — the time-series
+    * regularization every monitoring/feature pipeline needs before a
+    * model sees the series: missing (platform, hour) cells materialize
+    * with zero counts and an explicit gap flag, and the cents volume
+    * carries forward (LOCF) across gaps. The dense grid is dimension ×
+    * calendar (platforms × hours — the hot-bucket table's
+    * calendar-bounded argument again: a decade is ≤87.6k hours), built
+    * by a 1-row bounds broadcast + sequence explode, never a
+    * corpus-scale join; the LOCF window partitions by platform with a
+    * calendar-bounded series per partition, so window state never
+    * scales with the corpus. */
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HourUs = 3600000000L
+    val base = graft.ingest.Events.cleansed(spark, dir)
+      .withColumn("hour_us", expr(s"(ts_us div ${HourUs}L) * ${HourUs}L"))
+      .groupBy(col("platform"), col("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("sum_cents"))
+      .persist()
+    val bounds = base.agg(min(col("hour_us")).as("h0"),
+      max(col("hour_us")).as("h1"))
+    val grid = base.select(col("platform")).distinct()
+      .crossJoin(broadcast(bounds))
+      // explode_outer + null filter: derived array (the
+      // InferFiltersFromGenerate pitfall).
+      .select(col("platform"), explode_outer(
+        expr(s"sequence(h0, h1, ${HourUs}L)")).as("hour_us"))
+      .filter(col("hour_us").isNotNull)
+    val w = Window.partitionBy(col("platform")).orderBy(col("hour_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("platform", "hour_us"), "left")
+      .withColumn("is_gap",
+        when(col("n_events").isNull, 1).otherwise(0))
+      .withColumn("locf_sum_cents",
+        coalesce(last(col("sum_cents"), ignoreNulls = true).over(w),
+          lit(0L)))
+      .select(col("platform"), col("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("is_gap"), col("locf_sum_cents"))
+  }
+
   /** Sliding hourly windows on a 30-minute slide: every event lands in
     * exactly two windows (start = floor₃₀(t) and floor₃₀(t) − 30 min),
     * which is also how the oracle recomputes the assignment with a

@@ -659,6 +659,36 @@ object OpsOracles {
   /** Epoch-aligned hourly buckets: DuckDB time_bucket and Spark window()
     * share the boundary definition (time_bucket's default origin is a
     * midnight, so hourly buckets are epoch-aligned in both engines). */
+  /** Mirrors TimeWindows.gapfillHourly: dense platform×hour grid via
+    * generate_series over the global bounds, zero-filled counts, gap
+    * flag, IGNORE NULLS LOCF window. */
+  val gapfillHourly: String =
+    s"""WITH ${graft.oracle.Oracles.enrichedCte},
+       |base AS (
+       |  SELECT platform,
+       |    (ts_us // 3600000000) * 3600000000 AS hour_us,
+       |    CAST(count(1) AS BIGINT) AS n_events,
+       |    CAST(sum(value_cents) AS BIGINT) AS sum_cents
+       |  FROM enriched GROUP BY 1, 2
+       |),
+       |b AS (SELECT min(hour_us) AS h0, max(hour_us) AS h1 FROM base),
+       |grid AS (
+       |  SELECT p.platform,
+       |    unnest(generate_series(b.h0, b.h1, 3600000000)) AS hour_us
+       |  FROM (SELECT DISTINCT platform FROM base) p, b
+       |)
+       |SELECT g.platform, g.hour_us,
+       |  CAST(coalesce(base.n_events, 0) AS BIGINT) AS n_events,
+       |  CAST(CASE WHEN base.n_events IS NULL THEN 1 ELSE 0 END AS INT)
+       |    AS is_gap,
+       |  CAST(coalesce(last_value(base.sum_cents IGNORE NULLS) OVER (
+       |    PARTITION BY g.platform ORDER BY g.hour_us
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       |    AS BIGINT) AS locf_sum_cents
+       |FROM grid g LEFT JOIN base
+       |  ON base.platform = g.platform AND base.hour_us = g.hour_us"""
+      .stripMargin
+
   val tumblingHourly: String =
     """SELECT
       |  epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
