@@ -1,0 +1,104 @@
+package graft.runtime
+
+import graft.silver.MergeUpsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental GOLD maintenance — recompute only what an ingest delta
+  * can have changed, exactly (the [[IncrementalSilver]] /
+  * [[graft.text.IncrementalDedup]] discipline applied to the gold
+  * layer). `Pipeline.runDaily` recomputes every gold date from the full
+  * silver — correct, and what the harness measures — but at 100 TB the
+  * daily bill must scale with the DELTA, not with history. The
+  * reference runs its gold jobs snapshot-date-scoped for the same
+  * reason (gold_user_daily_metrics.py:14,50 filters silver to one
+  * date); this module is that operational shape made EXACT, with each
+  * table's cross-date window dependencies honored instead of ignored:
+  *
+  *  - '''User gold''' ([[userDailyDelta]]): every metric of a
+  *    (datetime, user) row is a function of that USER's own session
+  *    history alone (the return-interval lag partitions by user), so
+  *    the exact recompute scope is the affected-user slice across its
+  *    full history — per-user history is catalog-behavior bounded, so
+  *    the cost is delta-users × their history, never the corpus.
+  *  - '''Date-grain golds''' ([[dateScopedDelta]]): a date-X row reads
+  *    silver dates [X−b, X+f] only (webtoon and country retention are
+  *    both yesterday-referencing at the ROW grain: b=1, f=0;
+  *    episode/platform are within-date: b=f=0). A silver delta on
+  *    dates D therefore affects gold dates A = ∪_{d∈D}[d−f, d+b], and
+  *    recomputing A needs silver only on the halo ∪_{X∈A}[X−b, X+f] —
+  *    at most 3 dates of input per delta date, independent of history
+  *    depth. Restriction is EXACT for the retention windows because
+  *    they only test lead/lag == X±1: the restricted frame contains
+  *    every session of X±1, and a next/prev visit outside the halo can
+  *    only map to "not retained" under both computations
+  *    (IncrementalGoldSpec proves delta == full recompute
+  *    cell-for-cell for user, webtoon and country).
+  *
+  * Both paths land through [[MergeUpsert]] (stage → anti-join on the
+  * gold grain → staged partition swap), so the write is idempotent and
+  * crash-safe, and only affected datetime partitions rewrite. */
+object IncrementalGold {
+
+  /** Exact user-scoped incremental user gold: recompute
+    * [[graft.gold.UserDaily]] over the affected users' full history
+    * and upsert on the (datetime, user_id) grain. `affectedUsers` is
+    * one `user_id` column (typically the delta's distinct users);
+    * the semi-join scoping lets AQE broadcast it when small. */
+  def userDailyDelta(spark: SparkSession, silver: DataFrame,
+                     goldDir: String, affectedUsers: DataFrame): Unit = {
+    val scoped = silver.join(
+      affectedUsers.select(col("user_id")).distinct(),
+      Seq("user_id"), "left_semi")
+    MergeUpsert.upsert(spark, goldDir,
+      graft.gold.UserDaily.build(scoped), Seq("datetime", "user_id"))
+  }
+
+  /** Exact date-scoped incremental recompute for a date-grain gold:
+    * `build` runs over silver restricted to the halo dates, the stage
+    * keeps only the affected dates (halo-edge rows would be computed
+    * from truncated context), and the result upserts on
+    * (datetime, grainCol). `backDays`/`fwdDays` are the table's silver
+    * dependency span b/f (scaladoc above). */
+  def dateScopedDelta(spark: SparkSession, silver: DataFrame,
+                      goldDir: String, deltaDates: Seq[java.sql.Date],
+                      build: DataFrame => DataFrame, grainCol: String,
+                      backDays: Int, fwdDays: Int): Unit = {
+    if (deltaDates.isEmpty) return
+    def shift(d: java.sql.Date, days: Int): java.sql.Date =
+      java.sql.Date.valueOf(d.toLocalDate.plusDays(days.toLong))
+    val affected = deltaDates
+      .flatMap(d => (-fwdDays to backDays).map(shift(d, _))).distinct
+    val halo = affected
+      .flatMap(x => (-backDays to fwdDays).map(shift(x, _))).distinct
+    // Date literals, not strings: isin must compare at DateType so the
+    // partition filter prunes instead of casting the column.
+    val scoped = silver.filter(col("datetime").isin(halo: _*))
+    val stage = build(scoped).filter(col("datetime").isin(affected: _*))
+    MergeUpsert.upsert(spark, goldDir, stage, Seq("datetime", grainCol))
+  }
+
+  /** [[dateScopedDelta]] pre-bound for the webtoon gold. The retention
+    * block groups by `date_add(datetime, 1)` — the gold row at date X
+    * describes YESTERDAY's users (X−1) returning at X — so a date-X
+    * row reads silver [X−1, X]: b=1, f=0 (the lead() in the plan looks
+    * forward, but the anchor shifts the result one day forward too).
+    * Episode gold (the deepest-episode input) is within-date, covered
+    * by the same halo. */
+  def webtoonDailyDelta(spark: SparkSession, silver: DataFrame,
+                        goldDir: String,
+                        deltaDates: Seq[java.sql.Date]): Unit =
+    dateScopedDelta(spark, silver, goldDir, deltaDates,
+      s => graft.gold.WebtoonDaily.build(s,
+        graft.gold.EpisodeDaily.build(s)),
+      "webtoon_id", backDays = 1, fwdDays = 0)
+
+  /** [[dateScopedDelta]] pre-bound for the country gold (retention
+    * lags one day back). */
+  def countryDailyDelta(spark: SparkSession, silver: DataFrame,
+                       goldDir: String,
+                       deltaDates: Seq[java.sql.Date]): Unit =
+    dateScopedDelta(spark, silver, goldDir, deltaDates,
+      graft.gold.CountryDaily.build(_),
+      "country", backDays = 1, fwdDays = 0)
+}
