@@ -62,7 +62,8 @@ object IncrementalGold {
     * dependency span b/f (scaladoc above). */
   def dateScopedDelta(spark: SparkSession, silver: DataFrame,
                       goldDir: String, deltaDates: Seq[java.sql.Date],
-                      build: DataFrame => DataFrame, grainCol: String,
+                      build: DataFrame => DataFrame,
+                      grainCols: Seq[String],
                       backDays: Int, fwdDays: Int): Unit = {
     if (deltaDates.isEmpty) return
     def shift(d: java.sql.Date, days: Int): java.sql.Date =
@@ -75,8 +76,26 @@ object IncrementalGold {
     // partition filter prunes instead of casting the column.
     val scoped = silver.filter(col("datetime").isin(halo: _*))
     val stage = build(scoped).filter(col("datetime").isin(affected: _*))
-    MergeUpsert.upsert(spark, goldDir, stage, Seq("datetime", grainCol))
+    MergeUpsert.upsert(spark, goldDir, stage, "datetime" +: grainCols)
   }
+
+  /** [[dateScopedDelta]] pre-bound for the episode gold (within-date:
+    * b = f = 0). */
+  def episodeDailyDelta(spark: SparkSession, silver: DataFrame,
+                        goldDir: String,
+                        deltaDates: Seq[java.sql.Date]): Unit =
+    dateScopedDelta(spark, silver, goldDir, deltaDates,
+      graft.gold.EpisodeDaily.build(_),
+      Seq("webtoon_id", "episode_id"), backDays = 0, fwdDays = 0)
+
+  /** [[dateScopedDelta]] pre-bound for the platform/device gold
+    * (within-date: b = f = 0). */
+  def platformDeviceDailyDelta(spark: SparkSession, silver: DataFrame,
+                               goldDir: String,
+                               deltaDates: Seq[java.sql.Date]): Unit =
+    dateScopedDelta(spark, silver, goldDir, deltaDates,
+      graft.gold.PlatformDeviceDaily.build(_),
+      Seq("platform", "device", "browser"), backDays = 0, fwdDays = 0)
 
   /** [[dateScopedDelta]] pre-bound for the webtoon gold. The retention
     * block groups by `date_add(datetime, 1)` — the gold row at date X
@@ -91,7 +110,7 @@ object IncrementalGold {
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       s => graft.gold.WebtoonDaily.build(s,
         graft.gold.EpisodeDaily.build(s)),
-      "webtoon_id", backDays = 1, fwdDays = 0)
+      Seq("webtoon_id"), backDays = 1, fwdDays = 0)
 
   /** [[dateScopedDelta]] pre-bound for the country gold (retention
     * lags one day back). */
@@ -100,5 +119,5 @@ object IncrementalGold {
                        deltaDates: Seq[java.sql.Date]): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.CountryDaily.build(_),
-      "country", backDays = 1, fwdDays = 0)
+      Seq("country"), backDays = 1, fwdDays = 0)
 }

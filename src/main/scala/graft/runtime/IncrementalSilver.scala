@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalSilver {
 
+  /** What one incremental update touched — the scope the downstream
+    * [[IncrementalGold]] deltas need: the new watermark, the users the
+    * delta re-derived (None when nothing changed), and the silver
+    * dates whose rows can have changed (the affected users' full
+    * histories' dates — session boundaries move, so any of their dates
+    * may differ). */
+  case class Delta(watermark: Option[Long],
+                   affectedUsers: Option[org.apache.spark.sql.DataFrame],
+                   affectedDates: Seq[java.sql.Date])
+
   /** Default raw→silver derivation (harness event shape). */
   def harnessSilver(asOfUs: Long)(raw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -48,21 +58,37 @@ object IncrementalSilver {
              watermark: Option[Long],
              asOfUs: Long = Events.AsOfUs,
              toSilver: org.apache.spark.sql.DataFrame =>
-               org.apache.spark.sql.DataFrame = null): Option[Long] = {
+               org.apache.spark.sql.DataFrame = null): Option[Long] =
+    updateDetailed(spark, bronzeDir, silverDir, watermark, asOfUs,
+      toSilver).watermark
+
+  /** [[update]] returning the touched scope for downstream incremental
+    * gold maintenance ([[graft.runtime.Pipeline.runDailyIncremental]]). */
+  def updateDetailed(spark: SparkSession, bronzeDir: String,
+                     silverDir: String, watermark: Option[Long],
+                     asOfUs: Long = Events.AsOfUs,
+                     toSilver: org.apache.spark.sql.DataFrame =>
+                       org.apache.spark.sql.DataFrame = null): Delta = {
     val derive = Option(toSilver).getOrElse(harnessSilver(asOfUs) _)
     val hw = Incremental.highWatermark(spark, bronzeDir)
-    if (hw.isEmpty) return None // no bronze data yet
+    if (hw.isEmpty) return Delta(None, None, Nil) // no bronze data yet
     if (hw == watermark && watermark.exists(w =>
-        Incremental.lineageValid(spark, bronzeDir, w))) return watermark
+        Incremental.lineageValid(spark, bronzeDir, w)))
+      return Delta(watermark, None, Nil)
 
     val newEvents = Incremental.readSince(spark, bronzeDir, watermark)
-    if (newEvents.isEmpty) return hw
+    if (newEvents.isEmpty) return Delta(hw, None, Nil)
     val affectedUsers = newEvents.select(col("user_id")).distinct()
 
     val history = spark.read.parquet(bronzeDir)
       .join(affectedUsers, Seq("user_id"), "left_semi")
       .drop("batch_id")
     val recomputed = derive(history)
+
+    // Affected dates = the recomputed users' full histories' dates
+    // (metadata-scale collect, same as merge-upsert planning).
+    val affectedDates = recomputed.select(col("datetime")).distinct()
+      .collect().map(_.getDate(0))
 
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,10 +97,6 @@ object IncrementalSilver {
       recomputed.write.partitionBy("datetime").mode("overwrite")
         .parquet(silverDir)
     } else {
-      // Affected dates = the recomputed users' full histories' dates
-      // (metadata-scale collect, same as merge-upsert planning).
-      val affectedDates = recomputed.select(col("datetime")).distinct()
-        .collect().map(_.get(0))
       val kept = spark.read.parquet(silverDir)
         .filter(col("datetime").isin(affectedDates.toIndexedSeq: _*))
         .join(affectedUsers, Seq("user_id"), "left_anti")
@@ -82,6 +104,6 @@ object IncrementalSilver {
         .localCheckpoint() // we overwrite the path we read
         .write.partitionBy("datetime").mode("overwrite").parquet(silverDir)
     }
-    hw
+    Delta(hw, Some(affectedUsers), affectedDates.toIndexedSeq)
   }
 }

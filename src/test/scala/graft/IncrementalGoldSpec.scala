@@ -47,7 +47,8 @@ class IncrementalGoldSpec extends SparkSpec {
     assertSame(dir, UserDaily.build(sessions))
   }
 
-  test("webtoon gold: date-scoped delta (fwd halo) == full recompute") {
+  test("webtoon gold: date-scoped delta (yesterday-anchored rows) == " +
+      "full recompute") {
     val (seed, delta) = cutAt(2)
     val dir = tmpDir("ig-webtoon")
     WebtoonDaily.build(seed, EpisodeDaily.build(seed))
