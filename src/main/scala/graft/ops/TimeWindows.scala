@@ -30,11 +30,14 @@ object TimeWindows {
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("n_users"), col("sum_value_cents"))
 
-  /** Gap-filled hourly resample per platform — the time-series
-    * regularization every monitoring/feature pipeline needs before a
-    * model sees the series: missing (platform, hour) cells materialize
-    * with zero counts and an explicit gap flag, and the cents volume
-    * carries forward (LOCF) across gaps. The dense grid is dimension ×
+  /** Gap-filled hourly resample per platform with LOCF carry-forward.
+    * [[graft.ops.EventOps.resampleHourlyFilled]] covers the plain
+    * zero-fill form (event_type grain); what this adds is the other
+    * half of time-series regularization — LAST-OBSERVATION-CARRIED-
+    * FORWARD imputation (`last(..., ignoreNulls)` over the dense grid,
+    * the IGNORE NULLS window semantics nothing else in the battery
+    * exercises) plus the explicit gap flag a feature pipeline needs to
+    * distinguish imputed cells from observed zeros. The dense grid is dimension ×
     * calendar (platforms × hours — the hot-bucket table's
     * calendar-bounded argument again: a decade is ≤87.6k hours), built
     * by a 1-row bounds broadcast + sequence explode, never a
