@@ -32,8 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object MergeUpsert {
 
+  /** `evolveSchema = true` admits ADDITIVE schema evolution: staged
+    * rows may carry columns the target lacks (and vice versa) — the
+    * union aligns by name and fills the missing side with NULLs, the
+    * parquet-standard widen-with-nulls semantics. The DEFAULT stays
+    * strict: a column-set mismatch fails loud, because silently
+    * null-filling a typo'd producer schema is exactly how a 100 TB
+    * table rots (RuntimeSpec pins both behaviors). Evolution applies
+    * only to the affected partitions this upsert rewrites; older
+    * partitions keep their files until touched — readers get the
+    * merged view via parquet schema merging. */
   def upsert(spark: SparkSession, targetDir: String, stage: DataFrame,
-             keyCols: Seq[String], partitionCol: String = "datetime"): Unit = {
+             keyCols: Seq[String], partitionCol: String = "datetime",
+             evolveSchema: Boolean = false): Unit = {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
@@ -56,7 +67,7 @@ object MergeUpsert {
       val target = spark.read.parquet(targetDir).filter(affectedPred)
       val merged = target
         .join(stage, keyCols, "left_anti")
-        .unionByName(stage)
+        .unionByName(stage, allowMissingColumns = evolveSchema)
       val uuid = java.util.UUID.randomUUID().toString
       val stagingDir = new Path(targetDir, s".staging-$uuid")
       merged.write.partitionBy(partitionCol).mode("overwrite")

@@ -97,6 +97,29 @@ class RuntimeSpec extends SparkSpec {
     assert(after == Map("s1" -> 10.0, "s2" -> 2.0))
   }
 
+  test("upsert schema evolution: additive columns widen with nulls " +
+      "only when asked; strict by default") {
+    val dir = tmpDir("evolve")
+    Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"))
+      .toDF("id", "datetime", "v")
+      .write.partitionBy("datetime").mode("overwrite").parquet(dir)
+    val staged = Seq((2, "2024-01-01", "b2", 9L), (3, "2024-01-01", "c", 7L))
+      .toDF("id", "datetime", "v", "w")
+    // Default: a column-set mismatch must fail loud (a typo'd producer
+    // schema must not silently null-fill a 100 TB table).
+    intercept[org.apache.spark.sql.AnalysisException] {
+      MergeUpsert.upsert(spark, dir, staged, Seq("id"))
+    }
+    // Opt-in evolution: old rows widen with NULL w, staged rows carry it.
+    MergeUpsert.upsert(spark, dir, staged, Seq("id"), evolveSchema = true)
+    val out = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("id", "v", "w").collect()
+      .map(r => r.getInt(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(1 -> (("a", None)), 2 -> (("b2", Some(9L))),
+      3 -> (("c", Some(7L)))), out.toString)
+  }
+
   test("incremental: watermark advance, pruned reads, lineage fallback") {
     val dir = tmpDir("incr")
     Incremental.appendBatch(spark, dir, Seq((1, "a")).toDF("id", "v"), 1L)
