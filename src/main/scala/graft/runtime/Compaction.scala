@@ -54,13 +54,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * was already compact. */
 object Compaction {
 
-  private val BackupSep = "--"
+  /** Separator between the writer uuid and the PARTITION DIRECTORY
+    * NAME inside a backup directory's own name — shared by every
+    * rename-swap writer (this planner and [[graft.silver.MergeUpsert]])
+    * so ONE recovery sweep understands every writer's leftovers. */
+  private[graft] val BackupSep = "--"
 
-  /** Heal the crash windows of a previous writer (scaladoc above).
-    * Backups first — a between-renames backup must be restored before
-    * its staging twin is discarded — then drop every leftover staging.
-    * Returns the number of directories repaired or removed. */
-  private[runtime] def recoverySweep(fs: FileSystem, root: Path): Int = {
+  /** Heal the crash windows of a previous rename-swap writer (scaladoc
+    * above) — shared by [[compact]] and
+    * [[graft.silver.MergeUpsert.upsert]]. Backups first — a
+    * between-renames backup must be restored before its staging twin
+    * is discarded — then drop every leftover `.compact-*` /
+    * `.staging-*` working directory. Returns the number of directories
+    * repaired or removed. */
+  private[graft] def recoverySweep(fs: FileSystem, root: Path): Int = {
     var actions = 0
     val entries = fs.listStatus(root).filter(_.isDirectory)
     entries.filter(_.getPath.getName.startsWith(".backup-")).foreach { b =>
@@ -76,9 +83,10 @@ object Compaction {
         actions += 1
       }
     }
-    entries.filter(_.getPath.getName.startsWith(".compact-")).foreach {
-      st => fs.delete(st.getPath, true); actions += 1
-    }
+    entries.filter { s =>
+      val n = s.getPath.getName
+      n.startsWith(".compact-") || n.startsWith(".staging-")
+    }.foreach { st => fs.delete(st.getPath, true); actions += 1 }
     actions
   }
 

@@ -83,7 +83,10 @@ object IncrementalSilver {
     val history = spark.read.parquet(bronzeDir)
       .join(affectedUsers, Seq("user_id"), "left_semi")
       .drop("batch_id")
-    val recomputed = derive(history)
+    // Materialized once: the windowed re-derivation is the dominant
+    // cost of an update, and both the affected-dates collect and the
+    // write below would otherwise each execute it from scratch.
+    val recomputed = derive(history).localCheckpoint()
 
     // Affected dates = the recomputed users' full histories' dates
     // (metadata-scale collect, same as merge-upsert planning).
@@ -101,7 +104,7 @@ object IncrementalSilver {
         .filter(col("datetime").isin(affectedDates.toIndexedSeq: _*))
         .join(affectedUsers, Seq("user_id"), "left_anti")
       kept.unionByName(recomputed)
-        .localCheckpoint() // we overwrite the path we read
+        .localCheckpoint() // the kept side reads the path we overwrite
         .write.partitionBy("datetime").mode("overwrite").parquet(silverDir)
     }
     Delta(hw, Some(affectedUsers), affectedDates.toIndexedSeq)

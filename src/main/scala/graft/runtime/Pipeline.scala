@@ -125,19 +125,21 @@ object Pipeline {
       PlatformDeviceDaily.build(silver))
     val country = writeGold("gold_country_daily", CountryDaily.build(silver))
 
-    // Maintenance tail: compact every partitioned table this run wrote
-    // (the operational step that keeps the C4 file-count gate honest —
-    // daily dynamic-partition overwrites and streaming micro-batches
-    // both fragment; reference gold_daily_dag.py:49-64 gates on the
-    // file counts this keeps healthy). Idempotent and metadata-planned,
-    // so a run that fragmented nothing rewrites nothing; the row counts
-    // reported above are unaffected (compaction is content-preserving —
-    // CompactionSpec). The silver system-of-record dir is flat
-    // (MergeUpsert keys, not hive partitions), so only the gold tables
-    // participate.
+    // Maintenance tail: compact every datetime-partitioned table this
+    // run wrote — the five golds AND the silver system-of-record
+    // (MergeUpsert writes it hive-partitioned by datetime, and the
+    // daily merge rewrite is exactly what fragments it). This is the
+    // operational step that keeps the C4 file-count gate honest
+    // (reference gold_daily_dag.py:49-64 gates on these file counts).
+    // Idempotent and metadata-planned, so a run that fragmented
+    // nothing rewrites nothing; row counts reported above are
+    // unaffected (compaction is content-preserving — CompactionSpec).
+    // The bucketed layout table is deliberately EXCLUDED: its file
+    // count IS its bucket spec, which a coalesce would destroy.
     val compacted = stage("compact") {
-      Seq("gold_user_daily", "gold_episode_daily", "gold_webtoon_daily",
-        "gold_platform_device_daily", "gold_country_daily").map { t =>
+      Seq("silver_sessions", "gold_user_daily", "gold_episode_daily",
+        "gold_webtoon_daily", "gold_platform_device_daily",
+        "gold_country_daily").map { t =>
         Compaction.compact(spark, s"$warehouseDir/$t").count()
       }.sum
     }

@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   * with two filesystem renames (target→backup, staging→target, drop
   * backup) — a metadata-scale window, vs the whole-job window an in-place
   * `mode("overwrite")` leaves where the partition has been deleted but
-  * not yet rewritten. A crash between the two renames leaves the
-  * `.backup-<uuid>` directory with the complete pre-update partition for
-  * single-writer recovery. True multi-writer snapshot atomicity needs a
-  * table format's commit protocol (Iceberg in the reference) — documented
-  * as the accepted gap in SURVEY.md §7.3.
+  * not yet rewritten. A crash between the two renames leaves a
+  * `.backup-<uuid>--<partition>` directory with the complete pre-update
+  * partition; the shared recovery sweep
+  * ([[graft.runtime.Compaction.recoverySweep]], run at the start of
+  * every upsert and compact) restores it automatically under the
+  * single-writer assumption. True multi-writer snapshot atomicity needs
+  * a table format's commit protocol (Iceberg in the reference) —
+  * documented as the accepted gap in SURVEY.md §7.3.
   */
 object MergeUpsert {
 
@@ -52,6 +55,12 @@ object MergeUpsert {
       stage.write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetDir)
     } else {
+      // Heal any previous writer's crash leftovers BEFORE planning —
+      // the shared rename-swap recovery (Compaction.recoverySweep):
+      // a between-renames backup is restored to its partition, stale
+      // backups and orphan staging/compact dirs drop. Same
+      // single-writer-per-table assumption as the swap itself.
+      graft.runtime.Compaction.recoverySweep(fs, rootPath)
       // Affected partitions only: metadata-scale collect (dates, not rows).
       val affected = stage.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
@@ -64,7 +73,16 @@ object MergeUpsert {
         val p = col(partitionCol).isin(nonNullVals.toIndexedSeq: _*)
         if (hasNull) p || col(partitionCol).isNull else p
       }
-      val target = spark.read.parquet(targetDir).filter(affectedPred)
+      // mergeSchema: the target's schema must be the UNION of its
+      // files' schemas, not whichever footer Spark happens to sample —
+      // after an evolution write, a sampled old footer would silently
+      // null out evolved-column values in every partition this upsert
+      // rewrites (and make strict-mode upserts of evolved tables fail
+      // spuriously). The footer pass is metadata-scale and
+      // parallelized; the row filter still prunes to affected
+      // partitions.
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(targetDir).filter(affectedPred)
       val merged = target
         .join(stage, keyCols, "left_anti")
         .unionByName(stage, allowMissingColumns = evolveSchema)
@@ -89,7 +107,10 @@ object MergeUpsert {
           .foreach { part =>
             val tgt = new Path(rootPath, part)
             val stg = new Path(stagingDir, part)
-            val bak = new Path(rootPath, s".backup-$uuid-$part")
+            // Backup name ENCODES the partition (shared BackupSep
+            // convention) so the recovery sweep can restore it.
+            val bak = new Path(rootPath,
+              s".backup-$uuid${graft.runtime.Compaction.BackupSep}$part")
             if (fs.exists(tgt)) renameOrFail(tgt, bak)
             renameOrFail(stg, tgt)
             if (fs.exists(bak)) fs.delete(bak, true)

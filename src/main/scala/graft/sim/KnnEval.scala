@@ -84,7 +84,7 @@ object KnnEval {
     // AutoArm decision costs milliseconds at any corpus size. The
     // zero-norm exclusion shifts n by at most the degenerate-row count,
     // irrelevant to a power-of-two budget boundary or a √n list count.
-    val n = if (arm == AutoArm || nlist <= 0)
+    val n = if (arm == AutoArm || (arm == IvfArm && nlist <= 0))
       s.read.parquet(s"$dir/embeddings.parquet").count()
     else 0L
     val resolved = arm match {
@@ -121,35 +121,39 @@ object KnnEval {
     * the probed partitions). */
   private def ivfCandidates(s: SparkSession, dir: String, emb: DataFrame,
                             nlist: Int, nprobe: Int): DataFrame = {
+    // localCheckpoint, not cache-and-unpersist: the returned frame is
+    // LAZY, so a finally-unpersist would drop the cache before the
+    // probes and postings subtrees ever execute and the normalization
+    // pipeline would run twice more at query time. The checkpoint
+    // materializes once, serves the training collects AND both query
+    // subtrees, and its blocks free with the RDD's garbage collection.
     val nv = IvfCosine.normalized(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
-      .cache()
-    try {
-      val centroids = IvfCosine.trainNormalized(nv, nlist, iters = 3)
-      // Postings: one list per vector (rn = 1 assignment), ids only.
-      val postings = IvfCosine.assign(nv, centroids)
-        .select(col("vid").as("neighbor"), col("cluster_id"))
-      // Probes: each vector's nprobe nearest lists.
-      val probeW = Window.partitionBy(col("vid"))
-        .orderBy(col("dot").desc, col("cluster_id"))
-      val probes = nv.crossJoin(broadcast(centroids))
-        .withColumn("dot", expr(IvfCosine.dotExpr))
-        .withColumn("rn", row_number().over(probeW))
-        .filter(col("rn") <= nprobe)
-        .select(col("vid").as("vec"), col("cluster_id"))
-      probes.join(postings, Seq("cluster_id"))
-        .filter(col("vec") =!= col("neighbor"))
-        .join(emb.select(col("vec_id").as("vec"), col("q").as("qa"),
-          col("n").as("na")), Seq("vec"))
-        .join(emb.select(col("vec_id").as("neighbor"), col("q").as("qb"),
-          col("n").as("nb")), Seq("neighbor"))
-        .withColumn("dotq", expr("graft_dot(qa, qb)"))
-        .withColumn("cosine",
-          Num.r(col("dotq").cast("double") /
-            (sqrt(col("na").cast("double")) *
-              sqrt(col("nb").cast("double"))), 6))
-        .select("vec", "neighbor", "cosine")
-    } finally nv.unpersist()
+      .localCheckpoint()
+    val centroids = IvfCosine.trainNormalized(nv, nlist, iters = 3)
+    // Postings: one list per vector (rn = 1 assignment), ids only.
+    val postings = IvfCosine.assign(nv, centroids)
+      .select(col("vid").as("neighbor"), col("cluster_id"))
+    // Probes: each vector's nprobe nearest lists.
+    val probeW = Window.partitionBy(col("vid"))
+      .orderBy(col("dot").desc, col("cluster_id"))
+    val probes = nv.crossJoin(broadcast(centroids))
+      .withColumn("dot", expr(IvfCosine.dotExpr))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vid").as("vec"), col("cluster_id"))
+    probes.join(postings, Seq("cluster_id"))
+      .filter(col("vec") =!= col("neighbor"))
+      .join(emb.select(col("vec_id").as("vec"), col("q").as("qa"),
+        col("n").as("na")), Seq("vec"))
+      .join(emb.select(col("vec_id").as("neighbor"), col("q").as("qb"),
+        col("n").as("nb")), Seq("neighbor"))
+      .withColumn("dotq", expr("graft_dot(qa, qb)"))
+      .withColumn("cosine",
+        Num.r(col("dotq").cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))), 6))
+      .select("vec", "neighbor", "cosine")
   }
 
   /** Shared tail: per-vector 1-NN argmax, label joins, per-label

@@ -112,12 +112,47 @@ class RuntimeSpec extends SparkSpec {
     }
     // Opt-in evolution: old rows widen with NULL w, staged rows carry it.
     MergeUpsert.upsert(spark, dir, staged, Seq("id"), evolveSchema = true)
-    val out = spark.read.option("mergeSchema", "true").parquet(dir)
+    def read() = spark.read.option("mergeSchema", "true").parquet(dir)
       .select("id", "v", "w").collect()
       .map(r => r.getInt(0) -> (r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    assert(out == Map(1 -> (("a", None)), 2 -> (("b2", Some(9L))),
-      3 -> (("c", Some(7L)))), out.toString)
+    assert(read() == Map(1 -> (("a", None)), 2 -> (("b2", Some(9L))),
+      3 -> (("c", Some(7L)))), read().toString)
+    // A LATER upsert of the evolved table must see the union schema
+    // (mergeSchema read) — not whichever footer Spark samples — or the
+    // rewrite would silently null out on-disk w values for untouched
+    // keys in the affected partition.
+    val staged2 = Seq((1, "2024-01-01", "a2", 5L))
+      .toDF("id", "datetime", "v", "w")
+    MergeUpsert.upsert(spark, dir, staged2, Seq("id"))
+    assert(read() == Map(1 -> (("a2", Some(5L))), 2 -> (("b2", Some(9L))),
+      3 -> (("c", Some(7L)))), read().toString)
+  }
+
+  test("upsert heals a previous writer's between-renames crash before " +
+      "planning") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("heal")
+    Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b"))
+      .toDF("id", "datetime", "v")
+      .write.partitionBy("datetime").mode("overwrite").parquet(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate death between the two swap renames: the 01-01 partition
+    // is gone, its complete data parked under the shared backup naming.
+    val part = "datetime=2024-01-01"
+    assert(fs.rename(new Path(root, part),
+      new Path(root, s".backup-dead--$part")))
+    fs.mkdirs(new Path(root, ".staging-dead"))
+    // The next upsert (touching a DIFFERENT partition) must restore it.
+    MergeUpsert.upsert(spark, dir,
+      Seq((3, "2024-01-02", "b2")).toDF("id", "datetime", "v"), Seq("id"))
+    val out = spark.read.parquet(dir).select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "a", 2 -> "b", 3 -> "b2"), out.toString)
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".backup-") || n.startsWith(".staging-"))
+    assert(leftovers.isEmpty, leftovers.toSeq.toString)
   }
 
   test("incremental: watermark advance, pruned reads, lineage fallback") {
