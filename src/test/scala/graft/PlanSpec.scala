@@ -228,6 +228,18 @@ class PlanSpec extends SparkSpec {
       "candidates must flow through the inverted-list equi-join")
   }
 
+  test("timeseries_gapfill: grid joins are hash, only the 1-row " +
+      "bounds side is nested-loop") {
+    val p = plan("timeseries_gapfill")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the 1-row global-bounds broadcast
+    // feeding the sequence explode (the scalar-side convention)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // the fill join meets the base aggregate on the (platform, hour)
+    // key as a hash join, never a corpus-scale nested loop
+    assert(p.contains("Join") && p.contains("hour_us"), p)
+  }
+
   test("pii mask is a pure projection - no shuffle, no join") {
     val p = plan("text_pii_mask")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
