@@ -100,6 +100,12 @@ object IntervalJoin {
         coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
   }
 
+  /** Arm dispatch over a prepared buckets frame — exposed for
+    * PropertySpec's randomized arm-equality proof. */
+  private[graft] def pairsOf(buckets: DataFrame, salted: Boolean,
+                             cap: Long): DataFrame =
+    if (salted) saltedPairs(buckets, cap) else plainPairs(buckets)
+
   /** Ordered candidate pairs via the plain per-bucket equi self-join. */
   private def plainPairs(buckets: DataFrame): DataFrame =
     buckets.as("a")

@@ -341,6 +341,14 @@ object OpsOracles {
     * symbol end-marks; words past MaxWordLen skip merging (len+1
     * tokens), as in training. */
   def bpeEncode(merges: Seq[(String, String)]): String = {
+    // The replay's symbol delimiters are chr(31)/chr(30); a corpus
+    // whose learned symbols CONTAINED those bytes would alias the
+    // delimiting and the oracle would replay a different merge — fail
+    // loud here instead of hash-mismatching mysteriously (the
+    // PlantOffset-guard convention).
+    require(merges.forall { case (l, r) =>
+      !(l + r).exists(c => c == 31.toChar || c == 30.toChar) },
+      "BPE merge symbols contain the oracle's delimiter bytes")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     def sym(s: String) = s"chr(31) || ${lit(s)} || chr(30)"
     val syms0 = "regexp_replace(word, '(.)', " +

@@ -34,6 +34,43 @@ class PropertySpec extends SparkSpec {
       .withColumn("browser", lit("chrome"))
   }
 
+  test("property: interval-join salt arm == plain arm on random " +
+      "interval sets at random caps") {
+    // The 2-D salt split must be invisible at ANY cap (g = ceil(m/cap)
+    // varies per bucket): random session envelopes with heavy overlap,
+    // random hot-bucket caps, candidate-cell uniqueness and overlap
+    // exactness all under test at once.
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val s = rnd.nextInt(10) * graft.ops.IntervalJoin.BucketUs / 2 +
+          rnd.nextInt(1000000)
+        val span = 1L +
+          (rnd.nextDouble() * 2 * graft.ops.IntervalJoin.BucketUs).toLong
+        (s"sess_$i", s, s + span)
+      }
+      val sess = rows.toDF("session_id", "s", "e")
+      def buckets(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("session_id"), col("s"), col("e"),
+          explode_outer(expr(
+            s"sequence(s div ${graft.ops.IntervalJoin.BucketUs}L, " +
+              s"e div ${graft.ops.IntervalJoin.BucketUs}L)")).as("bkt"))
+          .filter(col("bkt").isNotNull)
+      val plain = graft.ops.IntervalJoin.pairsOf(buckets(sess),
+        salted = false, cap = 4096L).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val cap = 1L + rnd.nextInt(6)
+      val salted = graft.ops.IntervalJoin.pairsOf(buckets(sess),
+        salted = true, cap = cap).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(plain == salted,
+        s"trial $trial cap=$cap: plain-only=${(plain -- salted).take(3)}"
+          + s" salted-only=${(salted -- plain).take(3)}")
+      assert(plain.nonEmpty, s"trial $trial generated no overlaps")
+    }
+  }
+
   test("property: dedup is idempotent and a no-op on unique keys") {
     for (seed <- 1 to 10) {
       val ev = randomEvents(seed, 200)
