@@ -8,7 +8,7 @@ import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
 import graft.sim.{IvfCosine, KMeans, KnnEval, LshCosine, ProductQuantizer, SemDedup, Similarity}
 import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
-import graft.tpch.{CoreOps, SubqueryOps}
+import graft.tpch.{CoreOps, JoinOps, SubqueryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -109,6 +109,17 @@ object SparkEntry {
     "q4_order_priority" -> SubqueryOps.q4OrderPriority _,
     "q21_suppliers_waiting" -> SubqueryOps.q21SuppliersWaiting _,
     "q17_small_quantity_revenue" -> SubqueryOps.q17SmallQuantityRevenue _,
+    // Q22/Q15: the two scalar-subquery shapes q4/q21/q17 leave out —
+    // an UNCORRELATED scalar aggregate in the filter (one-row broadcast
+    // join after decorrelation) and a scalar MAX over a derived
+    // aggregate referenced twice.
+    "q22_idle_customers" -> SubqueryOps.q22IdleCustomers _,
+    "q15_top_supplier" -> SubqueryOps.q15TopSupplier _,
+    // Q13/Q8: join-topology shapes — predicate-carrying LEFT OUTER +
+    // count-of-counts histogram; 7-relation market share with the
+    // ratio from ONE conditional-sum aggregate.
+    "q13_order_distribution" -> JoinOps.q13OrderDistribution _,
+    "q8_market_share" -> JoinOps.q8MarketShare _,
     "window_running_spend" -> CoreOps.runningCustomerSpend _,
     "rollup_pricing" -> CoreOps.rollupPricing _,
     "cube_pricing" -> CoreOps.cubePricing _,
@@ -385,6 +396,10 @@ object SparkEntry {
     "q4_order_priority" -> OpsOracles.q4OrderPriority,
     "q21_suppliers_waiting" -> OpsOracles.q21SuppliersWaiting,
     "q17_small_quantity_revenue" -> OpsOracles.q17SmallQuantityRevenue,
+    "q22_idle_customers" -> OpsOracles.q22IdleCustomers,
+    "q15_top_supplier" -> OpsOracles.q15TopSupplier,
+    "q13_order_distribution" -> OpsOracles.q13OrderDistribution,
+    "q8_market_share" -> OpsOracles.q8MarketShare,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,
     "rollup_pricing" -> OpsOracles.rollupPricing,
     "cube_pricing" -> OpsOracles.cubePricing,

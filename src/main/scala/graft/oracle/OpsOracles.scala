@@ -256,6 +256,97 @@ object OpsOracles {
       |     FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
       |GROUP BY p.p_brand""".stripMargin
 
+  /** Mirrors SubqueryOps.q22IdleCustomers: the same uncorrelated
+    * cross-multiplied scalar pair + correlated NOT EXISTS; cents-exact
+    * balance total via the Num.r tree (HUGEINT sums cast to BIGINT
+    * before any arithmetic). */
+  val q22IdleCustomers: String =
+    """SELECT n.n_name AS cntry, CAST(count(1) AS BIGINT) AS numcust,
+      |  round((CAST(CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / 100) * 100, 0) / 100.0 AS totacctbal
+      |FROM customer c
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.c_nationkey IN (3, 7, 11, 14, 19)
+      |  AND CAST(round(c.c_acctbal * 100, 0) AS BIGINT) *
+      |    (SELECT count(1) FROM customer c2
+      |     WHERE c2.c_acctbal > 0.0
+      |       AND c2.c_nationkey IN (3, 7, 11, 14, 19))
+      |  > (SELECT CAST(sum(CAST(round(c3.c_acctbal * 100, 0) AS BIGINT))
+      |       AS BIGINT)
+      |     FROM customer c3
+      |     WHERE c3.c_acctbal > 0.0
+      |       AND c3.c_nationkey IN (3, 7, 11, 14, 19))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY n.n_name""".stripMargin
+
+  /** Mirrors SubqueryOps.q15TopSupplier: integer hundredths-of-cents
+    * revenue makes the `= max(...)` equality exact and tie-complete in
+    * both engines. */
+  val q15TopSupplier: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+      |      AS BIGINT) AS rev_i
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |  round((CAST(r.rev_i AS DOUBLE) / 10000) * 100, 0) / 100.0
+      |    AS total_revenue
+      |FROM supplier s
+      |JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.rev_i = (SELECT max(rev_i) FROM revenue)""".stripMargin
+
+  /** Mirrors JoinOps.q13OrderDistribution: the disqualifying predicate
+    * rides the LEFT JOIN condition so zero-order customers survive into
+    * the histogram; count(o_orderkey) counts matched rows only. */
+  val q13OrderDistribution: String =
+    """WITH pc AS (
+      |  SELECT c.c_custkey,
+      |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey
+      |      AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(1) AS BIGINT) AS custdist
+      |FROM pc GROUP BY c_count""".stripMargin
+
+  /** Mirrors JoinOps.q8MarketShare: identical integer volume tree and
+    * the same one-aggregate conditional-sum share; HUGEINT sums cast
+    * to BIGINT before the double division so both engines divide the
+    * same 64-bit values. */
+  val q8MarketShare: String =
+    """WITH vol AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    n2.n_name AS supp_nation,
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS vol_i
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |    AND r.r_name = 'ASIA'
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey)
+      |SELECT o_year,
+      |  round((CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+      |      THEN vol_i ELSE 0 END) AS BIGINT) AS DOUBLE) /
+      |    CAST(SUM(vol_i) AS BIGINT)) * 1000000, 0) / 1000000.0
+      |    AS mkt_share,
+      |  round((CAST(CAST(SUM(vol_i) AS BIGINT) AS DOUBLE) / 10000)
+      |    * 100, 0) / 100.0 AS total_volume
+      |FROM vol GROUP BY o_year""".stripMargin
+
   val runningCustomerSpend: String =
     """WITH o AS (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,

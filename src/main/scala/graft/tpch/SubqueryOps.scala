@@ -101,4 +101,71 @@ object SubqueryOps {
         |     FROM sq_lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
         |GROUP BY p.p_brand""".stripMargin)
   }
+
+  /** TPC-H Q22 shape: well-funded customers gone idle — an UNCORRELATED
+    * scalar aggregate subquery in the filter (the global
+    * positive-balance mean) plus a correlated NOT EXISTS (no order in
+    * the last observed window). The harness customer carries no phone,
+    * so the country-code IN-list is re-expressed on `c_nationkey`; the
+    * "balance above the average" comparison follows the Q17 rule —
+    * two uncorrelated scalars (count and cents-sum) cross-multiplied so
+    * no float division can flip the boundary between engines. Catalyst
+    * plans the scalars as one-row broadcast joins (ScalarSubquery →
+    * OneRowRelation aggregate) and the NOT EXISTS as a left-anti join
+    * on `o_custkey` with the date predicate pushed into the anti side's
+    * scan — at 100 TB: one tiny global aggregate plus one shuffled
+    * anti join, never a per-row probe. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer"); view(s, dir, "orders")
+    view(s, dir, "nation")
+    s.sql(
+      """SELECT n.n_name AS cntry, count(1) AS numcust,
+        |  round((cast(sum(cast(round(c.c_acctbal * 100, 0) AS bigint))
+        |    AS double) / 100) * 100, 0) / 100.0 AS totacctbal
+        |FROM sq_customer c
+        |JOIN sq_nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_nationkey IN (3, 7, 11, 14, 19)
+        |  AND cast(round(c.c_acctbal * 100, 0) AS bigint) *
+        |    (SELECT count(1) FROM sq_customer c2
+        |     WHERE c2.c_acctbal > 0.0
+        |       AND c2.c_nationkey IN (3, 7, 11, 14, 19))
+        |  > (SELECT sum(cast(round(c3.c_acctbal * 100, 0) AS bigint))
+        |     FROM sq_customer c3
+        |     WHERE c3.c_acctbal > 0.0
+        |       AND c3.c_nationkey IN (3, 7, 11, 14, 19))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sq_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY n.n_name""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape: the top-revenue supplier of a quarter — a scalar
+    * MAX subquery over a DERIVED AGGREGATE (the revenue view referenced
+    * twice: once as the join input, once inside the scalar). Revenue is
+    * summed in integer hundredths-of-cents, so the `rev_i = max(rev_i)`
+    * equality is exact and tie-complete cross-engine (floats would make
+    * "the max" engine-dependent). Catalyst evaluates the scalar branch
+    * as its own aggregate and broadcasts the one-row result into the
+    * filter — two passes over one quarter's lineitem slice, both
+    * map-side combined, no correlated re-execution. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem"); view(s, dir, "supplier")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(cast(round(l_extendedprice * 100, 0) AS bigint) *
+        |        (100 - cast(round(l_discount * 100, 0) AS bigint)))
+        |      AS rev_i
+        |  FROM sq_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  round((cast(r.rev_i AS double) / 10000) * 100, 0) / 100.0
+        |    AS total_revenue
+        |FROM sq_supplier s
+        |JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.rev_i = (SELECT max(rev_i) FROM revenue)""".stripMargin)
+  }
 }

@@ -201,6 +201,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scalar-subquery shapes (q22/q15) and join topologies (q13/q8) " +
+      "plan as hash joins - scalars one-shot, never per-row") {
+    // q22's NOT EXISTS must decorrelate to a LeftAnti; its two
+    // uncorrelated scalar aggregates legitimately remain Subquery
+    // nodes (executed ONCE, broadcast into the filter) — per-row
+    // re-execution would show as a nested-loop join instead.
+    val q22 = plan("q22_idle_customers")
+    assert(q22.contains("LeftAnti"), q22)
+    // q15's scalar MAX over the derived revenue aggregate: aggregate
+    // joined back by hash, nothing nested-loop.
+    val q15 = plan("q15_top_supplier")
+    assert(q15.contains("HashAggregate"), q15)
+    // q13 keeps the LEFT OUTER with its ON-condition (the zero-order
+    // customers survive); q8's 7-relation tree broadcasts the
+    // metadata-scale dims.
+    val q13 = plan("q13_order_distribution")
+    assert(q13.contains("LeftOuter"), q13)
+    val q8 = plan("q8_market_share")
+    assert(q8.contains("BroadcastHashJoin"), q8)
+    for ((n, p) <- Seq(("q22", q22), ("q15", q15), ("q13", q13),
+        ("q8", q8))) {
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+    }
+  }
+
   test("eval_knn large arm routes candidates through IVF lists - " +
       "no corpus x corpus generator") {
     // Past BruteBudget the AutoArm switches to IVF candidates; that
