@@ -68,17 +68,29 @@ object IntervalJoin {
                          cap: Long = HotBucketCap): DataFrame = {
     // Gold-side convention: sessions over cleansed events (the silver
     // dedup is its own materialization — the goldPre oracle preamble).
+    // localCheckpoint, not persist (the KnnEval convention): the
+    // corpus-scale cleanse→sessionize derivation feeds the buckets
+    // explode (which AutoArm's membership aggregate and BOTH salted-arm
+    // sides re-read) AND the final n_concurrent join — without the
+    // checkpoint the SaltArm path re-executes the derivation up to five
+    // times, and a bare persist would leak past the lazy return.
     val sess = graft.silver.Sessionize
       .sessions(graft.ingest.Events.cleansed(spark, dir))
       .groupBy(col("session_id"))
       .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
-      .persist()
+      .localCheckpoint()
     // explode_outer + null filter: the bucket list is a DERIVED array
     // (the InferFiltersFromGenerate pitfall PlanSpec guards).
+    // The exploded frame is itself checkpointed (≈ sessions × mean
+    // bucket span rows — session-scale, not pair-scale): the AutoArm
+    // membership aggregate plus up to four pair subtrees (hot agg, cold
+    // anti-join, both salted sides) read it, and each would otherwise
+    // repeat the explode over the sess blocks.
     val buckets = sess.select(col("session_id"), col("s"), col("e"),
       explode_outer(expr(s"sequence(s div ${BucketUs}L, e div ${BucketUs}L)"))
         .as("bkt"))
       .filter(col("bkt").isNotNull)
+      .localCheckpoint()
     val resolved = arm match {
       case AutoArm =>
         // One metadata-scale aggregate decides the arm.

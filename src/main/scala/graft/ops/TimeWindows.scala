@@ -52,7 +52,12 @@ object TimeWindows {
       .groupBy(col("platform"), col("hour_us"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value_cents")).as("sum_cents"))
-      .persist()
+      // localCheckpoint, not persist (the KnnEval convention): three
+      // subtrees read this platform×hour aggregate (bounds, the grid's
+      // platform distinct, the fill join) and the returned frame is
+      // lazy, so persist would leak past the action. Blocks free with
+      // the RDD's GC.
+      .localCheckpoint()
     val bounds = base.agg(min(col("hour_us")).as("h0"),
       max(col("hour_us")).as("h1"))
     val grid = base.select(col("platform")).distinct()

@@ -282,6 +282,38 @@ object OpsOracles {
       |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       |GROUP BY n.n_name""".stripMargin
 
+  /** Mirrors SubqueryOps.q16IdleCustomersNotIn: literal NOT IN — DuckDB
+    * evaluates the same null-aware three-valued semantics natively (a
+    * NULL inner value would empty both engines' results identically). */
+  val q16IdleCustomersNotIn: String =
+    """SELECT c.c_mktsegment AS segment, CAST(count(1) AS BIGINT) AS n_idle
+      |FROM customer c
+      |WHERE c.c_custkey NOT IN (
+      |  SELECT o.o_custkey FROM orders o
+      |  WHERE o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c.c_mktsegment""".stripMargin
+
+  /** Mirrors SubqueryOps.q2MinCostSupplier: the correlated scalar MIN
+    * over the 4-table regional join, integer cents so the min-equality
+    * is exact and tie-complete. */
+  val q2MinCostSupplier: String =
+    """SELECT DISTINCT s.s_name, p.p_partkey, p.p_type,
+      |  CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    AS min_price_cents
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'ASIA' AND p.p_size = 5
+      |  AND CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) = (
+      |    SELECT min(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""".stripMargin
+
   /** Mirrors SubqueryOps.q15TopSupplier: integer hundredths-of-cents
     * revenue makes the `= max(...)` equality exact and tie-complete in
     * both engines. */

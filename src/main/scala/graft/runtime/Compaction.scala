@@ -60,32 +60,58 @@ object Compaction {
     * so ONE recovery sweep understands every writer's leftovers. */
   private[graft] val BackupSep = "--"
 
+  /** Recover the partition directory name a backup encodes. Understands
+    * BOTH naming generations: the current `.backup-<uuid>--<partition>`
+    * (uuid and partition separated by [[BackupSep]]) and the pre-round-10
+    * single-dash `.backup-<uuid>-<partition>` (the uuid is exactly 36
+    * chars, so the partition starts at a FIXED offset — the only way to
+    * parse it, since hive partition names like `datetime=2024-01-01`
+    * contain dashes themselves). An unparseable `.backup-*` name FAILS
+    * LOUD: silently skipping it would let the sweep report a table
+    * healed while a crashed partition stays missing forever. */
+  private[graft] def partitionOfBackup(name: String): String = {
+    val sep = name.indexOf(BackupSep)
+    val LegacyPartStart = ".backup-".length + 36 + 1 // prefix + uuid + '-'
+    if (sep > 0 && name.length > sep + BackupSep.length)
+      name.substring(sep + BackupSep.length)
+    else if (sep < 0 && name.length > LegacyPartStart &&
+        name.charAt(LegacyPartStart - 1) == '-' &&
+        name.substring(".backup-".length, LegacyPartStart - 1)
+          .matches("[0-9a-fA-F-]{36}"))
+      name.substring(LegacyPartStart)
+    else throw new java.io.IOException(
+      s"unparseable backup directory name '$name': cannot determine " +
+        "which partition it belongs to — refusing to silently skip it")
+  }
+
   /** Heal the crash windows of a previous rename-swap writer (scaladoc
     * above) — shared by [[compact]] and
     * [[graft.silver.MergeUpsert.upsert]]. Backups first — a
     * between-renames backup must be restored before its staging twin
     * is discarded — then drop every leftover `.compact-*` /
-    * `.staging-*` working directory. Returns the number of directories
-    * repaired or removed. */
+    * `.staging-*` / `.trash-*` working directory. Returns the number
+    * of directories repaired or removed. */
   private[graft] def recoverySweep(fs: FileSystem, root: Path): Int = {
     var actions = 0
     val entries = fs.listStatus(root).filter(_.isDirectory)
     entries.filter(_.getPath.getName.startsWith(".backup-")).foreach { b =>
       val name = b.getPath.getName
-      val sep = name.indexOf(BackupSep)
-      if (sep > 0) {
-        val part = new Path(root, name.substring(sep + BackupSep.length))
-        if (!fs.exists(part)) {
-          if (!fs.rename(b.getPath, part))
-            throw new java.io.IOException(
-              s"recovery rename ${b.getPath} -> $part failed")
-        } else fs.delete(b.getPath, true)
-        actions += 1
-      }
+      val part = new Path(root, partitionOfBackup(name))
+      if (!fs.exists(part)) {
+        if (!fs.rename(b.getPath, part))
+          throw new java.io.IOException(
+            s"recovery rename ${b.getPath} -> $part failed")
+      } else fs.delete(b.getPath, true)
+      actions += 1
     }
     entries.filter { s =>
       val n = s.getPath.getName
-      n.startsWith(".compact-") || n.startsWith(".staging-")
+      // .trash-*: a partition DELETE that crashed between its two steps
+      // (rename-out, then delete) — unlike a backup, trash means the
+      // data is dead, so recovery completes the delete rather than
+      // restoring it (MergeUpsert.dropPartitions).
+      n.startsWith(".compact-") || n.startsWith(".staging-") ||
+        n.startsWith(".trash-")
     }.foreach { st => fs.delete(st.getPath, true); actions += 1 }
     actions
   }

@@ -42,16 +42,19 @@ object IncrementalGold {
 
   /** Exact user-scoped incremental user gold: recompute
     * [[graft.gold.UserDaily]] over the affected users' full history
-    * and upsert on the (datetime, user_id) grain. `affectedUsers` is
-    * one `user_id` column (typically the delta's distinct users);
-    * the semi-join scoping lets AQE broadcast it when small. */
+    * and converge the target to it on the USER scope — including
+    * deletions: a (datetime, user) grain that vanished from the
+    * recompute (a late event moved the user's rows off that date) is
+    * dropped, which a plain keyed upsert cannot express
+    * (MergeUpsert.upsertScoped). `affectedUsers` is one `user_id`
+    * column (typically the delta's distinct users); the semi-join
+    * scoping lets AQE broadcast it when small. */
   def userDailyDelta(spark: SparkSession, silver: DataFrame,
                      goldDir: String, affectedUsers: DataFrame): Unit = {
-    val scoped = silver.join(
-      affectedUsers.select(col("user_id")).distinct(),
-      Seq("user_id"), "left_semi")
-    MergeUpsert.upsert(spark, goldDir,
-      graft.gold.UserDaily.build(scoped), Seq("datetime", "user_id"))
+    val users = affectedUsers.select(col("user_id")).distinct()
+    val scoped = silver.join(users, Seq("user_id"), "left_semi")
+    MergeUpsert.upsertScoped(spark, goldDir,
+      graft.gold.UserDaily.build(scoped), Seq("user_id"), users)
   }
 
   /** Exact date-scoped incremental recompute for a date-grain gold:
@@ -76,7 +79,12 @@ object IncrementalGold {
     // partition filter prunes instead of casting the column.
     val scoped = silver.filter(col("datetime").isin(halo: _*))
     val stage = build(scoped).filter(col("datetime").isin(affected: _*))
-    MergeUpsert.upsert(spark, goldDir, stage, "datetime" +: grainCols)
+    // Replace, don't upsert: the stage is the COMPLETE recompute of
+    // the affected dates, so grains absent from it must be DROPPED —
+    // a keyed upsert would keep a (datetime, grain) row whose silver
+    // inputs vanished (deletion propagation); an affected date with no
+    // staged rows at all is deleted outright.
+    MergeUpsert.replacePartitions(spark, goldDir, stage, affected)
   }
 
   /** [[dateScopedDelta]] pre-bound for the episode gold (within-date:

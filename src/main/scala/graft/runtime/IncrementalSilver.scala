@@ -88,25 +88,60 @@ object IncrementalSilver {
     // write below would otherwise each execute it from scratch.
     val recomputed = derive(history).localCheckpoint()
 
-    // Affected dates = the recomputed users' full histories' dates
-    // (metadata-scale collect, same as merge-upsert planning).
-    val affectedDates = recomputed.select(col("datetime")).distinct()
-      .collect().map(_.getDate(0))
-
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silverExists =
+      fs.exists(silverPath) && fs.listStatus(silverPath).nonEmpty
+    // Heal a previous writer's crash leftovers before reading: a
+    // `.trash-*` from a partition delete that died between its two
+    // steps completes here (the shared sweep MergeUpsert/Compaction
+    // already run on their tables).
+    if (silverExists) Compaction.recoverySweep(fs, silverPath)
+
+    // Affected dates = the recomputed frame's dates ∪ the affected
+    // users' EXISTING silver dates (both metadata-scale collects, same
+    // as merge-upsert planning). The existing-dates side is the
+    // DELETION-propagation half: a late event can re-stamp or re-derive
+    // a user's rows OFF a date entirely (keep-latest moves an event's
+    // day; a session merge re-keys its rows), and that date never
+    // appears in the recompute — without it, the stale rows on the
+    // un-rewritten partition would survive and the table would diverge
+    // from the full recompute. The scan is column-pruned to
+    // (user_id, datetime); a user-bucketed silver layout prunes it
+    // further at 100 TB.
+    val recomputedDates = recomputed.select(col("datetime")).distinct()
+      .collect().map(_.getDate(0)).toIndexedSeq
+    val existingDates =
+      if (!silverExists) IndexedSeq.empty[java.sql.Date]
+      else spark.read.parquet(silverDir)
+        .join(affectedUsers, Seq("user_id"), "left_semi")
+        .select(col("datetime")).distinct()
+        .collect().map(_.getDate(0)).toIndexedSeq
+    val affectedDates = (recomputedDates ++ existingDates).distinct
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if (!fs.exists(silverPath) || fs.listStatus(silverPath).isEmpty) {
+    if (!silverExists) {
       recomputed.write.partitionBy("datetime").mode("overwrite")
         .parquet(silverDir)
     } else {
       val kept = spark.read.parquet(silverDir)
-        .filter(col("datetime").isin(affectedDates.toIndexedSeq: _*))
+        .filter(col("datetime").isin(affectedDates: _*))
         .join(affectedUsers, Seq("user_id"), "left_anti")
-      kept.unionByName(recomputed)
+      val rewrite = kept.unionByName(recomputed)
         .localCheckpoint() // the kept side reads the path we overwrite
-        .write.partitionBy("datetime").mode("overwrite").parquet(silverDir)
+      rewrite.write.partitionBy("datetime").mode("overwrite")
+        .parquet(silverDir)
+      // Dynamic partition overwrite only replaces partitions PRESENT in
+      // the written frame — an affected date whose rewrite came out
+      // empty (the moved user was its only user) keeps its stale files.
+      // Those partitions are dropped explicitly (trash protocol, crash
+      // window healed by the shared recovery sweep). The collect reads
+      // the checkpoint blocks, not the derivation.
+      val writtenDates = rewrite.select(col("datetime")).distinct()
+        .collect().map(_.getDate(0)).toSet
+      graft.silver.MergeUpsert.dropPartitions(spark, silverDir, "datetime",
+        affectedDates.filterNot(writtenDates))
     }
-    Delta(hw, Some(affectedUsers), affectedDates.toIndexedSeq)
+    Delta(hw, Some(affectedUsers), affectedDates)
   }
 }

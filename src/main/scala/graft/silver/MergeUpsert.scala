@@ -63,16 +63,8 @@ object MergeUpsert {
       graft.runtime.Compaction.recoverySweep(fs, rootPath)
       // Affected partitions only: metadata-scale collect (dates, not rows).
       val affected = stage.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0))
-      val (nonNullVals, hasNull) =
-        (affected.filter(_ != null), affected.contains(null))
-      // isin() never matches NULL (SQL three-valued logic), so a null
-      // partition value needs its own predicate or its pre-existing
-      // target rows would be silently dropped by the swap.
-      val affectedPred = {
-        val p = col(partitionCol).isin(nonNullVals.toIndexedSeq: _*)
-        if (hasNull) p || col(partitionCol).isNull else p
-      }
+        .collect().map(_.get(0)).toIndexedSeq
+      val affectedPred = affectedPredicate(partitionCol, affected)
       // mergeSchema: the target's schema must be the UNION of its
       // files' schemas, not whichever footer Spark happens to sample —
       // after an evolution write, a sampled old footer would silently
@@ -86,36 +78,185 @@ object MergeUpsert {
       val merged = target
         .join(stage, keyCols, "left_anti")
         .unionByName(stage, allowMissingColumns = evolveSchema)
-      val uuid = java.util.UUID.randomUUID().toString
-      val stagingDir = new Path(targetDir, s".staging-$uuid")
-      merged.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(stagingDir.toString)
-      def renameOrFail(from: Path, to: Path): Unit =
-        if (!fs.rename(from, to))
-          throw new java.io.IOException(s"rename $from -> $to failed")
-      // Swap the partition directories the staging write ACTUALLY
-      // produced (one per affected value, by construction — every
-      // affected value has staged rows). Deriving names from the values
-      // would have to reproduce Spark's partition-path encoding exactly
-      // (escaped chars, timestamp formatting, null →
-      // __HIVE_DEFAULT_PARTITION__) — listing sidesteps the whole class.
-      try {
-        fs.listStatus(stagingDir)
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith(s"$partitionCol="))
-          .map(_.getPath.getName)
-          .foreach { part =>
-            val tgt = new Path(rootPath, part)
-            val stg = new Path(stagingDir, part)
-            // Backup name ENCODES the partition (shared BackupSep
-            // convention) so the recovery sweep can restore it.
-            val bak = new Path(rootPath,
-              s".backup-$uuid${graft.runtime.Compaction.BackupSep}$part")
-            if (fs.exists(tgt)) renameOrFail(tgt, bak)
-            renameOrFail(stg, tgt)
-            if (fs.exists(bak)) fs.delete(bak, true)
-          }
-      } finally fs.delete(stagingDir, true)
+      // Plain upsert never deletes a partition: every affected value
+      // has staged rows by construction, so dropEmpty = Nil.
+      writeAndSwap(spark, fs, rootPath, merged, partitionCol, Nil)
     }
+  }
+
+  /** Delta-recompute merge with DELETION propagation: `stage` is the
+    * COMPLETE recompute of a scope (e.g. the affected users — every
+    * staged row must lie inside `scope`, which the caller guarantees by
+    * deriving the stage from a scope semi-join). Within that scope the
+    * target converges to the stage EXACTLY, including deletions: scope
+    * rows absent from the stage are dropped — the case plain [[upsert]]
+    * cannot express, because its anti-join-union keeps any target row
+    * whose key vanished from the stage.
+    *
+    * Affected partitions are the union of the stage's partition values
+    * and the partition values where the scope currently has TARGET rows
+    * — a vanished grain has no staged row, but its old partition must
+    * still rewrite (the scope-side scan is column-pruned to
+    * (scopeCols, partitionCol); at 100 TB a scope-bucketed layout
+    * prunes it further). A partition whose rewrite comes out EMPTY is
+    * deleted via the trash protocol (scaladoc on [[dropPartitions]]).
+    * Idempotent: re-running the same stage re-derives the same scope
+    * rows. */
+  def upsertScoped(spark: SparkSession, targetDir: String, stage: DataFrame,
+                   scopeCols: Seq[String], scope: DataFrame,
+                   partitionCol: String = "datetime"): Unit = {
+    val rootPath = new Path(targetDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
+    if (!targetExists) {
+      stage.write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(targetDir)
+    } else {
+      graft.runtime.Compaction.recoverySweep(fs, rootPath)
+      val target = spark.read.option("mergeSchema", "true").parquet(targetDir)
+      val stagedVals = stage.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+      val scopeVals = target
+        .join(scope.select(scopeCols.map(col): _*).distinct(),
+          scopeCols, "left_semi")
+        .select(col(partitionCol)).distinct().collect()
+        .map(_.get(0)).toIndexedSeq
+      val affected = (stagedVals ++ scopeVals).distinct
+      if (affected.isEmpty) return // nothing staged, scope has no rows
+      val kept = target.filter(affectedPredicate(partitionCol, affected))
+        .join(scope.select(scopeCols.map(col): _*).distinct(),
+          scopeCols, "left_anti")
+      writeAndSwap(spark, fs, rootPath, kept.unionByName(stage),
+        partitionCol, affected.map(partitionDirName(partitionCol, _)))
+    }
+  }
+
+  /** Replace exactly the partitions of `partitionVals` with the stage's
+    * rows — the date-grain delta-recompute shape, where the stage IS the
+    * complete recompute of those partitions (so target rows there are
+    * dropped wholesale, and a partition with no staged rows at all is
+    * DELETED — the all-grains-vanished case). Partitions outside the
+    * list are untouched. Same staging-write + rename-swap crash
+    * protocol as [[upsert]]. */
+  def replacePartitions(spark: SparkSession, targetDir: String,
+                        stage: DataFrame, partitionVals: Seq[Any],
+                        partitionCol: String = "datetime"): Unit = {
+    val rootPath = new Path(targetDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
+    if (!targetExists) {
+      stage.write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(targetDir)
+    } else {
+      graft.runtime.Compaction.recoverySweep(fs, rootPath)
+      // Safety union: a staged value outside the declared list would
+      // otherwise swap in while its siblings' stale rows survive.
+      val stagedVals = stage.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+      val affected = (partitionVals ++ stagedVals).distinct
+      if (affected.isEmpty) return
+      writeAndSwap(spark, fs, rootPath,
+        stage.filter(affectedPredicate(partitionCol, affected)),
+        partitionCol, affected.map(partitionDirName(partitionCol, _)))
+    }
+  }
+
+  /** isin() never matches NULL (SQL three-valued logic), so a null
+    * partition value needs its own predicate. */
+  private def affectedPredicate(partitionCol: String,
+                                affected: Seq[Any]) = {
+    val nonNull = affected.filter(_ != null)
+    val p = col(partitionCol).isin(nonNull: _*)
+    if (affected.contains(null)) p || col(partitionCol).isNull else p
+  }
+
+  /** Hive partition directory name for one value — the value→path
+    * encoding Spark's writers use. Only the DELETE side of the scoped
+    * modes needs it (the swap side derives names by listing the staging
+    * output, which sidesteps encoding entirely; a partition that must
+    * VANISH has no staged rows to list). Covers the scalar types whose
+    * toString matches Spark's hive formatting — Date, String, integers,
+    * the partition-column types this codebase uses; null takes the hive
+    * default-partition name. */
+  private[graft] def partitionDirName(partitionCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"$partitionCol=$s"
+  }
+
+  /** Drop partition directories via the TRASH protocol: rename to
+    * `.trash-<uuid>` (one atomic rename — the partition vanishes in a
+    * single metadata operation), then delete the trash dir. A crash
+    * between the two leaves a `.trash-*` directory that the shared
+    * recovery sweep DELETES on the next run — deliberately a different
+    * name class from `.backup-*`, whose sweep semantics are "restore if
+    * the partition is missing": a trash name means this data is DEAD,
+    * so recovery completes the delete instead of resurrecting stale
+    * rows. */
+  private[graft] def dropPartitions(spark: SparkSession, targetDir: String,
+                                    partitionCol: String,
+                                    vals: Seq[Any]): Unit = {
+    val rootPath = new Path(targetDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dropPartitionDirs(fs, rootPath,
+      vals.map(partitionDirName(partitionCol, _)))
+  }
+
+  private def dropPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                rootPath: Path,
+                                dirNames: Seq[String]): Unit =
+    dirNames.foreach { part =>
+      val tgt = new Path(rootPath, part)
+      if (fs.exists(tgt)) {
+        val trash = new Path(rootPath,
+          s".trash-${java.util.UUID.randomUUID().toString}")
+        if (!fs.rename(tgt, trash))
+          throw new java.io.IOException(s"trash rename $tgt -> $trash failed")
+        fs.delete(trash, true)
+      }
+    }
+
+  /** Shared tail of every merge mode: write `merged` to a
+    * `.staging-<uuid>` directory, swap each produced partition in via
+    * the two-rename protocol, then drop the `dropIfEmpty` partitions
+    * that received NO staged rows (empty rewrite = the partition's last
+    * rows vanished). Swap names come from LISTING the staging output —
+    * deriving them from values would have to reproduce Spark's
+    * partition-path encoding exactly (escaped chars, timestamp
+    * formatting, null → __HIVE_DEFAULT_PARTITION__); only the delete
+    * side, which has nothing to list, uses [[partitionDirName]]. */
+  private def writeAndSwap(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           rootPath: Path, merged: DataFrame,
+                           partitionCol: String,
+                           dropIfEmpty: Seq[String]): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val stagingDir = new Path(rootPath, s".staging-$uuid")
+    merged.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(stagingDir.toString)
+    def renameOrFail(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+    try {
+      val written = fs.listStatus(stagingDir)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partitionCol="))
+        .map(_.getPath.getName)
+      written.foreach { part =>
+        val tgt = new Path(rootPath, part)
+        val stg = new Path(stagingDir, part)
+        // Backup name ENCODES the partition (shared BackupSep
+        // convention) so the recovery sweep can restore it.
+        val bak = new Path(rootPath,
+          s".backup-$uuid${graft.runtime.Compaction.BackupSep}$part")
+        if (fs.exists(tgt)) renameOrFail(tgt, bak)
+        renameOrFail(stg, tgt)
+        if (fs.exists(bak)) fs.delete(bak, true)
+      }
+      dropPartitionDirs(fs, rootPath,
+        dropIfEmpty.filterNot(written.toSet))
+    } finally fs.delete(stagingDir, true)
   }
 }

@@ -87,7 +87,7 @@ object JoinOps {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
           .as("vol_i"))
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))

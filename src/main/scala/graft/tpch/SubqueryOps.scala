@@ -168,4 +168,75 @@ object SubqueryOps {
         |JOIN revenue r ON s.s_suppkey = r.supplier_no
         |WHERE r.rev_i = (SELECT max(rev_i) FROM revenue)""".stripMargin)
   }
+
+  /** Null-aware `NOT IN (subquery)` — the one decorrelation surface NOT
+    * EXISTS cannot stand in for: under SQL three-valued logic a single
+    * NULL in the inner relation makes `x NOT IN (...)` UNKNOWN for
+    * every x, emptying the result (q22's NOT EXISTS just skips the NULL
+    * row). Catalyst cannot prove parquet columns non-null, so the
+    * rewrite is a left-anti join on `x = y OR isnull(x = y)` — which
+    * hash joins cannot key. Spark's `optimizeNullAwareAntiJoin` (on by
+    * default) recovers the single-column case as a BROADCAST hash join
+    * with `isNullAwareAntiJoin=true`: build the inner once, reject all
+    * if it contains a NULL (PlanSpec pins this operator; a planted-NULL
+    * spec pins the empty-result semantics).
+    *
+    * Scale rule, stated honestly: the null-aware anti join exists ONLY
+    * in broadcast form — an inner too big to broadcast falls back to
+    * BroadcastNestedLoopJoin, so at 100 TB a NOT IN over a fact-scale
+    * nullable inner is a trap. Either prove the inner non-null
+    * (`AND o_custkey IS NOT NULL` → plain shuffled left-anti, q21's
+    * plan) or phrase it as NOT EXISTS (q22) when NULL-rejection
+    * semantics are not wanted. Here the inner is one half-year of
+    * order custkeys — the registered form documents the semantics
+    * surface at a broadcastable inner size. Same business question as
+    * q22 (idle customers), deliberately: the two queries differ ONLY
+    * in the decorrelation path. */
+  def q16IdleCustomersNotIn(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer"); view(s, dir, "orders")
+    s.sql(
+      """SELECT c.c_mktsegment AS segment, count(1) AS n_idle
+        |FROM sq_customer c
+        |WHERE c.c_custkey NOT IN (
+        |  SELECT o.o_custkey FROM sq_orders o
+        |  WHERE o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c.c_mktsegment""".stripMargin)
+  }
+
+  /** TPC-H Q2 shape: the cheapest regional supplier of each part — the
+    * DEEPEST decorrelation in the battery: a correlated scalar MIN over
+    * a MULTI-TABLE join (lineitem ⋈ supplier ⋈ nation ⋈ region), the
+    * correlation (`l2.l_partkey = p.p_partkey`) buried under three
+    * uncorrelated joins. The harness has no partsupp table, so lineitem
+    * is the part↔supplier bridge and "supply cost" is the shipped
+    * extended price. `RewriteCorrelatedScalarSubquery` must hoist the
+    * whole join subtree into ONE partkey-grain aggregate joined back —
+    * a per-row re-execution of a 4-table join is the classic optimizer
+    * failure this query exists to catch (PlanSpec pins
+    * aggregate-then-join). Price stays integer CENTS end-to-end, so the
+    * min-equality is exact and tie-complete cross-engine; DISTINCT
+    * collapses a supplier shipping the same part at the min price
+    * twice. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem"); view(s, dir, "part")
+    view(s, dir, "supplier"); view(s, dir, "nation")
+    view(s, dir, "region")
+    s.sql(
+      """SELECT DISTINCT s.s_name, p.p_partkey, p.p_type,
+        |  cast(round(l.l_extendedprice * 100, 0) AS bigint)
+        |    AS min_price_cents
+        |FROM sq_lineitem l
+        |JOIN sq_part p ON p.p_partkey = l.l_partkey
+        |JOIN sq_supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN sq_nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN sq_region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA' AND p.p_size = 5
+        |  AND cast(round(l.l_extendedprice * 100, 0) AS bigint) = (
+        |    SELECT min(cast(round(l2.l_extendedprice * 100, 0) AS bigint))
+        |    FROM sq_lineitem l2
+        |    JOIN sq_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN sq_nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN sq_region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""".stripMargin)
+  }
 }

@@ -86,4 +86,44 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select(cols: _*).collect().toSet ==
       snapshot, "recovery changed table content")
   }
+
+  test("recovery sweep parses the legacy single-dash backup naming " +
+      "and fails loud on unparseable names") {
+    // A pre-round-10 writer parked backups as .backup-<uuid>-<part>
+    // (single dash). The sweep must restore those too — the partition
+    // name starts at the fixed 36-char-uuid offset.
+    val uuid = "123e4567-e89b-42d3-a456-426614174000"
+    assert(Compaction.partitionOfBackup(
+      s".backup-$uuid-datetime=2024-01-01") == "datetime=2024-01-01")
+    // Current two-dash naming still parses (partition may contain
+    // dashes of its own).
+    assert(Compaction.partitionOfBackup(
+      s".backup-$uuid--datetime=2024-01-01") == "datetime=2024-01-01")
+    assert(Compaction.partitionOfBackup(
+      ".backup-w1--p=1") == "p=1")
+    // Unparseable: neither separator nor a uuid-shaped prefix. Silent
+    // skip would report the table healed while a partition stays
+    // missing — must throw instead.
+    intercept[java.io.IOException] {
+      Compaction.partitionOfBackup(".backup-junk")
+    }
+
+    // End-to-end: a legacy-named backup with its partition missing is
+    // restored by the sweep.
+    val dir = tmpDir("compact-legacy")
+    val ev = graft.ingest.Events.cleansed(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us", "event_type", "datetime")
+    ev.write.partitionBy("datetime").mode("overwrite").parquet(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted.head
+    val snapshot = spark.read.parquet(dir).collect().length
+    assert(fs.rename(new Path(root, part),
+      new Path(root, s".backup-$uuid-$part")))
+    Compaction.compact(spark, dir)
+    assert(fs.exists(new Path(root, part)),
+      "legacy-named backup must be restored")
+    assert(spark.read.parquet(dir).collect().length == snapshot)
+  }
 }

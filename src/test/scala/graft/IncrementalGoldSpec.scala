@@ -71,6 +71,50 @@ class IncrementalGoldSpec extends SparkSpec {
     assertSame(dir, CountryDaily.build(sessions))
   }
 
+  test("user gold: shrinking delta DELETES the (date, user) grains the " +
+      "recompute no longer produces") {
+    // A late-arriving event can move a user's silver rows off a date
+    // (re-stamped redelivery, session re-derivation) — the recompute
+    // then has no row for that (date, user), and a keyed upsert would
+    // keep the stale gold row forever. Simulate the post-shrink silver
+    // directly: seed the gold from the FULL silver, then drop one
+    // user's rows on the last date and run the delta for that user.
+    val dir = tmpDir("ig-user-shrink")
+    UserDaily.build(sessions).write.partitionBy("datetime")
+      .mode("overwrite").parquet(dir)
+    val lastDate = dates.last
+    val victim = sessions.filter(col("datetime") === lit(lastDate))
+      .select(col("user_id")).limit(1).collect().head.get(0)
+    val shrunk = sessions.filter(!(col("datetime") === lit(lastDate) &&
+      col("user_id") === lit(victim)))
+    import spark.implicits._
+    IncrementalGold.userDailyDelta(spark, shrunk, dir,
+      Seq(victim.toString).toDF("user_id")
+        .select(col("user_id").cast(
+          sessions.schema("user_id").dataType)))
+    assertSame(dir, UserDaily.build(shrunk))
+    assert(spark.read.parquet(dir)
+      .filter(col("datetime") === lit(lastDate) &&
+        col("user_id") === lit(victim)).count() == 0L,
+      "vanished (date, user) grain must be deleted from the gold")
+  }
+
+  test("country gold: a date whose silver rows all vanished is deleted, " +
+      "partition directory included") {
+    val dir = tmpDir("ig-country-shrink")
+    CountryDaily.build(sessions).write.partitionBy("datetime")
+      .mode("overwrite").parquet(dir)
+    val lastDate = dates.last
+    val shrunk = sessions.filter(col("datetime") =!= lit(lastDate))
+    IncrementalGold.countryDailyDelta(spark, shrunk, dir, Seq(lastDate))
+    assertSame(dir, CountryDaily.build(shrunk))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      s"datetime=$lastDate")),
+      "all-grains-vanished date partition must be deleted")
+  }
+
   test("delta replay is idempotent") {
     val (seed, delta) = cutAt(2)
     val dir = tmpDir("ig-idem")

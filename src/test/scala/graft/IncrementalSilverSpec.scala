@@ -77,6 +77,46 @@ class IncrementalSilverSpec extends SparkSpec {
     assert(wm2 == wm && spark.read.parquet(silver).count() == before)
   }
 
+  test("shrinking re-derivation: a late re-stamped event that empties a " +
+      "date propagates the DELETION and drops the empty partition") {
+    val bronze = tmpDir("bronze-shrink")
+    val silver = tmpDir("silver-shrink")
+    def ev(id: Long, user: Long, offSec: Long) =
+      (id, (t0 + offSec * us) * 1000L, user, "view", 1.0, """{"k": 1}""")
+
+    // t0 = 2023-11-14T22:13:20Z; midnight boundaries at offsets 6400
+    // (Nov 15) and 92800 (Nov 16). Batch 1: user 1 on Nov 14; user 2's
+    // ONLY event at offset 92500 → Nov 15 23:55 — the sole row of the
+    // Nov 15 partition.
+    Incremental.appendBatch(spark, bronze, rawDf(Seq(
+      ev(1, 1, 0), ev(2, 1, 60), ev(20, 2, 92500))), 1L)
+    var wm = IncrementalSilver.update(spark, bronze, silver, None)
+    assert(spark.read.parquet(silver)
+      .filter(col("datetime") === "2023-11-15").count() == 1L)
+
+    // Batch 2: event 20 is REDELIVERED re-stamped 400 s later — now
+    // Nov 16 00:01:40. keepLatest keeps the later version, so user 2's
+    // rows move OFF Nov 15 entirely: the recomputed frame has no
+    // Nov 15 row, and only the affected-users' EXISTING-dates union
+    // puts Nov 15 in the rewrite scope at all.
+    Incremental.appendBatch(spark, bronze,
+      rawDf(Seq(ev(20, 2, 92900))), 2L)
+    wm = IncrementalSilver.update(spark, bronze, silver, wm)
+
+    val all = rawDf(Seq(ev(1, 1, 0), ev(2, 1, 60), ev(20, 2, 92500),
+      ev(20, 2, 92900)))
+    assertSame(spark.read.parquet(silver), fullRecompute(all))
+    assert(spark.read.parquet(silver)
+      .filter(col("datetime") === "2023-11-15").count() == 0L)
+    // The emptied partition DIRECTORY is gone too — dynamic overwrite
+    // alone would have left the stale files in place.
+    val fs = new org.apache.hadoop.fs.Path(silver)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(silver, "datetime=2023-11-15")),
+      "emptied date partition directory must be deleted")
+  }
+
   test("broken watermark lineage falls back to full recompute") {
     val bronze = tmpDir("bronze2")
     val silver = tmpDir("silver2")

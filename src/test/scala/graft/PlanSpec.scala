@@ -254,6 +254,36 @@ class PlanSpec extends SparkSpec {
       "candidates must flow through the inverted-list equi-join")
   }
 
+  test("q16 NOT IN plans ONE broadcast null-aware anti join - never a " +
+      "per-row probe; q2's nested correlated MIN decorrelates to " +
+      "aggregate-then-join") {
+    // The null-aware rewrite (x = y OR isnull(x = y)) cannot key a
+    // plain hash join; optimizeNullAwareAntiJoin must recover it as a
+    // single BroadcastHashJoin with isNullAwareAntiJoin=true. AQE off
+    // so executedPlan is a walkable tree.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pe = SparkEntry.queries("q16_idle_customers_not_in")(spark, dir)
+        .queryExecution.executedPlan
+      val naaj = pe.collect {
+        case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+      }
+      assert(naaj.size == 1,
+        s"expected exactly one null-aware anti join:\n$pe")
+      assert(pe.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"NOT IN fell back to a per-row nested-loop probe:\n$pe")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // q2: the correlated scalar MIN over the 4-table regional join must
+    // hoist into one partkey-grain aggregate joined back by hash.
+    val q2 = plan("q2_min_cost_supplier")
+    assert(q2.contains("HashAggregate"), q2)
+    assert(!q2.contains("CartesianProduct") &&
+      !q2.contains("BroadcastNestedLoopJoin"), q2)
+  }
+
   test("timeseries_gapfill: grid joins are hash, only the 1-row " +
       "bounds side is nested-loop") {
     val p = plan("timeseries_gapfill")

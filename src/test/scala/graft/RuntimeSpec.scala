@@ -155,6 +155,90 @@ class RuntimeSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.toSeq.toString)
   }
 
+  test("upsertScoped converges the scope to the stage, deletions " +
+      "included, and drops partitions that come out empty") {
+    val dir = tmpDir("merge-scoped")
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("user_id", "datetime_s", "max_value")
+        .withColumn("datetime", to_date(col("datetime_s")))
+        .drop("datetime_s")
+    // Target: u1 is 01-01's ONLY user, shares 01-02 with u2; u2 alone
+    // on 01-03.
+    MergeUpsert.upsert(spark, dir, df(Seq(
+      ("u1", "2024-01-01", 1.0),
+      ("u1", "2024-01-02", 2.0), ("u2", "2024-01-02", 3.0),
+      ("u2", "2024-01-03", 4.0))), Seq("user_id", "datetime"))
+    // Delta recompute of scope {u1}: u1 now exists ONLY on 01-04 — its
+    // 01-01 and 01-02 rows vanished from the recompute. A keyed upsert
+    // would keep them; the scoped merge must delete them, and 01-01
+    // (left empty) must lose its partition directory.
+    MergeUpsert.upsertScoped(spark, dir,
+      df(Seq(("u1", "2024-01-04", 9.0))),
+      Seq("user_id"), df(Seq(("u1", "2024-01-04", 9.0)))
+        .select(col("user_id")))
+    val out = spark.read.parquet(dir)
+      .select(col("user_id"), col("datetime").cast("string"),
+        col("max_value")).as[(String, String, Double)].collect().toSet
+    assert(out == Set(
+      ("u1", "2024-01-04", 9.0),
+      ("u2", "2024-01-02", 3.0),
+      ("u2", "2024-01-03", 4.0)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "datetime=2024-01-01")),
+      "emptied partition directory must be deleted")
+    // Idempotent replay.
+    MergeUpsert.upsertScoped(spark, dir,
+      df(Seq(("u1", "2024-01-04", 9.0))),
+      Seq("user_id"), df(Seq(("u1", "2024-01-04", 9.0)))
+        .select(col("user_id")))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("replacePartitions replaces listed dates wholesale and deletes " +
+      "dates whose recompute is empty; others untouched") {
+    val dir = tmpDir("merge-replace")
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("a", "2024-01-01", 1.0), ("b", "2024-01-01", 2.0),
+      ("c", "2024-01-02", 3.0),
+      ("d", "2024-01-03", 4.0))), Seq("session_id", "datetime"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    // Recompute of [01-01, 01-02]: 01-01 now holds only a (b's grain
+    // vanished), 01-02 came out EMPTY (all grains vanished).
+    MergeUpsert.replacePartitions(spark, dir,
+      sessionsDf(Seq(("a", "2024-01-01", 10.0))), Seq(d1, d2))
+    val out = spark.read.parquet(dir)
+      .select(col("session_id"), col("max_value"))
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 10.0, "d" -> 4.0))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "datetime=2024-01-02")))
+  }
+
+  test("recovery sweep completes a crashed partition delete instead of " +
+      "restoring it (.trash-* is dead data, .backup-* is live)") {
+    val dir = tmpDir("merge-trash")
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0))),
+      Seq("session_id", "datetime"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate a delete that crashed between rename-out and delete.
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(dir, "datetime=2024-01-02"),
+      new org.apache.hadoop.fs.Path(dir, ".trash-crashed-1")))
+    graft.runtime.Compaction.recoverySweep(fs, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      ".trash-crashed-1")), "trash must be deleted, not restored")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "datetime=2024-01-02")), "trashed partition must stay deleted")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("incremental: watermark advance, pruned reads, lineage fallback") {
     val dir = tmpDir("incr")
     Incremental.appendBatch(spark, dir, Seq((1, "a")).toDF("id", "v"), 1L)
