@@ -168,7 +168,10 @@ object Pipeline {
                           warehouseDir: String, watermark: Option[Long],
                           asOfUs: Long = Events.AsOfUs,
                           onFailure: (String, Throwable) => Unit =
-                            (_, _) => ()): Option[Long] = {
+                            (_, _) => (),
+                          toSilver: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame = null)
+      : Option[Long] = {
     def stage[T](name: String)(body: => T): T =
       try body
       catch { case e: Throwable =>
@@ -179,7 +182,7 @@ object Pipeline {
     val silverDir = s"$warehouseDir/silver_sessions"
     val d = stage("silver_incremental") {
       IncrementalSilver.updateDetailed(spark, bronzeDir, silverDir,
-        watermark, asOfUs)
+        watermark, asOfUs, toSilver)
     }
     d.affectedUsers.foreach { users =>
       val silver = spark.read.parquet(silverDir)

@@ -35,4 +35,40 @@ object SilverLoop {
       }
       .start()
   }
+
+  /** [[start]] extended to the FULL incremental daily chain: each
+    * micro-batch lands in bronze, folds into silver user-scoped, and
+    * then drives the five delta-scoped gold upserts
+    * ([[graft.runtime.Pipeline.runDailyIncremental]]) — so the streamed
+    * deployment pays the same delta-scaled gold bill the batch chain
+    * proves exact (IncrementalGoldSpec / IncrementalPipelineSpec),
+    * instead of leaving golds to a separate full recompute. Checkpoint
+    * replays are absorbed the same way as in [[start]]: the bronze
+    * append is batch_id-idempotent and every downstream layer lands
+    * through scope-replacing merges, so at-least-once delivery
+    * converges to exactly-once table state. `warehouseDir` holds
+    * `silver_sessions` plus the five gold tables (the
+    * [[graft.runtime.Pipeline]] layout). */
+  def startPipeline(parsed: DataFrame, bronzeDir: String,
+                    warehouseDir: String, watermarkPath: String,
+                    checkpointDir: String,
+                    toSilver: DataFrame => DataFrame,
+                    availableNow: Boolean = false): StreamingQuery = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("30 seconds")
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        Incremental.appendBatch(spark, bronzeDir, batch, batchId)
+        val wm = Incremental.loadWatermark(spark, watermarkPath)
+        graft.runtime.Pipeline.runDailyIncremental(spark, bronzeDir,
+            warehouseDir, wm, toSilver = toSilver)
+          .foreach(w => Incremental.saveWatermark(spark, watermarkPath, w))
+      }
+      .start()
+  }
 }

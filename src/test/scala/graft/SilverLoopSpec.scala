@@ -112,4 +112,66 @@ class SilverLoopSpec extends SparkSpec {
     assert(shuffles == 0,
       s"streamed->bucketed gold must be exchange-free:\n$plan")
   }
+
+  test("streamed incremental chain: silver AND all five golds == batch " +
+      "recompute across three micro-batches including a re-stamped " +
+      "redelivery that moves a session across a date boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("chain-bronze")
+    val wh = tmpDir("chain-wh")
+    val wmPath = s"${tmpDir("chain-wm")}/wm"
+    val ckpt = tmpDir("chain-ckpt")
+
+    val b1 = Seq(
+      ev("r1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("r2", 1, "s1", "2024-01-01T10:00:40+00:00", "scroll", 0.5),
+      // u2's ONLY event — the sole 2024-01-01 row besides u1's.
+      ev("r4", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+    val b2 = Seq(
+      ev("r3", 1, "s1", "2024-01-01T10:01:20+00:00", "complete", 1.0),
+      ev("r5", 3, "s4", "2024-01-02T09:00:00+00:00", "enter", 0.0))
+    // r4 REDELIVERED re-stamped one day later: keep-latest keeps this
+    // copy, so u2's silver rows (and the (2024-01-01, u2) gold grains)
+    // must MOVE to 01-02 — the deletion-propagation path, driven from
+    // the stream.
+    val b3 = Seq(
+      ev("r4", 2, "s2", "2024-01-02T11:00:00+00:00", "enter", 0.0))
+
+    val stream = MemoryStream[String]
+    for (b <- Seq(b1, b2, b3)) { // restart from checkpoint per batch
+      stream.addData(b)
+      SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+        wh, wmPath, ckpt, toSilver, availableNow = true).awaitTermination()
+    }
+
+    val fullSilver = toSilver(
+      BronzeIngest.parse((b1 ++ b2 ++ b3).toDF("value")))
+    def same(dir: String, exp: DataFrame, what: String): Unit = {
+      val cols = exp.columns.sorted.map(col).toSeq
+      val got = spark.read.parquet(dir).select(cols: _*)
+      val e = exp.select(cols: _*)
+      assert(got.exceptAll(e).isEmpty && e.exceptAll(got).isEmpty,
+        s"$what diverged from the batch recompute")
+    }
+    same(s"$wh/silver_sessions", fullSilver, "silver")
+    same(s"$wh/gold_user_daily",
+      graft.gold.UserDaily.build(fullSilver), "user gold")
+    same(s"$wh/gold_episode_daily",
+      graft.gold.EpisodeDaily.build(fullSilver), "episode gold")
+    same(s"$wh/gold_webtoon_daily",
+      graft.gold.WebtoonDaily.build(fullSilver,
+        graft.gold.EpisodeDaily.build(fullSilver)), "webtoon gold")
+    same(s"$wh/gold_platform_device_daily",
+      graft.gold.PlatformDeviceDaily.build(fullSilver), "platform gold")
+    same(s"$wh/gold_country_daily",
+      graft.gold.CountryDaily.build(fullSilver), "country gold")
+
+    // The moved session is really gone from its original day.
+    assert(spark.read.parquet(s"$wh/gold_user_daily")
+      .filter(col("datetime") === "2024-01-01" && col("user_id") === 2)
+      .count() == 0L, "stale (2024-01-01, u2) gold grain survived")
+    assert(spark.read.parquet(s"$wh/silver_sessions")
+      .filter(col("datetime") === "2024-01-01" && col("user_id") === 2)
+      .count() == 0L, "stale (2024-01-01, u2) silver rows survived")
+  }
 }
