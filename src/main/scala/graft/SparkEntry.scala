@@ -110,6 +110,7 @@ object SparkEntry {
     "set_ops_customers" -> CoreOps.setOpsCustomers _,
     "q5_local_supplier_volume" -> CoreOps.q5LocalSupplierVolume _,
     "q18_large_orders" -> ((s, dir) => CoreOps.q18LargeOrders(s, dir)),
+    "q19_disjunctive_revenue" -> CoreOps.q19DisjunctiveRevenue _,
     // Correlated-subquery battery (SubqueryOps): EXISTS / NOT EXISTS /
     // correlated scalar — exercised as SQL text so Catalyst's
     // decorrelation (semi/anti-join rewrite) is on the tested path.
@@ -402,6 +403,7 @@ object SparkEntry {
     "set_ops_customers" -> OpsOracles.setOpsCustomers,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,
     "q18_large_orders" -> OpsOracles.q18LargeOrders,
+    "q19_disjunctive_revenue" -> OpsOracles.q19DisjunctiveRevenue,
     "q4_order_priority" -> OpsOracles.q4OrderPriority,
     "q21_suppliers_waiting" -> OpsOracles.q21SuppliersWaiting,
     "q17_small_quantity_revenue" -> OpsOracles.q17SmallQuantityRevenue,

@@ -282,6 +282,25 @@ object OpsOracles {
       |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       |GROUP BY n.n_name""".stripMargin
 
+  /** Mirrors CoreOps.q19DisjunctiveRevenue: the same three OR'd
+    * conjunctive branches over the partkey equi join; revenue summed in
+    * integer hundredths-of-cents, rounded once at the output. */
+  val q19DisjunctiveRevenue: String =
+    """SELECT p.p_brand AS brand, CAST(count(1) AS BIGINT) AS n_items,
+      |  round((CAST(CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+      |        AS BIGINT) * (100 - CAST(round(l.l_discount * 100, 0)
+      |        AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000) * 100, 0)
+      |    / 100.0 AS revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 20)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity BETWEEN 15 AND 35)
+      |   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity BETWEEN 30 AND 50)
+      |GROUP BY p.p_brand""".stripMargin
+
   /** Mirrors SubqueryOps.q16IdleCustomersNotIn: literal NOT IN — DuckDB
     * evaluates the same null-aware three-valued semantics natively (a
     * NULL inner value would empty both engines' results identically). */

@@ -279,6 +279,39 @@ object CoreOps {
       .agg(count(col("b.o_orderkey")).as("nearby_orders"))
   }
 
+  /** TPC-H Q19 shape: DISJUNCTIVE-predicate join — three OR'd
+    * conjunctive branches, each constraining BOTH join sides (brand +
+    * size bounds on part, a quantity range on lineitem), over one equi
+    * key. The optimizer surface the conjunctive battery never touches:
+    * Catalyst must keep `l_partkey = p_partkey` as the hash-join key
+    * with the OR as a join residual, AND derive each side's one-sided
+    * implication of the OR (the brand∧size union onto the part scan,
+    * the quantity-range union onto the lineitem scan) so BOTH scans
+    * prune before the join — a planner that ships the whole OR to a
+    * post-join filter reads and shuffles every lineitem row at 100 TB.
+    * PlanSpec pins the pushed Or filters on both scans and the equi
+    * hash join. Revenue in integer hundredths-of-cents until the one
+    * output rounding (the [[graft.util.Num]] rule). */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val prt = read(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = read(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("rev_i"))
+    def branch(b: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    li.join(prt, col("l_partkey") === col("p_partkey") &&
+        (branch("Brand#1", 1, 15, 1, 20) ||
+          branch("Brand#3", 10, 30, 15, 35) ||
+          branch("Brand#5", 20, 50, 30, 50)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_i")).as("rev_i"))
+      .select(col("p_brand").as("brand"), col("n_items"),
+        Num.r(col("rev_i").cast("double") / 10000, 2).as("revenue"))
+  }
+
   /** Set operators (SURVEY §2.7 notes the reference has none): customers
     * who ordered in BOTH 1995 and 1996 (INTERSECT) but NOT in 1997
     * (EXCEPT). Catalyst rewrites both to semi/anti joins over the

@@ -284,6 +284,23 @@ class PlanSpec extends SparkSpec {
       !q2.contains("BroadcastNestedLoopJoin"), q2)
   }
 
+  test("q19 disjunctive join: equi hash join on partkey with the OR as " +
+      "residual, one-sided OR implications pushed into BOTH scans") {
+    val p = plan("q19_disjunctive_revenue")
+    // The equi key must survive as a hash join, never a nested loop
+    // evaluating the OR per pair.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // Each side's implication of the OR reaches its parquet scan: the
+    // brand/size union on part, the quantity-range union on lineitem.
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#1)") ||
+      p.contains("Or(Or(And(EqualTo(p_brand,Brand#1)"),
+      s"part scan missing the pushed brand/size Or:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"lineitem scan missing the pushed quantity Or:\n$p")
+  }
+
   test("timeseries_gapfill: grid joins are hash, only the 1-row " +
       "bounds side is nested-loop") {
     val p = plan("timeseries_gapfill")
