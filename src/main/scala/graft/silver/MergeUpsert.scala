@@ -50,17 +50,10 @@ object MergeUpsert {
              evolveSchema: Boolean = false): Unit = {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
-    if (!targetExists) {
+    if (!sweepAndHasData(fs, rootPath)) {
       stage.write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetDir)
     } else {
-      // Heal any previous writer's crash leftovers BEFORE planning —
-      // the shared rename-swap recovery (Compaction.recoverySweep):
-      // a between-renames backup is restored to its partition, stale
-      // backups and orphan staging/compact dirs drop. Same
-      // single-writer-per-table assumption as the swap itself.
-      graft.runtime.Compaction.recoverySweep(fs, rootPath)
       // Affected partitions only: metadata-scale collect (dates, not rows).
       val affected = stage.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toIndexedSeq
@@ -107,12 +100,10 @@ object MergeUpsert {
                    partitionCol: String = "datetime"): Unit = {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
-    if (!targetExists) {
+    if (!sweepAndHasData(fs, rootPath)) {
       stage.write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetDir)
     } else {
-      graft.runtime.Compaction.recoverySweep(fs, rootPath)
       val target = spark.read.option("mergeSchema", "true").parquet(targetDir)
       val stagedVals = stage.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toIndexedSeq
@@ -143,12 +134,10 @@ object MergeUpsert {
                         partitionCol: String = "datetime"): Unit = {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val targetExists = fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty
-    if (!targetExists) {
+    if (!sweepAndHasData(fs, rootPath)) {
       stage.write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetDir)
     } else {
-      graft.runtime.Compaction.recoverySweep(fs, rootPath)
       // Safety union: a staged value outside the declared list would
       // otherwise swap in while its siblings' stale rows survive.
       val stagedVals = stage.select(col(partitionCol)).distinct()
@@ -158,6 +147,29 @@ object MergeUpsert {
       writeAndSwap(spark, fs, rootPath,
         stage.filter(affectedPredicate(partitionCol, affected)),
         partitionCol, affected.map(partitionDirName(partitionCol, _)))
+    }
+  }
+
+  /** Shared preamble of every merge mode: heal a previous writer's
+    * crash leftovers FIRST (the shared rename-swap recovery,
+    * [[graft.runtime.Compaction.recoverySweep]] — a between-renames
+    * backup is restored to its partition, stale backups and orphan
+    * staging/compact/trash dirs drop; single-writer-per-table
+    * assumption), THEN decide whether the target holds data. The sweep
+    * must run before the existence decision, not after: a table whose
+    * only contents are a crashed writer's `.backup-*` would otherwise
+    * read as empty and the initial write would destroy the backup. The
+    * data check counts only VISIBLE entries — a table the
+    * delete-capable modes emptied down to its `_SUCCESS` marker is a
+    * legitimate state, and must take the initial-write branch (reading
+    * it for a merge would fail schema inference). */
+  private def sweepAndHasData(fs: org.apache.hadoop.fs.FileSystem,
+                              rootPath: Path): Boolean = {
+    if (!fs.exists(rootPath)) return false
+    graft.runtime.Compaction.recoverySweep(fs, rootPath)
+    fs.listStatus(rootPath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
     }
   }
 

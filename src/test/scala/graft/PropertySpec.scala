@@ -291,4 +291,73 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed cap=$cap")
     }
   }
+
+  test("property: random upsert/upsertScoped/replacePartitions sequences " +
+      "equal a driver-side table model, deletions and emptied " +
+      "partitions included") {
+    // Model: Map[(key, date) -> value]. Each trial applies a random
+    // operation sequence to a parquet table through MergeUpsert and to
+    // the model in plain Scala; after every op the table must equal the
+    // model EXACTLY — this is the guard on the delete-capable modes'
+    // edge cases (multi-date scopes, stages that empty a partition,
+    // scopes with no staged rows at all, replayed stages).
+    import graft.silver.MergeUpsert
+    val dates = (1 to 4).map(d => java.sql.Date.valueOf(s"2024-01-0$d"))
+    val keys = ('a' to 'f').map(_.toString)
+    def df(rows: Seq[((String, java.sql.Date), Double)]) =
+      rows.map { case ((k, d), v) => (k, d, v) }
+        .toDF("k", "datetime", "v")
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val dir = tmpDir(s"merge-model-$seed")
+      var model = Map.empty[(String, java.sql.Date), Double]
+      def randomRows(nMax: Int) =
+        (0 until 1 + rnd.nextInt(nMax)).map { _ =>
+          ((keys(rnd.nextInt(keys.size)), dates(rnd.nextInt(dates.size))),
+            (rnd.nextInt(1000) + 1).toDouble)
+        }.distinct
+      for (step <- 1 to 8) {
+        rnd.nextInt(3) match {
+          case 0 => // plain keyed upsert: update/insert, never delete
+            val stage = randomRows(6).toMap
+            MergeUpsert.upsert(spark, dir, df(stage.toSeq),
+              Seq("k", "datetime"))
+            model = model ++ stage
+          case 1 => // scoped recompute of a random key set: model
+            // converges to the stage ON the scope (deletions included)
+            val scope = keys.filter(_ => rnd.nextBoolean()).toSet
+            val stage = randomRows(6).toMap.filter { case ((k, _), _) =>
+              scope.contains(k) }
+            if (scope.nonEmpty) {
+              MergeUpsert.upsertScoped(spark, dir, df(stage.toSeq),
+                Seq("k"), scope.toSeq.toDF("k"))
+              model = model.filterNot { case ((k, _), _) =>
+                scope.contains(k) } ++ stage
+            }
+          case _ => // whole-date recompute: listed dates replaced
+            val affected = dates.filter(_ => rnd.nextBoolean())
+            val stage = randomRows(6).toMap.filter { case ((_, d), _) =>
+              affected.contains(d) }
+            if (affected.nonEmpty) {
+              MergeUpsert.replacePartitions(spark, dir, df(stage.toSeq),
+                affected)
+              model = model.filterNot { case ((_, d), _) =>
+                affected.contains(d) } ++ stage
+            }
+        }
+        // A table the delete modes emptied entirely reads as "no data"
+        // (schema inference fails on a _SUCCESS-only dir) — the model
+        // is empty then too.
+        val got =
+          try spark.read.parquet(dir)
+            .select(col("k"), col("datetime"), col("v"))
+            .as[(String, java.sql.Date, Double)].collect()
+            .map { case (k, d, v) => ((k, d), v) }.toMap
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => Map.empty
+          }
+        assert(got == model, s"seed=$seed step=$step")
+      }
+    }
+  }
 }

@@ -219,6 +219,43 @@ class RuntimeSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dir, "datetime=2024-01-02")))
   }
 
+  test("scoped merge handles a NULL partition value end-to-end - " +
+      "rewrite, deletion, and the hive default-partition directory") {
+    val dir = tmpDir("merge-scoped-null")
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("user_id", "datetime_s", "max_value")
+        .withColumn("datetime",
+          when(col("datetime_s") === "NULL", lit(null).cast("date"))
+            .otherwise(to_date(col("datetime_s"))))
+        .drop("datetime_s")
+    // u1's only row sits in the NULL partition; u2 shares it.
+    MergeUpsert.upsert(spark, dir, df(Seq(
+      ("u1", "NULL", 1.0), ("u2", "NULL", 2.0),
+      ("u2", "2024-01-01", 3.0))), Seq("user_id", "datetime"))
+    // Scoped recompute of {u2}: u2 vanished from the NULL partition
+    // (kept only its dated row). isin() never matches NULL, so the
+    // NULL partition needs its own predicate on BOTH the affected
+    // filter and the delete side.
+    MergeUpsert.upsertScoped(spark, dir,
+      df(Seq(("u2", "2024-01-01", 30.0))),
+      Seq("user_id"), Seq("u2").toDF("user_id"))
+    val out = spark.read.parquet(dir)
+      .select(col("user_id"), col("datetime").cast("string"),
+        col("max_value")).as[(String, String, Double)].collect().toSet
+    assert(out == Set(("u1", null, 1.0), ("u2", "2024-01-01", 30.0)))
+    // Now empty the NULL partition entirely: u1's recompute has no
+    // rows at all — the __HIVE_DEFAULT_PARTITION__ directory must go.
+    MergeUpsert.upsertScoped(spark, dir,
+      df(Seq.empty), Seq("user_id"), Seq("u1").toDF("user_id"))
+    assert(spark.read.parquet(dir)
+      .select(col("user_id")).as[String].collect().toSeq == Seq("u2"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "datetime=__HIVE_DEFAULT_PARTITION__")),
+      "emptied NULL partition directory must be deleted")
+  }
+
   test("recovery sweep completes a crashed partition delete instead of " +
       "restoring it (.trash-* is dead data, .backup-* is live)") {
     val dir = tmpDir("merge-trash")
