@@ -70,18 +70,33 @@ object Compaction {
     * LOUD: silently skipping it would let the sweep report a table
     * healed while a crashed partition stays missing forever. */
   private[graft] def partitionOfBackup(name: String): String = {
-    val sep = name.indexOf(BackupSep)
-    val LegacyPartStart = ".backup-".length + 36 + 1 // prefix + uuid + '-'
-    if (sep > 0 && name.length > sep + BackupSep.length)
-      name.substring(sep + BackupSep.length)
-    else if (sep < 0 && name.length > LegacyPartStart &&
-        name.charAt(LegacyPartStart - 1) == '-' &&
-        name.substring(".backup-".length, LegacyPartStart - 1)
-          .matches("[0-9a-fA-F-]{36}"))
-      name.substring(LegacyPartStart)
-    else throw new java.io.IOException(
-      s"unparseable backup directory name '$name': cannot determine " +
-        "which partition it belongs to — refusing to silently skip it")
+    val Pfx = ".backup-".length
+    val UuidLen = 36
+    def uuidShaped = name.length > Pfx + UuidLen &&
+      name.substring(Pfx, Pfx + UuidLen)
+        .matches("[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}")
+    // The uuid-anchored parses come FIRST: hive partition names may
+    // legitimately contain both '-' and '--' (escapePathName escapes
+    // neither), so searching for the separator would misparse e.g. the
+    // legacy `.backup-<uuid>-p=a--b` (indexOf("--") lands inside the
+    // partition and the sweep would restore the backup to a junk dir
+    // named 'b'). Only when the writer tag is not a uuid (older test
+    // fixtures, foreign writers) does the indexOf fallback apply.
+    if (uuidShaped && name.length > Pfx + UuidLen + BackupSep.length &&
+        name.substring(Pfx + UuidLen, Pfx + UuidLen + BackupSep.length) ==
+          BackupSep)
+      name.substring(Pfx + UuidLen + BackupSep.length)
+    else if (uuidShaped && name.length > Pfx + UuidLen + 1 &&
+        name.charAt(Pfx + UuidLen) == '-')
+      name.substring(Pfx + UuidLen + 1) // legacy single-dash generation
+    else {
+      val sep = name.indexOf(BackupSep)
+      if (!uuidShaped && sep > 0 && name.length > sep + BackupSep.length)
+        name.substring(sep + BackupSep.length)
+      else throw new java.io.IOException(
+        s"unparseable backup directory name '$name': cannot determine " +
+          "which partition it belongs to — refusing to silently skip it")
+    }
   }
 
   /** Heal the crash windows of a previous rename-swap writer (scaladoc

@@ -78,7 +78,13 @@ object IncrementalSilver {
 
     val newEvents = Incremental.readSince(spark, bronzeDir, watermark)
     if (newEvents.isEmpty) return Delta(hw, None, Nil)
+    // Checkpointed: the distinct's lineage is the bronze-delta scan,
+    // and the scope frame is read again by the history semi-join, the
+    // affected-dates semi-join, upsertScoped's planning AND the
+    // downstream gold deltas — without the checkpoint each re-runs the
+    // delta scan.
     val affectedUsers = newEvents.select(col("user_id")).distinct()
+      .localCheckpoint()
 
     val history = spark.read.parquet(bronzeDir)
       .join(affectedUsers, Seq("user_id"), "left_semi")
@@ -90,13 +96,13 @@ object IncrementalSilver {
 
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Sweep-then-check, shared with every merge mode: heals crash
+    // leftovers (incl. `.trash-*` halves) BEFORE any read, and counts
+    // only visible data entries — a silver table a previous delta
+    // emptied down to its _SUCCESS marker must read as absent, not
+    // fail schema inference forever after.
     val silverExists =
-      fs.exists(silverPath) && fs.listStatus(silverPath).nonEmpty
-    // Heal a previous writer's crash leftovers before reading: a
-    // `.trash-*` from a partition delete that died between its two
-    // steps completes here (the shared sweep MergeUpsert/Compaction
-    // already run on their tables).
-    if (silverExists) Compaction.recoverySweep(fs, silverPath)
+      graft.silver.MergeUpsert.sweepAndHasData(fs, silverPath)
 
     // Affected dates = the recomputed frame's dates ∪ the affected
     // users' EXISTING silver dates (both metadata-scale collects, same
@@ -104,11 +110,10 @@ object IncrementalSilver {
     // DELETION-propagation half: a late event can re-stamp or re-derive
     // a user's rows OFF a date entirely (keep-latest moves an event's
     // day; a session merge re-keys its rows), and that date never
-    // appears in the recompute — without it, the stale rows on the
-    // un-rewritten partition would survive and the table would diverge
-    // from the full recompute. The scan is column-pruned to
-    // (user_id, datetime); a user-bucketed silver layout prunes it
-    // further at 100 TB.
+    // appears in the recompute — without it, downstream gold deltas
+    // would never recompute the vanished date. The scan is
+    // column-pruned to (user_id, datetime); a user-bucketed silver
+    // layout prunes it further at 100 TB.
     val recomputedDates = recomputed.select(col("datetime")).distinct()
       .collect().map(_.getDate(0)).toIndexedSeq
     val existingDates =
@@ -119,29 +124,14 @@ object IncrementalSilver {
         .collect().map(_.getDate(0)).toIndexedSeq
     val affectedDates = (recomputedDates ++ existingDates).distinct
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if (!silverExists) {
-      recomputed.write.partitionBy("datetime").mode("overwrite")
-        .parquet(silverDir)
-    } else {
-      val kept = spark.read.parquet(silverDir)
-        .filter(col("datetime").isin(affectedDates: _*))
-        .join(affectedUsers, Seq("user_id"), "left_anti")
-      val rewrite = kept.unionByName(recomputed)
-        .localCheckpoint() // the kept side reads the path we overwrite
-      rewrite.write.partitionBy("datetime").mode("overwrite")
-        .parquet(silverDir)
-      // Dynamic partition overwrite only replaces partitions PRESENT in
-      // the written frame — an affected date whose rewrite came out
-      // empty (the moved user was its only user) keeps its stale files.
-      // Those partitions are dropped explicitly (trash protocol, crash
-      // window healed by the shared recovery sweep). The collect reads
-      // the checkpoint blocks, not the derivation.
-      val writtenDates = rewrite.select(col("datetime")).distinct()
-        .collect().map(_.getDate(0)).toSet
-      graft.silver.MergeUpsert.dropPartitions(spark, silverDir, "datetime",
-        affectedDates.filterNot(writtenDates))
-    }
+    // The write IS the scope-converging merge: within the affected
+    // users, silver converges to the recompute exactly — stale rows
+    // drop, emptied partitions delete — through the crash-safe
+    // staging-write + rename-swap protocol (the previous in-place
+    // dynamic overwrite left a whole-job window where affected
+    // partitions were deleted but not yet rewritten).
+    graft.silver.MergeUpsert.upsertScoped(spark, silverDir, recomputed,
+      Seq("user_id"), affectedUsers)
     Delta(hw, Some(affectedUsers), affectedDates)
   }
 }

@@ -86,7 +86,13 @@ object Pipeline {
     val silver = stage("silver") {
       val sessions =
         Sessionize.sessions(Dedup.keepLatest(Events.cleansed(spark, sfDir)))
-      MergeUpsert.upsert(spark, silverDir, sessions, Sessionize.SessionKey)
+      // replaceAll, not the keyed upsert: this stage is the COMPLETE
+      // recompute of silver, so the table must converge to it exactly —
+      // a keyed upsert would keep rows whose session keys vanished from
+      // the recompute (a late re-stamped event moving a session between
+      // runs), silently diverging from runDailyIncremental's
+      // deletion-propagating chain on the same warehouse.
+      MergeUpsert.replaceAll(spark, silverDir, sessions)
       // The layout write: rewrite the bucketed table from the merged
       // silver so every downstream user-keyed groupBy/window/self-join
       // plans with zero Exchange (BucketedSpec / PlanSpec assert this).
@@ -103,8 +109,11 @@ object Pipeline {
 
     def writeGold(name: String, df: DataFrame): Result = stage(name) {
       val dir = s"$warehouseDir/$name"
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      df.write.partitionBy("datetime").mode("overwrite").parquet(dir)
+      // Full-recompute convergence (same argument as the silver stage):
+      // a dynamic partition overwrite only touches partitions present
+      // in the written frame, so a gold date whose rows all vanished
+      // would keep its stale partition forever.
+      MergeUpsert.replaceAll(spark, dir, df)
       Result(name, spark.read.parquet(dir).count())
     }
 

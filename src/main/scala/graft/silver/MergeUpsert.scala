@@ -73,7 +73,7 @@ object MergeUpsert {
         .unionByName(stage, allowMissingColumns = evolveSchema)
       // Plain upsert never deletes a partition: every affected value
       // has staged rows by construction, so dropEmpty = Nil.
-      writeAndSwap(spark, fs, rootPath, merged, partitionCol, Nil)
+      writeAndSwap(fs, rootPath, merged, partitionCol, Nil)
     }
   }
 
@@ -117,7 +117,7 @@ object MergeUpsert {
       val kept = target.filter(affectedPredicate(partitionCol, affected))
         .join(scope.select(scopeCols.map(col): _*).distinct(),
           scopeCols, "left_anti")
-      writeAndSwap(spark, fs, rootPath, kept.unionByName(stage),
+      writeAndSwap(fs, rootPath, kept.unionByName(stage),
         partitionCol, affected.map(partitionDirName(partitionCol, _)))
     }
   }
@@ -144,9 +144,38 @@ object MergeUpsert {
         .collect().map(_.get(0)).toIndexedSeq
       val affected = (partitionVals ++ stagedVals).distinct
       if (affected.isEmpty) return
-      writeAndSwap(spark, fs, rootPath,
-        stage.filter(affectedPredicate(partitionCol, affected)),
+      // The stage passes through unfiltered: `affected` is a superset
+      // of the staged partition values by construction, so a filter on
+      // it would be dead code costing one per-row evaluation.
+      writeAndSwap(fs, rootPath, stage,
         partitionCol, affected.map(partitionDirName(partitionCol, _)))
+    }
+  }
+
+  /** Converge the WHOLE table to the stage — the full-recompute shape
+    * ([[graft.runtime.Pipeline.runDaily]]'s silver and gold writes):
+    * the stage is the complete recompute of the entire table, so every
+    * target partition either swaps to its staged form or — when the
+    * recompute no longer produces it at all — is deleted. The keyed
+    * [[upsert]] cannot express either deletion, and a dynamic
+    * partition overwrite misses the vanished-partition case (it only
+    * touches partitions present in the written data). The drop set
+    * comes from LISTING the target's partition directories, so this
+    * mode needs no value→path encoding at all — it is safe for every
+    * partition-column type. Same staging-write + rename-swap crash
+    * protocol; idempotent. */
+  def replaceAll(spark: SparkSession, targetDir: String, stage: DataFrame,
+                 partitionCol: String = "datetime"): Unit = {
+    val rootPath = new Path(targetDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sweepAndHasData(fs, rootPath)) {
+      stage.write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(targetDir)
+    } else {
+      val existingDirs = fs.listStatus(rootPath)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol=")).toIndexedSeq
+      writeAndSwap(fs, rootPath, stage, partitionCol, existingDirs)
     }
   }
 
@@ -163,8 +192,8 @@ object MergeUpsert {
     * delete-capable modes emptied down to its `_SUCCESS` marker is a
     * legitimate state, and must take the initial-write branch (reading
     * it for a merge would fail schema inference). */
-  private def sweepAndHasData(fs: org.apache.hadoop.fs.FileSystem,
-                              rootPath: Path): Boolean = {
+  private[graft] def sweepAndHasData(fs: org.apache.hadoop.fs.FileSystem,
+                                     rootPath: Path): Boolean = {
     if (!fs.exists(rootPath)) return false
     graft.runtime.Compaction.recoverySweep(fs, rootPath)
     fs.listStatus(rootPath).exists { st =>
@@ -192,6 +221,18 @@ object MergeUpsert {
     * default-partition name. */
   private[graft] def partitionDirName(partitionCol: String, v: Any): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    v match {
+      case null | _: String | _: java.sql.Date | _: java.time.LocalDate |
+          _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+          _: java.lang.Byte | _: java.lang.Boolean => ()
+      case other => throw new IllegalArgumentException(
+        s"partition value type ${other.getClass.getName} is not supported " +
+          "by the delete-capable merge modes: its toString does not match " +
+          "Spark's hive partition-path formatting (e.g. Timestamp drops " +
+          "the '.0'), so a vanished partition would be silently skipped " +
+          "instead of deleted — use replaceAll (listing-based, " +
+          "encoding-free) or a supported partition type")
+    }
     val s =
       if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
       else ExternalCatalogUtils.escapePathName(v.toString)
@@ -239,8 +280,7 @@ object MergeUpsert {
     * partition-path encoding exactly (escaped chars, timestamp
     * formatting, null → __HIVE_DEFAULT_PARTITION__); only the delete
     * side, which has nothing to list, uses [[partitionDirName]]. */
-  private def writeAndSwap(spark: SparkSession,
-                           fs: org.apache.hadoop.fs.FileSystem,
+  private def writeAndSwap(fs: org.apache.hadoop.fs.FileSystem,
                            rootPath: Path, merged: DataFrame,
                            partitionCol: String,
                            dropIfEmpty: Seq[String]): Unit = {

@@ -101,6 +101,13 @@ class CompactionSpec extends SparkSpec {
       s".backup-$uuid--datetime=2024-01-01") == "datetime=2024-01-01")
     assert(Compaction.partitionOfBackup(
       ".backup-w1--p=1") == "p=1")
+    // A partition value may itself contain '--' (escapePathName leaves
+    // dashes alone): the uuid-anchored parse must win over a separator
+    // search, for BOTH naming generations.
+    assert(Compaction.partitionOfBackup(
+      s".backup-$uuid-p=a--b") == "p=a--b")
+    assert(Compaction.partitionOfBackup(
+      s".backup-$uuid--p=a--b") == "p=a--b")
     // Unparseable: neither separator nor a uuid-shaped prefix. Silent
     // skip would report the table healed while a partition stays
     // missing — must throw instead.

@@ -32,6 +32,40 @@ class PipelineSpec extends SparkSpec {
       res2.map(r => r.table -> r.rows).toMap)
   }
 
+  test("batch chain converges after the source shrinks: a vanished date " +
+      "leaves no stale silver or gold rows, partition dirs included") {
+    // A late re-stamped correction between two daily runs can remove
+    // every event of a date from the recompute; the keyed upsert the
+    // chain previously used would keep the stale rows forever and
+    // silently diverge from the incremental chain on the same
+    // warehouse. replaceAll must drop them, directories included.
+    val src = tmpDir("shrink-src")
+    val wh = tmpDir("shrink-wh")
+    val full = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    full.write.mode("overwrite").parquet(s"$src/events.parquet")
+    Pipeline.runDaily(spark, src, wh)
+    val lastDate = spark.read.parquet(s"$wh/silver_sessions")
+      .agg(max(col("datetime"))).collect().head.getDate(0)
+    assert(spark.read.parquet(s"$wh/gold_user_daily")
+      .filter(col("datetime") === lit(lastDate)).count() > 0)
+
+    full.filter(to_date(col("ts")) =!= lit(lastDate))
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+    Pipeline.runDaily(spark, src, wh)
+    for (t <- Seq("silver_sessions", "gold_user_daily",
+        "gold_episode_daily", "gold_webtoon_daily",
+        "gold_platform_device_daily", "gold_country_daily")) {
+      assert(spark.read.parquet(s"$wh/$t")
+        .filter(col("datetime") === lit(lastDate)).count() == 0L,
+        s"$t kept stale rows for the vanished date")
+      val fs = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$t",
+        s"datetime=$lastDate")),
+        s"$t kept the vanished date's partition directory")
+    }
+  }
+
   test("failure callback fires, propagates, and lands a C6 alert file") {
     var failed: Option[String] = None
     val wh = tmpDir("wh2")

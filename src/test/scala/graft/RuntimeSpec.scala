@@ -256,6 +256,29 @@ class RuntimeSpec extends SparkSpec {
       "emptied NULL partition directory must be deleted")
   }
 
+  test("replaceAll converges the whole table to the stage - vanished " +
+      "partitions deleted by DIRECTORY listing, no value encoding") {
+    val dir = tmpDir("merge-replaceall")
+    MergeUpsert.upsert(spark, dir, sessionsDf(Seq(
+      ("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0),
+      ("c", "2024-01-03", 3.0))), Seq("session_id", "datetime"))
+    // Full recompute no longer produces 01-02 at all and changes 01-01.
+    val stage = sessionsDf(Seq(
+      ("a", "2024-01-01", 10.0), ("c", "2024-01-03", 3.0)))
+    MergeUpsert.replaceAll(spark, dir, stage)
+    val out = spark.read.parquet(dir)
+      .select("session_id", "max_value").as[(String, Double)]
+      .collect().toMap
+    assert(out == Map("a" -> 10.0, "c" -> 3.0))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "datetime=2024-01-02")))
+    // Idempotent replay.
+    MergeUpsert.replaceAll(spark, dir, stage)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("recovery sweep completes a crashed partition delete instead of " +
       "restoring it (.trash-* is dead data, .backup-* is live)") {
     val dir = tmpDir("merge-trash")
