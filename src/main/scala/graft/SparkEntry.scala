@@ -8,7 +8,7 @@ import graft.silver.{Dedup, Sessionize}
 import graft.multimodal.MultimodalOps
 import graft.sim.{IvfCosine, KMeans, KnnEval, LshCosine, ProductQuantizer, SemDedup, Similarity}
 import graft.text.{ContainmentDedup, CorpusOps, IncrementalDedup, MinHashDedup, SimHashDedup, TextOps}
-import graft.tpch.{CoreOps, JoinOps, SubqueryOps}
+import graft.tpch.{AggExtOps, CoreOps, JoinOps, SubqueryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -125,6 +125,24 @@ object SparkEntry {
     "q16_idle_customers_not_in" -> SubqueryOps.q16IdleCustomersNotIn _,
     "q2_min_cost_supplier" -> SubqueryOps.q2MinCostSupplier _,
     "q15_top_supplier" -> SubqueryOps.q15TopSupplier _,
+    // Q11/Q20: the two remaining decorrelation depths — a scalar
+    // aggregate subquery in HAVING (filter on aggregated output), and
+    // the nested IN-with-correlated-HAVING (decorrelated inside-out).
+    "q11_important_parts" -> SubqueryOps.q11ImportantParts _,
+    "q20_dominant_shippers" -> SubqueryOps.q20DominantShippers _,
+    // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
+    // LIKE-filtered dimension, returned-revenue top-k, and the
+    // one-pass conditional-ratio month slice.
+    "q7_nation_volume" -> JoinOps.q7NationVolume _,
+    "q9_product_profit" -> JoinOps.q9ProductProfit _,
+    "q10_returned_revenue" -> JoinOps.q10ReturnedRevenue _,
+    "q14_promo_share" -> JoinOps.q14PromoShare _,
+    // Aggregate-surface extensions: ordered LISTAGG, UNPIVOT reshape,
+    // and exact-integer correlation/regression (order-independent
+    // sufficient statistics; built-in corr() floats are not).
+    "agg_listagg_nations" -> AggExtOps.listAggNations _,
+    "reshape_unpivot_pricing" -> AggExtOps.unpivotPricing _,
+    "agg_corr_regression" -> AggExtOps.corrRegression _,
     // Q13/Q8: join-topology shapes — predicate-carrying LEFT OUTER +
     // count-of-counts histogram; 7-relation market share with the
     // ratio from ONE conditional-sum aggregate.
@@ -411,6 +429,15 @@ object SparkEntry {
     "q16_idle_customers_not_in" -> OpsOracles.q16IdleCustomersNotIn,
     "q2_min_cost_supplier" -> OpsOracles.q2MinCostSupplier,
     "q15_top_supplier" -> OpsOracles.q15TopSupplier,
+    "q11_important_parts" -> OpsOracles.q11ImportantParts,
+    "q20_dominant_shippers" -> OpsOracles.q20DominantShippers,
+    "q7_nation_volume" -> OpsOracles.q7NationVolume,
+    "q9_product_profit" -> OpsOracles.q9ProductProfit,
+    "q10_returned_revenue" -> OpsOracles.q10ReturnedRevenue,
+    "q14_promo_share" -> OpsOracles.q14PromoShare,
+    "agg_listagg_nations" -> OpsOracles.listAggNations,
+    "reshape_unpivot_pricing" -> OpsOracles.unpivotPricing,
+    "agg_corr_regression" -> OpsOracles.corrRegression,
     "q13_order_distribution" -> OpsOracles.q13OrderDistribution,
     "q8_market_share" -> OpsOracles.q8MarketShare,
     "window_running_spend" -> OpsOracles.runningCustomerSpend,

@@ -2975,4 +2975,194 @@ object OpsOracles {
       |  CAST(sum(cents) AS BIGINT) AS cents_sum
       |FROM r
       |GROUP BY 1""".stripMargin
+
+  /** Mirrors JoinOps.q7NationVolume: same bilateral-pair disjunction,
+    * same integer hundredths-of-cents revenue. */
+  val q7NationVolume: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  round((CAST(CAST(sum(
+      |      CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS DOUBLE) / 10000) * 100, 0) / 100.0 AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+      |       (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Mirrors JoinOps.q9ProductProfit: the signed
+    * `rev − retail·qty·100` profit in hundredths-of-cents. */
+  val q9ProductProfit: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+      |  round((CAST(CAST(sum(
+      |      CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) -
+      |      CAST(round(p.p_retailprice * 100, 0) AS BIGINT) *
+      |      CAST(round(l.l_quantity, 0) AS BIGINT) * 100)
+      |    AS BIGINT) AS DOUBLE) / 10000) * 100, 0) / 100.0 AS profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |  AND p.p_name LIKE '%widget%'
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors JoinOps.q10ReturnedRevenue: exact integer revenue with the
+    * custkey tiebreak makes the top-20 frontier deterministic. */
+  val q10ReturnedRevenue: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  round((CAST(CAST(sum(
+      |      CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS DOUBLE) / 10000) * 100, 0) / 100.0 AS revenue,
+      |  c.c_acctbal, n.n_name
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      |ORDER BY CAST(sum(
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |    (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |  AS BIGINT) DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Mirrors JoinOps.q14PromoShare: one conditional aggregate, the
+    * share ratio divided once from two exact bigints. */
+  val q14PromoShare: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN p.p_type = 'PROMO' THEN
+      |      CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+      |    ELSE 0 END AS promo_i,
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS rev_i
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      |    AND l.l_shipdate < TIMESTAMP '1997-10-01')
+      |SELECT
+      |  round((CAST(CAST(sum(promo_i) AS BIGINT) * 100 AS DOUBLE) /
+      |    CAST(sum(rev_i) AS BIGINT)) * 10000, 0) / 10000.0
+      |    AS promo_share_pct,
+      |  round((CAST(CAST(sum(rev_i) AS BIGINT) AS DOUBLE) / 10000)
+      |    * 100, 0) / 100.0 AS total_revenue
+      |FROM m""".stripMargin
+
+  /** Mirrors SubqueryOps.q11ImportantParts: literal scalar subquery in
+    * HAVING, bigint cross-multiplied threshold. */
+  val q11ImportantParts: String =
+    """SELECT l.l_partkey,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS value_cents
+      |FROM lineitem l
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE s.s_nationkey = 3
+      |GROUP BY l.l_partkey
+      |HAVING CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) * 500 > (
+      |  SELECT CAST(sum(CAST(round(l2.l_extendedprice * 100, 0)
+      |    AS BIGINT)) AS BIGINT)
+      |  FROM lineitem l2
+      |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |  WHERE s2.s_nationkey = 3)""".stripMargin
+
+  /** Mirrors SubqueryOps.q20DominantShippers: the nested IN + correlated
+    * HAVING scalar, quantity share as bigint cross-multiplication. */
+  val q20DominantShippers: String =
+    """SELECT s.s_name, s.s_suppkey
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  WHERE l1.l_partkey IN (
+      |      SELECT p.p_partkey FROM part p
+      |      WHERE p.p_name LIKE 'small%')
+      |    AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING CAST(sum(CAST(round(l1.l_quantity, 0) AS BIGINT))
+      |      AS BIGINT) * 3 > (
+      |    SELECT CAST(sum(CAST(round(l2.l_quantity, 0) AS BIGINT))
+      |      AS BIGINT)
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey
+      |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin
+
+  /** Mirrors AggExtOps.listAggNations: DuckDB's ordered string_agg is
+    * the same deterministic WITHIN-GROUP contract. */
+  val listAggNations: String =
+    """SELECT segment, nations,
+      |  CAST(len(string_split(nations, ',')) AS BIGINT) AS n_nations
+      |FROM (
+      |  SELECT c.c_mktsegment AS segment,
+      |    string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations
+      |  FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY c.c_mktsegment)""".stripMargin
+
+  /** Mirrors AggExtOps.unpivotPricing: same wide aggregate melted by
+    * the standard UNPIVOT clause. */
+  val unpivotPricing: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |      AS sum_qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS base_cents,
+      |    CAST(count(1) AS BIGINT) AS n_items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, metric, value
+      |FROM w UNPIVOT (value FOR metric IN (sum_qty, base_cents,
+      |  n_items))""".stripMargin
+
+  /** Mirrors AggExtOps.corrRegression: identical exact-bigint
+    * sufficient statistics, identical IEEE double tree. */
+  val corrRegression: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(1) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |      AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT)
+      |      AS sy,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT) *
+      |      CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT) *
+      |      CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT) *
+      |      CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+      |    * 1000000, 0) / 1000000.0 AS corr_qty_price,
+      |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |    * 1000000, 0) / 1000000.0 AS slope,
+      |  round(((CAST(sy AS DOUBLE) -
+      |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+      |    * 1000000, 0) / 1000000.0 AS intercept
+      |FROM s""".stripMargin
 }

@@ -239,4 +239,69 @@ object SubqueryOps {
         |    JOIN sq_region r2 ON r2.r_regionkey = n2.n_regionkey
         |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""".stripMargin)
   }
+
+  /** TPC-H Q11 shape: the parts that individually carry more than
+    * 1/500 of a nation's total shipped value — an uncorrelated scalar
+    * aggregate subquery referenced from HAVING, i.e. a filter on
+    * AGGREGATED output, not on input rows. Catalyst evaluates the
+    * scalar branch ONCE (its own aggregate over the same filtered
+    * join) and feeds the one-row result into the post-aggregation
+    * filter — two passes over the nation's slice, both map-side
+    * combined, never a per-group re-execution (PlanSpec pins the
+    * one-shot scalar). The threshold comparison is
+    * `part_value_cents · 500 > total_value_cents`: pure bigint
+    * cross-multiplication, no float fraction to flip the boundary
+    * cross-engine. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem"); view(s, dir, "supplier")
+    s.sql(
+      """SELECT l.l_partkey,
+        |  sum(cast(round(l.l_extendedprice * 100, 0) as bigint))
+        |    AS value_cents
+        |FROM sq_lineitem l
+        |JOIN sq_supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY l.l_partkey
+        |HAVING sum(cast(round(l.l_extendedprice * 100, 0) as bigint))
+        |    * 500 > (
+        |  SELECT sum(cast(round(l2.l_extendedprice * 100, 0) as bigint))
+        |  FROM sq_lineitem l2
+        |  JOIN sq_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |  WHERE s2.s_nationkey = 3)""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped the DOMINANT share of some
+    * part — the deepest NESTING in the battery: an IN subquery whose
+    * inner is itself a GROUP BY with (a) another IN subquery filtering
+    * its input and (b) a CORRELATED scalar aggregate in its HAVING
+    * (the correlation on the inner query's own grouping column,
+    * `l2.l_partkey = l1.l_partkey`). Catalyst must decorrelate
+    * inside-out: the HAVING scalar becomes a partkey-grain aggregate
+    * joined to the grouped inner, the part IN becomes a semi join, and
+    * the outer IN a semi join on suppkey — four joins and two
+    * aggregates, zero per-row re-execution (PlanSpec pins no
+    * nested-loop operator). "More than a third of the part's year
+    * volume" is bigint cross-multiplication (`sum·3 > total`), exact
+    * cross-engine. */
+  def q20DominantShippers(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "supplier"); view(s, dir, "lineitem")
+    view(s, dir, "part")
+    s.sql(
+      """SELECT s.s_name, s.s_suppkey
+        |FROM sq_supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM sq_lineitem l1
+        |  WHERE l1.l_partkey IN (
+        |      SELECT p.p_partkey FROM sq_part p
+        |      WHERE p.p_name LIKE 'small%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING sum(cast(round(l1.l_quantity, 0) as bigint)) * 3 > (
+        |    SELECT sum(cast(round(l2.l_quantity, 0) as bigint))
+        |    FROM sq_lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin)
+  }
 }

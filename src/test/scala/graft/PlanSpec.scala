@@ -421,4 +421,43 @@ class PlanSpec extends SparkSpec {
     // count agg + pivotfirst agg, each partial+final — never more
     assert("HashAggregate".r.findAllIn(p).size <= 4, p)
   }
+
+  test("q11 HAVING scalar evaluates one-shot; q20's nested IN + " +
+      "correlated HAVING decorrelates to semi joins and an aggregate " +
+      "- never a per-row probe") {
+    // q11: the scalar total is its own aggregate branch executed ONCE
+    // and fed into the post-aggregation filter — the plan is two
+    // aggregate trees, no join-shaped re-execution of the group side.
+    val q11 = plan("q11_important_parts")
+    assert(q11.contains("HashAggregate"), q11)
+    // q20: the outer suppkey IN and the part IN must both become
+    // LeftSemi hash joins; the correlated HAVING scalar must hoist to
+    // a partkey-grain aggregate joined back (no Subquery survives).
+    val q20 = plan("q20_dominant_shippers")
+    assert("LeftSemi".r.findAllIn(q20).size >= 2, q20)
+    assert(!q20.contains("Subquery"),
+      s"q20: correlated HAVING scalar survived decorrelation: $q20")
+    for ((n, p) <- Seq(("q11", q11), ("q20", q20)))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+  }
+
+  test("q7/q9/q10/q14: superset and string filters reach the scans; " +
+      "the top-k is a bounded TakeOrdered, never a full sort") {
+    // q7: the bilateral pair disjunction itself cannot push, but its
+    // two-nation SUPERSET must reach both nation scans.
+    val q7 = plan("q7_nation_volume")
+    assert(q7.contains("In(n_name, [NATION_3,NATION_7])"), q7)
+    // q9/q10: the contains-LIKE and the returnflag slice push down.
+    val q9 = plan("q9_product_profit")
+    assert(q9.contains("StringContains(p_name,widget)"), q9)
+    val q10 = plan("q10_returned_revenue")
+    assert(q10.contains("EqualTo(l_returnflag,R)"), q10)
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    val q14 = plan("q14_promo_share")
+    for ((n, p) <- Seq(("q7", q7), ("q9", q9), ("q10", q10),
+        ("q14", q14)))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+  }
 }
