@@ -130,9 +130,19 @@ object SparkEntry {
     // the nested IN-with-correlated-HAVING (decorrelated inside-out).
     "q11_important_parts" -> SubqueryOps.q11ImportantParts _,
     "q20_dominant_shippers" -> SubqueryOps.q20DominantShippers _,
+    // LATERAL correlated top-k: the per-row ORDER BY + LIMIT subquery
+    // DecorrelateInnerQuery must rewrite into one window pass.
+    "join_lateral_top_orders" -> SubqueryOps.lateralTopOrders _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
+    // Q6/Q12: the sweep closers — with these every one of the 22
+    // public TPC-H query shapes has a harness-schema form in the
+    // battery. Q6 is the pure scan→aggregate whose cost IS predicate
+    // pushdown; Q12's date-lag predicate is the battery's one
+    // cross-table residual no scan can absorb.
+    "q6_forecast_revenue" -> CoreOps.q6ForecastRevenue _,
+    "q12_late_priority" -> JoinOps.q12LatePriority _,
     "q7_nation_volume" -> JoinOps.q7NationVolume _,
     "q9_product_profit" -> JoinOps.q9ProductProfit _,
     "q10_returned_revenue" -> JoinOps.q10ReturnedRevenue _,
@@ -431,6 +441,9 @@ object SparkEntry {
     "q15_top_supplier" -> OpsOracles.q15TopSupplier,
     "q11_important_parts" -> OpsOracles.q11ImportantParts,
     "q20_dominant_shippers" -> OpsOracles.q20DominantShippers,
+    "join_lateral_top_orders" -> OpsOracles.lateralTopOrders,
+    "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
+    "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,
     "q9_product_profit" -> OpsOracles.q9ProductProfit,
     "q10_returned_revenue" -> OpsOracles.q10ReturnedRevenue,

@@ -3127,6 +3127,50 @@ object OpsOracles {
       |FROM w UNPIVOT (value FOR metric IN (sum_qty, base_cents,
       |  n_items))""".stripMargin
 
+  /** Mirrors SubqueryOps.lateralTopOrders: DuckDB's LATERAL with the
+    * identical deterministic (price DESC, orderkey) frontier. */
+  val lateralTopOrders: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.totalprice_c
+      |FROM customer c, LATERAL (
+      |  SELECT o.o_orderkey,
+      |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_c
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY CAST(round(o.o_totalprice * 100, 0) AS BIGINT) DESC,
+      |    o.o_orderkey
+      |  LIMIT 3) t""".stripMargin
+
+  /** Mirrors CoreOps.q6ForecastRevenue: same pushable double-literal
+    * band, same integer hundredths-of-cents product sum. */
+  val q6ForecastRevenue: String =
+    """SELECT
+      |  round((CAST(CAST(sum(
+      |      CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      CAST(round(l_discount * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / 10000) * 100, 0) / 100.0 AS revenue,
+      |  CAST(count(1) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= CAST(0.05 AS DOUBLE)
+      |  AND l_discount <= CAST(0.07 AS DOUBLE)
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Mirrors JoinOps.q12LatePriority: same cross-table lag residual,
+    * same one-pass two-way conditional count. */
+  val q12LatePriority: String =
+    """SELECT l.l_returnflag,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors AggExtOps.corrRegression: identical exact-bigint
     * sufficient statistics, identical IEEE double tree. */
   val corrRegression: String =

@@ -527,4 +527,33 @@ object CoreOps {
           .otherwise("dormant"))
       .select("o_custkey", "r_days", "f_orders", "m_cents", "segment")
   }
+
+  /** TPC-H Q6 shape: the forecasting-revenue-change aggregate — the one
+    * query in the spec that is PURE scan→aggregate, whose entire cost
+    * is decided by how much of the three-conjunct range predicate
+    * (ship-year window, discount band, quantity ceiling) reaches the
+    * parquet scan. All three are plain column-vs-literal comparisons,
+    * so all three push into `PushedFilters` and prune row groups via
+    * min/max statistics BEFORE decode — at 100 TB this query reads the
+    * year's row groups of three columns and nothing else, no shuffle
+    * beyond the single-row partial-aggregate collect. The discount
+    * band deliberately compares the stored double against double
+    * literals (both engines parse `0.05` to the identical IEEE value),
+    * keeping the predicate pushable where a cents-quantized rewrite
+    * (`round(l_discount*100)`) would wrap the column in an expression
+    * and forfeit the scan-level prune. Revenue is
+    * `sum(extendedprice·discount)` in exact integer
+    * hundredths-of-cents. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(
+        sum(cents("l_extendedprice") * cents("l_discount")).as("rev_i"),
+        count(lit(1)).as("n_items"))
+      .select(
+        Num.r(col("rev_i").cast("double") / 10000, 2).as("revenue"),
+        col("n_items"))
 }

@@ -242,4 +242,36 @@ object JoinOps {
         Num.r(col("total_i").cast("double") / 10000, 2)
           .as("total_revenue"))
   }
+
+  /** TPC-H Q12 shape: shipping-delay audit — did lower-priority orders
+    * ship late more often? The defining feature is the CROSS-TABLE
+    * date-lag predicate (`l_shipdate ≥ o_orderdate + 60 days`): it
+    * references both relations, so unlike every other filter in the
+    * battery it CANNOT push to either scan — it stays a residual
+    * evaluated on joined rows (the harness schema carries no
+    * commit/receipt dates, so the spec's receipt-vs-commit lag becomes
+    * the ship-vs-order lag; same shape, same plan consequence). What
+    * DOES push: the ship-year window prunes the lineitem scan before
+    * the join, and both scans prune to the 3 columns the query needs.
+    * The aggregate is the spec's two-way conditional count — ONE pass,
+    * two `sum(CASE …)` branches over the same priority test, never two
+    * joins or a pivot. At 100 TB: one equi-shuffle on orderkey (or an
+    * AQE broadcast of the pruned year slice), map-side-combined counts
+    * over a ≤3-row group domain. */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val li = read(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val ord = read(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >=
+        col("o_orderdate") + expr("interval 60 days"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
 }

@@ -304,4 +304,35 @@ object SubqueryOps {
         |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
         |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin)
   }
+
+  /** LATERAL correlated top-k: each customer's 3 largest orders — the
+    * per-entity-top-k every feature pipeline writes, in its SQL-native
+    * LATERAL form (a subquery with a correlated predicate AND its own
+    * ORDER BY + LIMIT, re-executed per outer row under naive
+    * semantics). This is the decorrelation surface the
+    * EXISTS/IN/scalar battery doesn't reach: `DecorrelateInnerQuery`
+    * must turn the per-row LIMIT into ONE window pass —
+    * `row_number() OVER (PARTITION BY o_custkey ORDER BY …) <= 3` —
+    * joined back on the customer key, so at 100 TB the cost is one
+    * shuffle of orders by custkey, never |customer| subquery
+    * re-executions. PlanSpec pins exactly that: a RunningWindowFunction
+    * over the custkey partition and zero nested-loop operators. Exact
+    * integer cents + the orderkey tiebreak make the per-customer
+    * frontier deterministic cross-engine. */
+  def lateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer"); view(s, dir, "orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+        |  t.totalprice_c
+        |FROM sq_customer c
+        |JOIN LATERAL (
+        |  SELECT o.o_orderkey,
+        |    cast(round(o.o_totalprice * 100, 0) as bigint)
+        |      AS totalprice_c
+        |  FROM sq_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cast(round(o.o_totalprice * 100, 0) as bigint) DESC,
+        |    o.o_orderkey
+        |  LIMIT 3) t""".stripMargin)
+  }
 }

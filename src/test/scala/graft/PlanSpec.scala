@@ -460,4 +460,47 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
   }
+
+  test("q6: all three range conjuncts push into the one parquet scan; " +
+      "q12's cross-table lag stays a residual on an equi hash join") {
+    // q6 is scan→aggregate: the plan must contain no join at all, and
+    // every conjunct family must appear in PushedFilters (row-group
+    // pruning at scale depends on it). The scan's metadata string is
+    // truncated at 100 chars by default, which would cut the filter
+    // list mid-name — widen it for this assertion.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val q6 = try plan("q6_forecast_revenue")
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert(!q6.contains("Join"), s"q6 must be join-free: $q6")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(q6.contains(f), s"q6 scan missing pushed conjunct $f:\n$q6")
+    // q12: the orderkey equi join must survive as a hash join (the
+    // lag predicate references both sides, so it can only be a
+    // residual/post-join filter — never the join strategy).
+    val q12 = plan("q12_late_priority")
+    assert(q12.contains("BroadcastHashJoin") ||
+      q12.contains("SortMergeJoin"), q12)
+    assert(!q12.contains("CartesianProduct") &&
+      !q12.contains("BroadcastNestedLoopJoin"), q12)
+    // The ship-year window still pushes to the lineitem scan even
+    // though the lag conjunct cannot.
+    assert(q12.contains("GreaterThanOrEqual(l_shipdate,"), q12)
+  }
+
+  test("lateral top-k decorrelates to ONE window pass joined back - " +
+      "never a per-customer subquery re-execution") {
+    val p = plan("join_lateral_top_orders")
+    // The correlated ORDER BY + LIMIT must become a row_number window
+    // partitioned by the correlation key.
+    assert(p.contains("row_number()"), p)
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+    // Joined back as a hash join; a nested-loop here would mean the
+    // lateral survived as per-row re-execution.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
