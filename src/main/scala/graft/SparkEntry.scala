@@ -293,6 +293,9 @@ object SparkEntry {
     // by its 5%-error contract column so the row IS oracle-checkable
     // (OpsOracles.approxDistinctUsers expects within_pct = TRUE).
     "agg_approx_distinct" -> EventOps.approxDistinctUsers _,
+    // Rolling distinct from STORED mergeable sketch state (SketchGold):
+    // WAU as a union of per-day HLL rows, never a window rescan.
+    "sketch_hll_wau" -> EventOps.sketchHllWau _,
     "text_repetition" -> ((s, dir) => CorpusOps.repetitionStats(s, dir)),
     // Cross-document duplicated-span stats (the exact-substring dedup
     // lens): word-8-grams shared by >= 2 docs, counted per document.
@@ -510,6 +513,7 @@ object SparkEntry {
     "sample_stratified" -> OpsOracles.sampleStratified,
     "embed_centroids" -> OpsOracles.embedCentroids,
     "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
+    "sketch_hll_wau" -> OpsOracles.sketchHllWau,
     "text_repetition" -> OpsOracles.textRepetition,
     "text_dup_spans" -> OpsOracles.dupSpanStats,
     "text_classifier_score" -> OpsOracles.classifierScore,

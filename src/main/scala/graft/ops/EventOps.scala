@@ -317,6 +317,62 @@ object EventOps {
     * distinct collapses multi-day activity inside one window, and a
     * plain count per target day finishes. All aggregation state is
     * bounded hash-agg keys; nothing re-scans a 7-day range per day. */
+  /** The sketch-state form of [[dauWau]]: trailing-7-day WAU computed
+    * by UNIONING per-day HLL sketches ([[graft.runtime.SketchGold]])
+    * instead of re-scanning the window's events, next to the exact
+    * WAU it approximates. This is the registered face of the sketch
+    * gold's 100 TB claim — a rolling distinct whose per-day cost is
+    * |window| sketch rows (kilobytes), not |window| days of traffic —
+    * under the [[approxDistinctUsers]] oracle contract: the estimate
+    * itself is engine-specific, so the query emits `dau_within` /
+    * `wau_within` (estimate within 5% of exact — >6σ at lgK 14), which
+    * the DuckDB oracle expects literally TRUE per day while verifying
+    * the exact counts and row shape. Determinism: the HLL estimate is
+    * a pure function of register state, and register state is a pure
+    * function of the input SET — partitioning- and order-independent —
+    * so the contract can never flap. */
+  def sketchHllWau(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runtime.SketchGold
+    val active = graft.util.Layout.spread(
+        graft.ingest.Events.raw(spark, dir))
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+    // Stored-state path: one ~16 KB sketch row per day...
+    val daily = SketchGold.dailySketch(active)
+    // ...then each window is a union of ≤7 sketch rows (forward
+    // explode over the metadata-scale daily frame, the dauWau trick).
+    val wauEst = daily
+      .select(col("day"), col("user_sketch"),
+        explode_outer(sequence(lit(0), lit(6))).as("off"))
+      .filter(col("off").isNotNull)
+      .select(expr("date_add(day, off)").as("day"), col("user_sketch"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("user_sketch"), lit(false))).as("wau_est"))
+    // Exact twins (the dauWau computation) for the contract columns.
+    val dauEx = active.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau_exact"))
+    val wauEx = active
+      .select(col("user_id"), col("day"),
+        explode_outer(sequence(lit(0), lit(6))).as("off"))
+      .filter(col("off").isNotNull)
+      .select(col("user_id"), expr("date_add(day, off)").as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau_exact"))
+    def within(est: org.apache.spark.sql.Column,
+               exact: org.apache.spark.sql.Column) =
+      abs(est - exact.cast("double")) / exact.cast("double") <= 0.05
+    dauEx.join(wauEx, Seq("day"))
+      .join(daily.select(col("day"), col("dau_est")), Seq("day"))
+      .join(wauEst, Seq("day"))
+      .select(col("day"), col("dau_exact"), col("wau_exact"),
+        within(col("dau_est"), col("dau_exact")).as("dau_within"),
+        within(col("wau_est"), col("wau_exact")).as("wau_within"))
+  }
+
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
     val active = graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)

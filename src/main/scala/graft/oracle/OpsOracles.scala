@@ -1475,6 +1475,30 @@ object OpsOracles {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** Mirrors EventOps.sketchHllWau: the exact DAU/WAU twins are fully
+    * verified (the dauWau computation); the HLL-union estimates are
+    * engine-specific, so their 5% contract columns are expected
+    * literally TRUE per day (the approxDistinctUsers convention). */
+  val sketchHllWau: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |dau AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS dau_exact
+      |  FROM a GROUP BY day
+      |),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+      |  FROM a, range(0, 7) r(i)
+      |),
+      |wau AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS wau_exact
+      |  FROM c GROUP BY day
+      |)
+      |SELECT day, dau_exact, wau_exact,
+      |  TRUE AS dau_within, TRUE AS wau_within
+      |FROM dau JOIN wau USING (day)""".stripMargin
+
   /** Mirrors EventOps.sessionizeGap: gaps-and-islands with the same
     * (ts_us, event_id) total ordering and >= 30-minute boundary. */
   val sessionizeGap: String =
