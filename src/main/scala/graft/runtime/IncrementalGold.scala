@@ -120,6 +120,20 @@ object IncrementalGold {
         graft.gold.EpisodeDaily.build(s)),
       Seq("webtoon_id"), backDays = 1, fwdDays = 0)
 
+  /** [[dateScopedDelta]] pre-bound for the sketch gold
+    * ([[SketchGold]]; within-date: b = f = 0). This is the
+    * deletion-capable path — the chain's silver deltas can MOVE a
+    * user's sessions off a date, which HLL union cannot express, so
+    * the chain always rebuilds the affected days' sketches from their
+    * (already re-derived) silver slice; [[SketchGold.unionDelta]]'s
+    * O(delta) additive path is for append-only feeds. */
+  def userSketchDelta(spark: SparkSession, silver: DataFrame,
+                      goldDir: String,
+                      deltaDates: Seq[java.sql.Date]): Unit =
+    dateScopedDelta(spark, silver, goldDir, deltaDates,
+      SketchGold.silverDailySketch(_),
+      Seq.empty, backDays = 0, fwdDays = 0)
+
   /** [[dateScopedDelta]] pre-bound for the country gold (retention
     * lags one day back). */
   def countryDailyDelta(spark: SparkSession, silver: DataFrame,

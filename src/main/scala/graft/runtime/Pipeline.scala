@@ -133,9 +133,14 @@ object Pipeline {
     val platform = writeGold("gold_platform_device_daily",
       PlatformDeviceDaily.build(silver))
     val country = writeGold("gold_country_daily", CountryDaily.build(silver))
+    // The sketch gold: per-day HLL user-sketch STATE (SketchGold), so
+    // rolling distincts (WAU/MAU) read |window| kilobyte rows instead
+    // of |window| days of sessions.
+    val sketch = writeGold("gold_user_sketch",
+      SketchGold.silverDailySketch(silver))
 
     // Maintenance tail: compact every datetime-partitioned table this
-    // run wrote — the five golds AND the silver system-of-record
+    // run wrote — the six golds AND the silver system-of-record
     // (MergeUpsert writes it hive-partitioned by datetime, and the
     // daily merge rewrite is exactly what fragments it). This is the
     // operational step that keeps the C4 file-count gate honest
@@ -148,13 +153,13 @@ object Pipeline {
     val compacted = stage("compact") {
       Seq("silver_sessions", "gold_user_daily", "gold_episode_daily",
         "gold_webtoon_daily", "gold_platform_device_daily",
-        "gold_country_daily").map { t =>
+        "gold_country_daily", "gold_user_sketch").map { t =>
         Compaction.compact(spark, s"$warehouseDir/$t").count()
       }.sum
     }
 
     Seq(Result("silver_sessions", silver.count()), user, episode, webtoon,
-      platform, country, Result("compaction_rewrites", compacted))
+      platform, country, sketch, Result("compaction_rewrites", compacted))
   }
 
   /** The INCREMENTAL daily chain: bronze delta → user-scoped silver
@@ -214,6 +219,10 @@ object Pipeline {
       stage("gold_country_daily") {
         IncrementalGold.countryDailyDelta(spark, silver,
           s"$warehouseDir/gold_country_daily", d.affectedDates)
+      }
+      stage("gold_user_sketch") {
+        IncrementalGold.userSketchDelta(spark, silver,
+          s"$warehouseDir/gold_user_sketch", d.affectedDates)
       }
     }
     d.watermark

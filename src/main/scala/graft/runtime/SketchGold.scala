@@ -53,6 +53,13 @@ object SketchGold {
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("user_sketch"))
       .withColumn("dau_est", hll_sketch_estimate(col("user_sketch")))
 
+  /** [[dailySketch]] on the silver session grain, in the gold chain's
+    * table form: one sketch row per `datetime` partition. */
+  def silverDailySketch(silver: DataFrame): DataFrame =
+    dailySketch(silver
+        .select(col("datetime").as("day"), col("user_id")).distinct())
+      .withColumnRenamed("day", "datetime")
+
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -47,7 +47,7 @@ object SilverLoop {
     * append is batch_id-idempotent and every downstream layer lands
     * through scope-replacing merges, so at-least-once delivery
     * converges to exactly-once table state. `warehouseDir` holds
-    * `silver_sessions` plus the five gold tables (the
+    * `silver_sessions` plus the six gold tables (the
     * [[graft.runtime.Pipeline]] layout). */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,

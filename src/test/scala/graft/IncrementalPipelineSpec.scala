@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end incremental chain on real sf0.001 events: bronze batches
   * (including a redelivery) → user-scoped silver → delta-scoped golds;
-  * after every run, silver AND all five gold tables must equal the
+  * after every run, silver AND all six gold tables (sketch included) must equal the
   * full from-scratch recompute. */
 class IncrementalPipelineSpec extends SparkSpec {
 
@@ -23,7 +23,7 @@ class IncrementalPipelineSpec extends SparkSpec {
   }
 
   test("incremental daily chain == full recompute for silver and " +
-      "all five golds, including a redelivery batch") {
+      "all six golds, including a redelivery batch") {
     val raw = Events.raw(spark, "/root/testdata/sf0.001").persist()
     val dts = raw.select(to_date(col("ts")).as("d")).distinct()
       .collect().map(_.getDate(0)).sortBy(_.getTime)
@@ -65,6 +65,14 @@ class IncrementalPipelineSpec extends SparkSpec {
       PlatformDeviceDaily.build(fullSilver), "platform gold")
     assertSame(spark.read.parquet(s"$wh/gold_country_daily"),
       CountryDaily.build(fullSilver), "country gold")
+    // Sketch gold: compare (datetime, dau_est) — the estimate is the
+    // contract (a pure function of the day's user set); the serialized
+    // sketch bytes are an implementation detail of build order.
+    assertSame(
+      spark.read.parquet(s"$wh/gold_user_sketch")
+        .select(col("datetime"), col("dau_est")),
+      graft.runtime.SketchGold.silverDailySketch(fullSilver)
+        .select(col("datetime"), col("dau_est")), "sketch gold")
 
     // No-change run: watermark sticks, nothing rewritten.
     val before = spark.read.parquet(s"$wh/gold_user_daily").count()

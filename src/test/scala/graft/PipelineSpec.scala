@@ -3,17 +3,17 @@ package graft
 import graft.runtime.Pipeline
 import org.apache.spark.sql.functions._
 
-/** End-to-end chain on sf0.001: silver merge-upsert, gate, five gold
+/** End-to-end chain on sf0.001: silver merge-upsert, gate, six gold
   * tables in reference dependency order; rerun idempotency. */
 class PipelineSpec extends SparkSpec {
 
-  test("daily chain produces all six tables and is rerun-idempotent") {
+  test("daily chain produces all seven tables and is rerun-idempotent") {
     val wh = tmpDir("warehouse")
     val res = Pipeline.runDaily(spark, "/root/testdata/sf0.001", wh)
     assert(res.map(_.table) == Seq("silver_sessions", "gold_user_daily",
       "gold_episode_daily", "gold_webtoon_daily",
       "gold_platform_device_daily", "gold_country_daily",
-      "compaction_rewrites"))
+      "gold_user_sketch", "compaction_rewrites"))
     assert(res.filterNot(_.table == "compaction_rewrites")
       .forall(_.rows > 0))
     // The maintenance tail ran: every gold table is left COMPACT — a
@@ -54,7 +54,8 @@ class PipelineSpec extends SparkSpec {
     Pipeline.runDaily(spark, src, wh)
     for (t <- Seq("silver_sessions", "gold_user_daily",
         "gold_episode_daily", "gold_webtoon_daily",
-        "gold_platform_device_daily", "gold_country_daily")) {
+        "gold_platform_device_daily", "gold_country_daily",
+        "gold_user_sketch")) {
       assert(spark.read.parquet(s"$wh/$t")
         .filter(col("datetime") === lit(lastDate)).count() == 0L,
         s"$t kept stale rows for the vanished date")

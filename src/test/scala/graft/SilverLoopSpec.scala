@@ -113,7 +113,7 @@ class SilverLoopSpec extends SparkSpec {
       s"streamed->bucketed gold must be exchange-free:\n$plan")
   }
 
-  test("streamed incremental chain: silver AND all five golds == batch " +
+  test("streamed incremental chain: silver AND all six golds == batch " +
       "recompute across three micro-batches including a re-stamped " +
       "redelivery that moves a session across a date boundary") {
     implicit val sqlCtx = spark.sqlContext
@@ -165,6 +165,9 @@ class SilverLoopSpec extends SparkSpec {
       graft.gold.PlatformDeviceDaily.build(fullSilver), "platform gold")
     same(s"$wh/gold_country_daily",
       graft.gold.CountryDaily.build(fullSilver), "country gold")
+    same(s"$wh/gold_user_sketch",
+      graft.runtime.SketchGold.silverDailySketch(fullSilver)
+        .select(col("datetime"), col("dau_est")), "sketch gold")
 
     // The moved session is really gone from its original day.
     assert(spark.read.parquet(s"$wh/gold_user_daily")
