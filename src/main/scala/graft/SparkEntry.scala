@@ -133,6 +133,9 @@ object SparkEntry {
     // LATERAL correlated top-k: the per-row ORDER BY + LIMIT subquery
     // DecorrelateInnerQuery must rewrite into one window pass.
     "join_lateral_top_orders" -> SubqueryOps.lateralTopOrders _,
+    // Dataset-version diff (CDC shape): one full-outer join classifies
+    // every key added/removed/changed/unchanged with null-safe cells.
+    "table_diff_orders" -> graft.ops.TableDiff.ordersQuarterDiff _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -445,6 +448,7 @@ object SparkEntry {
     "q11_important_parts" -> OpsOracles.q11ImportantParts,
     "q20_dominant_shippers" -> OpsOracles.q20DominantShippers,
     "join_lateral_top_orders" -> OpsOracles.lateralTopOrders,
+    "table_diff_orders" -> OpsOracles.ordersQuarterDiff,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,
