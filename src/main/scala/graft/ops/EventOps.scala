@@ -333,12 +333,17 @@ object EventOps {
     * so the contract can never flap. */
   def sketchHllWau(spark: SparkSession, dir: String): DataFrame = {
     import graft.runtime.SketchGold
+    // localCheckpoint (the KnnEval convention): four subtrees read
+    // `active` (sketch build, sketch WAU, exact DAU, exact WAU) — the
+    // lazy return would otherwise re-run the events scan + distinct
+    // once per subtree.
     val active = graft.util.Layout.spread(
         graft.ingest.Events.raw(spark, dir))
       .transform(graft.ingest.Events.withTsUs)
       .select(col("user_id"),
         to_date(timestamp_micros(col("ts_us"))).as("day"))
       .distinct()
+      .localCheckpoint()
     // Stored-state path: one ~16 KB sketch row per day...
     val daily = SketchGold.dailySketch(active)
     // ...then each window is a union of ≤7 sketch rows (forward

@@ -489,6 +489,32 @@ class PlanSpec extends SparkSpec {
     assert(q12.contains("GreaterThanOrEqual(l_shipdate,"), q12)
   }
 
+  test("sketch_hll_wau: no Expand (sketch and exact branches stay " +
+      "separate), day-grain joins broadcast; table_diff is ONE " +
+      "full-outer join with both snapshot filters pushed") {
+    // The approxDistinctUsers lesson, enforced on the sketch twin:
+    // fusing the HLL buffer with a countDistinct would plan one Expand
+    // whose first-phase groups are (day, user) — a sketch buffer per
+    // distinct user. The pre-distinct + separate branches keep the
+    // plan Expand-free.
+    val sk = plan("sketch_hll_wau")
+    assert(!sk.contains("Expand"), s"sketch query fused into Expand: $sk")
+    assert(!sk.contains("CartesianProduct") &&
+      !sk.contains("BroadcastNestedLoopJoin"), sk)
+    // All joins are at the per-day grain (metadata-scale) — broadcast.
+    assert(sk.contains("BroadcastHashJoin"), sk)
+    assert(!sk.contains("SortMergeJoin"), sk)
+    // table_diff: the CDC classification is one full-outer equi-join;
+    // each snapshot's derivation filter reaches its own parquet scan
+    // (including the NOT(...) De-Morgan'd removal predicate).
+    val td = plan("table_diff_orders")
+    assert(td.contains("FullOuter"), td)
+    assert(!td.contains("CartesianProduct") &&
+      !td.contains("BroadcastNestedLoopJoin"), td)
+    assert(td.contains("LessThan(o_orderdate,1997-10-01"), td)
+    assert(td.contains("LessThan(o_orderdate,1998-01-01"), td)
+  }
+
   test("lateral top-k decorrelates to ONE window pass joined back - " +
       "never a per-customer subquery re-execution") {
     val p = plan("join_lateral_top_orders")

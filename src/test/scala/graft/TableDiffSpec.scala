@@ -58,6 +58,38 @@ class TableDiffSpec extends SparkSpec {
     assert(s.keys.count(_._1 == "removed") == 1)
   }
 
+  test("model-based: diff agrees with a plain-Scala reference on " +
+      "randomized snapshot pairs") {
+    val rnd = new scala.util.Random(11L)
+    for (round <- 0 until 3) {
+      def snap() = (0 until 200).flatMap { k =>
+        if (rnd.nextDouble() < 0.8)
+          Some((k.toLong,
+            if (rnd.nextDouble() < 0.1) None
+            else Some(s"v${rnd.nextInt(3)}"),
+            rnd.nextInt(2)))
+        else None
+      }
+      val oldRows = snap()
+      val neuRows = snap()
+      val om = oldRows.map(r => r._1 -> (r._2, r._3)).toMap
+      val nm = neuRows.map(r => r._1 -> (r._2, r._3)).toMap
+      val expected = (om.keySet ++ nm.keySet).map { k =>
+        k -> ((om.get(k), nm.get(k)) match {
+          case (None, _)            => "added"
+          case (_, None)            => "removed"
+          case (Some(a), Some(b))   =>
+            if (a == b) "unchanged" else "changed"
+        })
+      }.toMap
+      val got = TableDiff.diff(oldRows.toDF("k", "s", "v"),
+          neuRows.toDF("k", "s", "v"), Seq("k"))
+        .select(col("k"), col("diff_status"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"round $round diverged from the model")
+    }
+  }
+
   test("composes with readAsOf time travel: diff of two as-of views " +
       "is exactly the later batch's effect") {
     val dir = tmpDir("diff-asof")
