@@ -133,6 +133,9 @@ object SparkEntry {
     // LATERAL correlated top-k: the per-row ORDER BY + LIMIT subquery
     // DecorrelateInnerQuery must rewrite into one window pass.
     "join_lateral_top_orders" -> SubqueryOps.lateralTopOrders _,
+    // The COUNT-bug: correlated scalar COUNT(*) in SELECT, zero-match
+    // rows must read 0 (the decorrelation correctness trap).
+    "q_scalar_count_bug" -> SubqueryOps.scalarCountBug _,
     // Dataset-version diff (CDC shape): one full-outer join classifies
     // every key added/removed/changed/unchanged with null-safe cells.
     "table_diff_orders" -> graft.ops.TableDiff.ordersQuarterDiff _,
@@ -448,6 +451,7 @@ object SparkEntry {
     "q11_important_parts" -> OpsOracles.q11ImportantParts,
     "q20_dominant_shippers" -> OpsOracles.q20DominantShippers,
     "join_lateral_top_orders" -> OpsOracles.lateralTopOrders,
+    "q_scalar_count_bug" -> OpsOracles.scalarCountBug,
     "table_diff_orders" -> OpsOracles.ordersQuarterDiff,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,

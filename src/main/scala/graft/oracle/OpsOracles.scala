@@ -3193,6 +3193,20 @@ object OpsOracles {
       |  CAST(sum(n_changed) AS BIGINT) AS n_changed_cells
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
+    * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
+    * empty-input patch. */
+  val scalarCountBug: String =
+    """SELECT c.c_custkey,
+      |  (SELECT CAST(count(1) AS BIGINT) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_orderpriority = '1-URGENT'
+      |     AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+      |     AND o.o_orderdate < TIMESTAMP '1997-09-01')
+      |    AS n_urgent_q3
+      |FROM customer c
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+
   /** Mirrors SubqueryOps.lateralTopOrders: DuckDB's LATERAL with the
     * identical deterministic (price DESC, orderkey) frontier. */
   val lateralTopOrders: String =

@@ -305,6 +305,33 @@ object SubqueryOps {
         |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin)
   }
 
+  /** The COUNT-bug surface: a correlated scalar `COUNT(*)` in the
+    * SELECT list. Naive decorrelation (outer join + aggregate) yields
+    * NULL for outer rows with no match, but SQL semantics demand the
+    * subquery's own result over an empty input — COUNT's is 0, not
+    * NULL. This is the classic correctness trap of scalar-subquery
+    * rewrites (every decorrelation paper's first counterexample);
+    * Catalyst patches the join's null with the aggregate's
+    * empty-input value. The query slices customers to one segment and
+    * counts each one's URGENT orders — most customers have ZERO, so
+    * the bug (NULL/dropped rows instead of 0) cannot hide in the
+    * output; the oracle runs the literal correlated form in DuckDB.
+    * Plan: one aggregate at the custkey grain left-outer-joined back —
+    * never a per-customer re-execution (PlanSpec pins it). */
+  def scalarCountBug(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer"); view(s, dir, "orders")
+    s.sql(
+      """SELECT c.c_custkey,
+        |  (SELECT count(1) FROM sq_orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT'
+        |     AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+        |     AND o.o_orderdate < TIMESTAMP '1997-09-01')
+        |    AS n_urgent_q3
+        |FROM sq_customer c
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   /** LATERAL correlated top-k: each customer's 3 largest orders — the
     * per-entity-top-k every feature pipeline writes, in its SQL-native
     * LATERAL form (a subquery with a correlated predicate AND its own

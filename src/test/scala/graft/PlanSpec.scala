@@ -515,6 +515,16 @@ class PlanSpec extends SparkSpec {
     assert(td.contains("LessThan(o_orderdate,1998-01-01"), td)
   }
 
+  test("COUNT-bug scalar: ONE custkey-grain aggregate LEFT OUTER " +
+      "joined back - the empty-input 0 patched, never per-row") {
+    val p = plan("q_scalar_count_bug")
+    assert(p.contains("LeftOuter"),
+      s"zero-match customers need the outer join: $p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("lateral top-k decorrelates to ONE window pass joined back - " +
       "never a per-customer subquery re-execution") {
     val p = plan("join_lateral_top_orders")
