@@ -26,11 +26,23 @@ object TableDiff {
     * the intersection of the two schemas; columns present on one side
     * only are ignored (schema evolution is additive here — a diff that
     * flagged every row "changed" because a column appeared would be
-    * noise, and the ADDED column is visible in the schema itself). */
+    * noise, and the ADDED column is visible in the schema itself).
+    * Both inputs must be SNAPSHOTS — at most one row per key (an
+    * append-only log needs its latest-per-key view taken first, see
+    * TableDiffSpec's readAsOf composition); duplicate keys would
+    * cross-join inside the full outer and classify every pairing. */
   def diff(old: DataFrame, neu: DataFrame,
            keys: Seq[String]): DataFrame = {
     val common = old.columns.toSeq.intersect(neu.columns.toSeq)
     val vals = common.filterNot(keys.contains)
+    // The o_/n_ prefixes and the presence markers live in the same
+    // namespace as the data columns — collide loudly, not silently
+    // (a table carrying both `x` and `o_x` would otherwise produce an
+    // ambiguous column and misclassify).
+    val reserved = vals.map("o_" + _) ++ vals.map("n_" + _) ++
+      Seq("_o", "_n")
+    require(common.intersect(reserved).isEmpty,
+      s"diff reserved-name collision: ${common.intersect(reserved)}")
     val o = old.select(common.map(col): _*)
       .withColumn("_o", lit(true))
     val n = neu.select(common.map(col): _*)
