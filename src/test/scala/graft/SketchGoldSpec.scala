@@ -59,6 +59,30 @@ class SketchGoldSpec extends SparkSpec {
       "sketch estimate depended on physical layout")
   }
 
+  test("union preserves register resolution PAST the coupon regime: " +
+      "150k distinct, unioned thirds == one build, exactly") {
+    // The coupon-exact tests above can't see a union-side lgK
+    // downgrade (any resolution is exact there). 150k distinct is deep
+    // in HLL-array mode at lgK 14; register state is bucket-wise max,
+    // so IF the union keeps the same lgK, union-of-parts must equal
+    // the one-shot build to the BIT — same registers, same estimate.
+    val big = spark.range(150000)
+      .select(lit(java.sql.Date.valueOf("2024-06-01")).as("day"),
+        col("id").as("user_id"))
+    val whole = estimates(SketchGold.dailySketch(big))
+    val parts = (0 to 2).map(i => SketchGold
+      .dailySketch(big.filter(pmod(col("user_id"), lit(3)) === i))
+      .select(col("day"), col("user_sketch")))
+    val unioned = parts.reduce(_ unionByName _)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("user_sketch"), lit(false))
+        .as("user_sketch"))
+      .withColumn("dau_est", hll_sketch_estimate(col("user_sketch")))
+    assert(estimates(unioned) == whole,
+      "union-of-parts estimate diverged from the one-shot build — " +
+        "the union is degrading sketch resolution")
+  }
+
   test("recompute path deletes a day whose rows vanished") {
     val dir = tmpDir("sketch-del")
     SketchGold.unionDelta(spark, dir, active)
