@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * deletion, and rolling WAU from stored state matches both the exact
   * count (coupon-exact regime) and the from-raw sketch answer. */
 class SketchGoldSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val active = graft.ingest.Events
     .raw(spark, "/root/testdata/sf0.001")
@@ -99,6 +100,32 @@ class SketchGoldSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(!left.contains(dropped.toString), "vanished day survived")
     assert(left.size == days.length - 1, s"unexpected days: $left")
+  }
+
+  test("rolling edges: window=1 is the daily identity, and a gap day " +
+      "still reports its trailing window (not a fabricated zero)") {
+    val dir = tmpDir("sketch-edge")
+    // Two active days with an 3-day gap between them.
+    val rows = Seq(
+      ("2024-06-01", 1L), ("2024-06-01", 2L), ("2024-06-05", 2L))
+      .toDF("d", "user_id")
+      .select(col("d").cast("date").as("day"), col("user_id"))
+    SketchGold.unionDelta(spark, dir, rows)
+    val w1 = SketchGold.rollingDistinct(spark, dir, 1)
+      .select(col("day").cast("string"), col("distinct_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == Map("2024-06-01" -> 2L, "2024-06-05" -> 1L))
+    val w7 = SketchGold.rollingDistinct(spark, dir, 7)
+      .select(col("day").cast("string"), col("distinct_est"),
+        col("n_days"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // June 3 had no activity, but its trailing-7 window contains
+    // June 1: the rolling read must still answer 2 (from 1 sketch row).
+    assert(w7("2024-06-03") == (2L, 1L))
+    // June 5's window spans both sketch rows; user 2 appears in both
+    // days and must count once.
+    assert(w7("2024-06-05") == (2L, 2L))
   }
 
   test("rolling 7-day distinct from stored sketches == exact count " +
