@@ -168,9 +168,28 @@ object Bench {
     // never fail the benchmark it backs up), compact line on stdout LAST
     // so the tail capture always ends with a complete parseable object.
     // A filtered dev run must never clobber the committed full-battery
-    // record — it lands in a sibling file instead.
+    // record — it lands in a sibling file instead. Likewise a NOISY full
+    // run (noise_flag=true) must never replace an existing calm record
+    // (rounds 10 and 11 both lost the calm anchor this way): it lands in
+    // BENCH_FULL.noisy.json unless the prior record was itself noisy or
+    // absent, or $SPARK_GRAFT_BENCH_FORCE=1 overrides the guard.
+    val priorIsCalm =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        java.nio.file.Files.exists(p) &&
+          !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .contains("\"noise_flag\":true")
+      } catch { case _: Throwable => false }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val fullPath =
-      if (only.isDefined) "BENCH_FULL.filtered.json" else "BENCH_FULL.json"
+      if (only.isDefined) "BENCH_FULL.filtered.json"
+      else if (noisy && priorIsCalm && !force) {
+        System.err.println(
+          "[bench] noise_flag=true and BENCH_FULL.json holds a calm record;" +
+            " writing BENCH_FULL.noisy.json (set SPARK_GRAFT_BENCH_FORCE=1" +
+            " to overwrite)")
+        "BENCH_FULL.noisy.json"
+      } else "BENCH_FULL.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         line(qsFull, sentinelJson(_.toString), s""""reps_detail":$reps,""")

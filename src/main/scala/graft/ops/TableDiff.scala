@@ -87,7 +87,7 @@ object TableDiff {
     * next-quarter self — "the dataset before and after a quarter of
     * ingest" derived deterministically from one harness table (old =
     * orders before 1997-10-01; new = orders before 1998-01-01 with
-    * Q4-1997 orders' priority normalized — so all four statuses
+    * Q3-1997 LOW orders' priority normalized — so all four statuses
     * appear: Q4 rows are `added`, rows re-prioritized are `changed`,
     * and a removed slice comes from dropping NOT-SPECIFIED September
     * orders). Output is the per-status/per-column summary plus a

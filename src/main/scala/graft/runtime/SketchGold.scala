@@ -36,7 +36,17 @@ import org.apache.spark.sql.functions._
   * sketch reads that day only).
   *
   * lgK = 14 ⇒ relative standard error ≈ 1.04/√2¹⁴ ≈ 0.8%; the
-  * registered query's 5% contract is >6σ. */
+  * registered query's 5% contract is >6σ.
+  *
+  * Union strictness and output lgK: `hll_union_agg(_, false)` rejects
+  * mixed-lgK inputs, and every sketch this table stores is built at
+  * LgK. The DataSketches union may still emit an OUTPUT sketch at a
+  * lower lgK while all inputs sit in the coupon (sparse) regime — the
+  * estimate stays exact there and converges to lgK-precision once any
+  * input promotes to dense (SketchGoldSpec pins both regimes), so the
+  * 5% contract is unaffected. A future LgK bump must revisit that
+  * spec's past-coupon-regime case: the contract's error bound comes
+  * from the PROMOTED lgK, not the configured one. */
 object SketchGold {
 
   /** DataSketches lgConfigK: 2^14 registers, ≤16 KB per sketch. */
@@ -60,24 +70,29 @@ object SketchGold {
         .select(col("datetime").as("day"), col("user_id")).distinct())
       .withColumnRenamed("day", "datetime")
 
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
-
   /** O(delta) additive maintenance: union the delta's per-day sketches
     * into the stored rows. Reads NOTHING but the affected days' stored
     * sketch rows (metadata-scale) + the delta itself; exact under
     * append-only ingest and redelivery (set semantics absorbs
     * duplicates). NOT for deltas that can delete — use
     * [[recomputeDelta]] there. Lands through [[MergeUpsert]], so the
-    * write is idempotent and crash-safe like every other gold. */
+    * write is idempotent and crash-safe like every other gold.
+    *
+    * The stored-side read runs AFTER [[MergeUpsert.sweepAndHasData]]'s
+    * recovery sweep (same fs handle the upsert will reuse): a prior
+    * writer that crashed between renames leaves a day's rows in a
+    * `.backup-*` dir, and a pre-sweep read would miss them — the
+    * subsequent upsert would then swap the sweep-restored partition for
+    * a delta-only sketch, a silent permanent undercount. The sweep also
+    * settles the emptied-table case (a lone `_SUCCESS` marker must take
+    * the initial-write branch, not fail parquet schema inference). */
   def unionDelta(spark: SparkSession, goldDir: String,
                  deltaDayUsers: DataFrame): Unit = {
     val delta = dailySketch(deltaDayUsers)
+    val goldPath = new Path(goldDir)
+    val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!hasData(spark, goldDir)) delta
+      if (!MergeUpsert.sweepAndHasData(fs, goldPath)) delta
       else {
         val stored = spark.read.parquet(goldDir)
           .join(delta.select("day"), Seq("day"), "left_semi")

@@ -38,7 +38,7 @@ object SilverLoop {
 
   /** [[start]] extended to the FULL incremental daily chain: each
     * micro-batch lands in bronze, folds into silver user-scoped, and
-    * then drives the five delta-scoped gold upserts
+    * then drives the six delta-scoped gold upserts
     * ([[graft.runtime.Pipeline.runDailyIncremental]]) — so the streamed
     * deployment pays the same delta-scaled gold bill the batch chain
     * proves exact (IncrementalGoldSpec / IncrementalPipelineSpec),
