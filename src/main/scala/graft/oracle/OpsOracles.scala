@@ -3127,14 +3127,14 @@ object OpsOracles {
   /** Mirrors AggExtOps.listAggNations: DuckDB's ordered string_agg is
     * the same deterministic WITHIN-GROUP contract. */
   val listAggNations: String =
-    """SELECT segment, nations,
-      |  CAST(len(string_split(nations, ',')) AS BIGINT) AS n_nations
+    """SELECT segment,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  CAST(count(1) AS BIGINT) AS n_nations
       |FROM (
-      |  SELECT c.c_mktsegment AS segment,
-      |    string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations
+      |  SELECT DISTINCT c.c_mktsegment AS segment, n.n_name
       |  FROM customer c
-      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
-      |  GROUP BY c.c_mktsegment)""".stripMargin
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey) t
+      |GROUP BY segment""".stripMargin
 
   /** Mirrors AggExtOps.unpivotPricing: same wide aggregate melted by
     * the standard UNPIVOT clause. */

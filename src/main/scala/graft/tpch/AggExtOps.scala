@@ -34,27 +34,34 @@ object AggExtOps {
     * row-bounded, so the aggregate state stays metadata-scale at any
     * fact size).
     *
-    * The nation count is derived from the aggregated string, NOT a
-    * second `count(DISTINCT ...)`: two distinct aggregates in one
-    * SELECT route through the Expand-based RewriteDistinctAggregates,
-    * which (Spark 4.1) drops ListAgg's WITHIN-GROUP SortOrder on the
-    * rewritten branch and fails planning (`AttributeReference cannot
-    * be cast to SortOrder`) — a single distinct aggregate plans the
-    * ordinary two-stage way and is safe. */
-  def listAggNations(s: SparkSession, dir: String): DataFrame = {
-    read(s, dir, "customer").createOrReplaceTempView("agx_customer")
-    read(s, dir, "nation").createOrReplaceTempView("agx_nation")
+    * The duplicate-elimination happens in a pre-distinct SUBQUERY, not
+    * as DISTINCT aggregates: two distinct aggregates in one SELECT
+    * (`listagg(DISTINCT ...)` + `count(DISTINCT ...)`) route through
+    * the Expand-based RewriteDistinctAggregates, which (Spark 4.1)
+    * drops ListAgg's WITHIN-GROUP SortOrder on the rewritten branch
+    * and fails planning (`AttributeReference cannot be cast to
+    * SortOrder`). After the pre-distinct both aggregates are plain, so
+    * they plan the ordinary two-stage way — and `count(1)` counts the
+    * distinct GROUP MEMBERS, not delimiter occurrences, so a delimiter
+    * character inside a member name cannot inflate the count
+    * (AggExtSpec plants one). */
+  def listAggNationsFrom(s: SparkSession, customer: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("agx_customer")
+    nation.createOrReplaceTempView("agx_nation")
     s.sql(
-      """SELECT segment, nations,
-        |  cast(size(split(nations, ',')) as bigint) AS n_nations
+      """SELECT segment,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  cast(count(1) as bigint) AS n_nations
         |FROM (
-        |  SELECT c.c_mktsegment AS segment,
-        |    listagg(DISTINCT n.n_name, ',')
-        |      WITHIN GROUP (ORDER BY n.n_name) AS nations
+        |  SELECT DISTINCT c.c_mktsegment AS segment, n.n_name
         |  FROM agx_customer c
-        |  JOIN agx_nation n ON n.n_nationkey = c.c_nationkey
-        |  GROUP BY c.c_mktsegment)""".stripMargin)
+        |  JOIN agx_nation n ON n.n_nationkey = c.c_nationkey)
+        |GROUP BY segment""".stripMargin)
   }
+
+  def listAggNations(s: SparkSession, dir: String): DataFrame =
+    listAggNationsFrom(s, read(s, dir, "customer"), read(s, dir, "nation"))
 
   /** UNPIVOT / wide→long reshape: the Q1-style pricing summary melted
     * into (flag, metric, value) rows — the shape every metrics store
