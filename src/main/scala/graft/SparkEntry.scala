@@ -302,6 +302,10 @@ object SparkEntry {
     // Rolling distinct from STORED mergeable sketch state (SketchGold):
     // WAU as a union of per-day HLL rows, never a window rescan.
     "sketch_hll_wau" -> EventOps.sketchHllWau _,
+    // The stored-state serving twin: 30-day MAU read from the
+    // MATERIALIZED sketch gold (built once per JVM, the AnnIndex.ensure
+    // convention) — the estimate plan reads sketch ROWS, not events.
+    "sketch_mau_stored" -> EventOps.sketchMauStored _,
     "text_repetition" -> ((s, dir) => CorpusOps.repetitionStats(s, dir)),
     // Cross-document duplicated-span stats (the exact-substring dedup
     // lens): word-8-grams shared by >= 2 docs, counted per document.
@@ -522,6 +526,7 @@ object SparkEntry {
     "embed_centroids" -> OpsOracles.embedCentroids,
     "agg_approx_distinct" -> OpsOracles.approxDistinctUsers,
     "sketch_hll_wau" -> OpsOracles.sketchHllWau,
+    "sketch_mau_stored" -> OpsOracles.sketchMauStored,
     "text_repetition" -> OpsOracles.textRepetition,
     "text_dup_spans" -> OpsOracles.dupSpanStats,
     "text_classifier_score" -> OpsOracles.classifierScore,

@@ -378,6 +378,60 @@ object EventOps {
         within(col("wau_est"), col("wau_exact")).as("wau_within"))
   }
 
+  /** The SERVING half of the sketch gold: a 30-day rolling MAU
+    * answered from the MATERIALIZED sketch table
+    * ([[graft.runtime.SketchGold.rollingDistinct]]), not from events.
+    * [[sketchHllWau]] proves the sketch math inline; this query proves
+    * the stored read path — the table is built once per JVM (the
+    * [[graft.sim.AnnIndex.ensure]] convention every serving layout
+    * uses: the sketch gold is the nightly incremental artifact, the
+    * MAU query is what repeats), and the estimate plan then reads one
+    * ~16 KB sketch ROW per day — 30 rows per window instead of 30 days
+    * of traffic, independent of history depth. `n_days` (the count of
+    * sketch rows present in each trailing window) is exact and
+    * oracle-verified, so a consumer can tell a partial leading window
+    * from a full one; the estimate itself is engine-specific and rides
+    * the 5% contract column (`mau_within`, >6σ at lgK 14 — the
+    * [[sketchHllWau]] convention). The exact-MAU twin is computed from
+    * events only to FEED the contract column; the serving path touches
+    * no event row (SketchGoldSpec pins the scan set). */
+  def sketchMauStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runtime.SketchGold
+    val goldDir = graft.sim.AnnIndex.dir(spark, dir, "sketch_user_gold")
+    graft.sim.AnnIndex.ensure(goldDir) {
+      // Fresh-process rebuild (the AnnIndex contract: correctness beats
+      // a stale layout read) — wipe any prior process's table, then one
+      // additive build from the day-user activity set.
+      val p = new org.apache.hadoop.fs.Path(goldDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      SketchGold.unionDelta(spark, goldDir,
+        graft.util.Layout.spread(graft.ingest.Events.raw(spark, dir))
+          .transform(graft.ingest.Events.withTsUs)
+          .select(col("user_id"),
+            to_date(timestamp_micros(col("ts_us"))).as("day"))
+          .distinct())
+    }
+    val rolling = SketchGold.rollingDistinct(spark, goldDir, 30)
+    val mauEx = graft.util.Layout.spread(
+        graft.ingest.Events.raw(spark, dir))
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode_outer(sequence(lit(0), lit(29))).as("off"))
+      .filter(col("off").isNotNull)
+      .select(col("user_id"), expr("date_add(day, off)").as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("mau_exact"))
+    mauEx.join(rolling, Seq("day"))
+      .select(col("day"), col("mau_exact"), col("n_days"),
+        (abs(col("distinct_est") - col("mau_exact").cast("double")) /
+          col("mau_exact").cast("double") <= 0.05).as("mau_within"))
+  }
+
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
     val active = graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)

@@ -1499,6 +1499,33 @@ object OpsOracles {
       |  TRUE AS dau_within, TRUE AS wau_within
       |FROM dau JOIN wau USING (day)""".stripMargin
 
+  /** Mirrors EventOps.sketchMauStored: the exact 30-day MAU twin and
+    * the per-window sketch-row count (`n_days` — one stored sketch row
+    * per active day, fanned forward over the 30 target windows) are
+    * fully verified; the stored-sketch estimate is engine-specific, so
+    * its 5% contract column is expected literally TRUE per day. */
+  val sketchMauStored: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+      |  FROM a, range(0, 30) r(i)
+      |),
+      |mau AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS mau_exact
+      |  FROM c GROUP BY day
+      |),
+      |d AS (SELECT DISTINCT day FROM a),
+      |w AS (
+      |  SELECT day + CAST(i AS INT) AS day FROM d, range(0, 30) r(i)
+      |),
+      |nd AS (
+      |  SELECT day, CAST(count(1) AS BIGINT) AS n_days FROM w GROUP BY day
+      |)
+      |SELECT day, mau_exact, n_days, TRUE AS mau_within
+      |FROM mau JOIN nd USING (day)""".stripMargin
+
   /** Mirrors EventOps.sessionizeGap: gaps-and-islands with the same
     * (ts_us, event_id) total ordering and >= 30-minute boundary. */
   val sessionizeGap: String =

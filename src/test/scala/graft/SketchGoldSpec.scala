@@ -149,4 +149,21 @@ class SketchGoldSpec extends SparkSpec {
       assert(rolled(d) == n, s"day $d: rolled ${rolled(d)} != exact $n")
     assert(rolled.keySet == exact.keySet)
   }
+
+  test("the rolling serving plan scans ONLY the stored sketch table") {
+    val dir = tmpDir("sketch-scan")
+    SketchGold.unionDelta(spark, dir, active)
+    // The 100 TB contract of the serving path: per-day cost is |window|
+    // sketch ROWS. The physical plan must read exactly one relation —
+    // the materialized gold — and never touch an events file.
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose tree isn't traversable pre-execution.
+    val scans = SketchGold.rollingDistinct(spark, dir, 30)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains(dir)),
+      s"serving plan read outside the sketch gold: $scans")
+  }
 }
