@@ -1,0 +1,163 @@
+package graft.runtime
+
+import graft.ops.TableDiff
+import graft.silver.MergeUpsert
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-batch CDC change-log publication for merge-maintained tables —
+  * [[graft.ops.TableDiff]] composed with the incremental chain
+  * ([[Pipeline.runDailyIncremental]]). A [[MergeUpsert]] write mutates
+  * partitions in place, so a downstream consumer of a gold table cannot
+  * see WHAT a batch changed (the reference's Silver MERGE INTO,
+  * `silver_user_session_events.py:149-186`, has the same blind spot);
+  * every change-data-capture consumer — cache invalidation, downstream
+  * incremental jobs, audit — needs the per-batch delta as a table.
+  *
+  * [[recordBatch]] wraps one maintenance write: snapshot the scoped
+  * slice of the target BEFORE the write (materialized —
+  * localCheckpoint — because the write swaps the same files), run the
+  * write, diff before/after on the table's row key, and publish the
+  * non-`unchanged` rows as the batch's log entry. The log is itself a
+  * `batch_id`-partitioned table (the [[Incremental]] layout, so
+  * [[Incremental.readAsOf]]/`readSince` work on it), landed via
+  * [[MergeUpsert.replacePartitions]] on the batch partition — a
+  * RETRIED batch converges to its own entry instead of appending a
+  * duplicate, and a no-op delta (redelivered ingest) publishes an
+  * EMPTY entry. Entries carry both row images (`o_*`/`n_*`) plus
+  * `changed_cols`, so the log alone supports [[replay]].
+  *
+  * Scale shape: the before/after reads are scoped to the partitions
+  * the write can touch (the same affected-scope frames the incremental
+  * chain already derives), so the per-batch CDC bill is
+  * O(affected slice) — delta-scaled, like the maintenance it records;
+  * the diff itself is ONE co-partitioned full-outer join
+  * ([[TableDiff.diff]]'s scale argument), and nothing collects. */
+object ChangeLog {
+
+  /** The log of the table at `tableDir` lives beside it. */
+  def logDir(tableDir: String): String =
+    tableDir.stripSuffix("/") + "_changelog"
+
+  /** Wrap one maintenance write of the keyed table at `tableDir` (row
+    * key `keys`, at most one row per key — the [[TableDiff.diff]]
+    * snapshot contract): publish what `write` changed as batch
+    * `batchId`'s log entry. `scope` restricts both snapshot reads to
+    * the slice the write can touch; it MUST cover every partition the
+    * write rewrites (a change outside the scope would go unrecorded). */
+  def recordBatch(spark: SparkSession, tableDir: String,
+                  keys: Seq[String], batchId: Long,
+                  scope: DataFrame => DataFrame = identity)
+                 (write: => Unit): Unit = {
+    val rootPath = new Path(tableDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Sweep-then-read (the MergeUpsert preamble): a crashed prior
+    // writer's .backup-* partition must be restored BEFORE the before-
+    // image is taken, or the batch would mis-report restored rows as
+    // `added`. Materialized eagerly — the write below swaps the very
+    // files a lazy plan would re-read.
+    val before =
+      if (MergeUpsert.sweepAndHasData(fs, rootPath))
+        Some(scope(spark.read.parquet(tableDir)).localCheckpoint())
+      else None
+    try {
+      write
+      val after = scope(spark.read.parquet(tableDir))
+      val entry = TableDiff.diff(
+          before.getOrElse(after.filter(lit(false))), after, keys)
+        .filter(col("diff_status") =!= "unchanged")
+        .withColumn("batch_id", lit(batchId))
+      MergeUpsert.replacePartitions(spark, logDir(tableDir), entry,
+        Seq(batchId), partitionCol = "batch_id")
+    } finally
+      // Release the before-image blocks: a long-lived writer JVM runs
+      // recordBatch every batch for every table — leaked checkpoint
+      // blocks would accrete until the executors OOM.
+      before.foreach(_.unpersist())
+  }
+
+  /** The accumulated log, or None while no batch has published rows.
+    * (An all-empty log directory carries no parquet footer to infer a
+    * schema from — callers that need a frame for an empty log should
+    * treat None as "no net changes".) */
+  def readLog(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val p = new Path(logDir(tableDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("batch_id=")
+    }
+    if (hasData) Some(spark.read.parquet(logDir(tableDir))) else None
+  }
+
+  /** Value-column names of a log frame — every `o_`-prefixed NON-KEY
+    * column (a key may itself start with `o_`, e.g. `o_orderkey`).
+    * Safe because [[TableDiff.diff]]'s reserved-name guard refuses
+    * tables whose own columns collide with the prefixes. */
+  private def valCols(log: DataFrame, keys: Seq[String]): Seq[String] =
+    log.columns.toSeq
+      .filter(c => c.startsWith("o_") && !keys.contains(c))
+      .map(_.stripPrefix("o_"))
+
+  /** Collapse a (contiguous) span of log entries to its NET effect —
+    * the single diff an endpoint-snapshot comparison would produce.
+    * For each key, the span's FIRST entry carries the t0 image (its
+    * `o_*` — the state just before the key's first in-span change) and
+    * the LAST carries the t1 image (its `n_*`); presence at either
+    * endpoint follows from those entries' statuses (`added` ⇒ absent
+    * at t0, `removed` ⇒ absent at t1). Reconstituting the two endpoint
+    * images as frames and diffing them with [[TableDiff.diff]] yields
+    * exactly the endpoint comparison: a change a later batch reverted
+    * nets to `unchanged` and is dropped, an added-then-removed key
+    * appears in neither image. One hash aggregate on the key
+    * (`min_by`/`max_by` over `batch_id`) feeds the one diff join, so
+    * the collapse runs at log (not table) scale.
+    *
+    * Deliberately NOT a per-column case-when over the aggregated
+    * structs: that shape — status/changed-cols conditionals stacked on
+    * struct-field extracts on an aggregate — sends Catalyst's
+    * constraint propagation into a combinatorial alias expansion that
+    * OOMs the driver at ~20 value columns. Routing through
+    * [[TableDiff.diff]] keeps the expression depth flat (and reuses
+    * the operator's proven plan shape). */
+  def netDiff(log: DataFrame, keys: Seq[String]): DataFrame = {
+    val vals = valCols(log, keys)
+    val firstS = struct(
+      (col("diff_status") +: vals.map(c => col(s"o_$c"))): _*)
+    val lastS = struct(
+      (col("diff_status") +: vals.map(c => col(s"n_$c"))): _*)
+    val agg = log.groupBy(keys.map(col): _*).agg(
+      min_by(firstS, col("batch_id")).as("_first"),
+      max_by(lastS, col("batch_id")).as("_last"))
+    val t0 = agg.filter(col("_first.diff_status") =!= "added")
+      .select(keys.map(col) ++
+        vals.map(c => col(s"_first.o_$c").as(c)): _*)
+    val t1 = agg.filter(col("_last.diff_status") =!= "removed")
+      .select(keys.map(col) ++
+        vals.map(c => col(s"_last.n_$c").as(c)): _*)
+    TableDiff.diff(t0, t1, keys)
+      .filter(col("diff_status") =!= "unchanged")
+  }
+
+  /** Apply a (contiguous) span of log entries to the snapshot the span
+    * started from: drop every net-touched key, then add back the
+    * surviving keys' t1 images. `replay(snapshot(t0), log(t0..t1])`
+    * must equal `snapshot(t1)` cell-for-cell — ChangeLogSpec proves it
+    * across the incremental chain, including a deletion-carrying
+    * recompute and a redelivered (empty-entry) batch. */
+  def replay(base: DataFrame, log: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    // Materialized: both the anti-join and the image projection read
+    // the net frame, and it is log-scale (kilobytes per batch) — one
+    // eager checkpoint beats re-planning the collapse twice.
+    val net = netDiff(log, keys).localCheckpoint()
+    val vals = base.columns.toSeq.filterNot(keys.contains)
+    val untouched =
+      base.join(net.select(keys.map(col): _*), keys, "left_anti")
+    val updated = net.filter(col("diff_status") =!= "removed")
+      .select(keys.map(col) ++ vals.map(c => col(s"n_$c").as(c)): _*)
+    untouched.select(keys.map(col) ++ vals.map(col): _*)
+      .unionByName(updated)
+  }
+}

@@ -50,11 +50,18 @@ object IncrementalGold {
     * column (typically the delta's distinct users); the semi-join
     * scoping lets AQE broadcast it when small. */
   def userDailyDelta(spark: SparkSession, silver: DataFrame,
-                     goldDir: String, affectedUsers: DataFrame): Unit = {
+                     goldDir: String, affectedUsers: DataFrame,
+                     changeLogBatch: Option[Long] = None): Unit = {
     val users = affectedUsers.select(col("user_id")).distinct()
     val scoped = silver.join(users, Seq("user_id"), "left_semi")
-    MergeUpsert.upsertScoped(spark, goldDir,
+    def write(): Unit = MergeUpsert.upsertScoped(spark, goldDir,
       graft.gold.UserDaily.build(scoped), Seq("user_id"), users)
+    changeLogBatch match {
+      case Some(b) => ChangeLog.recordBatch(spark, goldDir,
+        Seq("datetime", "user_id"), b,
+        df => df.join(users, Seq("user_id"), "left_semi"))(write())
+      case None => write()
+    }
   }
 
   /** Exact date-scoped incremental recompute for a date-grain gold:
@@ -67,7 +74,10 @@ object IncrementalGold {
                       goldDir: String, deltaDates: Seq[java.sql.Date],
                       build: DataFrame => DataFrame,
                       grainCols: Seq[String],
-                      backDays: Int, fwdDays: Int): Unit = {
+                      backDays: Int, fwdDays: Int,
+                      changeLogBatch: Option[Long] = None,
+                      changeLogView: DataFrame => DataFrame = identity)
+      : Unit = {
     if (deltaDates.isEmpty) return
     def shift(d: java.sql.Date, days: Int): java.sql.Date =
       java.sql.Date.valueOf(d.toLocalDate.plusDays(days.toLong))
@@ -84,26 +94,43 @@ object IncrementalGold {
     // a keyed upsert would keep a (datetime, grain) row whose silver
     // inputs vanished (deletion propagation); an affected date with no
     // staged rows at all is deleted outright.
-    MergeUpsert.replacePartitions(spark, goldDir, stage, affected)
+    def write(): Unit =
+      MergeUpsert.replacePartitions(spark, goldDir, stage, affected)
+    changeLogBatch match {
+      // CDC publication ([[ChangeLog]]): the log scope is exactly the
+      // affected-date set this write can rewrite, so the before/after
+      // snapshots stay delta-scaled. `changeLogView` lets a table log
+      // at its CONTRACT grain (the sketch gold drops the serialized
+      // bytes — build-order-dependent — and logs the estimate).
+      case Some(b) => ChangeLog.recordBatch(spark, goldDir,
+        "datetime" +: grainCols, b,
+        df => changeLogView(
+          df.filter(col("datetime").isin(affected: _*))))(write())
+      case None => write()
+    }
   }
 
   /** [[dateScopedDelta]] pre-bound for the episode gold (within-date:
     * b = f = 0). */
   def episodeDailyDelta(spark: SparkSession, silver: DataFrame,
                         goldDir: String,
-                        deltaDates: Seq[java.sql.Date]): Unit =
+                        deltaDates: Seq[java.sql.Date],
+                        changeLogBatch: Option[Long] = None): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.EpisodeDaily.build(_),
-      Seq("webtoon_id", "episode_id"), backDays = 0, fwdDays = 0)
+      Seq("webtoon_id", "episode_id"), backDays = 0, fwdDays = 0,
+      changeLogBatch = changeLogBatch)
 
   /** [[dateScopedDelta]] pre-bound for the platform/device gold
     * (within-date: b = f = 0). */
   def platformDeviceDailyDelta(spark: SparkSession, silver: DataFrame,
                                goldDir: String,
-                               deltaDates: Seq[java.sql.Date]): Unit =
+                               deltaDates: Seq[java.sql.Date],
+                               changeLogBatch: Option[Long] = None): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.PlatformDeviceDaily.build(_),
-      Seq("platform", "device", "browser"), backDays = 0, fwdDays = 0)
+      Seq("platform", "device", "browser"), backDays = 0, fwdDays = 0,
+      changeLogBatch = changeLogBatch)
 
   /** [[dateScopedDelta]] pre-bound for the webtoon gold. The retention
     * block groups by `date_add(datetime, 1)` — the gold row at date X
@@ -114,11 +141,13 @@ object IncrementalGold {
     * by the same halo. */
   def webtoonDailyDelta(spark: SparkSession, silver: DataFrame,
                         goldDir: String,
-                        deltaDates: Seq[java.sql.Date]): Unit =
+                        deltaDates: Seq[java.sql.Date],
+                        changeLogBatch: Option[Long] = None): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       s => graft.gold.WebtoonDaily.build(s,
         graft.gold.EpisodeDaily.build(s)),
-      Seq("webtoon_id"), backDays = 1, fwdDays = 0)
+      Seq("webtoon_id"), backDays = 1, fwdDays = 0,
+      changeLogBatch = changeLogBatch)
 
   /** [[dateScopedDelta]] pre-bound for the sketch gold
     * ([[SketchGold]]; within-date: b = f = 0). This is the
@@ -129,17 +158,26 @@ object IncrementalGold {
     * O(delta) additive path is for append-only feeds. */
   def userSketchDelta(spark: SparkSession, silver: DataFrame,
                       goldDir: String,
-                      deltaDates: Seq[java.sql.Date]): Unit =
+                      deltaDates: Seq[java.sql.Date],
+                      changeLogBatch: Option[Long] = None): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       SketchGold.silverDailySketch(_),
-      Seq.empty, backDays = 0, fwdDays = 0)
+      Seq.empty, backDays = 0, fwdDays = 0,
+      changeLogBatch = changeLogBatch,
+      // Log at the contract grain: the serialized sketch is a
+      // build-order-dependent byte string (a redelivered no-op batch
+      // could re-serialize differently and flag a spurious change);
+      // the estimate is a pure function of the day's user SET.
+      changeLogView = _.select(col("datetime"), col("dau_est")))
 
   /** [[dateScopedDelta]] pre-bound for the country gold (retention
     * lags one day back). */
   def countryDailyDelta(spark: SparkSession, silver: DataFrame,
                        goldDir: String,
-                       deltaDates: Seq[java.sql.Date]): Unit =
+                       deltaDates: Seq[java.sql.Date],
+                       changeLogBatch: Option[Long] = None): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.CountryDaily.build(_),
-      Seq("country"), backDays = 1, fwdDays = 0)
+      Seq("country"), backDays = 1, fwdDays = 0,
+      changeLogBatch = changeLogBatch)
 }

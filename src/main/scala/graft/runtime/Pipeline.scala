@@ -184,7 +184,8 @@ object Pipeline {
                           onFailure: (String, Throwable) => Unit =
                             (_, _) => (),
                           toSilver: org.apache.spark.sql.DataFrame =>
-                            org.apache.spark.sql.DataFrame = null)
+                            org.apache.spark.sql.DataFrame = null,
+                          changeLog: Boolean = true)
       : Option[Long] = {
     def stage[T](name: String)(body: => T): T =
       try body
@@ -200,29 +201,34 @@ object Pipeline {
     }
     d.affectedUsers.foreach { users =>
       val silver = spark.read.parquet(silverDir)
+      // CDC: every gold upsert publishes its per-batch change table
+      // ([[ChangeLog]]), keyed by the bronze watermark this update
+      // consumed — a retried batch overwrites its own log partition,
+      // so the log stays exactly one entry per bronze batch.
+      val cdc = if (changeLog) d.watermark else None
       stage("gold_user_daily") {
         IncrementalGold.userDailyDelta(spark, silver,
-          s"$warehouseDir/gold_user_daily", users)
+          s"$warehouseDir/gold_user_daily", users, cdc)
       }
       stage("gold_episode_daily") {
         IncrementalGold.episodeDailyDelta(spark, silver,
-          s"$warehouseDir/gold_episode_daily", d.affectedDates)
+          s"$warehouseDir/gold_episode_daily", d.affectedDates, cdc)
       }
       stage("gold_webtoon_daily") {
         IncrementalGold.webtoonDailyDelta(spark, silver,
-          s"$warehouseDir/gold_webtoon_daily", d.affectedDates)
+          s"$warehouseDir/gold_webtoon_daily", d.affectedDates, cdc)
       }
       stage("gold_platform_device_daily") {
         IncrementalGold.platformDeviceDailyDelta(spark, silver,
-          s"$warehouseDir/gold_platform_device_daily", d.affectedDates)
+          s"$warehouseDir/gold_platform_device_daily", d.affectedDates, cdc)
       }
       stage("gold_country_daily") {
         IncrementalGold.countryDailyDelta(spark, silver,
-          s"$warehouseDir/gold_country_daily", d.affectedDates)
+          s"$warehouseDir/gold_country_daily", d.affectedDates, cdc)
       }
       stage("gold_user_sketch") {
         IncrementalGold.userSketchDelta(spark, silver,
-          s"$warehouseDir/gold_user_sketch", d.affectedDates)
+          s"$warehouseDir/gold_user_sketch", d.affectedDates, cdc)
       }
     }
     d.watermark
