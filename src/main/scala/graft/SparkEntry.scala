@@ -104,6 +104,9 @@ object SparkEntry {
     "window_top_order_per_customer" -> CoreOps.topOrderPerCustomer _,
     "orders_daily_distinct" -> CoreOps.ordersDailyDistinct _,
     "agg_salted_skew" -> CoreOps.saltedSkewAgg _,
+    // Skewed JOIN under the measured salt arm: ~50% of lineitem on one
+    // derived key; the hot key splits across salts, never one task.
+    "join_skew_hot" -> CoreOps.skewJoinHotKey _,
     // RFM customer segmentation (recency/frequency/monetary + fixed-
     // threshold labels) — the feature-store staple over orders.
     "rfm_segments" -> CoreOps.rfmSegments _,
@@ -440,6 +443,7 @@ object SparkEntry {
     "window_top_order_per_customer" -> OpsOracles.topOrderPerCustomer,
     "orders_daily_distinct" -> OpsOracles.ordersDailyDistinct,
     "agg_salted_skew" -> OpsOracles.saltedSkewAgg,
+    "join_skew_hot" -> OpsOracles.skewJoinHotKey,
     "rfm_segments" -> OpsOracles.rfmSegments,
     "set_ops_customers" -> OpsOracles.setOpsCustomers,
     "q5_local_supplier_volume" -> OpsOracles.q5LocalSupplierVolume,

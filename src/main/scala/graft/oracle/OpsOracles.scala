@@ -806,6 +806,25 @@ object OpsOracles {
       |  CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Mirrors CoreOps.skewJoinHotKey: the salted join must equal the
+    * plain join + aggregate — same derived hot key (-1 for even
+    * partkeys) and the same synthetic hot dim row. */
+  val skewJoinHotKey: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_partkey % 2 = 0 THEN -1 ELSE l_partkey END
+      |      AS jk,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT p_partkey AS jk, p_brand FROM part
+      |  UNION ALL SELECT -1, 'HOT#00')
+      |SELECT p_brand,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(count(1) AS BIGINT) AS n_items
+      |FROM fact JOIN dim USING (jk)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** Epoch-aligned hourly buckets: DuckDB time_bucket and Spark window()
     * share the boundary definition (time_bucket's default origin is a
     * midnight, so hourly buckets are epoch-aligned in both engines). */

@@ -339,6 +339,34 @@ object CoreOps {
         .select("l_returnflag", "qty_l"),
       Seq("l_returnflag"), "qty_l")
 
+  /** Deliberately skewed JOIN under the measured salt arm
+    * ([[graft.util.Skew.measuredJoin]] — the companion to
+    * [[saltedSkewAgg]]'s aggregation skew): every even l_partkey
+    * collapses onto ONE derived join key (−1), so ~half the fact table
+    * shares a single key — the hot-key shape the reference explicitly
+    * configures AQE skewJoin for (gold_daily_dag.py:29-31), here made
+    * adversarial (one key ≫ any AQE partition threshold at scale). The
+    * per-key measurement finds the hot key, the fact's hot rows
+    * scatter over a derived salt count, the dim's one hot row
+    * replicates across the salts, and the join runs on (key, salt) —
+    * no single task carries the hot key. The oracle is the PLAIN join
+    * + aggregate: salting changes the plan, never the answer. */
+  def skewJoinHotKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = read(s, dir, "lineitem").select(
+      when(col("l_partkey") % 2 === 0, lit(-1L))
+        .otherwise(col("l_partkey")).as("jk"),
+      expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"))
+    val dim = read(s, dir, "part")
+      .select(col("p_partkey").as("jk"), col("p_brand"))
+      .unionByName(Seq((-1L, "HOT#00")).toDF("jk", "p_brand"))
+    graft.util.Skew.measuredJoin(fact, dim, "jk")
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Ranking-function battery over per-customer order spend: `rank` /
     * `dense_rank` / `percent_rank` ordered by spend alone (tie groups share
     * a rank, so the output is deterministic under ties), plus `ntile(10)`

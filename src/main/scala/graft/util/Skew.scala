@@ -30,4 +30,94 @@ object Skew {
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("cnt"))
   }
+
+  /** Per-key fact rows a single join task may carry before the key is
+    * declared hot: past ~2¹⁶ probe rows one reducer becomes the
+    * straggler every other task waits on (the IntervalJoin.HotBucketCap
+    * task-budget reasoning applied to a shuffle join's build/probe). */
+  val HotKeyRowCap: Long = 65536L
+
+  /** Replication bound for [[saltedJoin]]: the dim side's hot rows are
+    * replicated ×salts, so the bound caps replication at |hot| × 1024
+    * rows — metadata-scale for any honest hot-key list. Skew so extreme
+    * that max/cap exceeds this needs hierarchical re-salting, not a
+    * bigger constant. */
+  val MaxSalts: Int = 1024
+
+  /** The measured-arm salt count: enough ways that no salt partition
+    * of the hottest key exceeds the cap, at least 2 (a hot key must
+    * actually SPLIT), at most [[MaxSalts]]. */
+  def saltsFor(maxKeyRows: Long, cap: Long = HotKeyRowCap): Int =
+    math.min(MaxSalts.toLong,
+      math.max(2L, (maxKeyRows + cap - 1) / cap)).toInt
+
+  /** Deterministic replicated-salt inner equi-join on `key` — the
+    * explicit-plan answer to single-key join skew. A shuffle join
+    * partitions both sides by the key, so a key carrying a large share
+    * of the fact funnels that share through ONE task; AQE's skew-join
+    * split (the other arm — `spark.sql.adaptive.skewJoin`, what the
+    * reference configures) repairs this at runtime but only past its
+    * size thresholds and only for sort-merge shapes. Salting makes the
+    * split part of the PLAN: fact rows of a hot key scatter over
+    * `salts` sub-keys (content-derived hash — deterministic,
+    * re-runnable), the dim side replicates its hot rows across all
+    * `salts` sub-keys, and the join runs on (key, salt) — every fact
+    * row still meets exactly the dim rows of its key, so the result
+    * equals the plain join ROW FOR ROW (SkewJoinSpec), while the hot
+    * key's work spreads over `salts` tasks. Cold keys pay one constant
+    * salt (no fan-out). Works for dim sides with duplicate keys (each
+    * dim row replicates). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 hotKeys: Seq[Any], salts: Int): DataFrame = {
+    require(salts >= 2 && salts <= MaxSalts, s"salts=$salts")
+    require(hotKeys.nonEmpty && !hotKeys.contains(null),
+      "hotKeys must be non-empty and non-null (null never inner-joins)")
+    val f = fact.withColumn("_salt",
+      when(col(key).isin(hotKeys: _*),
+        pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*),
+          lit(salts.toLong)))
+        .otherwise(lit(0L)))
+    // explode_outer + isNotNull filter, not plain explode: the array is
+    // DERIVED (sequence/array), and InferFiltersFromGenerate would
+    // otherwise inline the builder per element (the PlanSpec-guarded
+    // derived-array pitfall).
+    val d = dim
+      .withColumn("_salts",
+        when(col(key).isin(hotKeys: _*),
+          sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(array(lit(0L))))
+      .withColumn("_salt", explode_outer(col("_salts")))
+      .filter(col("_salt").isNotNull)
+      .drop("_salts")
+    f.join(d, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+
+  /** Measured-arm skewed join: ONE cheap per-key count of the fact
+    * (map-side combine collapses each task to its distinct keys, so
+    * the measurement shuffle moves partial counts, never rows — the
+    * hot key itself cannot skew its own measurement), then keys past
+    * `cap` get the [[saltedJoin]] treatment at a derived salt count;
+    * a fact with no hot key joins plain, leaving residual mild skew to
+    * AQE's runtime split — the two arms of the same defense, chosen by
+    * measurement instead of hope. The hot-key collect is bounded
+    * (`maxHotKeys`) and fails loud past the bound: a "hot list" of a
+    * million keys means the cap is mis-set for the distribution, and
+    * silently salting everything would replicate the dim wholesale. */
+  def measuredJoin(fact: DataFrame, dim: DataFrame, key: String,
+                   cap: Long = HotKeyRowCap,
+                   maxHotKeys: Int = 4096): DataFrame = {
+    val hot = fact.groupBy(col(key)).count()
+      .filter(col("count") > cap && col(key).isNotNull)
+      .orderBy(col("count").desc)
+      .limit(maxHotKeys + 1)
+      .collect()
+    require(hot.length <= maxHotKeys,
+      s"more than $maxHotKeys keys exceed $cap rows — raise the cap " +
+        "or pre-aggregate; salting this many keys replicates the dim " +
+        "wholesale")
+    if (hot.isEmpty) fact.join(dim, Seq(key), "inner")
+    else saltedJoin(fact, dim, key,
+      hot.map(_.get(0)).toIndexedSeq,
+      saltsFor(hot.map(_.getLong(1)).max, cap))
+  }
 }

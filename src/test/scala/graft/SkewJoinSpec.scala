@@ -1,0 +1,68 @@
+package graft
+
+import graft.util.Skew
+import org.apache.spark.sql.functions._
+
+/** The skewed-join contract: the measured salt arm equals the plain
+  * join row for row, and the hot key's fact rows genuinely SPLIT
+  * across salt sub-keys — never one straggler task. */
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltsFor: enough ways to respect the cap, clamped to [2, Max]") {
+    assert(Skew.saltsFor(100L, cap = 1000L) === 2) // below cap still splits
+    assert(Skew.saltsFor(5000L, cap = 1000L) === 5)
+    assert(Skew.saltsFor(Long.MaxValue / 4, cap = 1000L) === Skew.MaxSalts)
+  }
+
+  test("salted join == plain join on a 50%-hot fact, incl. dim dup keys") {
+    val fact = (1L to 2000L).map { i =>
+      (if (i % 2 == 0) -1L else i % 97L, i)
+    }.toDF("jk", "v")
+    // Dim with a DUPLICATE key (7 appears twice): every fact row of a
+    // duplicated key must meet both dim rows, salted or not.
+    val dim = ((-1L to 97L).map(k => (k, s"d$k")) :+ (7L, "d7b"))
+      .toDF("jk", "name")
+    val plain = fact.join(dim, Seq("jk"), "inner")
+    val salted = Skew.saltedJoin(fact, dim, "jk", Seq(-1L, 7L), salts = 8)
+    val cols = plain.columns.sorted.map(col).toSeq
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty
+      && plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty,
+      "salted join diverged from the plain join")
+  }
+
+  test("the hot key's rows split across >1 salt partition") {
+    val fact = (1L to 4096L).map(i => (-1L, i)).toDF("jk", "v")
+    val salts = fact.withColumn("_salt",
+        pmod(xxhash64(col("jk"), col("v")), lit(8L)))
+      .select(col("_salt")).distinct().count()
+    assert(salts > 1, "content-derived salt failed to spread the hot key")
+    // End to end through saltedJoin: join output size proves each fact
+    // row met its dim row exactly once despite the per-salt replicas.
+    val dim = Seq((-1L, "hot")).toDF("jk", "name")
+    assert(Skew.saltedJoin(fact, dim, "jk", Seq(-1L), 8).count() === 4096L)
+  }
+
+  test("measuredJoin arms: plain below the cap, salted above it") {
+    val dim = Seq((-1L, "hot"), (5L, "cold")).toDF("jk", "name")
+    val cold = (1L to 100L).map(i => (5L, i)).toDF("jk", "v")
+    // Below cap: no hot key, plain inner join.
+    assert(Skew.measuredJoin(cold, dim, "jk", cap = 1000L).count() === 100L)
+    // Above cap: the hot key salts; result still row-identical.
+    val hot = ((1L to 3000L).map(i => (-1L, i)) ++
+      (1L to 10L).map(i => (5L, i))).toDF("jk", "v")
+    val plain = hot.join(dim, Seq("jk"), "inner")
+    val arm = Skew.measuredJoin(hot, dim, "jk", cap = 1000L)
+    val cols = plain.columns.sorted.map(col).toSeq
+    assert(arm.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+      plain.select(cols: _*).exceptAll(arm.select(cols: _*)).isEmpty)
+  }
+
+  test("measuredJoin fails loud when the hot list explodes") {
+    val fact = (1L to 2000L).map(i => (i % 100L, i)).toDF("jk", "v")
+    val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("jk", "name")
+    intercept[IllegalArgumentException] {
+      Skew.measuredJoin(fact, dim, "jk", cap = 1L, maxHotKeys = 10)
+    }
+  }
+}
