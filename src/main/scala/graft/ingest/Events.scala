@@ -128,10 +128,43 @@ object Events {
     * predicate equals `value IS NOT NULL`. */
   def cleanse(enriched: DataFrame): DataFrame =
     enriched
-      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-        col("event_type").isNotNull && col("value_cents").isNotNull &&
-        col("k").isNotNull)
+      .filter(cleanseChecks.map(_._2).reduce(_ && _))
       .na.fill(Map(
         "platform" -> "UNKNOWN", "device" -> "UNKNOWN",
         "browser" -> "UNKNOWN", "country" -> "UNKNOWN"))
+
+  /** The cleanse gate's checks — name (the dq_expectations naming
+    * style) → pass predicate — in gating order. Single source of truth
+    * for [[cleanse]] (conjunction of passes) and [[rejects]] (rows
+    * failing any, tagged with what failed): the two MUST partition the
+    * input exactly, or the quarantine under-reports drops
+    * (QuarantineSpec pins `cleanse ⊎ rejects == input`). Every
+    * predicate is an IS NOT NULL, so none is itself null-valued and
+    * the complement is literally `NOT all-pass`. */
+  def cleanseChecks: Seq[(String, Column)] = Seq(
+    "not_null_user_id" -> col("user_id").isNotNull,
+    "not_null_ts" -> col("ts").isNotNull,
+    "not_null_event_type" -> col("event_type").isNotNull,
+    "valid_value_cents" -> col("value_cents").isNotNull,
+    "valid_props_k" -> col("k").isNotNull)
+
+  /** The quarantine complement of [[cleanse]]: every enriched row the
+    * gate drops, carrying `reject_reasons` (ALL failed checks, gating
+    * order) and `reject_reason` (the first — each dropped row lands
+    * under exactly ONE primary reason, so per-reason quarantine counts
+    * sum to the drop count). At 100 TB silent drops are unauditable —
+    * a producer emitting garbage shows up here with WHY, instead of as
+    * a row-count discrepancy three dashboards downstream (the
+    * reference's cleanse at silver_user_session_events.py:95-108 has
+    * the same blind spot). */
+  def rejects(enriched: DataFrame): DataFrame =
+    enriched
+      .withColumn("reject_reasons",
+        filter(
+          array(cleanseChecks.map { case (n, p) =>
+            when(!p, lit(n))
+          }: _*),
+          x => x.isNotNull))
+      .filter(size(col("reject_reasons")) > 0)
+      .withColumn("reject_reason", get(col("reject_reasons"), lit(0)))
 }

@@ -101,6 +101,19 @@ object Pipeline {
       spark.table(btable)
     }
 
+    // Dead-letter surface: every row the cleanse gate dropped, with its
+    // failed checks (Events.rejects) — partitioned by the primary
+    // reason so an auditor prunes straight to "show me the overflow
+    // class". replaceAll converges the table to THIS run's rejects
+    // (the full-recompute discipline of every other table here), so
+    // re-running the day is idempotent. Clean input ⇒ empty table —
+    // which is the audit statement "nothing was dropped", not an error.
+    stage("quarantine") {
+      MergeUpsert.replaceAll(spark, s"$warehouseDir/quarantine_events",
+        Events.rejects(Events.enriched(spark, sfDir)),
+        partitionCol = "reject_reason")
+    }
+
     // C4 gate: silver partitions must exist before gold runs.
     stage("gate") {
       require(Incremental.completenessGate(spark, silverDir, 0) &&
@@ -199,6 +212,24 @@ object Pipeline {
       IncrementalSilver.updateDetailed(spark, bronzeDir, silverDir,
         watermark, asOfUs, toSilver)
     }
+    // Dead-letter capture for the consumed delta (default harness chain
+    // only — a custom toSilver owns its own cleanse semantics): the
+    // delta's rejects land partitioned by SOURCE batch_id, so a retried
+    // batch replaces its own partitions (idempotent) and the quarantine
+    // mirrors bronze lineage — `readSince`/`readAsOf` work on it. The
+    // invalid-watermark fallback re-reads the full bronze table, and
+    // the partition list follows, converging the whole quarantine.
+    if (toSilver == null && d.watermark != watermark)
+      stage("quarantine") {
+        val delta = Incremental.readSince(spark, bronzeDir, watermark)
+        val batches = delta.select(org.apache.spark.sql.functions
+            .col("batch_id")).distinct()
+          .collect().map(_.get(0)).toIndexedSeq
+        MergeUpsert.replacePartitions(spark,
+          s"$warehouseDir/quarantine_events",
+          Events.rejects(Events.enrich(delta)), batches,
+          partitionCol = "batch_id")
+      }
     d.affectedUsers.foreach { users =>
       val silver = spark.read.parquet(silverDir)
       // CDC: every gold upsert publishes its per-batch change table

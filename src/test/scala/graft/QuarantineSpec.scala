@@ -1,0 +1,104 @@
+package graft
+
+import graft.ingest.Events
+import graft.runtime.{Incremental, Pipeline}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The dead-letter contract: rows the cleanse gate drops are exactly
+  * the rows the quarantine captures — per reason — and the capture is
+  * replay-idempotent in both chains (full-recompute replaceAll;
+  * per-source-batch replacePartitions). */
+class QuarantineSpec extends SparkSpec {
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Good rows + one of every poison class (IngestRobustnessSpec's
+    * taxonomy), plus one DOUBLE-failure row (null type AND bad props)
+    * that must land under exactly one primary reason. */
+  private def mixedRows: Seq[Row] = Seq(
+    Row(1L, t0, 10L, "view", 1.5, """{"k": 7}"""),
+    Row(2L, t0, 11L, "click", 2.5, """{"k": 3}"""),
+    Row(3L, t0, null, "view", 1.5, """{"k": 7}"""),    // null user
+    Row(4L, null, 10L, "view", 1.5, """{"k": 7}"""),   // null ts
+    Row(5L, t0, 10L, null, 1.5, """{"k": 7}"""),       // null type
+    Row(6L, t0, 10L, "view", Double.NaN, """{"k": 7}"""), // bad cents
+    Row(7L, t0, 10L, "view", 1.0e18, """{"k": 7}"""),     // overflow
+    Row(8L, t0, 10L, "view", 1.5, "not json"),         // bad props
+    Row(9L, t0, 10L, null, 1.5, "not json"))           // double failure
+
+  private def df(rows: Seq[Row]) = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("cleanse and rejects partition the input exactly, per reason") {
+    val enriched = Events.enrich(df(mixedRows))
+    val kept = Events.cleanse(enriched)
+    val rej = Events.rejects(enriched)
+    assert(kept.count() + rej.count() === enriched.count())
+    val byReason = rej.groupBy(col("reject_reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason === Map(
+      "not_null_user_id" -> 1L, "not_null_ts" -> 1L,
+      "not_null_event_type" -> 2L, // incl. the double-failure row
+      "valid_value_cents" -> 2L, "valid_props_k" -> 1L))
+    // The double-failure row carries ALL its reasons but ONE primary.
+    val dbl = rej.filter(col("event_id") === 9L).head()
+    assert(dbl.getAs[Seq[String]]("reject_reasons") ===
+      Seq("not_null_event_type", "valid_props_k"))
+    assert(dbl.getAs[String]("reject_reason") === "not_null_event_type")
+  }
+
+  test("runDaily persists the rejects; re-running converges (no dupes)") {
+    val sfDir = tmpDir("q-sf")
+    df(mixedRows).write.mode("overwrite")
+      .parquet(s"$sfDir/events.parquet")
+    val wh = tmpDir("q-wh")
+    Pipeline.runDaily(spark, sfDir, wh)
+    def q = spark.read.parquet(s"$wh/quarantine_events")
+    val dropped = Events.enrich(df(mixedRows)).count() -
+      Events.cleanse(Events.enrich(df(mixedRows))).count()
+    assert(q.count() === dropped)
+    assert(q.groupBy(col("reject_reason")).count().count() === 5)
+    Pipeline.runDaily(spark, sfDir, wh) // replay
+    assert(q.count() === dropped, "replay duplicated quarantine rows")
+  }
+
+  test("incremental chain quarantines per source batch, " +
+      "retry-idempotent") {
+    val bronze = tmpDir("q-bronze")
+    val wh = tmpDir("q-wh-inc")
+    val good = mixedRows.take(2)
+    val batch2 = mixedRows.drop(2) // all 7 poison rows
+    Incremental.appendBatch(spark, bronze, df(good), 1L)
+    var wm = Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    def q = spark.read.parquet(s"$wh/quarantine_events")
+    // Batch 1 is clean: its quarantine partition is empty (the table
+    // may not even have visible rows yet).
+    val p1 = new org.apache.hadoop.fs.Path(s"$wh/quarantine_events")
+    val fs = p1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1, "batch_id=1")) ||
+      q.filter(col("batch_id") === 1L).isEmpty)
+
+    Incremental.appendBatch(spark, bronze, df(batch2), 2L)
+    val wm2 = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
+    assert(q.count() === 7L)
+    assert(q.filter(col("batch_id") === 2L).count() === 7L)
+    val reasons = q.groupBy(col("reject_reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons("not_null_event_type") === 2L)
+    assert(reasons("valid_value_cents") === 2L)
+
+    // RETRY the batch: a crashed run re-consumes from the old
+    // watermark — its quarantine partition replaces, never appends.
+    Pipeline.runDailyIncremental(spark, bronze, wh, wm)
+    assert(q.count() === 7L, "retried batch duplicated quarantine rows")
+    // No-op run (watermark current): table untouched.
+    Pipeline.runDailyIncremental(spark, bronze, wh, wm2)
+    assert(q.count() === 7L)
+  }
+}
