@@ -46,6 +46,16 @@ object SparkEntry {
     // per gold query invocation. The checkpoint materializes the shared
     // sessionize once, serves every side-aggregate branch, and its
     // blocks free with the RDD's garbage collection.
+    //
+    // Durability tradeoff (applies to every localCheckpoint in this
+    // codebase — TimeWindows, IntervalJoin, the incremental runtime):
+    // lineage is TRUNCATED and blocks live only on executors, so
+    // losing an executor mid-query fails the job instead of
+    // recomputing. Right for this harness (single JVM) and for
+    // interactive serving (retry the query); a long-lived production
+    // deployment on preemptible executors should either enable
+    // spark.decommission/block replication or switch these sites to
+    // reliable checkpoint(), paying the DFS write.
     Sessionize.sessions(Events.cleansed(s, dir)).localCheckpoint()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

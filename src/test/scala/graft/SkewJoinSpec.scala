@@ -58,6 +58,37 @@ class SkewJoinSpec extends SparkSpec {
       plain.select(cols: _*).exceptAll(arm.select(cols: _*)).isEmpty)
   }
 
+  test("under a shuffle join (broadcast off), salting spreads the hot " +
+      "key across partitions where the plain join funnels one task") {
+    // At harness scale the dim broadcasts and skew is moot (a
+    // broadcast join never shuffles the fact by key — itself the
+    // first-line skew answer); at 100 TB dims exceed the threshold
+    // and the join shuffles by key — THE scenario salting exists for.
+    // Reproduce it by disabling broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = (1L to 4096L).map(i => (-1L, i)).toDF("jk", "v")
+      val dim = Seq((-1L, "hot"), (5L, "cold")).toDF("jk", "name")
+      def partitionsUsed(df: org.apache.spark.sql.DataFrame): Long = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid")).count()
+        .filter(col("count") > 0).count()
+      // Plain shuffle join: every hot row lands in ONE partition — the
+      // straggler task.
+      assert(partitionsUsed(fact.join(dim, Seq("jk"), "inner")) === 1L)
+      // Salted: the same rows spread over multiple (jk, salt)
+      // partitions — no single task owns the hot key.
+      assert(partitionsUsed(
+        Skew.saltedJoin(fact, dim, "jk", Seq(-1L), 8)) > 1L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("measuredJoin fails loud when the hot list explodes") {
     val fact = (1L to 2000L).map(i => (i % 100L, i)).toDF("jk", "v")
     val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("jk", "name")
