@@ -63,12 +63,20 @@ object IncrementalSilver {
       toSilver).watermark
 
   /** [[update]] returning the touched scope for downstream incremental
-    * gold maintenance ([[graft.runtime.Pipeline.runDailyIncremental]]). */
+    * gold maintenance ([[graft.runtime.Pipeline.runDailyIncremental]]).
+    * With `changeLog` set, the scope-converging silver merge also
+    * publishes its per-batch CDC entry ([[ChangeLog.recordBatch]] on
+    * the session grain, [[Sessionize.SessionKey]]) — the reference's
+    * Silver MERGE INTO (silver_user_session_events.py:149-186) is
+    * exactly the write whose effects a downstream consumer otherwise
+    * cannot see. Callers with a custom `toSilver` whose output is not
+    * SessionKey-keyed must leave it off. */
   def updateDetailed(spark: SparkSession, bronzeDir: String,
                      silverDir: String, watermark: Option[Long],
                      asOfUs: Long = Events.AsOfUs,
                      toSilver: org.apache.spark.sql.DataFrame =>
-                       org.apache.spark.sql.DataFrame = null): Delta = {
+                       org.apache.spark.sql.DataFrame = null,
+                     changeLog: Boolean = false): Delta = {
     val derive = Option(toSilver).getOrElse(harnessSilver(asOfUs) _)
     val hw = Incremental.highWatermark(spark, bronzeDir)
     if (hw.isEmpty) return Delta(None, None, Nil) // no bronze data yet
@@ -130,8 +138,14 @@ object IncrementalSilver {
     // staging-write + rename-swap protocol (the previous in-place
     // dynamic overwrite left a whole-job window where affected
     // partitions were deleted but not yet rewritten).
-    graft.silver.MergeUpsert.upsertScoped(spark, silverDir, recomputed,
-      Seq("user_id"), affectedUsers)
+    def write(): Unit =
+      graft.silver.MergeUpsert.upsertScoped(spark, silverDir, recomputed,
+        Seq("user_id"), affectedUsers)
+    if (changeLog)
+      ChangeLog.recordBatch(spark, silverDir, Sessionize.SessionKey,
+        hw.get,
+        df => df.join(affectedUsers, Seq("user_id"), "left_semi"))(write())
+    else write()
     Delta(hw, Some(affectedUsers), affectedDates)
   }
 }

@@ -190,7 +190,13 @@ object Pipeline {
     * (IncrementalGoldSpec proves the equality), and it keeps the delta
     * free of a cross-table read-after-write ordering dependency. The
     * failure path mirrors [[runDaily]]: first failing stage writes a
-    * C6 alert, invokes `onFailure`, rethrows. */
+    * C6 alert, invokes `onFailure`, rethrows.
+    *
+    * With `changeLog` (default on), silver AND every gold upsert also
+    * publish their per-batch CDC entry ([[ChangeLog]]) keyed by the
+    * bronze watermark, and the consumed delta's cleanse rejects land
+    * in the quarantine table — the two audit surfaces a
+    * merge-maintained warehouse owes its consumers. */
   def runDailyIncremental(spark: SparkSession, bronzeDir: String,
                           warehouseDir: String, watermark: Option[Long],
                           asOfUs: Long = Events.AsOfUs,
@@ -209,8 +215,12 @@ object Pipeline {
       }
     val silverDir = s"$warehouseDir/silver_sessions"
     val d = stage("silver_incremental") {
+      // Silver CDC rides the same flag as the golds', gated on the
+      // default derivation (a custom toSilver may not be
+      // SessionKey-keyed — see IncrementalSilver.updateDetailed).
       IncrementalSilver.updateDetailed(spark, bronzeDir, silverDir,
-        watermark, asOfUs, toSilver)
+        watermark, asOfUs, toSilver,
+        changeLog = changeLog && toSilver == null)
     }
     // Dead-letter capture for the consumed delta (default harness chain
     // only — a custom toSilver owns its own cleanse semantics): the

@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   * materializing the merge-maintained table after each batch. */
 class ChangeLogSpec extends SparkSpec {
 
-  /** The six chain golds and their row keys; the sketch gold is
-    * compared at its CONTRACT grain (datetime, dau_est) — serialized
-    * sketch bytes are build-order-dependent, the estimate is not. */
+  /** Silver plus the six chain golds and their row keys; the sketch
+    * gold is compared at its CONTRACT grain (datetime, dau_est) —
+    * serialized sketch bytes are build-order-dependent, the estimate
+    * is not. Silver's key is the session grain (Sessionize.SessionKey)
+    * — its MERGE is the reference operation whose effects a consumer
+    * cannot otherwise see. */
   private val golds = Seq(
+    ("silver_sessions", graft.silver.Sessionize.SessionKey),
     ("gold_user_daily", Seq("datetime", "user_id")),
     ("gold_episode_daily", Seq("datetime", "webtoon_id", "episode_id")),
     ("gold_webtoon_daily", Seq("datetime", "webtoon_id")),
