@@ -152,6 +152,10 @@ object SparkEntry {
     // Dataset-version diff (CDC shape): one full-outer join classifies
     // every key added/removed/changed/unchanged with null-safe cells.
     "table_diff_orders" -> graft.ops.TableDiff.ordersQuarterDiff _,
+    // The CDC composition end-to-end: a three-batch maintenance history
+    // recorded by ChangeLog.recordBatch (built once per JVM), collapsed
+    // with netDiff — must equal the DuckDB-computed ENDPOINT diff.
+    "cdc_orders_net" -> graft.runtime.ChangeLog.ordersChangeLogNet _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -471,6 +475,7 @@ object SparkEntry {
     "join_lateral_top_orders" -> OpsOracles.lateralTopOrders,
     "q_scalar_count_bug" -> OpsOracles.scalarCountBug,
     "table_diff_orders" -> OpsOracles.ordersQuarterDiff,
+    "cdc_orders_net" -> OpsOracles.ordersChangeLogNet,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

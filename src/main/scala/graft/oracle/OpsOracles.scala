@@ -3239,6 +3239,53 @@ object OpsOracles {
       |  CAST(sum(n_changed) AS BIGINT) AS n_changed_cells
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersChangeLogNet: the accumulated three-batch
+    * change log must collapse to the ENDPOINT diff state0 → state3 —
+    * computed here independently (the intermediate Sep-1997 add-then-
+    * remove and the 1996 change-then-revert must net out to nothing).
+    * `unchanged` is excluded: the log only carries changes. */
+  val ordersChangeLogNet: String =
+    """WITH o AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+      |),
+      |n AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-10-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |),
+      |j AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+      |    (o.o_orderkey IS NULL) AS is_added,
+      |    (n.o_orderkey IS NULL) AS is_removed,
+      |    CAST(o.o_custkey IS DISTINCT FROM n.o_custkey AS INT) +
+      |    CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS INT) +
+      |    CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice AS INT) +
+      |    CAST(o.o_orderdate IS DISTINCT FROM n.o_orderdate AS INT) +
+      |    CAST(o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |      AS INT) AS n_changed
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+      |)
+      |SELECT
+      |  CASE WHEN is_added THEN 'added' WHEN is_removed THEN 'removed'
+      |    ELSE 'changed' END AS diff_status,
+      |  CAST(count(1) AS BIGINT) AS n_rows,
+      |  min(k) AS min_key, max(k) AS max_key,
+      |  CAST(sum(n_changed) AS BIGINT) AS n_changed_cells
+      |FROM j
+      |WHERE is_added OR is_removed OR n_changed > 0
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
     * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
     * empty-input patch. */

@@ -140,6 +140,69 @@ object ChangeLog {
       .filter(col("diff_status") =!= "unchanged")
   }
 
+  /** Registered face: a three-batch maintenance history of the orders
+    * table driven through [[recordBatch]], then the accumulated log
+    * collapsed with [[netDiff]] and summarized per status — the CDC
+    * composition oracle-checked end to end, not just spec-checked. The
+    * history is deterministic (built once per JVM, the AnnIndex.ensure
+    * layout convention): state0 (orders before 1997-07) lands
+    * UNLOGGED as the pre-history baseline, then batch 1 adds Q3,
+    * batch 2 re-prioritizes 1997 LOW orders (touching both baseline
+    * and Q3 rows), drops Jun/Sep NOT-SPECIFIED orders (a baseline
+    * `removed` and an added-then-removed collapse), and re-prioritizes
+    * some 1996 LOW orders that batch 3 REVERTS (a changed-then-
+    * reverted collapse), and batch 3 adds Q4. The DuckDB oracle
+    * computes the ENDPOINT diff state0 → state3 independently — every
+    * intermediate mutation must net out exactly. */
+  def ordersChangeLogNet(s: SparkSession, dir: String): DataFrame = {
+    val table = graft.sim.AnnIndex.dir(s, dir, "cdc_orders")
+    graft.sim.AnnIndex.ensure(table) {
+      val fs = new Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(table, logDir(table)).foreach { d =>
+        val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
+      }
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      def ts(d: String) = expr(s"timestamp'$d 00:00:00'")
+      def lowToMed(from: String, to: String)(df: DataFrame) =
+        df.withColumn("o_orderpriority",
+          when(col("o_orderdate") >= ts(from) &&
+            col("o_orderdate") < ts(to) &&
+            col("o_orderpriority") === "5-LOW", lit("3-MEDIUM"))
+            .otherwise(col("o_orderpriority")))
+      def dropNotSpec(from: String, to: String)(df: DataFrame) =
+        df.filter(!(col("o_orderpriority") === "4-NOT SPECIFIED" &&
+          col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(to)))
+      val state0 = orders.filter(col("o_orderdate") < ts("1997-07-01"))
+      val state1 = orders.filter(col("o_orderdate") < ts("1997-10-01"))
+      val state2 = state1
+        .transform(dropNotSpec("1997-06-01", "1997-07-01"))
+        .transform(dropNotSpec("1997-09-01", "1997-10-01"))
+        .transform(lowToMed("1997-01-01", "1997-10-01"))
+        .transform(lowToMed("1996-01-01", "1996-04-01"))
+      val state3 = orders.filter(col("o_orderdate") < ts("1998-01-01"))
+        .transform(dropNotSpec("1997-06-01", "1997-07-01"))
+        .transform(dropNotSpec("1997-09-01", "1997-10-01"))
+        .transform(lowToMed("1997-01-01", "1997-10-01"))
+      MergeUpsert.replaceAll(s, table, state0,
+        partitionCol = "o_orderpriority")
+      Seq(state1, state2, state3).zipWithIndex.foreach { case (st, i) =>
+        recordBatch(s, table, Seq("o_orderkey"), i + 1L)(
+          MergeUpsert.replaceAll(s, table, st,
+            partitionCol = "o_orderpriority"))
+      }
+    }
+    val log = readLog(s, table).getOrElse(
+      sys.error(s"cdc_orders log missing under $table"))
+    netDiff(log, Seq("o_orderkey"))
+      .groupBy(col("diff_status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(size(col("changed_cols"))).as("n_changed_cells"))
+  }
+
   /** Apply a (contiguous) span of log entries to the snapshot the span
     * started from: drop every net-touched key, then add back the
     * surviving keys' t1 images. `replay(snapshot(t0), log(t0..t1])`
