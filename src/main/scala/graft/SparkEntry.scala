@@ -259,6 +259,21 @@ object SparkEntry {
         IvfCosine.buildIndex(s, dir, idx, nlist = 16, iters = 3))
       IvfCosine.topKIndexed(s, dir, idx, nQueries = 10, nprobe = 12, k = 5)
     }),
+    // The GROWING-corpus serving shape: the index is built on 80% of
+    // the corpus, the newest 20% lands through appendDelta (frozen
+    // centroids, scoped postings merge — no retrain, cost scales with
+    // the delta). Covering nprobe ⇒ the answer equals brute force
+    // regardless of which corpus the codebook saw, so the same oracle.
+    "sim_ivf_delta_indexed" -> ((s, dir) => {
+      val idx = graft.sim.AnnIndex.dir(s, dir, "ivf_delta")
+      graft.sim.AnnIndex.ensure(idx) {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        IvfCosine.buildIndexVectors(s,
+          emb.filter(col("vec_id") % 5 =!= 4), idx, nlist = 16, iters = 3)
+        IvfCosine.appendDelta(s, idx, emb.filter(col("vec_id") % 5 === 4))
+      }
+      IvfCosine.topKIndexed(s, dir, idx, nQueries = 10, nprobe = 16, k = 5)
+    }),
     // Hyperplane-LSH ANN: the contract is top-k BY EXACT COSINE among
     // LSH-bucket candidates — deterministic (integer buckets from fixed
     // ±1 hyperplanes), so the oracle recomputes the identical index.
@@ -519,6 +534,7 @@ object SparkEntry {
     "dedup_simhash" -> OpsOracles.simhashPairs,
     "sim_ivf_topk" -> OpsOracles.cosineTopK,
     "sim_ivf_indexed" -> OpsOracles.cosineTopK,
+    "sim_ivf_delta_indexed" -> OpsOracles.cosineTopK,
     "sim_cosine_topk" -> OpsOracles.cosineTopK,
     "sim_lsh_topk" -> OpsOracles.lshCosineTopK,
     "eval_knn_labels" -> OpsOracles.knnLabelAccuracy,

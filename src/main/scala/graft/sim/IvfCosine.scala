@@ -123,8 +123,16 @@ object IvfCosine {
     * query touches the probed lists' files and nothing else. */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                  indexDir: String, nlist: Int = 16,
-                 iters: Int = 3): Unit = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+                 iters: Int = 3): Unit =
+    buildIndexVectors(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"), indexDir, nlist,
+      iters)
+
+  /** [[buildIndex]] over an explicit vector frame (vec_id, embedding) —
+    * the form the incremental maintenance path seeds from. */
+  def buildIndexVectors(spark: org.apache.spark.sql.SparkSession,
+                        emb: DataFrame, indexDir: String,
+                        nlist: Int = 16, iters: Int = 3): Unit = {
     val nv = normalized(emb, "vec_id", "embedding").cache()
     try {
       val centroids = trainNormalized(nv, nlist, iters)
@@ -138,6 +146,45 @@ object IvfCosine {
         .write.mode("overwrite").partitionBy("cluster_id")
         .parquet(s"$indexDir/postings")
     } finally nv.unpersist()
+  }
+
+  /** DELTA maintenance for a persisted [[buildIndex]] layout — the
+    * serving answer to a growing corpus (the [[graft.text
+    * .IncrementalDedup]] discipline applied to the ANN index): new
+    * vectors are assigned against the FROZEN stored centroids and the
+    * postings converge on the vector scope through
+    * [[MergeUpsert.upsertScoped]] keyed on `neighbor_id` — appended ids
+    * insert into their lists, a re-embedded id MOVES lists (its old
+    * posting row drops even when the new list differs), a delta vector
+    * that became zero-norm drops entirely (the [[buildIndex]]
+    * exclusion), and a retried delta converges instead of duplicating.
+    * No retrain, no unaffected-list rewrite: the work scales with the
+    * delta and its lists, never the corpus — at 100 TB the nightly
+    * embedding ingest pays minutes, not the full Lloyd + re-encode.
+    *
+    * Frozen-codebook contract: assignment is a pure function of
+    * (vector, centroids), so the maintained index equals
+    * [[buildIndexVectors]] over corpus ∪ delta at the SAME centroids,
+    * cell for cell — and any covering-nprobe query equals brute force
+    * regardless of where the centroids came from (AnnIndexSpec pins
+    * both; the registered `sim_ivf_delta_indexed` hash-checks the
+    * latter against the brute-force oracle). Codebook refresh is the
+    * periodic REBUILD, the [[graft.runtime.Compaction]] analogue —
+    * drift degrades probe recall gradually, never correctness of the
+    * covering contract. */
+  def appendDelta(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, delta: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val nv = normalized(delta, "vec_id", "embedding")
+    val qz = quantizedVecs(delta, "vec_id", "embedding")
+      .filter(col("nq") > 0)
+    val stage = assign(nv, centroids).join(qz, Seq("vid"))
+      .select(col("vid").as("neighbor_id"), col("q").as("cv"),
+        col("nq").as("cn"), col("cluster_id"))
+    graft.silver.MergeUpsert.upsertScoped(spark, s"$indexDir/postings",
+      stage, Seq("neighbor_id"),
+      delta.select(col("vec_id").as("neighbor_id")).distinct(),
+      partitionCol = "cluster_id")
   }
 
   /** Query phase against a persisted [[buildIndex]] layout: centroid

@@ -143,4 +143,57 @@ class AnnIndexSpec extends SparkSpec {
     val c = covering.count()
     assert(n > 0 && n < c, s"nprobe=1 candidates ($n) < nprobe=16 ($c)")
   }
+
+  test("IVF delta maintenance: incrementally-grown index == frozen-" +
+      "codebook full build, and covering query == full-corpus index") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    // Incrementally grown: train on the base, append the delta.
+    val grown = tmpDir("ivf-grown")
+    IvfCosine.buildIndexVectors(spark, base, grown, nlist = 16, iters = 3)
+    IvfCosine.appendDelta(spark, grown, delta)
+    // Reference at the SAME (frozen) codebook: rebuild the postings
+    // from the full corpus against the grown index's stored centroids.
+    val ref = tmpDir("ivf-ref")
+    IvfCosine.buildIndexVectors(spark, base, ref, nlist = 16, iters = 3)
+    IvfCosine.appendDelta(spark, ref, emb) // full corpus as "delta"
+    assert(rows(spark.read.parquet(s"$grown/postings")) ==
+      rows(spark.read.parquet(s"$ref/postings")),
+      "incremental postings diverged from the frozen-codebook rebuild")
+    // Covering-nprobe query over the grown index == brute force
+    // (regardless of which corpus the codebook saw).
+    val served = IvfCosine.topKIndexed(spark, dir, grown,
+      nQueries = 10, nprobe = 16, k = 5)
+    val brute = graft.sim.Similarity.cosineTopK(spark, dir)
+    assert(rows(served) == rows(brute))
+  }
+
+  test("IVF delta maintenance: retried delta converges; a re-embedded " +
+      "vector MOVES lists (old posting row drops)") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    // Two well-separated directions; 3 base vectors per side.
+    val base = Seq(
+      (0L, vec(1, 0)), (1L, vec(0.9, 0.1)), (2L, vec(1, 0.05)),
+      (3L, vec(0, 1)), (4L, vec(0.1, 0.9)), (5L, vec(0.05, 1)))
+      .toDF("vec_id", "embedding")
+    val idx = tmpDir("ivf-move")
+    IvfCosine.buildIndexVectors(spark, base, idx, nlist = 2, iters = 3)
+    def postings = spark.read.parquet(s"$idx/postings")
+    def listOf(id: Long): Seq[Int] = postings
+      .filter(col("neighbor_id") === id)
+      .select(col("cluster_id")).collect().map(_.getInt(0)).toSeq
+    val before = listOf(0L)
+    assert(before.size == 1)
+    // Re-embed vector 0 onto the OTHER side; append twice (retry).
+    val moved = Seq((0L, vec(0.02, 1))).toDF("vec_id", "embedding")
+    IvfCosine.appendDelta(spark, idx, moved)
+    val total = postings.count()
+    IvfCosine.appendDelta(spark, idx, moved) // retried batch
+    assert(postings.count() == total, "retry duplicated posting rows")
+    val after = listOf(0L)
+    assert(after.size == 1 && after != before,
+      s"re-embedded vector did not move lists: $before -> $after")
+  }
 }
