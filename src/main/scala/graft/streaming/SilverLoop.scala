@@ -48,7 +48,11 @@ object SilverLoop {
     * through scope-replacing merges, so at-least-once delivery
     * converges to exactly-once table state. `warehouseDir` holds
     * `silver_sessions` plus the six gold tables (the
-    * [[graft.runtime.Pipeline]] layout). */
+    * [[graft.runtime.Pipeline]] layout) and their per-batch
+    * `_changelog` CDC tables ([[graft.runtime.ChangeLog]]); a `null`
+    * `toSilver` (the default harness derivation) additionally logs the
+    * silver merge itself and lands the delta's cleanse rejects in the
+    * `quarantine_events` dead-letter table. */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
                     checkpointDir: String,
