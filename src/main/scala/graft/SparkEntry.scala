@@ -156,6 +156,10 @@ object SparkEntry {
     // recorded by ChangeLog.recordBatch (built once per JVM), collapsed
     // with netDiff — must equal the DuckDB-computed ENDPOINT diff.
     "cdc_orders_net" -> graft.runtime.ChangeLog.ordersChangeLogNet _,
+    // The other CDC consumer contract: replay(state0, log) — one
+    // log-scale collapse + anti-join + union, no per-batch
+    // re-execution — must reproduce the DuckDB-computed ENDPOINT state.
+    "cdc_orders_replay" -> graft.runtime.ChangeLog.ordersChangeLogReplay _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -491,6 +495,7 @@ object SparkEntry {
     "q_scalar_count_bug" -> OpsOracles.scalarCountBug,
     "table_diff_orders" -> OpsOracles.ordersQuarterDiff,
     "cdc_orders_net" -> OpsOracles.ordersChangeLogNet,
+    "cdc_orders_replay" -> OpsOracles.ordersChangeLogReplay,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

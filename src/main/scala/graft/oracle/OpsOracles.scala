@@ -3286,6 +3286,35 @@ object OpsOracles {
       |WHERE is_added OR is_removed OR n_changed > 0
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersChangeLogReplay: replay(state0, log) must
+    * reproduce the ENDPOINT state3 — computed here directly from the
+    * source with the same deterministic transforms (the Spark side
+    * instead re-derives state0 and applies the accumulated change
+    * log). Summarized per priority class with integer-exact
+    * aggregates. */
+  val ordersChangeLogReplay: String =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-10-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(count(1) AS BIGINT) AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM n
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
     * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
     * empty-input patch. */

@@ -15,9 +15,8 @@ import org.apache.spark.sql.functions._
   * every change-data-capture consumer — cache invalidation, downstream
   * incremental jobs, audit — needs the per-batch delta as a table.
   *
-  * [[recordBatch]] wraps one maintenance write: snapshot the scoped
-  * slice of the target BEFORE the write (materialized —
-  * localCheckpoint — because the write swaps the same files), run the
+  * [[recordBatch]] wraps one maintenance write: persist the scoped
+  * before-image of the target DURABLY (next to the log), run the
   * write, diff before/after on the table's row key, and publish the
   * non-`unchanged` rows as the batch's log entry. The log is itself a
   * `batch_id`-partitioned table (the [[Incremental]] layout, so
@@ -28,59 +27,172 @@ import org.apache.spark.sql.functions._
   * EMPTY entry. Entries carry both row images (`o_*`/`n_*`) plus
   * `changed_cols`, so the log alone supports [[replay]].
   *
+  * Crash/retry safety — the at-least-once replay of the incremental
+  * chain (re-consume from the old watermark) re-runs `write` as an
+  * idempotent no-op, which makes the live table USELESS as a
+  * before-image on retry (before == after ⇒ empty diff ⇒ the retry
+  * would erase the real entry). Two durable markers close every
+  * window:
+  *
+  *  1. The before-image is persisted to a `_changelog_pre` sibling
+  *     directory BEFORE the write runs, and deleted only AFTER the
+  *     entry is published. A retry that finds a committed pre-image
+  *     (crash during the write, or after the write but before the
+  *     publish) diffs against the TRUE pre-batch state and publishes
+  *     the real entry.
+  *  2. A retry that finds the batch's log partition already published
+  *     WITHOUT a pre-image can only mean the batch completed its
+  *     publish (the pre-image outlives every earlier failure mode) —
+  *     the write re-runs for table convergence and the published
+  *     entry is KEPT, never recomputed from a post-batch "before"
+  *     image.
+  *
+  * Schema evolution: every snapshot/log read passes
+  * `mergeSchema = true`, so a table evolved additively mid-history
+  * (the opt-in [[MergeUpsert.upsert]] path) reads under the UNION of
+  * its files' schemas — entries published before the evolution carry
+  * NULL for the new columns (the parquet widen-with-nulls semantics),
+  * and [[netDiff]]/[[replay]] operate on the union schema
+  * (ChangeLogSpec proves netDiff == endpoint diff and
+  * replay == snapshot across an evolution between batches).
+  *
   * Scale shape: the before/after reads are scoped to the partitions
   * the write can touch (the same affected-scope frames the incremental
   * chain already derives), so the per-batch CDC bill is
-  * O(affected slice) — delta-scaled, like the maintenance it records;
-  * the diff itself is ONE co-partitioned full-outer join
-  * ([[TableDiff.diff]]'s scale argument), and nothing collects. */
+  * O(affected slice) — delta-scaled, like the maintenance it records
+  * (the durable pre-image write costs what the old localCheckpoint
+  * materialization did, paid to the warehouse filesystem instead of
+  * the block manager, and is what buys crash safety); the diff itself
+  * is ONE co-partitioned full-outer join ([[TableDiff.diff]]'s scale
+  * argument), and nothing collects. Unbounded partition growth — one
+  * `batch_id` partition per update forever, ~52k/year at the
+  * reference's 10-minute silver cadence (`airflow/dags/silver_dag
+  * .py:142`) — is bounded by [[checkpoint]], the watermark-safe
+  * collapse of old entries into one net base entry. */
 object ChangeLog {
 
   /** The log of the table at `tableDir` lives beside it. */
   def logDir(tableDir: String): String =
     tableDir.stripSuffix("/") + "_changelog"
 
+  /** Pre-images live in a SIBLING directory, never under the log
+    * root: the log's first-ever publish takes [[MergeUpsert]]'s
+    * initial-write branch, whose `mode("overwrite")` clears the whole
+    * log directory — a pre-image stored inside it would be destroyed
+    * BEFORE the entry is durable, re-opening the crash window the
+    * pre-image exists to close (a partial first publish would then
+    * read as "published" and be kept). */
+  private def preImagePath(tableDir: String, batchId: Long): Path =
+    new Path(logDir(tableDir) + "_pre", s"batch-$batchId")
+
+  /** Commit marker of a durable pre-image: written LAST, so a
+    * directory without it is a crashed partial write and is rebuilt. */
+  private val PreCommitMarker = "_GRAFT_PRE_COMMITTED"
+
+  /** Marks a pre-image of an empty (or absent) scoped slice — an empty
+    * frame may leave no parquet footer to re-read a schema from. */
+  private val PreEmptyMarker = "_GRAFT_PRE_EMPTY"
+
+  /** Collapse boundary marker under the log dir ([[checkpoint]]). */
+  private val CollapseMarker = "_collapsed_up_to"
+
+  private def touch(fs: org.apache.hadoop.fs.FileSystem,
+                    p: Path): Unit = {
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  /** Widen `df` with NULL columns for every field of `other` it
+    * lacks — the union-schema view two differently-evolved snapshots
+    * are compared under. */
+  private def alignToUnion(df: DataFrame,
+                           other: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    other.fields.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+
   /** Wrap one maintenance write of the keyed table at `tableDir` (row
     * key `keys`, at most one row per key — the [[TableDiff.diff]]
     * snapshot contract): publish what `write` changed as batch
     * `batchId`'s log entry. `scope` restricts both snapshot reads to
     * the slice the write can touch; it MUST cover every partition the
-    * write rewrites (a change outside the scope would go unrecorded). */
+    * write rewrites (a change outside the scope would go unrecorded)
+    * and must be deterministic across retries of the same batch.
+    * Crash/retry protocol in the object scaladoc. */
   def recordBatch(spark: SparkSession, tableDir: String,
                   keys: Seq[String], batchId: Long,
                   scope: DataFrame => DataFrame = identity)
                  (write: => Unit): Unit = {
+    // The log's own partition column is batch_id: a diffed table whose
+    // ROW KEY includes batch_id would collide (its key column would be
+    // silently overwritten by the entry's batch stamp). Deliberate: a
+    // batch-lineage table (quarantine, bronze) is already its own
+    // per-batch change log — replacePartitions by source batch IS the
+    // entry — so logging it again would duplicate the table.
+    require(!keys.contains("batch_id"),
+      "recordBatch cannot log a table keyed by batch_id: the log's " +
+        "partition column would overwrite the key — a batch-lineage " +
+        "table is already its own per-batch change log")
     val rootPath = new Path(tableDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Sweep-then-read (the MergeUpsert preamble): a crashed prior
-    // writer's .backup-* partition must be restored BEFORE the before-
-    // image is taken, or the batch would mis-report restored rows as
-    // `added`. Materialized eagerly — the write below swaps the very
-    // files a lazy plan would re-read.
-    val before =
-      if (MergeUpsert.sweepAndHasData(fs, rootPath))
-        Some(scope(spark.read.parquet(tableDir)).localCheckpoint())
-      else None
-    try {
+    val ld = logDir(tableDir)
+    val preP = preImagePath(tableDir, batchId)
+    val preCommitted = fs.exists(new Path(preP, PreCommitMarker))
+    val published = fs.exists(new Path(ld, s"batch_id=$batchId"))
+    if (published && !preCommitted) {
+      // Retry after a completed publish (the pre-image is deleted only
+      // once the entry is durable): the live table is post-batch, so a
+      // fresh diff would be empty and would ERASE the real entry. Run
+      // the write for table convergence; keep the entry.
       write
-      val after = scope(spark.read.parquet(tableDir))
-      val entry = TableDiff.diff(
-          before.getOrElse(after.filter(lit(false))), after, keys)
-        .filter(col("diff_status") =!= "unchanged")
-        .withColumn("batch_id", lit(batchId))
-      MergeUpsert.replacePartitions(spark, logDir(tableDir), entry,
-        Seq(batchId), partitionCol = "batch_id")
-    } finally
-      // Release the before-image blocks: a long-lived writer JVM runs
-      // recordBatch every batch for every table — leaked checkpoint
-      // blocks would accrete until the executors OOM.
-      before.foreach(_.unpersist())
+      return
+    }
+    if (!preCommitted) {
+      // First durable step — BEFORE the write mutates the table. Sweep
+      // first: a crashed prior writer's .backup-* partition must be
+      // restored before the before-image is taken, or the batch would
+      // mis-report restored rows as `added`.
+      fs.delete(preP, true) // a partial (uncommitted) leftover
+      if (MergeUpsert.sweepAndHasData(fs, rootPath))
+        scope(spark.read.option("mergeSchema", "true").parquet(tableDir))
+          .write.mode("overwrite").parquet(preP.toString)
+      if (!fs.exists(preP)) fs.mkdirs(preP)
+      val hasFooter = fs.listStatus(preP).exists { f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen > 0
+      }
+      if (!hasFooter) touch(fs, new Path(preP, PreEmptyMarker))
+      touch(fs, new Path(preP, PreCommitMarker))
+    }
+    write
+    val after =
+      scope(spark.read.option("mergeSchema", "true").parquet(tableDir))
+    val before =
+      if (fs.exists(new Path(preP, PreEmptyMarker))) after.filter(lit(false))
+      else spark.read.parquet(preP.toString)
+    // Align both images to the UNION schema before diffing: the write
+    // may have evolved the table additively, and TableDiff's
+    // intersection rule would otherwise DROP the new column from the
+    // evolution batch's entry — the log would never learn the column
+    // existed, and replay would reproduce a pre-evolution table. A
+    // column absent on one side reads as NULL there (the same
+    // widen-with-nulls semantics every mergeSchema read applies), so
+    // the evolution batch honestly logs null→value changes.
+    val entry = TableDiff.diff(alignToUnion(before, after.schema),
+        alignToUnion(after, before.schema), keys)
+      .filter(col("diff_status") =!= "unchanged")
+      .withColumn("batch_id", lit(batchId))
+    MergeUpsert.replacePartitions(spark, ld, entry,
+      Seq(batchId), partitionCol = "batch_id")
+    // Only now is the entry durable — the pre-image may retire.
+    fs.delete(preP, true)
   }
 
   /** The accumulated log, or None while no batch has published rows.
     * (An all-empty log directory carries no parquet footer to infer a
     * schema from — callers that need a frame for an empty log should
-    * treat None as "no net changes".) */
+    * treat None as "no net changes".) Read under the UNION schema
+    * (`mergeSchema`): a log whose table evolved mid-history must not
+    * drop the evolved columns because Spark sampled an old footer. */
   def readLog(spark: SparkSession, tableDir: String): Option[DataFrame] = {
     val p = new Path(logDir(tableDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,8 +200,112 @@ object ChangeLog {
       val n = st.getPath.getName
       st.isDirectory && n.startsWith("batch_id=")
     }
-    if (hasData) Some(spark.read.parquet(logDir(tableDir))) else None
+    if (hasData)
+      Some(spark.read.option("mergeSchema", "true").parquet(logDir(tableDir)))
+    else None
   }
+
+  /** The collapse boundary ([[checkpoint]]), if one has been taken:
+    * every entry with `batch_id <= boundary` has been folded into the
+    * single net base entry AT the boundary. */
+  def collapseBoundary(spark: SparkSession,
+                       tableDir: String): Option[Long] =
+    Incremental.loadWatermark(spark, s"${logDir(tableDir)}/$CollapseMarker")
+
+  /** Consumer tail of the log from a watermark — the loud-failing form
+    * of `Incremental.readSince` for a log that may have been
+    * [[checkpoint]]-collapsed. A watermark BEHIND the collapse
+    * boundary fails loud: the entries it still owes were folded into
+    * the base entry, and silently returning the base would double-
+    * apply history the consumer already saw. (`Incremental.readSince`
+    * would instead fall back to the FULL table on an unknown
+    * watermark — right for a bronze feed, silently-wrong for a CDC
+    * tail.) `since = None` replays from the log's origin, which a
+    * collapse preserves (the base entry is the net of what it
+    * folded). A watermark at or past the boundary filters as usual —
+    * `batch_id > wm` over-reads nothing even when `wm` itself has no
+    * partition (an empty entry is published as absence). */
+  def readSince(spark: SparkSession, tableDir: String,
+                since: Option[Long]): Option[DataFrame] =
+    readLog(spark, tableDir).map { log =>
+      since match {
+        case None => log
+        case Some(wm) =>
+          collapseBoundary(spark, tableDir).foreach { b =>
+            require(wm >= b,
+              s"consumer watermark $wm predates the collapse boundary " +
+                s"$b of ${logDir(tableDir)}: its unconsumed entries were " +
+                "folded into the base entry — re-seed the consumer from " +
+                "a table snapshot, then tail from the boundary")
+          }
+          log.filter(col("batch_id") > wm)
+      }
+    }
+
+  /** Watermark-safe retention: fold every entry with
+    * `batch_id <= upToBatch` into ONE net base entry at `upToBatch`
+    * (via [[netDiff]] — a reverted change nets out, an added-then-
+    * removed key vanishes), dropping the folded partitions. Bounds the
+    * log's partition count — one partition per update forever is a
+    * metadata scale-killer at a 10-minute cadence — while preserving
+    * both consumer contracts: `replay(origin, collapsedLog)` equals
+    * `replay(origin, fullLog)` (the base entry's `o_*` are the
+    * pre-history images, its `n_*` the boundary images), and a
+    * consumer at or past the boundary sees identical entries. The
+    * caller passes the MINIMUM consumer watermark as `upToBatch`; a
+    * consumer left behind the boundary fails loud in [[readSince]].
+    *
+    * Ordering: the boundary marker is advanced BEFORE the partition
+    * fold, so a crash between the two steps fails conservatively
+    * (a behind-boundary consumer is refused while its entries still
+    * exist) rather than silently double-serving. Idempotent: the net
+    * of a net is itself. Returns true if a fold ran. */
+  def checkpoint(spark: SparkSession, tableDir: String,
+                 keys: Seq[String], upToBatch: Long): Boolean = {
+    val ld = logDir(tableDir)
+    val committed = Incremental.batches(spark, ld)
+    // The effective boundary CLAMPS to the highest committed partition
+    // at/under the requested watermark: empty entries are published as
+    // ABSENCE, so a consumer watermark may legitimately exceed every
+    // partition id — folding at the raw watermark would fabricate a
+    // base entry at a batch id the log never wrote, and a consumer
+    // between the last real entry and the watermark would be refused
+    // for history it already has.
+    val span = committed.filter(_ <= upToBatch)
+    if (span.isEmpty) return false
+    val b = span.max
+    if (span == Seq(b)) {
+      // Single entry already at the boundary — record the watermark
+      // (it may still advance past empty batches), fold nothing.
+      Incremental.saveWatermark(spark, s"$ld/$CollapseMarker", b)
+      return false
+    }
+    val log = readLog(spark, tableDir).getOrElse(return false)
+    val base = netDiff(log.filter(col("batch_id").cast("long") <= b), keys)
+      .withColumn("batch_id", lit(b))
+    Incremental.saveWatermark(spark, s"$ld/$CollapseMarker", b)
+    MergeUpsert.replacePartitions(spark, ld, base, span,
+      partitionCol = "batch_id")
+    true
+  }
+
+  /** The log as a Structured Streaming source — a downstream job tails
+    * it with a CHECKPOINT instead of a watermark file: the
+    * batch_id-partitioned layout is already a file-stream-source
+    * directory, so this is `readStream` with the log's merged schema
+    * (file sources cannot infer one). None while the log has no
+    * entries to take a schema from. At-least-once caveats, documented
+    * not hidden: a RETRIED batch swaps its partition to new files,
+    * which a file-source consumer sees as fresh input (re-delivery of
+    * the same entry — consumers idempotent on (batch_id, key) are
+    * unaffected); [[checkpoint]] collapse and file compaction likewise
+    * rewrite files — run them only past every streaming consumer's
+    * committed offset, the same watermark discipline as
+    * [[readSince]]. */
+  def stream(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    readLog(spark, tableDir).map { batchView =>
+      spark.readStream.schema(batchView.schema).parquet(logDir(tableDir))
+    }
 
   /** Value-column names of a log frame — every `o_`-prefixed NON-KEY
     * column (a key may itself start with `o_`, e.g. `o_orderkey`).
@@ -112,7 +328,10 @@ object ChangeLog {
     * nets to `unchanged` and is dropped, an added-then-removed key
     * appears in neither image. One hash aggregate on the key
     * (`min_by`/`max_by` over `batch_id`) feeds the one diff join, so
-    * the collapse runs at log (not table) scale.
+    * the collapse runs at log (not table) scale. Under mid-history
+    * schema evolution the images live in the UNION schema (absent
+    * column = NULL) — the endpoint comparison under the evolved
+    * schema, which is the only schema both endpoints share.
     *
     * Deliberately NOT a per-column case-when over the aggregated
     * structs: that shape — status/changed-cols conditionals stacked on
@@ -140,21 +359,46 @@ object ChangeLog {
       .filter(col("diff_status") =!= "unchanged")
   }
 
-  /** Registered face: a three-batch maintenance history of the orders
-    * table driven through [[recordBatch]], then the accumulated log
-    * collapsed with [[netDiff]] and summarized per status — the CDC
-    * composition oracle-checked end to end, not just spec-checked. The
-    * history is deterministic (built once per JVM, the AnnIndex.ensure
-    * layout convention): state0 (orders before 1997-07) lands
-    * UNLOGGED as the pre-history baseline, then batch 1 adds Q3,
-    * batch 2 re-prioritizes 1997 LOW orders (touching both baseline
-    * and Q3 rows), drops Jun/Sep NOT-SPECIFIED orders (a baseline
-    * `removed` and an added-then-removed collapse), and re-prioritizes
-    * some 1996 LOW orders that batch 3 REVERTS (a changed-then-
-    * reverted collapse), and batch 3 adds Q4. The DuckDB oracle
-    * computes the ENDPOINT diff state0 → state3 independently — every
-    * intermediate mutation must net out exactly. */
-  def ordersChangeLogNet(s: SparkSession, dir: String): DataFrame = {
+  /** Apply a (contiguous) span of log entries to the snapshot the span
+    * started from: drop every net-touched key, then add back the
+    * surviving keys' t1 images. `replay(snapshot(t0), log(t0..t1])`
+    * must equal `snapshot(t1)` cell-for-cell — ChangeLogSpec proves it
+    * across the incremental chain, including a deletion-carrying
+    * recompute, a redelivered (empty-entry) batch, and an additive
+    * schema evolution mid-span: value columns come from the LOG's
+    * union schema, and the final union is name-aligned with
+    * null-filling, so a base snapshot that predates the evolution
+    * replays to the evolved snapshot (its untouched rows carry NULL
+    * for the new columns — exactly what a mergeSchema read of the
+    * evolved table returns for pre-evolution files). */
+  def replay(base: DataFrame, log: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    // Materialized: both the anti-join and the image projection read
+    // the net frame, and it is log-scale (kilobytes per batch) — one
+    // eager checkpoint beats re-planning the collapse twice.
+    val net = netDiff(log, keys).localCheckpoint()
+    val baseVals = base.columns.toSeq.filterNot(keys.contains)
+    val logVals = valCols(log, keys)
+    val untouched =
+      base.join(net.select(keys.map(col): _*), keys, "left_anti")
+    val updated = net.filter(col("diff_status") =!= "removed")
+      .select(keys.map(col) ++ logVals.map(c => col(s"n_$c").as(c)): _*)
+    untouched.select(keys.map(col) ++ baseVals.map(col): _*)
+      .unionByName(updated, allowMissingColumns = true)
+  }
+
+  private def ts(d: String): Column = expr(s"timestamp'$d 00:00:00'")
+
+  /** Build (once per JVM) the deterministic cdc_orders maintenance
+    * history both registered CDC queries read: state0 (orders before
+    * 1997-07) lands UNLOGGED as the pre-history baseline, then batch 1
+    * adds Q3, batch 2 re-prioritizes 1997 LOW orders (touching both
+    * baseline and Q3 rows), drops Jun/Sep NOT-SPECIFIED orders (a
+    * baseline `removed` and an added-then-removed collapse), and
+    * re-prioritizes some 1996 LOW orders that batch 3 REVERTS (a
+    * changed-then-reverted collapse), and batch 3 adds Q4. Returns the
+    * table path (log beside it). */
+  private def ensureOrdersHistory(s: SparkSession, dir: String): String = {
     val table = graft.sim.AnnIndex.dir(s, dir, "cdc_orders")
     graft.sim.AnnIndex.ensure(table) {
       val fs = new Path(table)
@@ -163,7 +407,6 @@ object ChangeLog {
         val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
       }
       val orders = s.read.parquet(s"$dir/orders.parquet")
-      def ts(d: String) = expr(s"timestamp'$d 00:00:00'")
       def lowToMed(from: String, to: String)(df: DataFrame) =
         df.withColumn("o_orderpriority",
           when(col("o_orderdate") >= ts(from) &&
@@ -192,6 +435,17 @@ object ChangeLog {
             partitionCol = "o_orderpriority"))
       }
     }
+    table
+  }
+
+  /** Registered face: the [[ensureOrdersHistory]] maintenance history,
+    * its accumulated log collapsed with [[netDiff]] and summarized per
+    * status — the CDC composition oracle-checked end to end, not just
+    * spec-checked. The DuckDB oracle computes the ENDPOINT diff
+    * state0 → state3 independently — every intermediate mutation must
+    * net out exactly. */
+  def ordersChangeLogNet(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
     val log = readLog(s, table).getOrElse(
       sys.error(s"cdc_orders log missing under $table"))
     netDiff(log, Seq("o_orderkey"))
@@ -203,24 +457,27 @@ object ChangeLog {
         sum(size(col("changed_cols"))).as("n_changed_cells"))
   }
 
-  /** Apply a (contiguous) span of log entries to the snapshot the span
-    * started from: drop every net-touched key, then add back the
-    * surviving keys' t1 images. `replay(snapshot(t0), log(t0..t1])`
-    * must equal `snapshot(t1)` cell-for-cell — ChangeLogSpec proves it
-    * across the incremental chain, including a deletion-carrying
-    * recompute and a redelivered (empty-entry) batch. */
-  def replay(base: DataFrame, log: DataFrame,
-             keys: Seq[String]): DataFrame = {
-    // Materialized: both the anti-join and the image projection read
-    // the net frame, and it is log-scale (kilobytes per batch) — one
-    // eager checkpoint beats re-planning the collapse twice.
-    val net = netDiff(log, keys).localCheckpoint()
-    val vals = base.columns.toSeq.filterNot(keys.contains)
-    val untouched =
-      base.join(net.select(keys.map(col): _*), keys, "left_anti")
-    val updated = net.filter(col("diff_status") =!= "removed")
-      .select(keys.map(col) ++ vals.map(c => col(s"n_$c").as(c)): _*)
-    untouched.select(keys.map(col) ++ vals.map(col): _*)
-      .unionByName(updated)
+  /** Registered face #2: [[replay]] composed end to end — re-derive
+    * the UNLOGGED state0 baseline from the source (deterministic
+    * filter), apply the accumulated three-batch log, and summarize the
+    * replayed state per priority class. The DuckDB oracle computes the
+    * ENDPOINT state3 independently, so the replayed table must equal
+    * it exactly — including the rows no batch ever touched (the
+    * anti-join side) and the reverted/removed collapses. The plan is
+    * one log-scale collapse + one anti-join + union: no per-batch
+    * re-execution. */
+  def ordersChangeLogReplay(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    val log = readLog(s, table).getOrElse(
+      sys.error(s"cdc_orders log missing under $table"))
+    val state0 = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < ts("1997-07-01"))
+    replay(state0, log, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        countDistinct(col("o_custkey")).as("n_cust"))
   }
 }

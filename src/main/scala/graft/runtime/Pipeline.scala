@@ -102,16 +102,25 @@ object Pipeline {
     }
 
     // Dead-letter surface: every row the cleanse gate dropped, with its
-    // failed checks (Events.rejects) — partitioned by the primary
-    // reason so an auditor prunes straight to "show me the overflow
-    // class". replaceAll converges the table to THIS run's rejects
-    // (the full-recompute discipline of every other table here), so
-    // re-running the day is idempotent. Clean input ⇒ empty table —
-    // which is the audit statement "nothing was dropped", not an error.
+    // failed checks (Events.rejects). Partitioned by batch_id — the
+    // SAME scheme as the incremental chain's per-source-batch capture,
+    // with the synthetic id -1 marking "the full recompute": one table
+    // must carry ONE partition column, or a warehouse that runs both
+    // chains (batch backfill, then incremental maintenance) leaves
+    // mixed reject_reason=*/batch_id=* directories that no reader can
+    // open. Reason-level audit filters on the reject_reason COLUMN
+    // (quarantine is audit-scale; losing its directory pruning is the
+    // accepted cost of chain compatibility). replaceAll converges the
+    // table to THIS run's rejects (the full-recompute discipline of
+    // every other table here), so re-running the day is idempotent.
+    // Clean input ⇒ empty table — which is the audit statement
+    // "nothing was dropped", not an error.
     stage("quarantine") {
       MergeUpsert.replaceAll(spark, s"$warehouseDir/quarantine_events",
-        Events.rejects(Events.enriched(spark, sfDir)),
-        partitionCol = "reject_reason")
+        Events.rejects(Events.enriched(spark, sfDir))
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(-1L)),
+        partitionCol = "batch_id")
     }
 
     // C4 gate: silver partitions must exist before gold runs.
@@ -196,7 +205,18 @@ object Pipeline {
     * publish their per-batch CDC entry ([[ChangeLog]]) keyed by the
     * bronze watermark, and the consumed delta's cleanse rejects land
     * in the quarantine table — the two audit surfaces a
-    * merge-maintained warehouse owes its consumers. */
+    * merge-maintained warehouse owes its consumers.
+    *
+    * `collapseLogsUpTo` is the change-log retention hook: pass the
+    * MINIMUM watermark across every registered log consumer and each
+    * table's log folds its fully-consumed prefix into one net base
+    * entry ([[ChangeLog.checkpoint]]) — without it the logs grow one
+    * partition per update forever (~52k/year at the reference's
+    * 10-minute cadence, a metadata scale-killer). Deriving that
+    * minimum is the caller's job because consumers register outside
+    * this function (their watermark files / streaming checkpoints are
+    * theirs); a consumer left behind the boundary fails loud in
+    * [[ChangeLog.readSince]], never silently double-reads. */
   def runDailyIncremental(spark: SparkSession, bronzeDir: String,
                           warehouseDir: String, watermark: Option[Long],
                           asOfUs: Long = Events.AsOfUs,
@@ -204,7 +224,8 @@ object Pipeline {
                             (_, _) => (),
                           toSilver: org.apache.spark.sql.DataFrame =>
                             org.apache.spark.sql.DataFrame = null,
-                          changeLog: Boolean = true)
+                          changeLog: Boolean = true,
+                          collapseLogsUpTo: Option[Long] = None)
       : Option[Long] = {
     def stage[T](name: String)(body: => T): T =
       try body
@@ -243,9 +264,15 @@ object Pipeline {
     d.affectedUsers.foreach { users =>
       val silver = spark.read.parquet(silverDir)
       // CDC: every gold upsert publishes its per-batch change table
-      // ([[ChangeLog]]), keyed by the bronze watermark this update
-      // consumed — a retried batch overwrites its own log partition,
-      // so the log stays exactly one entry per bronze batch.
+      // ([[ChangeLog]]), keyed by the ENDPOINT watermark this update
+      // consumed — one entry per UPDATE, not per bronze batch: an
+      // update that drains several bronze batches (e.g. the first run
+      // with watermark=None) logs the whole span under its endpoint
+      // id, so intermediate bronze ids never exist in the log and
+      // readAsOf on one fails its lineage check. Consumers therefore
+      // tail with ChangeLog.readSince (any watermark ≥ the collapse
+      // boundary filters correctly), never readAsOf on arbitrary
+      // bronze ids. A retried update overwrites its own log partition.
       val cdc = if (changeLog) d.watermark else None
       stage("gold_user_daily") {
         IncrementalGold.userDailyDelta(spark, silver,
@@ -272,6 +299,32 @@ object Pipeline {
           s"$warehouseDir/gold_user_sketch", d.affectedDates, cdc)
       }
     }
+    // Log retention (the compaction tail of the CDC surface): fold
+    // each table's fully-consumed log prefix into its net base entry.
+    // Runs AFTER every publish of this update so the fold sees a
+    // consistent log, and only up to the caller-supplied minimum
+    // consumer watermark — never past what someone still owes a read.
+    collapseLogsUpTo.foreach { upTo =>
+      stage("log_collapse") {
+        loggedTables.foreach { case (t, keys) =>
+          ChangeLog.checkpoint(spark, s"$warehouseDir/$t", keys, upTo)
+        }
+      }
+    }
     d.watermark
   }
+
+  /** The incremental chain's CDC-logged tables and their row keys —
+    * one source of truth shared by the collapse hook and any consumer
+    * that tails the logs. (The sketch gold logs at its CONTRACT grain:
+    * per-date estimate, not the build-order-dependent bytes.) */
+  def loggedTables: Seq[(String, Seq[String])] = Seq(
+    "silver_sessions" -> graft.silver.Sessionize.SessionKey,
+    "gold_user_daily" -> Seq("datetime", "user_id"),
+    "gold_episode_daily" -> Seq("datetime", "webtoon_id", "episode_id"),
+    "gold_webtoon_daily" -> Seq("datetime", "webtoon_id"),
+    "gold_platform_device_daily" ->
+      Seq("datetime", "platform", "device", "browser"),
+    "gold_country_daily" -> Seq("datetime", "country"),
+    "gold_user_sketch" -> Seq("datetime"))
 }

@@ -66,7 +66,22 @@ object Skew {
     * equals the plain join ROW FOR ROW (SkewJoinSpec), while the hot
     * key's work spreads over `salts` tasks. Cold keys pay one constant
     * salt (no fan-out). Works for dim sides with duplicate keys (each
-    * dim row replicates). */
+    * dim row replicates).
+    *
+    * Duplicate-content limitation: the salt is a hash of the WHOLE
+    * fact row, so byte-identical duplicates of a hot key all land on
+    * ONE salt — a hot key dominated by repeated rows (a
+    * constant-payload heartbeat event) keeps its straggler despite the
+    * salting (correctness unaffected). The disambiguators that would
+    * spread them are nondeterministic under task retry
+    * (`spark_partition_id`, `monotonically_increasing_id` — a retried
+    * task would re-salt rows differently, breaking re-runnability and
+    * exactly-once sinks), so the contract is: pre-aggregate exact
+    * duplicates into (row, weight) before the join — exact for the
+    * join+aggregate composition — or include a unique row id in the
+    * fact. [[measuredJoin]] MEASURES per-key content diversity and
+    * fails loud when salting cannot split a hot key, instead of
+    * silently returning the straggler. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  hotKeys: Seq[Any], salts: Int): DataFrame = {
     require(salts >= 2 && salts <= MaxSalts, s"salts=$salts")
@@ -92,21 +107,45 @@ object Skew {
     f.join(d, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
-  /** Measured-arm skewed join: ONE cheap per-key count of the fact
-    * (map-side combine collapses each task to its distinct keys, so
-    * the measurement shuffle moves partial counts, never rows — the
-    * hot key itself cannot skew its own measurement), then keys past
-    * `cap` get the [[saltedJoin]] treatment at a derived salt count;
-    * a fact with no hot key joins plain, leaving residual mild skew to
-    * AQE's runtime split — the two arms of the same defense, chosen by
-    * measurement instead of hope. The hot-key collect is bounded
-    * (`maxHotKeys`) and fails loud past the bound: a "hot list" of a
-    * million keys means the cap is mis-set for the distribution, and
-    * silently salting everything would replicate the dim wholesale. */
+  /** Measured-arm skewed join: ONE cheap per-key measurement of the
+    * fact (map-side combine collapses each task to its distinct keys,
+    * so the measurement shuffle moves partial aggregates, never rows —
+    * the hot key itself cannot skew its own measurement), then keys
+    * past `cap` get the [[saltedJoin]] treatment at a derived salt
+    * count; a fact with no hot key joins plain, leaving residual mild
+    * skew to AQE's runtime split — the two arms of the same defense,
+    * chosen by measurement instead of hope. The hot-key collect is
+    * bounded (`maxHotKeys`) and fails loud past the bound: a "hot
+    * list" of a million keys means the cap is mis-set for the
+    * distribution, and silently salting everything would replicate the
+    * dim wholesale.
+    *
+    * The same measurement carries each key's approximate DISTINCT ROW
+    * CONTENT count (`approx_count_distinct` over the full-row hash —
+    * fixed-width mergeable state, same map-side combine), because the
+    * content-derived salt can only spread a hot key across as many
+    * salts as it has distinct rows: a hot key whose rows are mostly
+    * byte-identical duplicates would keep its straggler no matter the
+    * salt count. That regime fails LOUD here (remedy in the message:
+    * pre-aggregate duplicates into a weight column — exact for the
+    * join+aggregate composition — or add a unique row id), with 2×
+    * slack for hash imbalance and the sketch's ~2% error.
+    *
+    * Skew past [[MaxSalts]]×`cap` rows on one key also fails loud
+    * rather than silently strangling: at that scale one level of
+    * salting cannot bound the per-task share (the per-salt load
+    * exceeds `cap` even at the max fan-out), and the fix is
+    * hierarchical re-salting — split the hot key's SUB-salts again —
+    * which changes the plan shape (two replication levels) and must
+    * be an explicit engineering decision, not an implicit constant
+    * bump. The message says exactly that. */
   def measuredJoin(fact: DataFrame, dim: DataFrame, key: String,
                    cap: Long = HotKeyRowCap,
                    maxHotKeys: Int = 4096): DataFrame = {
-    val hot = fact.groupBy(col(key)).count()
+    val hot = fact.groupBy(col(key))
+      .agg(count(lit(1)).as("count"),
+        approx_count_distinct(
+          xxhash64(fact.columns.toIndexedSeq.map(col): _*)).as("ndv"))
       .filter(col("count") > cap && col(key).isNotNull)
       .orderBy(col("count").desc)
       .limit(maxHotKeys + 1)
@@ -116,8 +155,30 @@ object Skew {
         "or pre-aggregate; salting this many keys replicates the dim " +
         "wholesale")
     if (hot.isEmpty) fact.join(dim, Seq(key), "inner")
-    else saltedJoin(fact, dim, key,
-      hot.map(_.get(0)).toIndexedSeq,
-      saltsFor(hot.map(_.getLong(1)).max, cap))
+    else {
+      val maxRows = hot.map(_.getLong(1)).max
+      require(maxRows <= MaxSalts.toLong * cap,
+        s"hottest key carries $maxRows rows > MaxSalts($MaxSalts) × " +
+          s"cap($cap): one salting level cannot bound its per-task " +
+          "share — this regime needs hierarchical re-salting (split " +
+          "the hot key's sub-salts again), or pre-aggregation of the " +
+          "fact before the join; refusing to run a plan whose salted " +
+          "partitions still exceed the task budget")
+      val salts = saltsFor(maxRows, cap)
+      hot.foreach { r =>
+        val rows = r.getLong(1)
+        val ndv = math.max(1L, r.getLong(2))
+        val perSalt = rows / math.max(1L, math.min(salts.toLong, ndv))
+        require(perSalt <= 2L * cap,
+          s"hot key ${r.get(0)} carries $rows rows but only ~$ndv " +
+            s"distinct row contents: the content-derived salt can " +
+            s"spread it over at most ~$ndv tasks (~$perSalt rows " +
+            s"each > 2×cap=$cap) — pre-aggregate exact-duplicate " +
+            "fact rows into a weight column before the join (exact " +
+            "for join+aggregate), or include a unique row id in the " +
+            "fact so duplicates hash apart")
+      }
+      saltedJoin(fact, dim, key, hot.map(_.get(0)).toIndexedSeq, salts)
+    }
   }
 }

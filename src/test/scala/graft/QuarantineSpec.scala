@@ -101,4 +101,35 @@ class QuarantineSpec extends SparkSpec {
     Pipeline.runDailyIncremental(spark, bronze, wh, wm2)
     assert(q.count() === 7L)
   }
+
+  test("both chains share ONE quarantine partition scheme: a full " +
+      "backfill then incremental maintenance reads as one table") {
+    val sfDir = tmpDir("q-sf-mix")
+    df(mixedRows).write.mode("overwrite")
+      .parquet(s"$sfDir/events.parquet")
+    val wh = tmpDir("q-wh-mix")
+    // Full-recompute chain: rejects land under the synthetic batch -1.
+    Pipeline.runDaily(spark, sfDir, wh)
+    // Incremental maintenance over the SAME warehouse: a fresh bronze
+    // batch with two more poison rows lands under its source batch id.
+    val bronze = tmpDir("q-bronze-mix")
+    val late = Seq(
+      Row(20L, t0, 30L, "view", 3.5, """{"k": 1}"""),
+      Row(21L, t0, null, "view", 1.5, """{"k": 7}"""),
+      Row(22L, t0, 31L, "view", 1.5, "not json"))
+    Incremental.appendBatch(spark, bronze, df(late), 7L)
+    Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    // One partition column across both chains — the mixed
+    // reject_reason=*/batch_id=* layout would fail this read outright.
+    val q = spark.read.parquet(s"$wh/quarantine_events")
+    val byBatch = q.groupBy(col("batch_id").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch === Map(-1L -> 7L, 7L -> 2L),
+      "per-batch reject accounting diverged")
+    // Which is exactly the per-batch reject-rate drift audit the
+    // batch-lineage layout exists for (the quarantine table is its own
+    // change log — one replace-idempotent partition per source batch).
+    assert(q.filter(col("batch_id") === 7L)
+      .groupBy(col("reject_reason")).count().count() === 2L)
+  }
 }

@@ -96,4 +96,52 @@ class SkewJoinSpec extends SparkSpec {
       Skew.measuredJoin(fact, dim, "jk", cap = 1L, maxHotKeys = 10)
     }
   }
+
+  test("a hot key of byte-identical duplicate rows fails LOUD (the " +
+      "content salt cannot split it), and the documented remedy — " +
+      "pre-aggregated weights — equals plain join+aggregate") {
+    // The degenerate regime: a constant-payload heartbeat — 4000
+    // copies of ONE row. Every copy hashes to the same salt, so
+    // salting leaves the straggler intact; silently returning it would
+    // defeat the mitigation's whole point.
+    val dupFact = (1L to 4000L).map(_ => (-1L, 7L)).toDF("jk", "v")
+    val dim = Seq((-1L, "hot"), (5L, "cold")).toDF("jk", "name")
+    val e = intercept[IllegalArgumentException] {
+      Skew.measuredJoin(dupFact, dim, "jk", cap = 1000L)
+    }
+    assert(e.getMessage.contains("distinct row contents"))
+    // Remedy (from the error message): collapse exact duplicates into
+    // (row, weight) BEFORE the join — the weighted join+aggregate is
+    // exact, and the collapsed fact has no hot key left to salt.
+    val weighted = dupFact.groupBy(col("jk"), col("v"))
+      .agg(count(lit(1)).as("_w"))
+    val got = Skew.measuredJoin(weighted, dim, "jk", cap = 1000L)
+      .groupBy(col("jk"), col("name"))
+      .agg(sum(col("_w")).as("n"), sum(col("_w") * col("v")).as("sv"))
+    val exp = dupFact.join(dim, Seq("jk"), "inner")
+      .groupBy(col("jk"), col("name"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val cols = exp.columns.sorted.map(col).toSeq
+    assert(got.select(cols: _*).exceptAll(exp.select(cols: _*)).isEmpty &&
+      exp.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty,
+      "weighted pre-aggregation diverged from plain join+aggregate")
+    // A DIVERSE hot key at the same volume still takes the salt arm.
+    val diverse = (1L to 4000L).map(i => (-1L, i)).toDF("jk", "v")
+    assert(Skew.measuredJoin(diverse, dim, "jk", cap = 1000L)
+      .count() === 4000L)
+  }
+
+  test("skew past MaxSalts×cap refuses to run: one salting level " +
+      "cannot bound the per-task share (hierarchical re-salting is " +
+      "an explicit decision, not a constant bump)") {
+    // cap=3 makes the threshold MaxSalts×3 = 3072 rows — reachable
+    // with a 4000-row DIVERSE hot key (diversity isn't the problem
+    // here; sheer volume is).
+    val fact = (1L to 4000L).map(i => (-1L, i)).toDF("jk", "v")
+    val dim = Seq((-1L, "hot")).toDF("jk", "name")
+    val e = intercept[IllegalArgumentException] {
+      Skew.measuredJoin(fact, dim, "jk", cap = 3L)
+    }
+    assert(e.getMessage.contains("hierarchical re-salting"))
+  }
 }
