@@ -83,6 +83,26 @@ object Pipeline {
         .getInstance("MD5").digest(warehouseDir.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
     val silverDir = s"$warehouseDir/silver_sessions"
+
+    // Preflight, BEFORE any write mutates the warehouse: a blind full
+    // recompute over tables that carry CDC change logs would rewrite
+    // them without publishing the delta — every log consumer's
+    // replay == snapshot contract silently breaks (the log keeps
+    // replaying to the PRE-recompute state). Fail loud up front, not
+    // after silver already swapped: the incremental chain is the
+    // log-publishing path; a deliberate backfill over a logged
+    // warehouse must first retire the logs (consumers re-seed from a
+    // snapshot, then ChangeLog.checkpoint/delete).
+    stage("cdc_guard") {
+      loggedTables.map(_._1).foreach { t =>
+        require(ChangeLog.readLog(spark, s"$warehouseDir/$t").isEmpty,
+          s"$warehouseDir/$t has a CDC change log: a full recompute " +
+            "would rewrite the table without publishing its delta, " +
+            "breaking every log consumer's replay contract — run " +
+            "runDailyIncremental, or retire the log first (re-seed " +
+            "consumers from a snapshot, then collapse/delete it)")
+      }
+    }
     val silver = stage("silver") {
       val sessions =
         Sessionize.sessions(Dedup.keepLatest(Events.cleansed(spark, sfDir)))

@@ -52,12 +52,24 @@ object SilverLoop {
     * `_changelog` CDC tables ([[graft.runtime.ChangeLog]]); a `null`
     * `toSilver` (the default harness derivation) additionally logs the
     * silver merge itself and lands the delta's cleanse rejects in the
-    * `quarantine_events` dead-letter table. */
+    * `quarantine_events` dead-letter table.
+    *
+    * `logRetention`: a streaming deployment publishes one change-log
+    * entry per micro-batch FOREVER — at the reference's cadence that
+    * is ~52k partitions/year per table, a metadata scale-killer for
+    * every log read. With `logRetention = Some(k)`, after each update
+    * at watermark `w` every log folds its prefix up to `w - k` into
+    * one net base entry ([[graft.runtime.ChangeLog.checkpoint]]) — the
+    * loop stays bounded at ~k live entries per table. Opting in
+    * asserts that every log consumer stays within k updates of the
+    * head; one that falls behind fails loud in
+    * `ChangeLog.readSince`, never silently double-reads. */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
                     checkpointDir: String,
                     toSilver: DataFrame => DataFrame,
-                    availableNow: Boolean = false): StreamingQuery = {
+                    availableNow: Boolean = false,
+                    logRetention: Option[Long] = None): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("30 seconds")
@@ -70,7 +82,10 @@ object SilverLoop {
         Incremental.appendBatch(spark, bronzeDir, batch, batchId)
         val wm = Incremental.loadWatermark(spark, watermarkPath)
         graft.runtime.Pipeline.runDailyIncremental(spark, bronzeDir,
-            warehouseDir, wm, toSilver = toSilver)
+            warehouseDir, wm, toSilver = toSilver,
+            collapseLogsUpTo = for {
+              w <- wm; k <- logRetention
+            } yield w - k + 1)
           .foreach(w => Incremental.saveWatermark(spark, watermarkPath, w))
       }
       .start()

@@ -66,6 +66,30 @@ class CdcRecoverySpec extends SparkSpec {
       col("id") === 3L).count() === 1L)
   }
 
+  test("a batch-lineage table refuses a change log: it is already its " +
+      "own per-batch log, and batch_id would collide with the entry's") {
+    val dir = tmpDir("cdc-guard") + "/t"
+    val e = intercept[IllegalArgumentException] {
+      ChangeLog.recordBatch(spark, dir, Seq("batch_id", "id"), 1L)(())
+    }
+    assert(e.getMessage.contains("its own per-batch change log"))
+  }
+
+  test("runDaily refuses a blind full recompute over a LOGGED " +
+      "warehouse (it would rewrite tables without publishing deltas)") {
+    val wh = tmpDir("cdc-runDaily")
+    val dir = s"$wh/silver_sessions"
+    MergeUpsert.replaceAll(spark, dir, df((1L, "a", "g1")),
+      partitionCol = "grp")
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir, df((1L, "a2", "g1")),
+        partitionCol = "grp"))
+    val e = intercept[IllegalArgumentException] {
+      graft.runtime.Pipeline.runDaily(spark, wh, wh)
+    }
+    assert(e.getMessage.contains("replay contract"))
+  }
+
   test("a crash AFTER the table write but BEFORE the publish still " +
       "yields the real entry on retry (durable pre-image)") {
     val dir = tmpDir("cdc-crash") + "/t"

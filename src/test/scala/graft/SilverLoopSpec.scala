@@ -177,4 +177,57 @@ class SilverLoopSpec extends SparkSpec {
       .filter(col("datetime") === "2024-01-01" && col("user_id") === 2)
       .count() == 0L, "stale (2024-01-01, u2) silver rows survived")
   }
+
+  test("logRetention bounds the streamed chain's change logs: old " +
+      "entries fold into the net base, replay-from-origin preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("ret-bronze")
+    val wh = tmpDir("ret-wh")
+    val wmPath = s"${tmpDir("ret-wm")}/wm"
+    val ckpt = tmpDir("ret-ckpt")
+    val b1 = Seq(
+      ev("r1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("r2", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+    val b2 = Seq(
+      ev("r3", 1, "s1", "2024-01-01T10:00:40+00:00", "complete", 1.0),
+      ev("r4", 3, "s3", "2024-01-02T09:00:00+00:00", "enter", 0.0))
+    val b3 = Seq(
+      ev("r5", 2, "s4", "2024-01-02T11:00:00+00:00", "enter", 0.0))
+
+    val stream = MemoryStream[String]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b)
+      SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+        wh, wmPath, ckpt, toSilver, availableNow = true,
+        logRetention = Some(1L)).awaitTermination()
+    }
+
+    // Micro-batches 0,1,2: after the third update (watermark 2,
+    // retention 1) everything up to batch 1 must be ONE base entry.
+    val goldDir = s"$wh/gold_user_daily"
+    import graft.runtime.{ChangeLog, Incremental}
+    assert(Incremental.batches(spark, ChangeLog.logDir(goldDir))
+      === Seq(1L, 2L), "log prefix did not fold into the base entry")
+    assert(ChangeLog.collapseBoundary(spark, goldDir).contains(1L))
+
+    // The collapsed log still replays the table from its ORIGIN (the
+    // first entry recorded creation-from-empty, and the fold nets it
+    // forward) — the bounded log loses no replay power at the head.
+    val table = spark.read.parquet(goldDir)
+    val replayed = ChangeLog.replay(table.filter(lit(false)),
+      ChangeLog.readSince(spark, goldDir, None).get,
+      Seq("datetime", "user_id"))
+    val cols = table.columns.sorted.map(col).toSeq
+    assert(replayed.select(cols: _*)
+        .exceptAll(table.select(cols: _*)).isEmpty &&
+      table.select(cols: _*)
+        .exceptAll(replayed.select(cols: _*)).isEmpty,
+      "replay from origin diverged after retention collapse")
+
+    // A consumer left behind the boundary is refused, never
+    // double-served.
+    intercept[IllegalArgumentException] {
+      ChangeLog.readSince(spark, goldDir, Some(0L)).get.count()
+    }
+  }
 }
