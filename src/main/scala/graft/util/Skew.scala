@@ -128,8 +128,14 @@ object Skew {
     * byte-identical duplicates would keep its straggler no matter the
     * salt count. That regime fails LOUD here (remedy in the message:
     * pre-aggregate duplicates into a weight column — exact for the
-    * join+aggregate composition — or add a unique row id), with 2×
-    * slack for hash imbalance and the sketch's ~2% error.
+    * join+aggregate composition — or add a unique row id). The sketch
+    * runs at rsd 0.3 deliberately: the decision needs only the ORDER
+    * OF MAGNITUDE of ndv (1 vs thousands), and the coarse sketch keeps
+    * per-key map-side state near 100 bytes instead of the default
+    * precision's ~kilobytes — at 100 TB the measurement aggregate
+    * holds one state per live key per task, so sketch width, not row
+    * count, is its memory bill. The per-salt check carries 2× slack
+    * for hash imbalance plus the sketch error.
     *
     * Skew past [[MaxSalts]]×`cap` rows on one key also fails loud
     * rather than silently strangling: at that scale one level of
@@ -145,7 +151,7 @@ object Skew {
     val hot = fact.groupBy(col(key))
       .agg(count(lit(1)).as("count"),
         approx_count_distinct(
-          xxhash64(fact.columns.toIndexedSeq.map(col): _*)).as("ndv"))
+          xxhash64(fact.columns.toIndexedSeq.map(col): _*), 0.3).as("ndv"))
       .filter(col("count") > cap && col(key).isNotNull)
       .orderBy(col("count").desc)
       .limit(maxHotKeys + 1)
