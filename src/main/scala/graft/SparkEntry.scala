@@ -160,6 +160,12 @@ object SparkEntry {
     // log-scale collapse + anti-join + union, no per-batch
     // re-execution — must reproduce the DuckDB-computed ENDPOINT state.
     "cdc_orders_replay" -> graft.runtime.ChangeLog.ordersChangeLogReplay _,
+    // Log-driven incremental view maintenance (ops/CdcView): the
+    // downstream aggregate is kept current by APPLYING the log's
+    // contribution delta — the base table is never re-read past the
+    // seed; oracle recomputes the endpoint view from scratch.
+    "cdc_view_orders_priority" ->
+      graft.runtime.ChangeLog.ordersPriorityViewMaintained _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -496,6 +502,7 @@ object SparkEntry {
     "table_diff_orders" -> OpsOracles.ordersQuarterDiff,
     "cdc_orders_net" -> OpsOracles.ordersChangeLogNet,
     "cdc_orders_replay" -> OpsOracles.ordersChangeLogReplay,
+    "cdc_view_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

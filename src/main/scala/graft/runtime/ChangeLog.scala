@@ -480,4 +480,34 @@ object ChangeLog {
         max(col("o_orderkey")).as("max_key"),
         countDistinct(col("o_custkey")).as("n_cust"))
   }
+
+  /** Registered face #3: log-driven INCREMENTAL VIEW MAINTENANCE
+    * ([[graft.ops.CdcView]]) — a downstream per-priority revenue view
+    * seeded at state0 and brought to the endpoint by APPLYING the
+    * accumulated log's net contribution delta: old images subtract,
+    * new images add, priority moves transfer between groups. The base
+    * table is never re-read past the seed; the DuckDB oracle
+    * recomputes the endpoint view from scratch, so every add / remove
+    * / cross-group move must land exactly (integer-cents arithmetic —
+    * float sums would drift from the recompute by association order). */
+  def ordersPriorityViewMaintained(s: SparkSession, dir: String)
+      : DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    val log = readLog(s, table).getOrElse(
+      sys.error(s"cdc_orders log missing under $table"))
+    val keys = Seq("o_orderkey")
+    def project(df: DataFrame): DataFrame =
+      df.select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val state0 = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < ts("1997-07-01"))
+    val view0 = project(state0)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_rows"))
+    graft.ops.CdcView.applyDelta(view0,
+        graft.ops.CdcView.groupDelta(netDiff(log, keys), keys,
+          project, Seq("o_orderpriority"), Seq("cents")),
+        Seq("o_orderpriority"), Seq("cents"))
+      .withColumnRenamed("cents", "sum_cents")
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.CdcView
+import graft.runtime.ChangeLog
+import graft.silver.MergeUpsert
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Log-driven incremental view maintenance ([[graft.ops.CdcView]]):
+  * a distributive group-by view kept current by applying change-log
+  * contribution deltas must equal the from-scratch recompute — across
+  * adds, removes, measure changes, a key MOVING between groups, a
+  * group vanishing entirely (count → 0), a NULL group, and a
+  * changed-then-reverted measure (which must telescope to zero in the
+  * net path). Both application orders are pinned: per-batch
+  * sequential, and the whole span's netDiff in one shot. */
+class CdcViewSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("m", LongType),
+    StructField("grp", StringType)))
+
+  private def df(rows: (Long, Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+
+  private def project(d: DataFrame): DataFrame =
+    d.select(col("grp"), col("m"))
+
+  private def recompute(d: DataFrame): DataFrame =
+    project(d).groupBy(col("grp"))
+      .agg(sum(col("m")).as("m"), count(lit(1)).as("n_rows"))
+
+  private def cells(d: DataFrame): Seq[Seq[String]] = {
+    val cols = d.columns.sorted
+    d.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  test("log-applied view == recompute across moves, vanishes, nulls " +
+      "and reverts — sequentially per batch AND as one net span") {
+    val dir = tmpDir("cdcview") + "/t"
+    // Partition by a CONSTANT: the view dims (grp) change mid-history,
+    // and a hive-partitioned column can't carry nulls cleanly.
+    val state0 =
+      df((1L, 10L, "g1"), (2L, 20L, "g2"), (5L, 50L, "g1"))
+        .withColumn("pt", lit("all"))
+    def land(rows: (Long, Long, String)*): DataFrame =
+      df(rows: _*).withColumn("pt", lit("all"))
+    MergeUpsert.replaceAll(spark, dir, state0, partitionCol = "pt")
+    val s1 = land((1L, 11L, "g1"), (2L, 20L, "g2"), (3L, 30L, "g2"),
+      (5L, 50L, "g1"))
+    val s2 = land((1L, 11L, "g1"), (3L, 35L, "g2"), (5L, 50L, "g3"))
+    val s3 = land((1L, 11L, "g1"), (3L, 30L, "g2"), (6L, 60L, "g2"),
+      (7L, 70L, null))
+    val states = Seq(s1, s2, s3)
+    states.zipWithIndex.foreach { case (st, i) =>
+      ChangeLog.recordBatch(spark, dir, Seq("id"), i + 1L)(
+        MergeUpsert.replaceAll(spark, dir, st, partitionCol = "pt"))
+    }
+    val log = ChangeLog.readLog(spark, dir).get
+    val view0 = recompute(state0).localCheckpoint()
+    val expected = recompute(s3)
+
+    // One-shot: the whole span's net delta applied once.
+    val oneShot = CdcView.applyDelta(view0,
+      CdcView.groupDelta(ChangeLog.netDiff(log, Seq("id")), Seq("id"),
+        project, Seq("grp"), Seq("m")),
+      Seq("grp"), Seq("m"))
+    assert(cells(oneShot) === cells(expected), "one-shot net apply")
+
+    // Sequential: each batch's entries applied in order (a batch's
+    // entry set is already one-row-per-key, so it IS a valid net).
+    val sequential = (1 to 3).foldLeft(view0) { (v, i) =>
+      CdcView.applyDelta(v,
+        CdcView.groupDelta(log.filter(col("batch_id") === i), Seq("id"),
+          project, Seq("grp"), Seq("m")),
+        Seq("grp"), Seq("m")).localCheckpoint()
+    }
+    assert(cells(sequential) === cells(expected), "sequential apply")
+
+    // The vanished group really left the view; the null group is in.
+    assert(oneShot.filter(col("grp") === "g3").isEmpty,
+      "group with zero surviving rows must leave the view")
+    assert(oneShot.filter(col("grp").isNull).count() === 1L)
+
+    // And the maintained numbers are the recompute's, spot-checked:
+    // g2 = id3 (reverted to 30) + id6 (60).
+    val g2 = oneShot.filter(col("grp") === "g2").head()
+    assert(g2.getAs[Long]("m") === 90L && g2.getAs[Long]("n_rows") === 2L)
+  }
+}
