@@ -289,6 +289,32 @@ object ChangeLog {
     true
   }
 
+  /** COMPLIANCE override: rewrite the log in place, keeping only rows
+    * satisfying `keep` — the right-to-be-forgotten path
+    * ([[Forget.forgetUser]]). A change-log entry carries full row
+    * IMAGES (`o_*`/`n_*`), so purging a subject from the tables while
+    * their images persist in the log would defeat the erasure; this
+    * deliberately BREAKS the replay contract for the purged keys (by
+    * design — the contract becomes "a history in which they never
+    * existed"; all other keys replay unchanged, ForgetSpec pins it).
+    * Only partitions that actually hold matching rows rewrite
+    * (metadata-scale batch-id collect); an entry purged empty becomes
+    * absence, the empty-entry convention. Returns purged row count. */
+  def purge(spark: SparkSession, tableDir: String, keep: Column): Long = {
+    readLog(spark, tableDir).map { log =>
+      val hit = log.filter(!keep)
+      val nPurged = hit.count()
+      if (nPurged > 0L) {
+        val batches = hit.select(col("batch_id")).distinct()
+          .collect().map(_.get(0)).toIndexedSeq
+        MergeUpsert.replacePartitions(spark, logDir(tableDir),
+          log.filter(col("batch_id").isin(batches: _*) && keep),
+          batches, partitionCol = "batch_id")
+      }
+      nPurged
+    }.getOrElse(0L)
+  }
+
   /** The log as a Structured Streaming source — a downstream job tails
     * it with a CHECKPOINT instead of a watermark file: the
     * batch_id-partitioned layout is already a file-stream-source

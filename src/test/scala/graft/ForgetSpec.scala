@@ -1,0 +1,129 @@
+package graft
+
+import graft.gold._
+import graft.ingest.Events
+import graft.runtime.{ChangeLog, Forget, Incremental, Pipeline}
+import graft.silver.{Dedup, Sessionize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten ([[graft.runtime.Forget]]): after
+  * `forgetUser`, the warehouse must equal the from-scratch recompute
+  * of a world in which the user's events never arrived — bronze,
+  * silver, every gold (the aggregates UN-COUNT the user), the
+  * quarantine, and both user-keyed change logs (their entries carry
+  * row images, so they are erased, not tombstoned), while the
+  * aggregate golds PUBLISH their recompute delta like any other batch.
+  * Non-user keys keep their replay contract; a second forget is a
+  * receipt of zeros. */
+class ForgetSpec extends SparkSpec {
+
+  private def assertSame(got: DataFrame, exp: DataFrame,
+                         what: String): Unit = {
+    val cols = exp.columns.sorted.map(col).toSeq
+    val g = got.select(cols: _*).localCheckpoint()
+    val e = exp.select(cols: _*).localCheckpoint()
+    assert(g.exceptAll(e).isEmpty && e.exceptAll(g).isEmpty,
+      s"$what diverged")
+  }
+
+  test("forgetUser erases every trace and converges the warehouse to " +
+      "the recompute-without-the-user, publishing aggregate deltas") {
+    val allRaw = Events.raw(spark, "/root/testdata/sf0.001")
+    val dts = allRaw.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime).take(6)
+    val raw0 = allRaw.filter(to_date(col("ts")) <= lit(dts.last))
+    val cut = dts(3)
+    val bronze = tmpDir("fg-bronze")
+    val wh = tmpDir("fg-wh")
+
+    // The subject: the user with the most events in the span.
+    val u = raw0.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).head().getLong(0)
+    val keep = !(col("user_id") <=> lit(u))
+    // Plus one POISON event of theirs, so the quarantine holds a trace.
+    val poison = raw0.filter(col("user_id") === u).limit(1)
+      .withColumn("event_id", lit(-999L))
+      .withColumn("event_type", lit(null).cast("string"))
+    val raw = raw0.unionByName(poison).localCheckpoint()
+
+    Incremental.appendBatch(spark, bronze,
+      raw.filter(to_date(col("ts")) < lit(cut)), 1L)
+    var wm = Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    val snap1 = spark.read.parquet(s"$wh/silver_sessions")
+      .localCheckpoint()
+    Incremental.appendBatch(spark, bronze,
+      raw.filter(to_date(col("ts")) >= lit(cut)), 2L)
+    wm = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
+    assert(wm.contains(2L))
+    assert(spark.read.parquet(s"$wh/quarantine_events")
+      .filter(!keep).count() === 1L, "poison row must quarantine")
+
+    val r = Forget.forgetUser(spark, bronze, wh, u)
+    assert(r.batchId === 3L)
+    val byName = r.purged.toMap
+    assert(byName("bronze") > 0L && byName("silver_sessions") > 0L &&
+      byName("gold_user_daily") > 0L &&
+      byName("silver_sessions_changelog") > 0L &&
+      byName("gold_user_daily_changelog") > 0L &&
+      byName("quarantine_events") === 1L,
+      s"unexpected receipt: ${r.purged}")
+
+    // No trace anywhere — including the logs' key columns. A table
+    // purged down to its _SUCCESS marker has no footer to read: that
+    // IS "no trace".
+    Seq(bronze, s"$wh/silver_sessions", s"$wh/gold_user_daily",
+      s"$wh/quarantine_events",
+      ChangeLog.logDir(s"$wh/silver_sessions"),
+      ChangeLog.logDir(s"$wh/gold_user_daily")).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(p) &&
+        graft.silver.MergeUpsert.sweepAndHasData(fs, p)
+      assert(!hasData || spark.read.parquet(d).filter(!keep).isEmpty,
+        s"$d still holds user $u")
+    }
+
+    // The whole warehouse equals the recompute of a world where the
+    // user never existed (poison row included — it was theirs).
+    val cleanSilver = Sessionize.sessions(Dedup.keepLatest(
+      Events.cleanse(Events.enrich(raw.filter(keep))))).localCheckpoint()
+    assertSame(spark.read.parquet(s"$wh/silver_sessions"), cleanSilver,
+      "silver")
+    assertSame(spark.read.parquet(s"$wh/gold_user_daily"),
+      UserDaily.build(cleanSilver), "user gold")
+    assertSame(spark.read.parquet(s"$wh/gold_episode_daily"),
+      EpisodeDaily.build(cleanSilver), "episode gold")
+    assertSame(spark.read.parquet(s"$wh/gold_webtoon_daily"),
+      WebtoonDaily.build(cleanSilver, EpisodeDaily.build(cleanSilver)),
+      "webtoon gold")
+    assertSame(spark.read.parquet(s"$wh/gold_platform_device_daily"),
+      PlatformDeviceDaily.build(cleanSilver), "platform gold")
+    assertSame(spark.read.parquet(s"$wh/gold_country_daily"),
+      CountryDaily.build(cleanSilver), "country gold")
+    assertSame(
+      spark.read.parquet(s"$wh/gold_user_sketch")
+        .select(col("datetime"), col("dau_est")),
+      graft.runtime.SketchGold.silverDailySketch(cleanSilver)
+        .select(col("datetime"), col("dau_est")),
+      "sketch gold (estimates must un-count the user)")
+
+    // The aggregate golds PUBLISHED the forget as a normal delta.
+    assert(ChangeLog.readLog(spark, s"$wh/gold_episode_daily").get
+      .filter(col("batch_id") === r.batchId).count() > 0L,
+      "episode gold log missing the forget's recompute delta")
+
+    // Non-user keys keep their replay contract on the purged log.
+    val silverLog = ChangeLog.readLog(spark, s"$wh/silver_sessions").get
+    assertSame(
+      ChangeLog.replay(snap1.filter(keep),
+        silverLog.filter(col("batch_id").cast("long") > 1L),
+        Sessionize.SessionKey),
+      spark.read.parquet(s"$wh/silver_sessions"),
+      "non-user replay after purge")
+
+    // Idempotent: a second forget is a receipt of zeros.
+    val r2 = Forget.forgetUser(spark, bronze, wh, u)
+    assert(r2.total === 0L, s"second forget purged: ${r2.purged}")
+  }
+}
