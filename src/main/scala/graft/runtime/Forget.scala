@@ -51,7 +51,16 @@ import org.apache.spark.sql.functions._
   * Single-writer assumption, like every maintenance op here: the
   * published aggregate deltas take the next batch id after every
   * log's and bronze's high watermark — the caller resumes ingest at
-  * ids past the returned receipt's `batchId`. */
+  * ids past the returned receipt's `batchId`.
+  *
+  * Scope: the bronze-rooted incremental warehouse, where BRONZE is
+  * the system of record. A warehouse whose tables re-derive from an
+  * external immutable source (the full-recompute chain reading a
+  * shared events file) cannot honor erasure here — the next recompute
+  * would resurrect the user from that source; erasure must happen at
+  * the source itself. Likewise out of scope by definition: backups
+  * and downstream consumers' checkpointed state (the out-of-band
+  * compliance signal). */
 object Forget {
 
   /** One purged surface: table name → rows removed. */

@@ -76,12 +76,11 @@ object Skew {
     * spread them are nondeterministic under task retry
     * (`spark_partition_id`, `monotonically_increasing_id` — a retried
     * task would re-salt rows differently, breaking re-runnability and
-    * exactly-once sinks), so the contract is: pre-aggregate exact
-    * duplicates into (row, weight) before the join — exact for the
-    * join+aggregate composition — or include a unique row id in the
-    * fact. [[measuredJoin]] MEASURES per-key content diversity and
-    * fails loud when salting cannot split a hot key, instead of
-    * silently returning the straggler. */
+    * exactly-once sinks), so duplicate-heavy hot keys need a
+    * different ARM, not a different salt: [[measuredJoin]] MEASURES
+    * per-key content diversity and escalates those keys to
+    * [[hybridJoin]] (broadcast-hot — no shuffle, so duplicates cannot
+    * funnel), failing loud only when both sides are hot. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  hotKeys: Seq[Any], salts: Int): DataFrame = {
     require(salts >= 2 && salts <= MaxSalts, s"salts=$salts")
@@ -107,47 +106,70 @@ object Skew {
     f.join(d, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
-  /** Measured-arm skewed join: ONE cheap per-key measurement of the
-    * fact (map-side combine collapses each task to its distinct keys,
-    * so the measurement shuffle moves partial aggregates, never rows —
-    * the hot key itself cannot skew its own measurement), then keys
-    * past `cap` get the [[saltedJoin]] treatment at a derived salt
-    * count; a fact with no hot key joins plain, leaving residual mild
-    * skew to AQE's runtime split — the two arms of the same defense,
-    * chosen by measurement instead of hope. The hot-key collect is
-    * bounded (`maxHotKeys`) and fails loud past the bound: a "hot
-    * list" of a million keys means the cap is mis-set for the
-    * distribution, and silently salting everything would replicate the
-    * dim wholesale.
+  /** Hybrid hot-broadcast / cold-shuffle inner equi-join: the hot
+    * keys' DIM rows broadcast and their fact rows join WHERE THEY SIT
+    * (a broadcast hash join never shuffles its probe side — no
+    * reducer funnel, no straggler, regardless of how many rows, or
+    * how many byte-identical DUPLICATE rows, one key carries); cold
+    * keys take the ordinary shuffle join. Equals the plain inner join
+    * row for row — the hot/cold split partitions the key space, and
+    * null keys never inner-join on either path. This is the arm for
+    * the two regimes content salting cannot bound: duplicate-dominated
+    * hot keys (every copy hashes to one salt) and volume past
+    * [[MaxSalts]]×cap (the per-salt share exceeds the task budget even
+    * at max fan-out). Its own precondition is the OTHER side: the hot
+    * keys' dim rows must be broadcastable — [[measuredJoin]] measures
+    * that too and fails loud when both sides are hot. */
+  def hybridJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 hotKeys: Seq[Any]): DataFrame = {
+    require(hotKeys.nonEmpty && !hotKeys.contains(null),
+      "hotKeys must be non-empty and non-null (null never inner-joins)")
+    val isHot = col(key).isin(hotKeys: _*)
+    fact.filter(isHot)
+      .join(broadcast(dim.filter(isHot)), Seq(key), "inner")
+      .unionByName(
+        fact.filter(!isHot).join(dim, Seq(key), "inner"))
+  }
+
+  /** Dim-side rows the [[hybridJoin]] arm may broadcast for the hot
+    * keys before [[measuredJoin]] declares BOTH sides hot and refuses:
+    * past ~2²⁰ rows the broadcast itself becomes the straggler
+    * (build + ship per task), and no arm here bounds a join where one
+    * key is heavy on both sides — that needs pre-aggregation or a
+    * different algorithm, an explicit engineering decision. */
+  val MaxDimHotRows: Long = 1L << 20
+
+  /** Measured-arm skewed join — escalation chosen by MEASUREMENT, not
+    * hope. ONE cheap per-key aggregate of the fact (map-side combine
+    * collapses each task to its distinct keys, so the measurement
+    * shuffle moves partial aggregates, never rows — the hot key itself
+    * cannot skew its own measurement) yields each key's row count AND
+    * its approximate DISTINCT ROW CONTENT count
+    * (`approx_count_distinct` over the full-row hash at rsd 0.3 —
+    * the decision needs only ndv's order of magnitude, and the coarse
+    * sketch keeps per-key map-side state near 100 bytes; at 100 TB the
+    * aggregate holds one state per live key per task, so sketch width,
+    * not row count, is its memory bill). Then:
     *
-    * The same measurement carries each key's approximate DISTINCT ROW
-    * CONTENT count (`approx_count_distinct` over the full-row hash —
-    * fixed-width mergeable state, same map-side combine), because the
-    * content-derived salt can only spread a hot key across as many
-    * salts as it has distinct rows: a hot key whose rows are mostly
-    * byte-identical duplicates would keep its straggler no matter the
-    * salt count. That regime fails LOUD here (remedy in the message:
-    * pre-aggregate duplicates into a weight column — exact for the
-    * join+aggregate composition — or add a unique row id). The sketch
-    * runs at rsd 0.3 deliberately: the decision needs only the ORDER
-    * OF MAGNITUDE of ndv (1 vs thousands), and the coarse sketch keeps
-    * per-key map-side state near 100 bytes instead of the default
-    * precision's ~kilobytes — at 100 TB the measurement aggregate
-    * holds one state per live key per task, so sketch width, not row
-    * count, is its memory bill. The per-salt check carries 2× slack
-    * for hash imbalance plus the sketch error.
+    *  1. no key past `cap` → PLAIN join (residual mild skew is AQE's
+    *     runtime split — the other arm of the same defense);
+    *  2. hot keys whose content diversity lets a salt of ≤[[MaxSalts]]
+    *     ways bound the per-task share (2× slack for hash imbalance +
+    *     sketch error) → [[saltedJoin]] — memory-flat, no broadcast;
+    *  3. duplicate-dominated or beyond-MaxSalts hot keys →
+    *     [[hybridJoin]], PROVIDED the hot keys' dim rows fit the
+    *     broadcast budget (one cheap dim-side count);
+    *  4. hot on BOTH sides → fail loud: no join arm bounds that —
+    *     pre-aggregate one side (exact for join+aggregate) first.
     *
-    * Skew past [[MaxSalts]]×`cap` rows on one key also fails loud
-    * rather than silently strangling: at that scale one level of
-    * salting cannot bound the per-task share (the per-salt load
-    * exceeds `cap` even at the max fan-out), and the fix is
-    * hierarchical re-salting — split the hot key's SUB-salts again —
-    * which changes the plan shape (two replication levels) and must
-    * be an explicit engineering decision, not an implicit constant
-    * bump. The message says exactly that. */
+    * The hot-key collect is bounded (`maxHotKeys`) and fails loud past
+    * the bound: a "hot list" of a million keys means the cap is
+    * mis-set for the distribution, and salting or broadcasting that
+    * many keys replicates the dim wholesale. */
   def measuredJoin(fact: DataFrame, dim: DataFrame, key: String,
                    cap: Long = HotKeyRowCap,
-                   maxHotKeys: Int = 4096): DataFrame = {
+                   maxHotKeys: Int = 4096,
+                   maxDimHotRows: Long = MaxDimHotRows): DataFrame = {
     val hot = fact.groupBy(col(key))
       .agg(count(lit(1)).as("count"),
         approx_count_distinct(
@@ -160,31 +182,28 @@ object Skew {
       s"more than $maxHotKeys keys exceed $cap rows — raise the cap " +
         "or pre-aggregate; salting this many keys replicates the dim " +
         "wholesale")
-    if (hot.isEmpty) fact.join(dim, Seq(key), "inner")
+    if (hot.isEmpty) return fact.join(dim, Seq(key), "inner")
+    val hotKeys = hot.map(_.get(0)).toIndexedSeq
+    val maxRows = hot.map(_.getLong(1)).max
+    val salts = saltsFor(maxRows, cap)
+    val saltable = maxRows <= MaxSalts.toLong * cap && hot.forall { r =>
+      val rows = r.getLong(1)
+      val ndv = math.max(1L, r.getLong(2))
+      rows / math.max(1L, math.min(salts.toLong, ndv)) <= 2L * cap
+    }
+    if (saltable) saltedJoin(fact, dim, key, hotKeys, salts)
     else {
-      val maxRows = hot.map(_.getLong(1)).max
-      require(maxRows <= MaxSalts.toLong * cap,
-        s"hottest key carries $maxRows rows > MaxSalts($MaxSalts) × " +
-          s"cap($cap): one salting level cannot bound its per-task " +
-          "share — this regime needs hierarchical re-salting (split " +
-          "the hot key's sub-salts again), or pre-aggregation of the " +
-          "fact before the join; refusing to run a plan whose salted " +
-          "partitions still exceed the task budget")
-      val salts = saltsFor(maxRows, cap)
-      hot.foreach { r =>
-        val rows = r.getLong(1)
-        val ndv = math.max(1L, r.getLong(2))
-        val perSalt = rows / math.max(1L, math.min(salts.toLong, ndv))
-        require(perSalt <= 2L * cap,
-          s"hot key ${r.get(0)} carries $rows rows but only ~$ndv " +
-            s"distinct row contents: the content-derived salt can " +
-            s"spread it over at most ~$ndv tasks (~$perSalt rows " +
-            s"each > 2×cap=$cap) — pre-aggregate exact-duplicate " +
-            "fact rows into a weight column before the join (exact " +
-            "for join+aggregate), or include a unique row id in the " +
-            "fact so duplicates hash apart")
-      }
-      saltedJoin(fact, dim, key, hot.map(_.get(0)).toIndexedSeq, salts)
+      val dimHotRows =
+        dim.filter(col(key).isin(hotKeys: _*)).count()
+      require(dimHotRows <= maxDimHotRows,
+        s"the hot keys are heavy on BOTH sides: salting cannot split " +
+          s"the fact (duplicate-dominated or past MaxSalts($MaxSalts)" +
+          s"×cap($cap)) and the dim side carries $dimHotRows hot rows " +
+          s"> broadcast budget $maxDimHotRows — no join arm bounds " +
+          "this; pre-aggregate one side (exact for the " +
+          "join+aggregate composition) or add a unique row id so " +
+          "duplicates hash apart")
+      hybridJoin(fact, dim, key, hotKeys)
     }
   }
 }

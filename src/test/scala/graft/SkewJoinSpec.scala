@@ -97,51 +97,62 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
-  test("a hot key of byte-identical duplicate rows fails LOUD (the " +
-      "content salt cannot split it), and the documented remedy — " +
-      "pre-aggregated weights — equals plain join+aggregate") {
+  test("a hot key of byte-identical duplicate rows escalates to the " +
+      "broadcast-hot arm: == plain join, hot fact rows never shuffle") {
     // The degenerate regime: a constant-payload heartbeat — 4000
     // copies of ONE row. Every copy hashes to the same salt, so
-    // salting leaves the straggler intact; silently returning it would
-    // defeat the mitigation's whole point.
+    // salting could never split it; the broadcast arm joins the hot
+    // rows where they sit (no shuffle ⇒ nothing to funnel).
     val dupFact = (1L to 4000L).map(_ => (-1L, 7L)).toDF("jk", "v")
+      .repartition(8)
     val dim = Seq((-1L, "hot"), (5L, "cold")).toDF("jk", "name")
-    val e = intercept[IllegalArgumentException] {
-      Skew.measuredJoin(dupFact, dim, "jk", cap = 1000L)
+    val arm = Skew.measuredJoin(dupFact, dim, "jk", cap = 1000L)
+    val plain = dupFact.join(dim, Seq("jk"), "inner")
+    val cols = plain.columns.sorted.map(col).toSeq
+    assert(arm.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty
+      && plain.select(cols: _*).exceptAll(arm.select(cols: _*)).isEmpty,
+      "hybrid arm diverged from the plain join")
+    // The hot rows really avoid the reducer funnel: even with
+    // broadcast otherwise disabled, the hybrid plan's hot side is a
+    // hinted broadcast join, so the output stays spread across the
+    // fact's own partitions instead of one task.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val spread = Skew.hybridJoin(dupFact, dim, "jk", Seq(-1L))
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid")).count().filter(col("count") > 0).count()
+      assert(spread > 1L,
+        "hybrid hot side funneled into one partition")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    assert(e.getMessage.contains("distinct row contents"))
-    // Remedy (from the error message): collapse exact duplicates into
-    // (row, weight) BEFORE the join — the weighted join+aggregate is
-    // exact, and the collapsed fact has no hot key left to salt.
-    val weighted = dupFact.groupBy(col("jk"), col("v"))
-      .agg(count(lit(1)).as("_w"))
-    val got = Skew.measuredJoin(weighted, dim, "jk", cap = 1000L)
-      .groupBy(col("jk"), col("name"))
-      .agg(sum(col("_w")).as("n"), sum(col("_w") * col("v")).as("sv"))
-    val exp = dupFact.join(dim, Seq("jk"), "inner")
-      .groupBy(col("jk"), col("name"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-    val cols = exp.columns.sorted.map(col).toSeq
-    assert(got.select(cols: _*).exceptAll(exp.select(cols: _*)).isEmpty &&
-      exp.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty,
-      "weighted pre-aggregation diverged from plain join+aggregate")
-    // A DIVERSE hot key at the same volume still takes the salt arm.
+    // A DIVERSE hot key at the same volume still takes the salt arm
+    // (memory-flat, no broadcast).
     val diverse = (1L to 4000L).map(i => (-1L, i)).toDF("jk", "v")
     assert(Skew.measuredJoin(diverse, dim, "jk", cap = 1000L)
       .count() === 4000L)
   }
 
-  test("skew past MaxSalts×cap refuses to run: one salting level " +
-      "cannot bound the per-task share (hierarchical re-salting is " +
-      "an explicit decision, not a constant bump)") {
-    // cap=3 makes the threshold MaxSalts×3 = 3072 rows — reachable
-    // with a 4000-row DIVERSE hot key (diversity isn't the problem
-    // here; sheer volume is).
+  test("volume past MaxSalts×cap takes the broadcast-hot arm; hot on " +
+      "BOTH sides fails loud (no join arm bounds that)") {
+    // cap=3 makes the salt ceiling MaxSalts×3 = 3072 rows — a
+    // 4000-row diverse hot key is past ANY salt level, but its single
+    // dim row broadcasts: hybrid arm, row-identical to the plain join.
     val fact = (1L to 4000L).map(i => (-1L, i)).toDF("jk", "v")
     val dim = Seq((-1L, "hot")).toDF("jk", "name")
+    assert(Skew.measuredJoin(fact, dim, "jk", cap = 3L)
+      .count() === 4000L)
+    // Both sides hot: the dim carries more hot rows than the
+    // broadcast budget — refuse, with the remedy in the message.
+    val fatDim = (1L to 20L).map(i => (-1L, s"d$i")).toDF("jk", "name")
     val e = intercept[IllegalArgumentException] {
-      Skew.measuredJoin(fact, dim, "jk", cap = 3L)
+      Skew.measuredJoin(fact, fatDim, "jk", cap = 3L,
+        maxDimHotRows = 10L)
     }
-    assert(e.getMessage.contains("hierarchical re-salting"))
+    assert(e.getMessage.contains("BOTH sides"))
   }
 }
