@@ -92,4 +92,57 @@ class CdcViewSpec extends SparkSpec {
     val g2 = oneShot.filter(col("grp") === "g2").head()
     assert(g2.getAs[Long]("m") === 90L && g2.getAs[Long]("n_rows") === 2L)
   }
+
+  test("persisted materialized view: seed once, refresh from the log " +
+      "with an atomically-committed position, loud past a collapse") {
+    import graft.runtime.MaterializedView
+    val root = tmpDir("mview")
+    val dir = s"$root/t"
+    def land(rows: (Long, Long, String)*): DataFrame =
+      df(rows: _*).withColumn("pt", lit("all"))
+    def viewOf(viewDir: String): DataFrame =
+      spark.read.parquet(viewDir).drop("_as_of", "gv_pt")
+    def doRefresh(viewDir: String): Long =
+      MaterializedView.refresh(spark, dir, viewDir, Seq("id"),
+        project, Seq("grp"), Seq("m"))
+
+    MergeUpsert.replaceAll(spark, dir,
+      land((1L, 10L, "g1"), (2L, 20L, "g2")), partitionCol = "pt")
+    val s1 = land((1L, 11L, "g1"), (2L, 20L, "g2"), (3L, 30L, "g2"))
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir, s1, partitionCol = "pt"))
+
+    // Two views seeded at position 1 (behind/laggard consumers).
+    assert(doRefresh(s"$root/v2") === 1L)
+    assert(doRefresh(s"$root/v3") === 1L)
+    assert(cells(viewOf(s"$root/v2")) === cells(recompute(s1)))
+
+    val s2 = land((1L, 11L, "g1"), (3L, 35L, "g3"))
+    val s3 = land((1L, 12L, "g1"), (3L, 35L, "g3"), (4L, 40L, "g2"))
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 2L)(
+      MergeUpsert.replaceAll(spark, dir, s2, partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 3L)(
+      MergeUpsert.replaceAll(spark, dir, s3, partitionCol = "pt"))
+
+    // A fresh seed lands at the head; the laggard catches up from the
+    // log alone; both equal the recompute.
+    assert(doRefresh(s"$root/v1") === 3L)
+    assert(doRefresh(s"$root/v2") === 3L)
+    assert(cells(viewOf(s"$root/v1")) === cells(recompute(s3)))
+    assert(cells(viewOf(s"$root/v2")) === cells(recompute(s3)))
+
+    // Exactly-once: a re-run with no new entries changes nothing (an
+    // IVM delta is not idempotent, so this is the position doing its
+    // job, not luck).
+    assert(doRefresh(s"$root/v2") === 3L)
+    assert(cells(viewOf(s"$root/v2")) === cells(recompute(s3)))
+    assert(MaterializedView.asOf(spark, s"$root/v2").contains(3L))
+
+    // Collapse up to the CURRENT consumers' minimum would be 1 (v3);
+    // collapsing past it must make v3's refresh fail loud, while the
+    // up-to-date views stay serviceable.
+    assert(ChangeLog.checkpoint(spark, dir, Seq("id"), 3L))
+    assert(doRefresh(s"$root/v2") === 3L) // at the boundary: fine
+    intercept[IllegalArgumentException] { doRefresh(s"$root/v3") }
+  }
 }
