@@ -166,6 +166,11 @@ object SparkEntry {
     // seed; oracle recomputes the endpoint view from scratch.
     "cdc_view_orders_priority" ->
       graft.runtime.ChangeLog.ordersPriorityViewMaintained _,
+    // The PERSISTED form of the same view (runtime/MaterializedView):
+    // seeded before the history's batches, caught up purely from the
+    // log with an atomically-committed position, served as a scan.
+    "cdc_mview_orders_priority" ->
+      graft.runtime.ChangeLog.ordersPriorityViewPersisted _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -503,6 +508,7 @@ object SparkEntry {
     "cdc_orders_net" -> OpsOracles.ordersChangeLogNet,
     "cdc_orders_replay" -> OpsOracles.ordersChangeLogReplay,
     "cdc_view_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
+    "cdc_mview_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,
