@@ -52,10 +52,36 @@ class ForgetSpec extends SparkSpec {
     var wm = Pipeline.runDailyIncremental(spark, bronze, wh, None)
     val snap1 = spark.read.parquet(s"$wh/silver_sessions")
       .localCheckpoint()
+
+    // A persisted per-country view over the REAL silver change log
+    // (9-column session key, long measures), seeded at position 1.
+    import graft.runtime.MaterializedView
+    val viewDir = s"$wh/view_country"
+    def viewProject(d: DataFrame): DataFrame =
+      d.select(col("country"), col("n_events"), col("sum_value_cents"))
+    def refreshView(): Long = MaterializedView.refresh(spark,
+      s"$wh/silver_sessions", viewDir, graft.silver.Sessionize.SessionKey,
+      viewProject, Seq("country"), Seq("n_events", "sum_value_cents"))
+    def viewRecompute(silver: DataFrame): DataFrame =
+      viewProject(silver).groupBy(col("country"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_value_cents")).as("sum_value_cents"),
+          count(lit(1)).as("n_rows"))
+    def viewNow: DataFrame =
+      spark.read.parquet(viewDir).drop("_as_of", "gv_pt")
+    assert(refreshView() === 1L)
+
     Incremental.appendBatch(spark, bronze,
       raw.filter(to_date(col("ts")) >= lit(cut)), 2L)
     wm = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
     assert(wm.contains(2L))
+
+    // Catch-up purely from the log across the second batch's
+    // session-grain adds/changes == the from-silver recompute.
+    assert(refreshView() === 2L)
+    assertSame(viewNow,
+      viewRecompute(spark.read.parquet(s"$wh/silver_sessions")),
+      "country view after log catch-up")
     assert(spark.read.parquet(s"$wh/quarantine_events")
       .filter(!keep).count() === 1L, "poison row must quarantine")
 
@@ -125,5 +151,32 @@ class ForgetSpec extends SparkSpec {
     // Idempotent: a second forget is a receipt of zeros.
     val r2 = Forget.forgetUser(spark, bronze, wh, u)
     assert(r2.total === 0L, s"second forget purged: ${r2.purged}")
+
+    // The compliance contract for DERIVED consumer state, exactly as
+    // documented: the purge ERASES the user's log entries rather than
+    // tombstoning them (images are personal data), so a view's
+    // checkpointed state cannot learn of the removal from the log —
+    // the refresh is a no-op and the stale counts survive...
+    assert(refreshView() === 2L)
+    assert(sortableDiff(viewNow,
+      viewRecompute(spark.read.parquet(s"$wh/silver_sessions"))),
+      "a purged log should NOT have retro-notified the view")
+    // ...which is why forget's out-of-band signal means RE-SEED: the
+    // fresh seed equals the recompute of the purged warehouse.
+    val p = new org.apache.hadoop.fs.Path(viewDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    assert(refreshView() === 2L)
+    assertSame(viewNow,
+      viewRecompute(spark.read.parquet(s"$wh/silver_sessions")),
+      "re-seeded country view after forget")
+  }
+
+  /** True when the two frames DIFFER (sorted-cell comparison). */
+  private def sortableDiff(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = b.columns.sorted.map(col).toSeq
+    val x = a.select(cols: _*).localCheckpoint()
+    val y = b.select(cols: _*).localCheckpoint()
+    !(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)
   }
 }
