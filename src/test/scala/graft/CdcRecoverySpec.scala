@@ -174,6 +174,18 @@ class CdcRecoverySpec extends SparkSpec {
     // snapshot — untouched id5 comes out null-w via the union align.
     assertSame(ChangeLog.replay(state0, log, Seq("id")), t1,
       "replay across evolution")
+
+    // And the retention collapse FOLDS ACROSS the evolution: the base
+    // entry lands under the union schema (pre-evolution images
+    // null-widened), so netDiff and replay survive the fold intact.
+    assert(ChangeLog.checkpoint(spark, dir, Seq("id"), 2L))
+    val folded = ChangeLog.readLog(spark, dir).get
+    assertSame(ChangeLog.netDiff(folded, Seq("id")),
+      TableDiff.diff(t0, t1, Seq("id"))
+        .filter(col("diff_status") =!= "unchanged"),
+      "netDiff after an evolution-straddling collapse")
+    assertSame(ChangeLog.replay(state0, folded, Seq("id")), t1,
+      "replay after an evolution-straddling collapse")
   }
 
   /** Three-batch history used by the collapse and streaming tests:
