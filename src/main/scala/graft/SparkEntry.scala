@@ -171,6 +171,13 @@ object SparkEntry {
     // log with an atomically-committed position, served as a scan.
     "cdc_mview_orders_priority" ->
       graft.runtime.ChangeLog.ordersPriorityViewPersisted _,
+    // The same persisted-view loop at GOLD grain over the REAL silver
+    // session log: a three-update incremental chain (9-column session
+    // key, real adds/changes/deletes) maintains a per-country view
+    // purely from the log — the oracle recomputes the endpoint
+    // aggregate from the full sessionization.
+    "cdc_view_sessions_country" ->
+      graft.runtime.ChangeLog.sessionsCountryViewPersisted _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -509,6 +516,7 @@ object SparkEntry {
     "cdc_orders_replay" -> OpsOracles.ordersChangeLogReplay,
     "cdc_view_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
     "cdc_mview_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
+    "cdc_view_sessions_country" -> OpsOracles.sessionsCountryView,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * between groups as (-old, +new), and a group whose count reaches 0
   * leaves the view (it has no surviving base rows). Measures must be
   * group-summable with exact arithmetic (longs / decimals — float
-  * sums would drift from a recompute by association order).
+  * sums would drift from a recompute by association order); the
+  * contract is ENFORCED, not advisory — [[requireExactMeasures]]
+  * fails loud at plan time on any other measure type.
   *
   * Net-vs-sequential equivalence: contributions are additive, so
   * applying the whole span's [[graft.runtime.ChangeLog.netDiff]] in
@@ -35,6 +37,41 @@ import org.apache.spark.sql.functions._
   * (dims-grained, tiny) delta. Nothing reads the base table and
   * nothing collects. */
 object CdcView {
+
+  /** Enforce the distributive contract instead of documenting it:
+    * every measure must carry EXACT group-summable arithmetic —
+    * integral (byte/short/int/long) or decimal. A float/double
+    * measure would fold to a value that drifts from the recompute by
+    * association order (the signed add/subtract telescoping is only
+    * an identity over exact types), and a min/max-shaped view is not
+    * maintainable from deltas at all (a removed row may have BEEN the
+    * min — recovering it needs the base). Both previously produced
+    * silently wrong views; now they fail loud at plan time, with the
+    * remedy named. */
+  def requireExactMeasures(schema: org.apache.spark.sql.types.StructType,
+                           measures: Seq[String]): Unit =
+    measures.foreach { m =>
+      val f = schema.fields.find(_.name == m).getOrElse(
+        sys.error(s"measure column '$m' is not in the projected " +
+          s"schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+      val ok = f.dataType match {
+        case _: org.apache.spark.sql.types.ByteType => true
+        case _: org.apache.spark.sql.types.ShortType => true
+        case _: org.apache.spark.sql.types.IntegerType => true
+        case _: org.apache.spark.sql.types.LongType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+      require(ok,
+        s"measure '$m' is ${f.dataType.simpleString}: log-driven view " +
+          "maintenance folds SIGNED contributions, which is exact only " +
+          "for integral/decimal sums (a float sum drifts from the " +
+          "recompute by association order, and min/max cannot be " +
+          "maintained from deltas — a removed row may have been the " +
+          "extreme). Cast the measure to long/decimal (e.g. cents " +
+          "instead of dollars) in the projection, or serve the view " +
+          "by recompute instead")
+    }
 
   /** Reconstitute one endpoint's row images from a net diff frame
     * (`o_`/`n_` prefixed value columns back to base names). */
@@ -58,6 +95,8 @@ object CdcView {
   def groupDelta(net: DataFrame, keys: Seq[String],
                  project: DataFrame => DataFrame,
                  dims: Seq[String], measures: Seq[String]): DataFrame = {
+    requireExactMeasures(
+      project(image(net, keys, "o_", "added")).schema, measures)
     def side(prefix: String, dropStatus: String, sign: Int): DataFrame =
       project(image(net, keys, prefix, dropStatus))
         .select(dims.map(col) ++

@@ -3437,4 +3437,19 @@ object OpsOracles {
       |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
       |    * 1000000, 0) / 1000000.0 AS intercept
       |FROM s""".stripMargin
+
+  /** Mirrors ChangeLog.sessionsCountryViewPersisted: the per-country
+    * view maintained purely from the SILVER change log must equal the
+    * from-scratch per-country aggregate of the endpoint sessionization
+    * (the incremental chain is exact, so the endpoint silver is the
+    * full recompute — same CTE stack as the silver_sessions oracle). */
+  val sessionsCountryView: String =
+    s"""WITH ${Oracles.enrichedCte},
+       |${Oracles.dedupCte},
+       |${Oracles.sessionsCte("dedup")}
+       |SELECT country,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(sum(sum_value_cents) AS BIGINT) AS sum_value_cents,
+       |  CAST(count(1) AS BIGINT) AS n_rows
+       |FROM sessions GROUP BY 1""".stripMargin
 }

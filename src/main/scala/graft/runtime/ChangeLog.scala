@@ -89,6 +89,71 @@ object ChangeLog {
     * directory without it is a crashed partial write and is rebuilt. */
   private val PreCommitMarker = "_GRAFT_PRE_COMMITTED"
 
+  /** The producer name the incremental chain publishes under. */
+  val DefaultProducer = "maintenance"
+
+  /** Durable record of WHO published each live entry — a marker file
+    * per batch id in the `_pre` sibling (outside the log root, which
+    * the first publish's `mode("overwrite")` would wipe). It exists
+    * for one failure mode: two PRODUCERS colliding on one id. The
+    * keep-entry-on-republish rule reads "published without a
+    * pre-image ⇒ this batch already completed", which is only true
+    * when the republisher IS the original producer — a compliance op
+    * ([[Forget.forgetUser]]) publishing at an id the streaming
+    * engine's epoch counter later reuses would otherwise have its
+    * entry silently KEPT while the chain's own delta is silently
+    * DROPPED (or vice versa). With the marker, [[recordBatch]] fails
+    * LOUD on a foreign-producer collision instead. The id spaces are
+    * kept apart structurally by [[Pipeline.cdcIdOffset]]; this guard
+    * is the backstop for callers outside that discipline. */
+  private def producerMarkerDir(tableDir: String): Path =
+    new Path(logDir(tableDir) + "_pre")
+
+  private def producerMarkerName(batchId: Long, producer: String) =
+    s"producer-$batchId-$producer"
+
+  private def producerOf(fs: org.apache.hadoop.fs.FileSystem,
+                         tableDir: String,
+                         batchId: Long): Option[String] = {
+    val d = producerMarkerDir(tableDir)
+    if (!fs.exists(d)) return None
+    val prefix = s"producer-$batchId-"
+    fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .find(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+  }
+
+  private def writeProducerMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                  tableDir: String, batchId: Long,
+                                  producer: String): Unit = {
+    val d = producerMarkerDir(tableDir)
+    val prefix = s"producer-$batchId-"
+    if (fs.exists(d))
+      fs.listStatus(d).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) && n != prefix + producer
+      }.foreach(st => fs.delete(st.getPath, false))
+    touch(fs, new Path(d, producerMarkerName(batchId, producer)))
+  }
+
+  /** Sweep producer markers whose entries a [[checkpoint]] fold
+    * retired (ids below the boundary) — bounds the sidecar. */
+  private def sweepProducerMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                                   tableDir: String,
+                                   below: Long): Unit = {
+    val d = producerMarkerDir(tableDir)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("producer-")) {
+        val id = n.stripPrefix("producer-").takeWhile(_ != '-')
+        if (id.nonEmpty && id.forall(_.isDigit) && id.toLong < below)
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
   /** Marks a pre-image of an empty (or absent) scoped slice — an empty
     * frame may leave no parquet footer to re-read a schema from. */
   private val PreEmptyMarker = "_GRAFT_PRE_EMPTY"
@@ -121,8 +186,13 @@ object ChangeLog {
     * Crash/retry protocol in the object scaladoc. */
   def recordBatch(spark: SparkSession, tableDir: String,
                   keys: Seq[String], batchId: Long,
-                  scope: DataFrame => DataFrame = identity)
+                  scope: DataFrame => DataFrame = identity,
+                  producer: String = DefaultProducer)
                  (write: => Unit): Unit = {
+    require(producer.nonEmpty && producer.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '.'),
+      s"producer '$producer' must be a non-empty [A-Za-z0-9_.]+ token " +
+        "(it names a durable marker file)")
     // The log's own partition column is batch_id: a diffed table whose
     // ROW KEY includes batch_id would collide (its key column would be
     // silently overwritten by the entry's batch stamp). Deliberate: a
@@ -143,7 +213,22 @@ object ChangeLog {
       // Retry after a completed publish (the pre-image is deleted only
       // once the entry is durable): the live table is post-batch, so a
       // fresh diff would be empty and would ERASE the real entry. Run
-      // the write for table convergence; keep the entry.
+      // the write for table convergence; keep the entry — PROVIDED the
+      // entry is OURS. A different producer's entry at this id is an
+      // id-space collision, not a retry: keeping it would silently
+      // drop THIS write's delta from the log (and recomputing would
+      // silently erase theirs) — either way a consumer's
+      // replay == snapshot contract breaks. Fail loud instead.
+      producerOf(fs, tableDir, batchId).filter(_ != producer)
+        .foreach { other =>
+          sys.error(s"batch $batchId of $ld was published by producer " +
+            s"'$other', not '$producer': publishing here would silently " +
+            "drop one of the two deltas. Publish under an id past the " +
+            "foreign entry — the incremental chain derives its ids " +
+            "from the durable Pipeline.cdcIdOffset, which " +
+            "Forget.forgetUser bumps past its own publishes; a custom " +
+            "caller must pick ids past the log's high watermark")
+        }
       write
       return
     }
@@ -183,7 +268,11 @@ object ChangeLog {
       .withColumn("batch_id", lit(batchId))
     MergeUpsert.replacePartitions(spark, ld, entry,
       Seq(batchId), partitionCol = "batch_id")
-    // Only now is the entry durable — the pre-image may retire.
+    // Entry durable: stamp the producer (the collision guard above
+    // reads it), then retire the pre-image. A crash between the two
+    // marker steps is benign — the pre-image outlives it, so a retry
+    // re-publishes and re-stamps.
+    writeProducerMarker(fs, tableDir, batchId, producer)
     fs.delete(preP, true)
   }
 
@@ -259,10 +348,23 @@ object ChangeLog {
     * fold, so a crash between the two steps fails conservatively
     * (a behind-boundary consumer is refused while its entries still
     * exist) rather than silently double-serving. Idempotent: the net
-    * of a net is itself. Returns true if a fold ran. */
+    * of a net is itself. Returns true if a fold ran.
+    *
+    * Consumer safety is DERIVED, not trusted: the requested watermark
+    * first clamps to the minimum REGISTERED consumer position
+    * ([[Consumers.minPosition]] — every [[MaterializedView]] refresh
+    * registers itself; custom tails register via
+    * [[Consumers.register]]). A laggard registered view therefore
+    * BLOCKS the fold past its position — the collapse simply stops at
+    * the laggard and proceeds once it catches up — converting the one
+    * silent-operational-loss mode (collapse past a view ⇒ forced full
+    * re-seed) into impossibility. Unregistered consumers remain the
+    * caller's discipline, exactly as before. */
   def checkpoint(spark: SparkSession, tableDir: String,
                  keys: Seq[String], upToBatch: Long): Boolean = {
     val ld = logDir(tableDir)
+    val upTo = Consumers.minPosition(spark, tableDir)
+      .fold(upToBatch)(math.min(upToBatch, _))
     val committed = Incremental.batches(spark, ld)
     // The effective boundary CLAMPS to the highest committed partition
     // at/under the requested watermark: empty entries are published as
@@ -271,13 +373,16 @@ object ChangeLog {
     // base entry at a batch id the log never wrote, and a consumer
     // between the last real entry and the watermark would be refused
     // for history it already has.
-    val span = committed.filter(_ <= upToBatch)
+    val span = committed.filter(_ <= upTo)
     if (span.isEmpty) return false
     val b = span.max
+    val fs = new Path(ld)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (span == Seq(b)) {
       // Single entry already at the boundary — record the watermark
       // (it may still advance past empty batches), fold nothing.
       Incremental.saveWatermark(spark, s"$ld/$CollapseMarker", b)
+      sweepProducerMarkers(fs, tableDir, below = b)
       return false
     }
     val log = readLog(spark, tableDir).getOrElse(return false)
@@ -286,6 +391,7 @@ object ChangeLog {
     Incremental.saveWatermark(spark, s"$ld/$CollapseMarker", b)
     MergeUpsert.replacePartitions(spark, ld, base, span,
       partitionCol = "batch_id")
+    sweepProducerMarkers(fs, tableDir, below = b)
     true
   }
 
@@ -323,14 +429,86 @@ object ChangeLog {
     * entries to take a schema from. At-least-once caveats, documented
     * not hidden: a RETRIED batch swaps its partition to new files,
     * which a file-source consumer sees as fresh input (re-delivery of
-    * the same entry — consumers idempotent on (batch_id, key) are
-    * unaffected); [[checkpoint]] collapse and file compaction likewise
-    * rewrite files — run them only past every streaming consumer's
-    * committed offset, the same watermark discipline as
-    * [[readSince]]. */
+    * the same entry); [[checkpoint]] collapse and file compaction
+    * likewise rewrite files. [[mirrorBatch]]/[[mirror]] provide the
+    * consumer-side discipline that absorbs all of it — a delta-
+    * APPLYING consumer instead registers in [[Consumers]] and tails
+    * with [[readSince]], the watermark discipline. */
   def stream(spark: SparkSession, tableDir: String): Option[DataFrame] =
     readLog(spark, tableDir).map { batchView =>
       spark.readStream.schema(batchView.schema).parquet(logDir(tableDir))
+    }
+
+  /** The idempotent-consumer discipline [[stream]]'s at-least-once
+    * caveats demand, provided instead of delegated: a `foreachBatch`
+    * body that keeps `sinkDir` an EXACTLY-ONCE mirror of the log.
+    *
+    * The trick is to treat the delivered rows as a NOTIFICATION, not
+    * as content: a file-source redelivery (a retried batch's partition
+    * re-swap, a [[checkpoint]] collapse rewrite, a compaction) hands
+    * the consumer rows whose content may be a superseded transient —
+    * deduping them on (batch_id, key) still has to pick WHICH delivery
+    * wins, and inside one trigger there is nothing to order by. So the
+    * mirror extracts only the DELIVERED BATCH IDS (metadata-scale) and
+    * re-reads those partitions from the log itself — the authoritative
+    * current state — landing them with the same partition-swap the log
+    * uses. Re-running any prefix, suffix or interleaving of deliveries
+    * converges to the log: the operation is a pure function of (log
+    * state, delivered ids), and replaying it is idempotent.
+    *
+    * A [[checkpoint]] collapse is absorbed in two halves: the fold
+    * REWRITES its boundary partition (the net base entry — new files,
+    * redelivered, so the mirror refreshes that id) and DELETES the
+    * folded partitions below it, which produce no files and hence no
+    * notification — so every delivery also PRUNES mirrored ids below
+    * the log's current collapse boundary. A fold that removes
+    * anything always rewrites its boundary entry, so the prune is
+    * always reached. This is why a mirror never needs the
+    * [[Consumers]] collapse clamp: rewrites redeliver, deletions
+    * prune, and the mirror re-converges — registration is for
+    * delta-APPLYING consumers ([[MaterializedView]]), whose updates
+    * don't commute. */
+  def mirrorBatch(tableDir: String, sinkDir: String)
+                 (entries: DataFrame, epoch: Long): Unit = {
+    val spark = entries.sparkSession
+    val bids = entries.select(col("batch_id")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (bids.isEmpty) return
+    val authoritative = readLog(spark, tableDir) match {
+      case Some(log) => log.filter(col("batch_id").isin(bids: _*))
+      case None => entries.filter(lit(false)) // log emptied meanwhile
+    }
+    MergeUpsert.replacePartitions(spark, sinkDir, authoritative, bids,
+      partitionCol = "batch_id")
+    collapseBoundary(spark, tableDir).foreach { b =>
+      val folded = Incremental.batches(spark, sinkDir).filter(_ < b)
+      if (folded.nonEmpty)
+        MergeUpsert.replacePartitions(spark, sinkDir,
+          authoritative.filter(lit(false)), folded,
+          partitionCol = "batch_id")
+    }
+  }
+
+  /** [[stream]] wired to [[mirrorBatch]]: a running query that keeps
+    * `sinkDir` an exactly-once mirror of the table's change log, with
+    * the stream checkpoint at `checkpointDir`. None while the log has
+    * no entries to take a schema from (start it after the first
+    * publish). `availableNow` drains-and-stops for batch-style runs. */
+  def mirror(spark: SparkSession, tableDir: String, sinkDir: String,
+             checkpointDir: String, availableNow: Boolean = false)
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    stream(spark, tableDir).map { src =>
+      val trigger =
+        if (availableNow)
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        else org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("30 seconds")
+      src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch(mirrorBatch(tableDir, sinkDir) _)
+        .start()
     }
 
   /** Value-column names of a log frame — every `o_`-prefixed NON-KEY
@@ -566,5 +744,73 @@ object ChangeLog {
     s.read.parquet(mviewDir(table))
       .select(col("o_orderpriority"), col("cents").as("sum_cents"),
         col("n_rows"))
+  }
+
+  /** Row-local projection of the per-country silver view
+    * ([[sessionsCountryViewPersisted]]) — long measures only, the
+    * enforced [[graft.ops.CdcView]] contract. */
+  private def countryProject(df: DataFrame): DataFrame =
+    df.select(col("country"), col("n_events"), col("sum_value_cents"))
+
+  /** Build (once per JVM) the REFERENCE-SHAPED CDC fixture: the
+    * harness events split into three deterministic date spans, folded
+    * through the real incremental silver chain
+    * ([[IncrementalSilver.updateDetailed]] with CDC on), with the
+    * per-country view seeded at position 1 — so the registered query's
+    * refresh must cross updates 2..3 of the actual silver session log
+    * (9-column session key, adds/changes/deletes from real
+    * sessionization), not a synthetic history. Returns the chain root
+    * (bronze, silver_sessions + its log, view_country inside). */
+  private def ensureSilverChain(s: SparkSession, dir: String): String = {
+    val root = graft.sim.AnnIndex.dir(s, dir, "cdc_silver")
+    graft.sim.AnnIndex.ensure(root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val bronze = s"$root/bronze"
+      val silverDir = s"$root/silver_sessions"
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val dts = raw.select(to_date(col("ts")).as("d")).distinct()
+        .orderBy(col("d")).collect().map(_.getDate(0))
+      val c1 = dts(dts.length / 3)
+      val c2 = dts(2 * dts.length / 3)
+      def update(wm: Option[Long]): Option[Long] =
+        IncrementalSilver.updateDetailed(s, bronze, silverDir, wm,
+          changeLog = true).watermark
+      Incremental.appendBatch(s, bronze,
+        raw.filter(to_date(col("ts")) < lit(c1)), 1L)
+      val w1 = update(None)
+      MaterializedView.refresh(s, silverDir, s"$root/view_country",
+        graft.silver.Sessionize.SessionKey, countryProject,
+        Seq("country"), Seq("n_events", "sum_value_cents"))
+      Incremental.appendBatch(s, bronze,
+        raw.filter(to_date(col("ts")) >= lit(c1) &&
+          to_date(col("ts")) < lit(c2)), 2L)
+      val w2 = update(w1)
+      Incremental.appendBatch(s, bronze,
+        raw.filter(to_date(col("ts")) >= lit(c2)), 3L)
+      update(w2)
+    }
+    root
+  }
+
+  /** Registered face #5: the persisted-view loop over the REAL silver
+    * change log — gold-grain IVM on the reference-shaped chain. The
+    * view was seeded after update 1, so this refresh applies the net
+    * contribution delta of updates 2..3 (session rows re-keyed,
+    * re-stamped and deleted by later events included); the DuckDB
+    * oracle recomputes the endpoint per-country aggregate from the
+    * full sessionization independently, so every signed contribution
+    * must land exactly. The served answer is a scan of the tiny
+    * persisted view; the base silver is never re-read past the seed. */
+  def sessionsCountryViewPersisted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = ensureSilverChain(s, dir)
+    MaterializedView.refresh(s, s"$root/silver_sessions",
+      s"$root/view_country", graft.silver.Sessionize.SessionKey,
+      countryProject, Seq("country"), Seq("n_events", "sum_value_cents"))
+    s.read.parquet(s"$root/view_country")
+      .select(col("country"), col("n_events"),
+        col("sum_value_cents"), col("n_rows"))
   }
 }

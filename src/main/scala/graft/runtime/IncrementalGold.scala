@@ -51,7 +51,9 @@ object IncrementalGold {
     * scoping lets AQE broadcast it when small. */
   def userDailyDelta(spark: SparkSession, silver: DataFrame,
                      goldDir: String, affectedUsers: DataFrame,
-                     changeLogBatch: Option[Long] = None): Unit = {
+                     changeLogBatch: Option[Long] = None,
+                     producer: String = ChangeLog.DefaultProducer)
+      : Unit = {
     val users = affectedUsers.select(col("user_id")).distinct()
     val scoped = silver.join(users, Seq("user_id"), "left_semi")
     def write(): Unit = MergeUpsert.upsertScoped(spark, goldDir,
@@ -59,7 +61,8 @@ object IncrementalGold {
     changeLogBatch match {
       case Some(b) => ChangeLog.recordBatch(spark, goldDir,
         Seq("datetime", "user_id"), b,
-        df => df.join(users, Seq("user_id"), "left_semi"))(write())
+        df => df.join(users, Seq("user_id"), "left_semi"),
+        producer = producer)(write())
       case None => write()
     }
   }
@@ -76,7 +79,8 @@ object IncrementalGold {
                       grainCols: Seq[String],
                       backDays: Int, fwdDays: Int,
                       changeLogBatch: Option[Long] = None,
-                      changeLogView: DataFrame => DataFrame = identity)
+                      changeLogView: DataFrame => DataFrame = identity,
+                      producer: String = ChangeLog.DefaultProducer)
       : Unit = {
     if (deltaDates.isEmpty) return
     def shift(d: java.sql.Date, days: Int): java.sql.Date =
@@ -105,7 +109,49 @@ object IncrementalGold {
       case Some(b) => ChangeLog.recordBatch(spark, goldDir,
         "datetime" +: grainCols, b,
         df => changeLogView(
-          df.filter(col("datetime").isin(affected: _*))))(write())
+          df.filter(col("datetime").isin(affected: _*))),
+        producer = producer)(write())
+      case None => write()
+    }
+  }
+
+  /** Deletion-converge for a date-grain gold whose SILVER INPUT IS
+    * GONE — the right-to-be-forgotten edge ([[Forget.forgetUser]])
+    * where the purge emptied silver entirely, so the usual
+    * [[dateScopedDelta]] recompute has no rows AND no schema to run
+    * over. The recompute over empty silver would stage nothing for
+    * the affected dates; this applies exactly that result directly —
+    * the affected date partitions converge to ABSENCE (they were
+    * computed from rows that no longer exist), and where the table
+    * publishes CDC the deletion delta publishes like any other batch.
+    * A gold that never materialized is a no-op. */
+  def dateScopedPurge(spark: SparkSession, goldDir: String,
+                      deltaDates: Seq[java.sql.Date],
+                      grainCols: Seq[String],
+                      backDays: Int, fwdDays: Int,
+                      changeLogBatch: Option[Long] = None,
+                      changeLogView: DataFrame => DataFrame = identity,
+                      producer: String = ChangeLog.DefaultProducer)
+      : Unit = {
+    if (deltaDates.isEmpty) return
+    val goldPath = new org.apache.hadoop.fs.Path(goldDir)
+    val fs = goldPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(goldPath) ||
+      !MergeUpsert.sweepAndHasData(fs, goldPath)) return
+    def shift(d: java.sql.Date, days: Int): java.sql.Date =
+      java.sql.Date.valueOf(d.toLocalDate.plusDays(days.toLong))
+    val affected = deltaDates
+      .flatMap(d => (-fwdDays to backDays).map(shift(d, _))).distinct
+    val empty = spark.read.parquet(goldDir).filter(lit(false))
+    def write(): Unit =
+      MergeUpsert.replacePartitions(spark, goldDir, empty, affected)
+    changeLogBatch match {
+      case Some(b) => ChangeLog.recordBatch(spark, goldDir,
+        "datetime" +: grainCols, b,
+        df => changeLogView(
+          df.filter(col("datetime").isin(affected: _*))),
+        producer = producer)(write())
       case None => write()
     }
   }
@@ -115,22 +161,26 @@ object IncrementalGold {
   def episodeDailyDelta(spark: SparkSession, silver: DataFrame,
                         goldDir: String,
                         deltaDates: Seq[java.sql.Date],
-                        changeLogBatch: Option[Long] = None): Unit =
+                        changeLogBatch: Option[Long] = None,
+                        producer: String = ChangeLog.DefaultProducer)
+      : Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.EpisodeDaily.build(_),
       Seq("webtoon_id", "episode_id"), backDays = 0, fwdDays = 0,
-      changeLogBatch = changeLogBatch)
+      changeLogBatch = changeLogBatch, producer = producer)
 
   /** [[dateScopedDelta]] pre-bound for the platform/device gold
     * (within-date: b = f = 0). */
   def platformDeviceDailyDelta(spark: SparkSession, silver: DataFrame,
                                goldDir: String,
                                deltaDates: Seq[java.sql.Date],
-                               changeLogBatch: Option[Long] = None): Unit =
+                               changeLogBatch: Option[Long] = None,
+                               producer: String =
+                                 ChangeLog.DefaultProducer): Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.PlatformDeviceDaily.build(_),
       Seq("platform", "device", "browser"), backDays = 0, fwdDays = 0,
-      changeLogBatch = changeLogBatch)
+      changeLogBatch = changeLogBatch, producer = producer)
 
   /** [[dateScopedDelta]] pre-bound for the webtoon gold. The retention
     * block groups by `date_add(datetime, 1)` — the gold row at date X
@@ -142,12 +192,14 @@ object IncrementalGold {
   def webtoonDailyDelta(spark: SparkSession, silver: DataFrame,
                         goldDir: String,
                         deltaDates: Seq[java.sql.Date],
-                        changeLogBatch: Option[Long] = None): Unit =
+                        changeLogBatch: Option[Long] = None,
+                        producer: String = ChangeLog.DefaultProducer)
+      : Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       s => graft.gold.WebtoonDaily.build(s,
         graft.gold.EpisodeDaily.build(s)),
       Seq("webtoon_id"), backDays = 1, fwdDays = 0,
-      changeLogBatch = changeLogBatch)
+      changeLogBatch = changeLogBatch, producer = producer)
 
   /** [[dateScopedDelta]] pre-bound for the sketch gold
     * ([[SketchGold]]; within-date: b = f = 0). This is the
@@ -159,11 +211,13 @@ object IncrementalGold {
   def userSketchDelta(spark: SparkSession, silver: DataFrame,
                       goldDir: String,
                       deltaDates: Seq[java.sql.Date],
-                      changeLogBatch: Option[Long] = None): Unit =
+                      changeLogBatch: Option[Long] = None,
+                      producer: String = ChangeLog.DefaultProducer)
+      : Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       SketchGold.silverDailySketch(_),
       Seq.empty, backDays = 0, fwdDays = 0,
-      changeLogBatch = changeLogBatch,
+      changeLogBatch = changeLogBatch, producer = producer,
       // Log at the contract grain: the serialized sketch is a
       // build-order-dependent byte string (a redelivered no-op batch
       // could re-serialize differently and flag a spurious change);
@@ -175,9 +229,11 @@ object IncrementalGold {
   def countryDailyDelta(spark: SparkSession, silver: DataFrame,
                        goldDir: String,
                        deltaDates: Seq[java.sql.Date],
-                       changeLogBatch: Option[Long] = None): Unit =
+                       changeLogBatch: Option[Long] = None,
+                       producer: String = ChangeLog.DefaultProducer)
+      : Unit =
     dateScopedDelta(spark, silver, goldDir, deltaDates,
       graft.gold.CountryDaily.build(_),
       Seq("country"), backDays = 1, fwdDays = 0,
-      changeLogBatch = changeLogBatch)
+      changeLogBatch = changeLogBatch, producer = producer)
 }

@@ -76,7 +76,8 @@ object IncrementalSilver {
                      asOfUs: Long = Events.AsOfUs,
                      toSilver: org.apache.spark.sql.DataFrame =>
                        org.apache.spark.sql.DataFrame = null,
-                     changeLog: Boolean = false): Delta = {
+                     changeLog: Boolean = false,
+                     logIdOffset: Long = 0L): Delta = {
     val derive = Option(toSilver).getOrElse(harnessSilver(asOfUs) _)
     val hw = Incremental.highWatermark(spark, bronzeDir)
     if (hw.isEmpty) return Delta(None, None, Nil) // no bronze data yet
@@ -142,8 +143,11 @@ object IncrementalSilver {
       graft.silver.MergeUpsert.upsertScoped(spark, silverDir, recomputed,
         Seq("user_id"), affectedUsers)
     if (changeLog)
+      // Entry id = bronze endpoint + the warehouse's CDC id offset
+      // ([[Pipeline.cdcIdOffsetPath]]) — keeps chain ids past any
+      // out-of-band compliance publish.
       ChangeLog.recordBatch(spark, silverDir, Sessionize.SessionKey,
-        hw.get,
+        hw.get + logIdOffset,
         df => df.join(affectedUsers, Seq("user_id"), "left_semi"))(write())
     else write()
     Delta(hw, Some(affectedUsers), affectedDates)

@@ -26,13 +26,37 @@ import org.apache.spark.sql.functions._
   * re-applies). The recovery sweep heals a between-renames crash like
   * every other table here.
   *
+  * That single-partition swap is right for metadata-scale views
+  * (priority classes, countries, dates) and WRONG past them: a
+  * user-grain view at 100 TB would rewrite the whole view to apply a
+  * kilobyte of delta. [[refreshPartitioned]] is the large-view form —
+  * the view partitions on one of its dims, a refresh rewrites ONLY
+  * the partitions the delta touches, and exactly-once is carried by a
+  * PER-PARTITION `_as_of` plus a position file committed last (the
+  * crash-window analysis lives on that method).
+  *
+  * Consumer registration: every committed refresh (either form)
+  * registers the view's position in the log's [[Consumers]] registry,
+  * so [[ChangeLog.checkpoint]] cannot collapse entries the view still
+  * owes a read — the "collapsed past a laggard view ⇒ forced full
+  * re-seed" operational loss is structurally impossible for
+  * registered views.
+  *
+  * Compliance invalidation: [[invalidate]] (written by
+  * [[Forget.forgetUser]] for every registered view of a log it
+  * purges) drops a marker the next refresh honors by DISCARDING the
+  * view state and re-seeding from the (already purged) base — without
+  * it the view would keep serving aggregates computed from row images
+  * that no longer exist. The marker is an underscore-prefixed file,
+  * invisible to every Spark read of the view.
+  *
   * Lifecycle edges, all loud or convergent:
   *  - a refresh with no new entries is a no-op (the stored position
   *    does not advance — advancing would cost a write for nothing);
   *  - a log COLLAPSED past the stored position fails loud inside
-  *    `readSince` (re-seed the view; the collapse caller should have
-  *    folded only up to `min` over [[asOf]] of every view);
-  *  - a view whose every group vanished deletes its partition; the
+  *    `readSince` (re-seed the view) — unreachable while the view is
+  *    registered, the point of [[Consumers]];
+  *  - a view whose every group vanished deletes its partition(s); the
   *    next refresh finds no state and re-seeds from the base —
   *    correct, at recompute cost;
   *  - single-writer per view, and refreshes must not race the
@@ -50,9 +74,64 @@ object MaterializedView {
     * and each refresh would quietly re-seed at full-recompute cost. */
   private val PartCol = "gv_pt"
 
+  /** Invalidation marker ([[invalidate]]): an underscore-prefixed
+    * FILE at the view root — ignored by Spark reads (serving is
+    * unaffected until the re-seed), honored by the next refresh. */
+  private val InvalidMarker = "_GRAFT_VIEW_INVALID"
+
+  /** Stable registry name for the view at `viewDir` — basename for
+    * readability plus an 8-hex md5 of the canonical path, so two
+    * views sharing a basename never collide (the [[graft.sim.AnnIndex]]
+    * keying rule). */
+  def consumerName(viewDir: String): String = {
+    val f = new java.io.File(viewDir)
+    val canonical = try f.getCanonicalPath catch {
+      case _: java.io.IOException => f.getAbsolutePath
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"mview-${f.getName}-$md5"
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Mark the view's state INVALID: its next refresh discards the
+    * state and re-seeds from the base instead of applying deltas.
+    * The compliance hook — a purge of the log (or of the base outside
+    * the log's sight) breaks the "state == seed + applied spans"
+    * invariant, and this converts the resulting silent staleness into
+    * a scheduled re-seed. Serving reads are unaffected until then
+    * (the marker is invisible to Spark); callers that must not serve
+    * the stale window re-seed inline by calling refresh right after. */
+  def invalidate(spark: SparkSession, viewDir: String): Unit = {
+    val fs = fsOf(spark, viewDir)
+    val root = new Path(viewDir)
+    if (!fs.exists(root)) return // no state — nothing to invalidate
+    val out = fs.create(new Path(root, InvalidMarker), true)
+    out.close()
+  }
+
+  /** True while [[invalidate]]'s marker is pending. */
+  def isInvalid(spark: SparkSession, viewDir: String): Boolean =
+    fsOf(spark, viewDir).exists(new Path(viewDir, InvalidMarker))
+
+  /** Honor a pending invalidation: drop the view state (and the
+    * partitioned form's position file) so the caller's refresh takes
+    * the seed path. Crash-safe: deleting the state deletes the marker
+    * with it, and a crash between the two deletes leaves either the
+    * marker (retry re-deletes) or a missing view (the seed path). */
+  private def clearIfInvalid(spark: SparkSession, viewDir: String): Unit =
+    if (isInvalid(spark, viewDir)) {
+      val fs = fsOf(spark, viewDir)
+      fs.delete(new Path(viewDir), true)
+      fs.delete(new Path(posPath(viewDir)), false)
+    }
+
   /** The log position the persisted view is current AS OF, if the
-    * view holds state. Feed `min` over every view's position to
-    * [[ChangeLog.checkpoint]] as the collapse watermark. */
+    * view holds state. ([[ChangeLog.checkpoint]] no longer needs this
+    * passed by hand — refresh registers it in [[Consumers]].) */
   def asOf(spark: SparkSession, viewDir: String): Option[Long] = {
     val p = new Path(viewDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,34 +144,43 @@ object MaterializedView {
   /** Seed (first call) or incrementally refresh the view at `viewDir`
     * over the logged table at `tableDir`. `project` maps a base row to
     * its dims + measures (row-local, distributive — the
-    * [[CdcView]] contract); `keys` is the TABLE's row key. Returns the
-    * log position the view is now current as of. */
+    * [[CdcView]] contract, measure types enforced); `keys` is the
+    * TABLE's row key. Returns the log position the view is now current
+    * as of, after registering it in the log's consumer registry. */
   def refresh(spark: SparkSession, tableDir: String, viewDir: String,
               keys: Seq[String], project: DataFrame => DataFrame,
               dims: Seq[String], measures: Seq[String]): Long = {
+    clearIfInvalid(spark, viewDir)
     val logHw = Incremental
       .highWatermark(spark, ChangeLog.logDir(tableDir)).getOrElse(-1L)
     def persist(v: DataFrame): Unit =
       MergeUpsert.replaceAll(spark, viewDir,
         v.withColumn(PartCol, lit("all")), partitionCol = PartCol)
+    def registered(pos: Long): Long = {
+      Consumers.register(spark, tableDir, consumerName(viewDir), pos,
+        viewDir = Some(viewDir))
+      pos
+    }
     asOf(spark, viewDir) match {
       case None =>
         // Seed: one full aggregate of the base, stamped at the log's
         // CURRENT head — every logged effect is already in the base,
         // so the next refresh starts strictly after it.
-        val seed = project(
-            spark.read.option("mergeSchema", "true").parquet(tableDir))
+        val projected = project(
+          spark.read.option("mergeSchema", "true").parquet(tableDir))
+        CdcView.requireExactMeasures(projected.schema, measures)
+        val seed = projected
           .groupBy(dims.map(col): _*)
           .agg(count(lit(1)).as("n_rows"),
             measures.map(m => sum(col(m)).as(m)): _*)
           .select(dims.map(col) ++ measures.map(col) :+
             col("n_rows"): _*)
         persist(seed.withColumn(AsOfCol, lit(logHw)))
-        logHw
-      case Some(pos) if pos >= logHw => pos // nothing new
+        registered(logHw)
+      case Some(pos) if pos >= logHw => registered(pos) // nothing new
       case Some(pos) =>
         val span = ChangeLog.readSince(spark, tableDir, Some(pos))
-          .getOrElse(return pos) // log holds no entries at all
+          .getOrElse(return registered(pos)) // log holds no entries
         val view = spark.read.parquet(viewDir)
           .drop(AsOfCol).drop(PartCol)
         val next = CdcView.applyDelta(view,
@@ -100,7 +188,148 @@ object MaterializedView {
             project, dims, measures),
           dims, measures)
         persist(next.withColumn(AsOfCol, lit(logHw)))
-        logHw
+        registered(logHw)
     }
+  }
+
+  /** The partitioned form's position file — a SIBLING of the view
+    * (never inside it: the seed's initial `mode("overwrite")` write
+    * clears the view root). */
+  private def posPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_pos"
+
+  /** Large-view refresh: the view is hive-partitioned on `partDim`
+    * (one of its dims — every group lives in exactly one partition),
+    * and a refresh rewrites ONLY the partitions the delta touches —
+    * O(log entries + touched partitions), while the single-partition
+    * [[refresh]] pays O(|view|) per refresh regardless of delta size.
+    *
+    * Exactly-once here cannot ride one directory swap (the touched
+    * partitions swap one rename at a time), so the commit is split,
+    * honestly, into two durable pieces:
+    *
+    *  - every row carries `_as_of` — the position ITS PARTITION has
+    *    applied. All partitions staged by one refresh stamp the same
+    *    target position, but a crash mid-swap leaves a MIX: some
+    *    partitions at the new position, stragglers at the old.
+    *  - a POSITION FILE (atomic rename, committed LAST) records the
+    *    last FULLY-applied position `pos`: every entry ≤ pos is
+    *    applied to every partition.
+    *
+    * Recovery is then local arithmetic, not a re-seed: a refresh
+    * computes the span since `pos`, derives the touched partitions
+    * from the span's delta, and for each touched partition applies
+    * the span since max(partition `_as_of`, pos) — a straggler that
+    * already absorbed part of the span is topped up from ITS position
+    * and never double-applies; a partition at the head is skipped. An
+    * untouched partition's stale `_as_of` is harmless by induction:
+    * `pos` committing means every entry ≤ pos reached every
+    * partition, so catch-up spans never need to start below `pos` —
+    * which also keeps every `readSince` here at-or-past the collapse
+    * boundary the registry protects.
+    *
+    * Crash windows, exhaustively: (seed written, position file not)
+    * → the file's absence with data present can ONLY be a crashed
+    * seed, and the seed stamped every partition with one position —
+    * recover it as min(`_as_of`) and continue; (some partitions
+    * swapped, position file not) → stragglers, the per-partition
+    * top-up above; (all swapped, file not) → every touched partition
+    * is at the head, each top-up span is empty, the rewrite is an
+    * idempotent no-op and the file commits on the retry. The position
+    * file never runs AHEAD of the data (it is written last), so the
+    * registered consumer position is always conservative. */
+  def refreshPartitioned(spark: SparkSession, tableDir: String,
+                         viewDir: String, keys: Seq[String],
+                         project: DataFrame => DataFrame,
+                         dims: Seq[String], measures: Seq[String],
+                         partDim: String): Long = {
+    require(dims.contains(partDim),
+      s"partDim '$partDim' must be one of the view dims " +
+        s"${dims.mkString("[", ", ", "]")} — a group must live in " +
+        "exactly one partition for partition-scoped rewrites to be " +
+        "complete")
+    clearIfInvalid(spark, viewDir)
+    val logHw = Incremental
+      .highWatermark(spark, ChangeLog.logDir(tableDir)).getOrElse(-1L)
+    def registered(pos: Long): Long = {
+      Consumers.register(spark, tableDir, consumerName(viewDir), pos,
+        viewDir = Some(viewDir))
+      pos
+    }
+    val viewPath = new Path(viewDir)
+    val fs = viewPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState =
+      fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
+    if (!hasState) {
+      val projected = project(
+        spark.read.option("mergeSchema", "true").parquet(tableDir))
+      CdcView.requireExactMeasures(projected.schema, measures)
+      val seed = projected
+        .groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          measures.map(m => sum(col(m)).as(m)): _*)
+        .select(dims.map(col) ++ measures.map(col) :+ col("n_rows"): _*)
+      MergeUpsert.replaceAll(spark, viewDir,
+        seed.withColumn(AsOfCol, lit(logHw)), partitionCol = partDim)
+      Incremental.saveWatermark(spark, posPath(viewDir), logHw)
+      return registered(logHw)
+    }
+    val pos = Incremental.loadWatermark(spark, posPath(viewDir))
+      .getOrElse {
+        // Data without a position file ⇔ a crashed seed (every later
+        // refresh only ever advances an existing file): the seed
+        // stamped one position on every row — recover it.
+        val p = spark.read.parquet(viewDir)
+          .agg(min(col(AsOfCol))).head().getLong(0)
+        Incremental.saveWatermark(spark, posPath(viewDir), p)
+        p
+      }
+    if (pos >= logHw) return registered(pos) // nothing new
+    val span = ChangeLog.readSince(spark, tableDir, Some(pos))
+      .getOrElse(return registered(pos)) // log holds no entries at all
+    // The span's group delta names the touched partitions; everything
+    // below is metadata-scale (touched partition values, straggler
+    // position groups), never data-scale.
+    val delta = CdcView.groupDelta(ChangeLog.netDiff(span, keys), keys,
+      project, dims, measures).localCheckpoint()
+    val touched = delta.select(col(partDim)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (touched.isEmpty) {
+      Incremental.saveWatermark(spark, posPath(viewDir), logHw)
+      return registered(logHw)
+    }
+    val viewCur = spark.read.parquet(viewDir)
+      .filter(col(partDim).isin(touched: _*))
+    // Straggler detection: each partition's applied position, clamped
+    // to `pos` from below (entries ≤ pos reached every partition —
+    // the position-file invariant).
+    val partPos: Map[Any, Long] = viewCur
+      .groupBy(col(partDim)).agg(max(col(AsOfCol)).as("p"))
+      .collect().map(r => r.get(0) -> math.max(r.getLong(1), pos)).toMap
+    val groups = touched.groupBy(v => partPos.getOrElse(v, pos))
+    val staged = groups.toSeq.flatMap { case (a, parts) =>
+      if (a >= logHw) None // already at the head — skip, don't rewrite
+      else {
+        val deltaA =
+          if (a == pos) delta.filter(col(partDim).isin(parts: _*))
+          else CdcView.groupDelta(
+            ChangeLog.netDiff(
+              ChangeLog.readSince(spark, tableDir, Some(a)).get, keys),
+            keys, project, dims, measures)
+            .filter(col(partDim).isin(parts: _*))
+        val viewPart = viewCur.filter(col(partDim).isin(parts: _*))
+          .drop(AsOfCol)
+        Some((parts,
+          CdcView.applyDelta(viewPart, deltaA, dims, measures)
+            .withColumn(AsOfCol, lit(logHw))))
+      }
+    }
+    if (staged.nonEmpty) {
+      val stage = staged.map(_._2).reduce(_.unionByName(_))
+      MergeUpsert.replacePartitions(spark, viewDir, stage,
+        staged.flatMap(_._1), partitionCol = partDim)
+    }
+    Incremental.saveWatermark(spark, posPath(viewDir), logHw)
+    registered(logHw)
   }
 }

@@ -255,13 +255,25 @@ object Pipeline {
         throw e
       }
     val silverDir = s"$warehouseDir/silver_sessions"
+    // Log-entry ids = bronze endpoint + the warehouse's durable CDC id
+    // offset. The offset is 0 until a compliance op publishes out of
+    // band ([[Forget.forgetUser]] bumps it past its own entries), and
+    // from then on keeps the chain's ids strictly past every foreign
+    // publish — log ids stay monotonic in publish order, which is the
+    // invariant every readSince consumer's scalar position rests on.
+    // Retry-stable: the offset only moves via the (single-writer)
+    // compliance op, never by the chain itself, so a retried update
+    // recomputes the same ids and converges through recordBatch's
+    // keep-entry protocol exactly as before.
+    val idOffset = cdcIdOffset(spark, warehouseDir)
     val d = stage("silver_incremental") {
       // Silver CDC rides the same flag as the golds', gated on the
       // default derivation (a custom toSilver may not be
       // SessionKey-keyed — see IncrementalSilver.updateDetailed).
       IncrementalSilver.updateDetailed(spark, bronzeDir, silverDir,
         watermark, asOfUs, toSilver,
-        changeLog = changeLog && toSilver == null)
+        changeLog = changeLog && toSilver == null,
+        logIdOffset = idOffset)
     }
     // Dead-letter capture for the consumed delta (default harness chain
     // only — a custom toSilver owns its own cleanse semantics): the
@@ -270,6 +282,15 @@ object Pipeline {
     // mirrors bronze lineage — `readSince`/`readAsOf` work on it. The
     // invalid-watermark fallback re-reads the full bronze table, and
     // the partition list follows, converging the whole quarantine.
+    // REPLACE-ON-RETRY is the intended audit semantics, not an
+    // accident: the quarantine answers "what does the CURRENT cleanse
+    // reject from each batch" — a retry after a cleanse-rule fix or a
+    // bronze correction converges the batch's partition to the new
+    // judgment (QuarantineSpec pins it), exactly like every other
+    // derived table here. A forensic ledger of PAST judgments is a
+    // different artifact: snapshot the quarantine before changing
+    // rules, or diff it with ops.TableDiff — deliberately not a
+    // second change log (the quarantine is already batch-lineage).
     if (toSilver == null && d.watermark != watermark)
       stage("quarantine") {
         val delta = Incremental.readSince(spark, bronzeDir, watermark)
@@ -293,7 +314,7 @@ object Pipeline {
       // tail with ChangeLog.readSince (any watermark ≥ the collapse
       // boundary filters correctly), never readAsOf on arbitrary
       // bronze ids. A retried update overwrites its own log partition.
-      val cdc = if (changeLog) d.watermark else None
+      val cdc = if (changeLog) d.watermark.map(_ + idOffset) else None
       stage("gold_user_daily") {
         IncrementalGold.userDailyDelta(spark, silver,
           s"$warehouseDir/gold_user_daily", users, cdc)
@@ -333,6 +354,27 @@ object Pipeline {
     }
     d.watermark
   }
+
+  /** The warehouse's durable CDC id-offset file: log-entry ids for
+    * every [[loggedTables]] log are `bronze endpoint + offset`. The
+    * offset exists for exactly one reason — to keep the id space of
+    * the chain and of out-of-band publishers DISJOINT. The streaming
+    * loop's ids come from the engine's epoch counter, which nothing
+    * external can advance; a compliance op that publishes "past the
+    * high watermark" ([[Forget.forgetUser]]'s aggregate deltas) would
+    * therefore take exactly the id the next micro-batch uses, and
+    * [[ChangeLog.recordBatch]]'s keep-entry rule would silently drop
+    * one of the two deltas. Instead the op bumps this offset past its
+    * own entries, and every later chain id lands strictly after them
+    * — ids stay monotonic in publish order with no coordination, and
+    * the producer-marker guard in recordBatch backstops any caller
+    * outside this discipline. */
+  def cdcIdOffsetPath(warehouseDir: String): String =
+    s"$warehouseDir/cdc_id_offset"
+
+  def cdcIdOffset(spark: SparkSession, warehouseDir: String): Long =
+    Incremental.loadWatermark(spark, cdcIdOffsetPath(warehouseDir))
+      .getOrElse(0L)
 
   /** The incremental chain's CDC-logged tables and their row keys —
     * one source of truth shared by the collapse hook and any consumer

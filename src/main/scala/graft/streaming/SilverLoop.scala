@@ -58,9 +58,10 @@ object SilverLoop {
     * entry per micro-batch FOREVER — at the reference's cadence that
     * is ~52k partitions/year per table, a metadata scale-killer for
     * every log read. With `logRetention = Some(k)`, after each update
-    * at watermark `w` every log folds its prefix up to `w - k` into
-    * one net base entry ([[graft.runtime.ChangeLog.checkpoint]]) — the
-    * loop stays bounded at ~k live entries per table. Opting in
+    * at watermark `w` every log folds its prefix up to `w - k + 1`
+    * into one net base entry ([[graft.runtime.ChangeLog.checkpoint]]) —
+    * the loop stays bounded at ~k live entries per table (the net base
+    * at the boundary plus the k−1 newest). Opting in
     * asserts that every log consumer stays within k updates of the
     * head; one that falls behind fails loud in
     * `ChangeLog.readSince`, never silently double-reads. */
@@ -81,11 +82,19 @@ object SilverLoop {
         val spark = batch.sparkSession
         Incremental.appendBatch(spark, bronzeDir, batch, batchId)
         val wm = Incremental.loadWatermark(spark, watermarkPath)
+        // The fold boundary lives in LOG-ID space: entry ids are the
+        // bronze endpoint plus the warehouse's durable CDC id offset
+        // (0 until a compliance op bumps it — Pipeline.cdcIdOffsetPath),
+        // so the head after this update is w + offset and last-k means
+        // folding up to head - k + 1. Registered consumers clamp the
+        // fold further (ChangeLog.checkpoint × Consumers) — retention
+        // can never outrun a registered view.
+        val off = graft.runtime.Pipeline.cdcIdOffset(spark, warehouseDir)
         graft.runtime.Pipeline.runDailyIncremental(spark, bronzeDir,
             warehouseDir, wm, toSilver = toSilver,
             collapseLogsUpTo = for {
               w <- wm; k <- logRetention
-            } yield w - k + 1)
+            } yield w + off - k + 1)
           .foreach(w => Incremental.saveWatermark(spark, watermarkPath, w))
       }
       .start()

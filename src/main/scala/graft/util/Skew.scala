@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The full-row content hash every salt/measurement here derives
+    * from, restricted to HASHABLE columns: Spark's `xxhash64` refuses
+    * MapType (at any nesting depth — map iteration order makes the
+    * hash ill-defined), so a fact carrying a map column would fail at
+    * ANALYSIS time even when no key is hot. Dropping unhashable
+    * columns only COARSENS the salt (rows differing solely in a map
+    * value share a salt — correctness never depends on salt spread);
+    * a row with no hashable columns at all hashes to a constant, so
+    * content salting cannot split it and [[measuredJoin]]'s ndv
+    * measurement reads it as duplicate-dominated — routing to
+    * [[hybridJoin]], the arm that handles exactly that regime. */
+  private def containsMap(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  private def contentHash(df: DataFrame): Column = {
+    val hashable = df.schema.fields.toIndexedSeq
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+    if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
+  }
+
   /** Salted sum/count of `valueCol` per `keyCols`. Returns
     * keyCols :+ (sum_<value>, cnt). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
@@ -23,7 +52,7 @@ object Skew {
     val key: Seq[Column] = keyCols.map(col)
     df
       .withColumn("_salt",
-        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
+        pmod(contentHash(df), lit(salts.toLong)))
       .groupBy(key :+ col("_salt"): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(key: _*)
@@ -88,8 +117,7 @@ object Skew {
       "hotKeys must be non-empty and non-null (null never inner-joins)")
     val f = fact.withColumn("_salt",
       when(col(key).isin(hotKeys: _*),
-        pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*),
-          lit(salts.toLong)))
+        pmod(contentHash(fact), lit(salts.toLong)))
         .otherwise(lit(0L)))
     // explode_outer + isNotNull filter, not plain explode: the array is
     // DERIVED (sequence/array), and InferFiltersFromGenerate would
@@ -172,8 +200,7 @@ object Skew {
                    maxDimHotRows: Long = MaxDimHotRows): DataFrame = {
     val hot = fact.groupBy(col(key))
       .agg(count(lit(1)).as("count"),
-        approx_count_distinct(
-          xxhash64(fact.columns.toIndexedSeq.map(col): _*), 0.3).as("ndv"))
+        approx_count_distinct(contentHash(fact), 0.3).as("ndv"))
       .filter(col("count") > cap && col(key).isNotNull)
       .orderBy(col("count").desc)
       .limit(maxHotKeys + 1)

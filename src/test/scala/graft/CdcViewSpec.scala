@@ -138,9 +138,17 @@ class CdcViewSpec extends SparkSpec {
     assert(cells(viewOf(s"$root/v2")) === cells(recompute(s3)))
     assert(MaterializedView.asOf(spark, s"$root/v2").contains(3L))
 
-    // Collapse up to the CURRENT consumers' minimum would be 1 (v3);
-    // collapsing past it must make v3's refresh fail loud, while the
-    // up-to-date views stay serviceable.
+    // Every refresh REGISTERED its view, so "collapse past a laggard"
+    // is no longer possible at all: v3 (position 1) clamps the fold.
+    assert(!ChangeLog.checkpoint(spark, dir, Seq("id"), 3L),
+      "the registry must block the fold at the laggard's position")
+    assert(ChangeLog.readSince(spark, dir, Some(1L)).get.count() > 0L,
+      "the laggard's entries must still be served")
+    // Retiring the laggard is now an EXPLICIT act (unregister) — only
+    // then does the fold proceed, and the abandoned view's refresh
+    // fails loud rather than silently double-applying.
+    graft.runtime.Consumers.unregister(spark, dir,
+      MaterializedView.consumerName(s"$root/v3"))
     assert(ChangeLog.checkpoint(spark, dir, Seq("id"), 3L))
     assert(doRefresh(s"$root/v2") === 3L) // at the boundary: fine
     intercept[IllegalArgumentException] { doRefresh(s"$root/v3") }

@@ -152,24 +152,86 @@ class ForgetSpec extends SparkSpec {
     val r2 = Forget.forgetUser(spark, bronze, wh, u)
     assert(r2.total === 0L, s"second forget purged: ${r2.purged}")
 
-    // The compliance contract for DERIVED consumer state, exactly as
-    // documented: the purge ERASES the user's log entries rather than
-    // tombstoning them (images are personal data), so a view's
-    // checkpointed state cannot learn of the removal from the log —
-    // the refresh is a no-op and the stale counts survive...
-    assert(refreshView() === 2L)
+    // The compliance contract for DERIVED consumer state: the purge
+    // ERASES the user's log entries rather than tombstoning them
+    // (images are personal data), so a view's checkpointed state
+    // cannot learn of the removal from the LOG. The registry closes
+    // the gap: every refresh registered the view (Consumers), the
+    // forget INVALIDATED it, and until the re-seed runs the stale
+    // state still serves (the marker is invisible to reads)...
+    assert(MaterializedView.isInvalid(spark, viewDir),
+      "forget must invalidate the registered view")
     assert(sortableDiff(viewNow,
       viewRecompute(spark.read.parquet(s"$wh/silver_sessions"))),
-      "a purged log should NOT have retro-notified the view")
-    // ...which is why forget's out-of-band signal means RE-SEED: the
-    // fresh seed equals the recompute of the purged warehouse.
-    val p = new org.apache.hadoop.fs.Path(viewDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, true)
+      "pre-refresh serving is the documented stale window")
+    // ...and the NEXT refresh honors the marker by re-seeding from the
+    // purged base — no manual delete, no out-of-band signal: the view
+    // serves the purged-correct counts.
     assert(refreshView() === 2L)
+    assert(!MaterializedView.isInvalid(spark, viewDir))
     assertSame(viewNow,
       viewRecompute(spark.read.parquet(s"$wh/silver_sessions")),
-      "re-seeded country view after forget")
+      "auto-re-seeded country view after forget")
+  }
+
+  test("the incremental chain continues past a forget without " +
+      "colliding log ids, and the replay contract survives") {
+    val allRaw = Events.raw(spark, "/root/testdata/sf0.001")
+    val dts = allRaw.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime).take(6)
+    val raw = allRaw.filter(to_date(col("ts")) <= lit(dts.last))
+      .localCheckpoint()
+    val cut1 = dts(2); val cut2 = dts(4)
+    val bronze = tmpDir("fgc-bronze")
+    val wh = tmpDir("fgc-wh")
+    val u = raw.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).head().getLong(0)
+
+    Incremental.appendBatch(spark, bronze,
+      raw.filter(to_date(col("ts")) < lit(cut1)), 1L)
+    var wm = Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    Incremental.appendBatch(spark, bronze,
+      raw.filter(to_date(col("ts")) >= lit(cut1) &&
+        to_date(col("ts")) < lit(cut2)), 2L)
+    wm = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
+
+    val r = Forget.forgetUser(spark, bronze, wh, u)
+    assert(r.batchId === 3L, "forget publishes at the next free id")
+
+    // The trap this guards: the engine's epoch counter hands the next
+    // micro-batch id 3 — exactly the id the forget took. recordBatch
+    // at that raw id must fail LOUD (foreign producer), never silently
+    // keep one delta and drop the other.
+    val epDir = s"$wh/gold_episode_daily"
+    val boom = intercept[RuntimeException] {
+      ChangeLog.recordBatch(spark, epDir,
+        Seq("datetime", "webtoon_id", "episode_id"), 3L)(())
+    }
+    assert(boom.getMessage.contains("producer"),
+      s"wrong failure: ${boom.getMessage}")
+
+    // The chain itself never hits the guard: the forget bumped the
+    // durable id offset, so the next update (bronze endpoint 3, the
+    // engine epoch) publishes its deltas strictly PAST the forget's.
+    Incremental.appendBatch(spark, bronze,
+      raw.filter(to_date(col("ts")) >= lit(cut2) &&
+        !(col("user_id") <=> lit(u))), 3L)
+    wm = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
+    assert(wm.contains(3L))
+    val epLog = ChangeLog.readLog(spark, epDir).get.localCheckpoint()
+    val ids = epLog.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.contains(3L) && ids.exists(_ > 3L),
+      s"expected the forget entry at 3 and the chain entry past it: $ids")
+
+    // The consumer contract end to end: replaying the WHOLE log (seed
+    // + batches + forget delta + post-forget batch, in id order) from
+    // an empty origin equals the served table.
+    assertSame(
+      ChangeLog.replay(spark.read.parquet(epDir).filter(lit(false)),
+        epLog, Seq("datetime", "webtoon_id", "episode_id")),
+      spark.read.parquet(epDir),
+      "episode gold replay across the forget")
   }
 
   /** True when the two frames DIFFER (sorted-cell comparison). */

@@ -102,6 +102,36 @@ class QuarantineSpec extends SparkSpec {
     assert(q.count() === 7L)
   }
 
+  test("a retried batch whose reject set CHANGED replaces its " +
+      "partition wholesale — replace-on-retry is the audit semantics") {
+    val bronze = tmpDir("q-bronze-retry")
+    val wh = tmpDir("q-wh-retry")
+    // Batch 1: two good rows + two poison rows (null user, bad props).
+    val firstLanding = mixedRows.take(3) :+ mixedRows(7)
+    Incremental.appendBatch(spark, bronze, df(firstLanding), 1L)
+    Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    def q = spark.read.parquet(s"$wh/quarantine_events")
+    assert(q.filter(col("batch_id") === 1L).count() === 2L)
+
+    // An upstream CORRECTION re-lands the batch with the bad-props row
+    // repaired (the same shape as a cleanse-rule fix: the batch's
+    // reject set shrinks), and the chain retries from the old
+    // watermark. The quarantine partition must converge to the NEW
+    // judgment — the repaired row's stale reject replaced away, never
+    // appended beside.
+    val repaired = mixedRows.take(3) :+
+      Row(8L, t0, 10L, "view", 1.5, """{"k": 2}""")
+    graft.silver.MergeUpsert.replacePartitions(spark, bronze,
+      df(repaired).withColumn("batch_id", lit(1L)), Seq(1L),
+      partitionCol = "batch_id")
+    Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    val after = q.filter(col("batch_id") === 1L).localCheckpoint()
+    assert(after.count() === 1L,
+      "the repaired row's stale reject must be replaced away")
+    assert(after.head().getAs[String]("reject_reason")
+      === "not_null_user_id")
+  }
+
   test("both chains share ONE quarantine partition scheme: a full " +
       "backfill then incremental maintenance reads as one table") {
     val sfDir = tmpDir("q-sf-mix")

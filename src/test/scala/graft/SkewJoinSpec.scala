@@ -89,6 +89,27 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("a fact carrying a MAP column still measures and salts: the " +
+      "content hash skips unhashable columns instead of failing") {
+    // Spark refuses xxhash64 over MapType (iteration order), so the
+    // old full-row hash failed at ANALYSIS time for any map-carrying
+    // fact — even with no hot key. The hash now restricts to hashable
+    // columns; rows differing only in the map share a salt, which can
+    // only coarsen the spread, never the result.
+    val fact = (1L to 3000L).map { i =>
+      (if (i <= 2000L) -1L else i % 97L, i, Map("k" -> i))
+    }.toDF("jk", "v", "m")
+    val dim = (-1L to 97L).map(k => (k, s"d$k")).toDF("jk", "name")
+    // exceptAll itself refuses maps, so compare on the scalar columns
+    // (v is unique per row — the projection loses nothing).
+    val plain = fact.join(dim, Seq("jk"), "inner")
+      .select(col("jk"), col("v"), col("name"))
+    val got = Skew.measuredJoin(fact, dim, "jk", cap = 500L)
+      .select(col("jk"), col("v"), col("name"))
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+      "map-carrying measured join diverged from the plain join")
+  }
+
   test("measuredJoin fails loud when the hot list explodes") {
     val fact = (1L to 2000L).map(i => (i % 100L, i)).toDF("jk", "v")
     val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("jk", "name")
