@@ -562,5 +562,13 @@ class PlanSpec extends SparkSpec {
     assert(mv.contains("cents:bigint") && mv.contains("n_rows:bigint"),
       mv)
     assert(!mv.contains("Join") && !mv.contains("HashAggregate"), mv)
+    // Same serving shape for the gold-grain view over the REAL silver
+    // log: once caught up, the registered query is a bare scan of the
+    // tiny per-country view — the base silver is never re-read.
+    val sv = plan("cdc_view_sessions_country")
+    assert("Scan parquet".r.findAllIn(sv).size == 1, sv)
+    assert(sv.contains("sum_value_cents:bigint") &&
+      sv.contains("n_rows:bigint"), sv)
+    assert(!sv.contains("Join") && !sv.contains("HashAggregate"), sv)
   }
 }
