@@ -20,6 +20,17 @@ import org.apache.spark.sql.SparkSession
   * a regression — it is a REVIEW PROMPT: explain the query, compare,
   * then either fix or re-record.
   *
+  * Known benign-drift class (round 14): a multi-distinct aggregate's
+  * gid ASSIGNMENT (RewriteDistinctAggregates) orders its groups by a
+  * hash that shifts with the JVM-global ExprId counter — so ADDING a
+  * query that plans earlier in the alphabetical battery can renumber
+  * another query's gids (same tree, gid 1↔2 swapped, Expand rows and
+  * the mid-Aggregate column order swapped with them). Verify with two
+  * `dump` runs (old classes vs new) — a pure gid renumbering diffs
+  * ONLY in gid literals and list order — then re-record. Within a
+  * FIXED battery the assignment is deterministic (verified across six
+  * fresh JVMs), so the guard still catches every real rewrite.
+  *
   * Usage (pinned to sf0.01 — fingerprints are per-scale because AQE-
   * independent logical shapes can still differ through fixture
   * parameters derived from data):

@@ -228,6 +228,66 @@ object SparkEntry {
     // oracle re-sizes the same files via DuckDB read_blob.
     "table_file_stats" ->
       ((s, dir) => graft.runtime.TableStats.tableFileStats(s, dir)),
+    // File-level data skipping (runtime/DataSkipping): orders is laid
+    // out ONCE per JVM range-clustered by o_orderdate with a per-file
+    // min/max zone-map sidecar; the registered query plans its file
+    // set FROM the sidecar (only envelopes intersecting the year
+    // survive; boundary files rerank through the residual predicate)
+    // and aggregates the pruned scan. The oracle is the same range
+    // filter over the FULL table — a hash match proves file pruning
+    // loses and duplicates nothing.
+    "skipscan_orders_date" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lay = graft.sim.AnnIndex.dir(s, dir, "skip_orders")
+      graft.sim.AnnIndex.ensure(lay)(
+        graft.runtime.DataSkipping.cluster(s,
+          s.read.parquet(s"$dir/orders.parquet"), lay,
+          Seq("o_orderdate"), numFiles = 16))
+      graft.runtime.DataSkipping.scan(s, lay, "o_orderdate",
+          lit("1996-07-01").cast("timestamp"),
+          lit("1997-06-30").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+            .as("sum_price_cents"))
+    }),
+    // Key→batch secondary index (runtime/KeyIndex): a bronze-shaped
+    // daily-batched copy of events is laid down and indexed ONCE per
+    // JVM (md5-bucketed user → batch map); the query probes three
+    // users through the index — each probe is a ONE-bucket
+    // partition-pruned scan of the index, the events table is never
+    // touched — and the oracle recomputes the same footprint from the
+    // raw table. This is the lookup structure forgetUserIndexed scopes
+    // compliance erasure with at 100 TB.
+    "keyindex_user_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = graft.sim.AnnIndex.dir(s, dir, "keyindex_events")
+      val idx = graft.runtime.KeyIndex.dirFor(base)
+      graft.sim.AnnIndex.ensure(base) {
+        // Fresh-process rebuild (the AnnIndex contract): wipe any prior
+        // process's table AND its index, then one daily-batched write
+        // and one delta-scoped index build.
+        val conf = s.sparkContext.hadoopConfiguration
+        Seq(base, idx).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("batch_id",
+            expr("cast(date_format(ts, 'yyyyMMdd') as bigint)"))
+          .write.partitionBy("batch_id").mode("overwrite").parquet(base)
+        graft.runtime.KeyIndex.ensure(s, base, idx, "user_id",
+          buckets = 16)
+      }
+      Seq(1L, 2L, 3L)
+        .map(k => graft.runtime.KeyIndex.lookup(s, idx, k, buckets = 16))
+        .reduce(_.union(_))
+        // The hive partition dir `batch_id=YYYYMMDD` infers as int;
+        // the contract (and the oracle) speak BIGINT batch ids.
+        .select(col("key").as("user_id"),
+          col("batch_id").cast("long").as("batch_id"))
+    }),
     "text_token_topk" -> ((s, dir) => TextOps.tokenTopK(s, dir)),
     // Count-Min sketch next to exact counts — a fixed-width mergeable
     // sketch built from plain aggregates, replayed exactly by the
@@ -548,6 +608,8 @@ object SparkEntry {
       OpsOracles.bpeEncode(graft.text.Bpe.lastLearned.toSeq),
     "table_file_stats" ->
       OpsOracles.tableFileStats(graft.runtime.TableStats.lastDir),
+    "skipscan_orders_date" -> OpsOracles.skipscanOrdersDate,
+    "keyindex_user_batches" -> OpsOracles.keyindexUserBatches,
     "text_token_topk" -> OpsOracles.tokenTopK,
     "sketch_count_min" -> OpsOracles.countMinTopTokens,
     "text_hash_split" -> OpsOracles.hashSplit,

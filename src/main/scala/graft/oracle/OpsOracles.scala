@@ -465,6 +465,34 @@ object OpsOracles {
          |FROM read_blob('$dir/$t.parquet')""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Mirrors skipscan_orders_date: the SAME range predicate over the
+    * FULL orders table — the engine side answers it from the zone-map
+    * pruned file set, so a hash match proves file-level skipping is
+    * exact (no boundary row lost, none duplicated). Integer cents (the
+    * [[graft.tpch.CoreOps]] rule) keep the sum engine-exact. */
+  val skipscanOrdersDate: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_price_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate <= TIMESTAMP '1997-06-30'
+      |GROUP BY 1""".stripMargin
+
+  /** Mirrors keyindex_user_batches: each probed user's distinct daily
+    * batch footprint recomputed from the RAW events table — the engine
+    * side answers it from the md5-bucketed KeyIndex without touching
+    * the table, so a hash match proves the index is a complete and
+    * exact footprint map (build missed no batch, lookup fabricated
+    * none, retry duplication collapsed). */
+  val keyindexUserBatches: String =
+    """SELECT user_id,
+      |  CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS batch_id
+      |FROM events
+      |WHERE user_id IN (1, 2, 3)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors Bpe.encodeStats GIVEN a learned merge table (interpolated
     * from graft.text.Bpe.lastLearned after the query trains — Verify
     * emits oracle_sql.json only after every query has run; training is

@@ -149,7 +149,55 @@ object Forget {
   }
 
   def forgetUser(spark: SparkSession, bronzeDir: String,
-                 warehouseDir: String, userId: Long): Receipt = {
+                 warehouseDir: String, userId: Long): Receipt =
+    forgetImpl(spark, bronzeDir, warehouseDir, userId,
+      bronzeBatches = None)
+
+  /** [[forgetUser]] with the bronze scope answered by a
+    * [[KeyIndex]] instead of a full bronze scan — the 100 TB form.
+    * The un-indexed op's one data-proportional step is finding WHICH
+    * batch partitions hold the user; here that comes from a
+    * bucket-pruned index lookup (metadata-scale), and bronze is only
+    * read inside the partitions that will be rewritten anyway. The
+    * index must be CURRENT: a watermark behind bronze's high
+    * watermark fails loud (a stale index would silently leave the
+    * user's newest batches unpurged — the one failure a compliance op
+    * can never have); run [[KeyIndex.ensure]] first, it is
+    * delta-scoped and cheap. The user's own index entries are purged
+    * last ([[KeyIndex.purgeKey]]) — an index that remembered who was
+    * forgotten would defeat the erasure; ordering it after the data
+    * purge keeps a crash retry able to re-derive the scope.
+    *
+    * The silver/gold steps are unchanged — their scoping scans are
+    * over the already-reduced sessionized surfaces and the same index
+    * scheme could cover them if silver outgrows that. */
+  def forgetUserIndexed(spark: SparkSession, bronzeDir: String,
+                        warehouseDir: String, userId: Long,
+                        indexDir: String = null,
+                        buckets: Int = KeyIndex.DefaultBuckets): Receipt = {
+    val idx = Option(indexDir).getOrElse(KeyIndex.dirFor(bronzeDir))
+    val bronzeHw = Incremental.highWatermark(spark, bronzeDir)
+    val batches: Seq[Any] = bronzeHw match {
+      case None => Seq.empty
+      case Some(hw) =>
+        val wm = KeyIndex.watermark(spark, idx)
+        if (!wm.exists(_ >= hw))
+          sys.error(s"key index at $idx is STALE (indexed watermark " +
+            s"${wm.map(_.toString).getOrElse("none")}, bronze at $hw) " +
+            "— run KeyIndex.ensure first: a stale index would leave " +
+            "the user's newest batches unpurged")
+        KeyIndex.lookup(spark, idx, userId, buckets)
+          .select("batch_id").collect().map(_.get(0)).toIndexedSeq
+    }
+    val receipt = forgetImpl(spark, bronzeDir, warehouseDir, userId,
+      bronzeBatches = Some(batches))
+    KeyIndex.purgeKey(spark, idx, userId, buckets)
+    receipt
+  }
+
+  private def forgetImpl(spark: SparkSession, bronzeDir: String,
+                         warehouseDir: String, userId: Long,
+                         bronzeBatches: Option[Seq[Any]]): Receipt = {
     import spark.implicits._
     val keep: Column = !(col("user_id") <=> lit(userId))
     val silverDir = s"$warehouseDir/silver_sessions"
@@ -190,16 +238,32 @@ object Forget {
         Pipeline.cdcIdOffsetPath(warehouseDir), bumped)
 
     // 1. Bronze: rewrite only the batch partitions holding the user.
+    // The scope comes either from a full scan (the default path) or
+    // from the caller's KeyIndex lookup — in which case bronze is only
+    // ever READ partition-pruned to the batches being rewritten.
     readIfData(spark, bronzeDir).foreach { bronze =>
-      val hit = bronze.filter(!keep)
-      val n = hit.count()
-      receipts += ("bronze" -> n)
-      if (n > 0) {
-        val batches = hit.select(col("batch_id")).distinct()
-          .collect().map(_.get(0)).toIndexedSeq
-        MergeUpsert.replacePartitions(spark, bronzeDir,
-          bronze.filter(col("batch_id").isin(batches: _*) && keep),
-          batches, partitionCol = "batch_id")
+      bronzeBatches match {
+        case Some(batches) =>
+          if (batches.isEmpty) receipts += ("bronze" -> 0L)
+          else {
+            val scoped = bronze.filter(col("batch_id").isin(batches: _*))
+            val n = scoped.filter(!keep).count()
+            receipts += ("bronze" -> n)
+            if (n > 0)
+              MergeUpsert.replacePartitions(spark, bronzeDir,
+                scoped.filter(keep), batches, partitionCol = "batch_id")
+          }
+        case None =>
+          val hit = bronze.filter(!keep)
+          val n = hit.count()
+          receipts += ("bronze" -> n)
+          if (n > 0) {
+            val batches = hit.select(col("batch_id")).distinct()
+              .collect().map(_.get(0)).toIndexedSeq
+            MergeUpsert.replacePartitions(spark, bronzeDir,
+              bronze.filter(col("batch_id").isin(batches: _*) && keep),
+              batches, partitionCol = "batch_id")
+          }
       }
     }
 

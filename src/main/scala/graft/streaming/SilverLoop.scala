@@ -65,12 +65,20 @@ object SilverLoop {
     * asserts that every log consumer stays within k updates of the
     * head; one that falls behind fails loud in
     * `ChangeLog.readSince`, never silently double-reads. */
+  /** `keyIndex`: maintain the bronze user→batch [[graft.runtime
+    * .KeyIndex]] inside the loop (one delta-scoped ensure right after
+    * each bronze append), so the index is ALWAYS current with the high
+    * watermark and [[graft.runtime.Forget.forgetUserIndexed]] — the
+    * 100 TB erasure path, which refuses a stale index — can run
+    * against a live deployment at any quiesced moment without a
+    * catch-up scan first. */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
                     checkpointDir: String,
                     toSilver: DataFrame => DataFrame,
                     availableNow: Boolean = false,
-                    logRetention: Option[Long] = None): StreamingQuery = {
+                    logRetention: Option[Long] = None,
+                    keyIndex: Boolean = false): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("30 seconds")
@@ -81,6 +89,9 @@ object SilverLoop {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         Incremental.appendBatch(spark, bronzeDir, batch, batchId)
+        if (keyIndex)
+          graft.runtime.KeyIndex.ensure(spark, bronzeDir,
+            graft.runtime.KeyIndex.dirFor(bronzeDir), "user_id")
         val wm = Incremental.loadWatermark(spark, watermarkPath)
         // The fold boundary lives in LOG-ID space: entry ids are the
         // bronze endpoint plus the warehouse's durable CDC id offset

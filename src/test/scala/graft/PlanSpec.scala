@@ -571,4 +571,31 @@ class PlanSpec extends SparkSpec {
       sv.contains("n_rows:bigint"), sv)
     assert(!sv.contains("Join") && !sv.contains("HashAggregate"), sv)
   }
+
+  test("skipscan plans only the zone-map surviving files; keyindex " +
+      "lookups prune to their md5 bucket partitions and never touch " +
+      "the base table") {
+    // The file cut happens at PLANNING time (the sidecar picks the
+    // paths before Catalyst sees them), so the honest pin is the
+    // scan's actual file set: a one-year range over the 16-file
+    // clustered layout must read a strict subset, and the residual
+    // range must still push into those files' row groups.
+    val df = SparkEntry.queries("skipscan_orders_date")(spark, dir)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.length < 16,
+      s"expected a pruned file set, got ${df.inputFiles.length}")
+    // (explain truncates the PushedFilters list, so pin the DataFilters
+    // residual — the same conjuncts Catalyst pushed.)
+    val sp = df.queryExecution.explainString(SimpleMode)
+    assert(sp.contains("GreaterThanOrEqual(o_orderdate,") &&
+      sp.contains("(o_orderdate#") && sp.contains(" <= 1997-06-30"), sp)
+
+    // Each of the three probes is a partition-pruned index scan
+    // (bucket = the key's md5 route); the events base table appears
+    // NOWHERE in the plan — the index answers alone.
+    val kp = plan("keyindex_user_batches")
+    assert("PartitionFilters: \\[[^\\]]*bucket#\\d+ = \\d+".r
+      .findAllIn(kp).size == 3, kp)
+    assert(!kp.contains("events.parquet"), kp)
+    assert(!kp.contains("Join"), kp)
+  }
 }

@@ -141,7 +141,25 @@ class SilverLoopSpec extends SparkSpec {
     for (b <- Seq(b1, b2, b3)) { // restart from checkpoint per batch
       stream.addData(b)
       SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
-        wh, wmPath, ckpt, toSilver, availableNow = true).awaitTermination()
+        wh, wmPath, ckpt, toSilver, availableNow = true,
+        keyIndex = true).awaitTermination()
+    }
+
+    // keyIndex = true: the loop keeps the bronze user→batch index
+    // current with the high watermark, so the 100 TB erasure path
+    // could run right now without a catch-up scan.
+    val idx = graft.runtime.KeyIndex.dirFor(bronze)
+    assert(graft.runtime.KeyIndex.watermark(spark, idx) ===
+      graft.runtime.Incremental.highWatermark(spark, bronze))
+    Seq(1L, 2L, 3L).foreach { u =>
+      val got = graft.runtime.KeyIndex.lookup(spark, idx, u)
+        .select(col("batch_id").cast("long")).collect()
+        .map(_.getLong(0)).toSet
+      val exp = spark.read.parquet(bronze)
+        .filter(col("user_id") === u)
+        .select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(got === exp, s"streamed index footprint diverged for u$u")
     }
 
     val fullSilver = toSilver(
