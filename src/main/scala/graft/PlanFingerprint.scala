@@ -69,6 +69,11 @@ object PlanFingerprint {
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=]")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]{4,16}", "@")
+      // NamedLambdaVariable names carry a JVM-GLOBAL ordinal (`lambda
+      // x_5`): any query that allocates lambdas earlier in the battery
+      // shifts every later query's ordinals — same environment-noise
+      // class as expression ids, scrubbed the same way.
+      .replaceAll("lambda x_\\d+", "lambda x_")
     sortCommutative(scrubbed)
   }
 

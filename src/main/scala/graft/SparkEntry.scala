@@ -171,6 +171,12 @@ object SparkEntry {
     // log with an atomically-committed position, served as a scan.
     "cdc_mview_orders_priority" ->
       graft.runtime.ChangeLog.ordersPriorityViewPersisted _,
+    // The NON-distributive twin: per-priority MIN/MAX (no signed fold
+    // can maintain it — a removed row may have been the extreme),
+    // refreshed by touched-group recompute: the log names the touched
+    // groups, the base is re-read only inside them, partition-pruned.
+    "cdc_minmax_orders_priority" ->
+      graft.runtime.ChangeLog.ordersPriorityMinMaxPersisted _,
     // The same persisted-view loop at GOLD grain over the REAL silver
     // session log: a three-update incremental chain (9-column session
     // key, real adds/changes/deletes) maintains a per-country view
@@ -576,6 +582,7 @@ object SparkEntry {
     "cdc_orders_replay" -> OpsOracles.ordersChangeLogReplay,
     "cdc_view_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
     "cdc_mview_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
+    "cdc_minmax_orders_priority" -> OpsOracles.ordersPriorityMinMax,
     "cdc_view_sessions_country" -> OpsOracles.sessionsCountryView,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,

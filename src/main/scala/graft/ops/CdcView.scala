@@ -85,6 +85,24 @@ object CdcView {
         vals.map(c => col(s"$prefix$c").as(c)): _*)
   }
 
+  /** The DISTINCT groups a change-log span touches: the union of the
+    * old images' dims and the new images' dims (a dims-move touches
+    * both its source and destination group). Log-scale by
+    * construction — this is the scoping frame of the NON-distributive
+    * refresh ([[graft.runtime.MaterializedView.refreshByRecompute]]):
+    * aggregates no signed fold can maintain (min/max — a removed row
+    * may have BEEN the extreme) are instead RECOMPUTED from the base,
+    * but only inside these groups; everything the span did not touch
+    * is provably unchanged and never re-read. */
+  def touchedGroups(net: DataFrame, keys: Seq[String],
+                    project: DataFrame => DataFrame,
+                    dims: Seq[String]): DataFrame =
+    project(image(net, keys, "o_", "added"))
+      .select(dims.map(col): _*)
+      .unionByName(project(image(net, keys, "n_", "removed"))
+        .select(dims.map(col): _*))
+      .distinct()
+
   /** The per-group contribution delta of a change-log span: for each
     * group touched by the span, the signed change of `n_rows` and of
     * every measure. `net` is a [[graft.runtime.ChangeLog.netDiff]]

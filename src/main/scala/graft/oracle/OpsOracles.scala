@@ -3369,6 +3369,36 @@ object OpsOracles {
       |FROM n
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersPriorityMinMaxPersisted: the endpoint
+    * per-priority MIN/MAX recomputed from scratch — the engine side
+    * serves the touched-group-recompute-refreshed persisted view, so
+    * a deletion that removed an extreme must have resurfaced the
+    * runner-up exactly. Same endpoint CTE as the sum view. */
+  val ordersPriorityMinMax: String =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-10-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS max_cents,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM n
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
     * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
     * empty-input patch. */

@@ -607,7 +607,8 @@ object ChangeLog {
     graft.sim.AnnIndex.ensure(table) {
       val fs = new Path(table)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(table, logDir(table), mviewDir(table)).foreach { d =>
+      Seq(table, logDir(table), mviewDir(table),
+          minmaxDir(table)).foreach { d =>
         val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
       }
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -639,6 +640,11 @@ object ChangeLog {
       MaterializedView.refresh(s, table, mviewDir(table),
         Seq("o_orderkey"), priorityProject,
         Seq("o_orderpriority"), Seq("cents"))
+      // And the NON-distributive twin (min/max — recompute-refreshed),
+      // seeded at the same pre-history position for the same reason.
+      MaterializedView.refreshByRecompute(s, table, minmaxDir(table),
+        Seq("o_orderkey"), priorityProject, Seq("o_orderpriority"),
+        priorityMinMaxAgg, pruneDim = Some("o_orderpriority"))
       Seq(state1, state2, state3).zipWithIndex.foreach { case (st, i) =>
         recordBatch(s, table, Seq("o_orderkey"), i + 1L)(
           MergeUpsert.replaceAll(s, table, st,
@@ -649,11 +655,23 @@ object ChangeLog {
   }
 
   private def mviewDir(table: String): String = table + "_priority_view"
+  private def minmaxDir(table: String): String =
+    table + "_priority_minmax"
 
   /** Row-local projection both priority-view faces share. */
   private def priorityProject(df: DataFrame): DataFrame =
     df.select(col("o_orderpriority"),
       round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+
+  /** The non-distributive aggregate of the min/max twin — legal here
+    * because [[MaterializedView.refreshByRecompute]] RECOMPUTES
+    * touched groups from the base instead of folding signed deltas
+    * (a removed row may have been the extreme). */
+  private def priorityMinMaxAgg(p: DataFrame): DataFrame =
+    p.groupBy(col("o_orderpriority"))
+      .agg(min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        count(lit(1)).as("n_rows"))
 
   /** Registered face: the [[ensureOrdersHistory]] maintenance history,
     * its accumulated log collapsed with [[netDiff]] and summarized per
@@ -744,6 +762,28 @@ object ChangeLog {
     s.read.parquet(mviewDir(table))
       .select(col("o_orderpriority"), col("cents").as("sum_cents"),
         col("n_rows"))
+  }
+
+  /** Registered face #5: the NON-distributive persisted view — per
+    * priority MIN/MAX cents, which no signed fold can maintain (a
+    * removed order may have carried the extreme), refreshed by
+    * TOUCHED-GROUP RECOMPUTE
+    * ([[MaterializedView.refreshByRecompute]]): the three-batch log
+    * names the touched priority groups, the base is re-read ONLY
+    * inside them (the view dim doubles as the table's partition
+    * column, so the recompute scan is partition-pruned), and the
+    * untouched groups' view rows carry over unrecomputed. The DuckDB
+    * oracle recomputes the endpoint min/max from scratch — deletions
+    * that removed an extreme must resurface the runner-up exactly. */
+  def ordersPriorityMinMaxPersisted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    MaterializedView.refreshByRecompute(s, table, minmaxDir(table),
+      Seq("o_orderkey"), priorityProject, Seq("o_orderpriority"),
+      priorityMinMaxAgg, pruneDim = Some("o_orderpriority"))
+    s.read.parquet(minmaxDir(table))
+      .select(col("o_orderpriority"), col("min_cents"),
+        col("max_cents"), col("n_rows"))
   }
 
   /** Row-local projection of the per-country silver view

@@ -332,4 +332,100 @@ object MaterializedView {
     Incremental.saveWatermark(spark, posPath(viewDir), logHw)
     registered(logHw)
   }
+
+  /** The NON-distributive form: a persisted view whose aggregates no
+    * signed fold can maintain (min/max, exact percentiles, top-k —
+    * a removed row may have BEEN the extreme), refreshed by
+    * TOUCHED-GROUP RECOMPUTE: the log span names the groups whose
+    * contents changed ([[CdcView.touchedGroups]], log-scale), those
+    * groups — and ONLY those — are re-aggregated from the CURRENT
+    * base, and the view swaps to (untouched view rows) ∪ (recomputed
+    * touched rows). Everything the span did not touch is provably
+    * unchanged and never re-read. This is the classic recompute-on-
+    * change answer for non-self-maintainable aggregates, and it is
+    * exactly the path [[CdcView.requireExactMeasures]]'s error message
+    * sends min/max callers to.
+    *
+    * `aggregate` maps the PROJECTED frame (dims + value columns, the
+    * same row-local `project` contract as [[refresh]]) to one row per
+    * dims group, dims columns included — any aggregate is legal here
+    * because the refresh recomputes rather than folds.
+    *
+    * The 100 TB bill is O(log + touched groups' base rows) — but the
+    * base read prunes only if the engine can PUSH the touched-group
+    * restriction into the scan. `pruneDim` names a view dim that
+    * `project` passes through unrenamed from a base PARTITION (or
+    * zone-mapped cluster) column: its touched values (metadata-scale,
+    * ≤ touched groups) become an `isin` partition filter on the base
+    * read, and the residual semi-join on the full dims tuple keeps
+    * exactness when `pruneDim` is coarser than the dims. Without
+    * `pruneDim` the recompute is a full scan filtered by the
+    * semi-join — correct, and honest about costing a scan.
+    *
+    * Unlike the signed-fold forms, this refresh is IDEMPOTENT (the
+    * recompute converges from the current base), so the atomic
+    * `_as_of` commit is needed only to avoid wasted work, not for
+    * correctness — a crash anywhere retries to the same answer. */
+  def refreshByRecompute(spark: SparkSession, tableDir: String,
+                         viewDir: String, keys: Seq[String],
+                         project: DataFrame => DataFrame,
+                         dims: Seq[String],
+                         aggregate: DataFrame => DataFrame,
+                         pruneDim: Option[String] = None): Long = {
+    pruneDim.foreach(p => require(dims.contains(p),
+      s"pruneDim '$p' must be one of the view dims " +
+        dims.mkString("[", ", ", "]")))
+    clearIfInvalid(spark, viewDir)
+    val logHw = Incremental
+      .highWatermark(spark, ChangeLog.logDir(tableDir)).getOrElse(-1L)
+    def persist(v: DataFrame): Unit =
+      MergeUpsert.replaceAll(spark, viewDir,
+        v.withColumn(AsOfCol, lit(logHw))
+          .withColumn(PartCol, lit("all")), partitionCol = PartCol)
+    def registered(pos: Long): Long = {
+      Consumers.register(spark, tableDir, consumerName(viewDir), pos,
+        viewDir = Some(viewDir))
+      pos
+    }
+    def base = spark.read.option("mergeSchema", "true").parquet(tableDir)
+    asOf(spark, viewDir) match {
+      case None =>
+        persist(aggregate(project(base)))
+        registered(logHw)
+      case Some(pos) if pos >= logHw => registered(pos)
+      case Some(pos) =>
+        val span = ChangeLog.readSince(spark, tableDir, Some(pos))
+          .getOrElse(return registered(pos))
+        val touched = CdcView.touchedGroups(
+          ChangeLog.netDiff(span, keys), keys, project, dims)
+          .localCheckpoint() // tiny; reused by prune, semi and anti
+        val scoped = pruneDim match {
+          case Some(p) =>
+            require(base.columns.contains(p),
+              s"pruneDim '$p' is not a base column — pruning needs " +
+                "project to pass it through unrenamed; omit pruneDim " +
+                "to recompute via the (unpruned) semi-join instead")
+            val vals = touched.select(col(p)).distinct()
+              .collect().map(_.get(0)).toIndexedSeq
+            val nonNull = vals.filter(_ != null)
+            val keep = // isin never matches NULL — a null group is real
+              (if (nonNull.nonEmpty) col(p).isin(nonNull: _*)
+               else lit(false)) ||
+                (if (vals.length > nonNull.length) col(p).isNull
+                 else lit(false))
+            base.filter(keep)
+          case None => base
+        }
+        val projected = project(scoped)
+        val recomputed = aggregate(projected.join(touched,
+          dims.map(d => projected(d) <=> touched(d)).reduce(_ && _),
+          "left_semi"))
+        val view = spark.read.parquet(viewDir).drop(AsOfCol).drop(PartCol)
+        val kept = view.join(touched,
+          dims.map(d => view(d) <=> touched(d)).reduce(_ && _),
+          "left_anti")
+        persist(kept.unionByName(recomputed))
+        registered(logHw)
+    }
+  }
 }

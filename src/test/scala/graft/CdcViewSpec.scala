@@ -153,4 +153,82 @@ class CdcViewSpec extends SparkSpec {
     assert(doRefresh(s"$root/v2") === 3L) // at the boundary: fine
     intercept[IllegalArgumentException] { doRefresh(s"$root/v3") }
   }
+
+  test("refreshByRecompute: the non-distributive (min/max) persisted " +
+      "view == recompute across extreme removals, moves and null " +
+      "groups; untouched groups are never in the recompute scope; " +
+      "a re-run is a position no-op") {
+    import graft.runtime.MaterializedView
+    val root = tmpDir("mmview")
+    val dir = s"$root/t"
+    val viewDir = s"$root/v"
+    def land(rows: (Long, Long, String)*): DataFrame =
+      df(rows: _*).withColumn("pt", lit("all"))
+    def minmaxAgg(p: DataFrame): DataFrame =
+      p.groupBy(col("grp"))
+        .agg(min(col("m")).as("min_m"), max(col("m")).as("max_m"),
+          count(lit(1)).as("n_rows"))
+    def minmaxRecompute(d: DataFrame): DataFrame = minmaxAgg(project(d))
+    def doRefresh(): Long =
+      MaterializedView.refreshByRecompute(spark, dir, viewDir,
+        Seq("id"), project, Seq("grp"), minmaxAgg,
+        pruneDim = Some("grp"))
+    def viewNow: DataFrame =
+      spark.read.parquet(viewDir).drop("_as_of", "gv_pt")
+
+    // g9 is NEVER touched by any batch — it must carry over without
+    // entering the recompute scope.
+    val state0 = land((1L, 10L, "g1"), (5L, 50L, "g1"), (2L, 20L, "g2"),
+      (9L, 90L, "g9"))
+    MergeUpsert.replaceAll(spark, dir, state0, partitionCol = "pt")
+    assert(doRefresh() === -1L, "seed stamps the pre-history position")
+    assert(cells(viewNow) === cells(minmaxRecompute(state0)))
+
+    // s1 REMOVES g1's max (id5, m=50) — the runner-up (10) must
+    // resurface, which no signed fold can do. s2 moves id3 to g3 and
+    // adds a NULL group (exercising the null-safe scope paths). s3
+    // rewrites g1's remaining row to a new minimum.
+    val s1 = land((1L, 10L, "g1"), (2L, 20L, "g2"), (3L, 30L, "g2"),
+      (9L, 90L, "g9"))
+    val s2 = land((1L, 10L, "g1"), (2L, 20L, "g2"), (3L, 35L, "g3"),
+      (7L, 70L, null), (9L, 90L, "g9"))
+    val s3 = land((1L, 5L, "g1"), (2L, 20L, "g2"), (3L, 35L, "g3"),
+      (7L, 70L, null), (8L, 80L, null), (9L, 90L, "g9"))
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir, s1, partitionCol = "pt"))
+
+    // s1 REMOVED g1's max (id5, m=50): after the refresh the
+    // runner-up (10) must be the max — the resurfacing no signed fold
+    // can produce, and the reason this view refreshes by recompute.
+    assert(doRefresh() === 1L)
+    assert(cells(viewNow) === cells(minmaxRecompute(s1)))
+    val g1AfterDrop = viewNow.filter(col("grp") === "g1").head()
+    assert(g1AfterDrop.getAs[Long]("max_m") === 10L,
+      "removed extreme must resurface the runner-up")
+
+    Seq(s2 -> 2L, s3 -> 3L).foreach { case (st, i) =>
+      ChangeLog.recordBatch(spark, dir, Seq("id"), i)(
+        MergeUpsert.replaceAll(spark, dir, st, partitionCol = "pt"))
+    }
+    assert(doRefresh() === 3L)
+    assert(cells(viewNow) === cells(minmaxRecompute(s3)),
+      "recompute-refreshed min/max view diverged from the recompute")
+    // The null group is a real group.
+    assert(viewNow.filter(col("grp").isNull).count() === 1L)
+
+    // Scale pin: the span's touched-group scope excludes g9 — the
+    // untouched group's rows were never re-read, they carried over.
+    val touched = CdcView.touchedGroups(
+      ChangeLog.netDiff(ChangeLog.readLog(spark, dir).get, Seq("id")),
+      Seq("id"), project, Seq("grp"))
+      .collect().map(_.getString(0)).toSet
+    assert(!touched.contains("g9"), s"untouched group in scope: $touched")
+    assert(touched.contains(null) && touched.contains("g1"))
+
+    // Idempotent + position-guarded: a re-run with no new entries
+    // changes nothing and keeps the position.
+    assert(doRefresh() === 3L)
+    assert(cells(viewNow) === cells(minmaxRecompute(s3)))
+    assert(MaterializedView.asOf(spark, viewDir).contains(3L))
+  }
 }

@@ -570,6 +570,14 @@ class PlanSpec extends SparkSpec {
     assert(sv.contains("sum_value_cents:bigint") &&
       sv.contains("n_rows:bigint"), sv)
     assert(!sv.contains("Join") && !sv.contains("HashAggregate"), sv)
+    // The non-distributive (min/max) twin serves the same way: its
+    // touched-group recompute happened at refresh time — the
+    // registered query is a bare scan of the persisted view.
+    val mm = plan("cdc_minmax_orders_priority")
+    assert("Scan parquet".r.findAllIn(mm).size == 1, mm)
+    assert(mm.contains("min_cents:bigint") &&
+      mm.contains("max_cents:bigint"), mm)
+    assert(!mm.contains("Join") && !mm.contains("HashAggregate"), mm)
   }
 
   test("skipscan plans only the zone-map surviving files; keyindex " +
