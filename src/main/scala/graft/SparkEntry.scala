@@ -257,6 +257,39 @@ object SparkEntry {
           sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
             .as("sum_price_cents"))
     }),
+    // The Z-ORDER composition: layout_zorder proves the Morton key
+    // derivation; this clusters events BY a WIDTH-MATCHED Morton key
+    // (user's 8 significant bits × day-of-span's 6 — EventOps
+    // .mortonExpr explains why equal 16+16 widths would degenerate to
+    // a time sort) and indexes the raw dimensions in the zone map, so
+    // a range on user_id ALONE prunes files — the multi-dimensional
+    // skipping a 1-D sort cannot give. The oracle answers the same
+    // user range from the raw table.
+    "skipscan_events_zorder" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lay = graft.sim.AnnIndex.dir(s, dir, "skip_events_z")
+      graft.sim.AnnIndex.ensure(lay) {
+        val withZ = graft.ingest.Events.raw(s, dir)
+          .transform(graft.ingest.Events.withTsUs)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            expr("ts_us div 86400000000").as("day_idx"))
+          .withColumn("u8", expr("user_id % 256"))
+          .withColumn("d6", expr("day_idx % 64"))
+          .withColumn("z_value",
+            expr(EventOps.mortonExpr(Seq(("u8", 8), ("d6", 6)))))
+          .drop("u8", "d6")
+        graft.runtime.DataSkipping.cluster(s, withZ, lay,
+          Seq("z_value"), numFiles = 32,
+          statsCols = Seq("user_id", "day_idx"))
+      }
+      graft.runtime.DataSkipping.scan(s, lay, "user_id",
+          lit(3L), lit(7L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100, 0) as bigint)"))
+            .as("sum_value_cents"))
+    }),
     // Key→batch secondary index (runtime/KeyIndex): a bronze-shaped
     // daily-batched copy of events is laid down and indexed ONCE per
     // JVM (md5-bucketed user → batch map); the query probes three
@@ -616,6 +649,7 @@ object SparkEntry {
     "table_file_stats" ->
       OpsOracles.tableFileStats(graft.runtime.TableStats.lastDir),
     "skipscan_orders_date" -> OpsOracles.skipscanOrdersDate,
+    "skipscan_events_zorder" -> OpsOracles.skipscanEventsZorder,
     "keyindex_user_batches" -> OpsOracles.keyindexUserBatches,
     "text_token_topk" -> OpsOracles.tokenTopK,
     "sketch_count_min" -> OpsOracles.countMinTopTokens,

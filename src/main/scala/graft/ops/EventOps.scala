@@ -293,11 +293,38 @@ object EventOps {
     * shuffles), and at write time `repartitionByRange(z)` + sort is the
     * layout job. Bit arithmetic is engine-exact, so the oracle replays
     * every key. */
+  /** Width-matched Morton interleave over prepared non-negative
+    * integer columns (`(column, significant bits)`): bit i of every
+    * column (while it has one) lands at consecutive output positions,
+    * round-robin — one codegen'd integer expression, no UDF. WIDTHS
+    * MATTER: interleaving a 4-bit dimension against a 16-bit one at
+    * equal widths lets the wide dimension's high bits dominate the
+    * key, and the layout degenerates to a 1-D sort on it (measured:
+    * a 16+16 user×hour key over the harness events gave ZERO file
+    * pruning on user ranges — every file's user envelope was the full
+    * domain). Match each width to the dimension's significant bits
+    * and every dimension gets file-bounded envelopes. Total bits must
+    * stay under 62 (long arithmetic). */
+  private[graft] def mortonExpr(cols: Seq[(String, Int)]): String = {
+    require(cols.map(_._2).sum <= 62, "morton key must fit a long")
+    val terms = scala.collection.mutable.Buffer[String]()
+    var pos = 0
+    for (i <- 0 until cols.map(_._2).max; (c, w) <- cols)
+      if (i < w) {
+        terms += s"((shiftright($c, $i) & 1) * ${1L << pos}L)"
+        pos += 1
+      }
+    terms.mkString(" + ")
+  }
+
+  /** The 16+16-bit Morton interleave over prepared `u16`/`h16`
+    * columns ([[zorderKey]]'s registered contract — fixed widths so
+    * the DuckDB oracle replays every key bit-for-bit). */
+  private[graft] val ZTerms: String =
+    mortonExpr(Seq(("u16", 16), ("h16", 16)))
+
   def zorderKey(spark: SparkSession, dir: String): DataFrame = {
-    val terms = (0 until 16).map { i =>
-      s"((shiftright(u16, $i) & 1) * ${1L << (2 * i)}L) + " +
-        s"((shiftright(h16, $i) & 1) * ${1L << (2 * i + 1)}L)"
-    }.mkString(" + ")
+    val terms = ZTerms
     graft.ingest.Events.raw(spark, dir)
       .transform(graft.ingest.Events.withTsUs)
       .select(col("event_id"), col("user_id"),

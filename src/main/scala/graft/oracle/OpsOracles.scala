@@ -480,6 +480,19 @@ object OpsOracles {
       |  AND o_orderdate <= TIMESTAMP '1997-06-30'
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors skipscan_events_zorder: the same user range over the RAW
+    * events table — the engine side answers it from the Z-clustered
+    * layout's zone map (files pruned on the user_id envelope alone),
+    * so a hash match proves multi-dimensional skipping is exact. */
+  val skipscanEventsZorder: String =
+    """SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_value_cents
+      |FROM events
+      |WHERE user_id >= 3 AND user_id <= 7
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors keyindex_user_batches: each probed user's distinct daily
     * batch footprint recomputed from the RAW events table — the engine
     * side answers it from the md5-bucketed KeyIndex without touching

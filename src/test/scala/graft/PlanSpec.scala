@@ -597,6 +597,18 @@ class PlanSpec extends SparkSpec {
     assert(sp.contains("GreaterThanOrEqual(o_orderdate,") &&
       sp.contains("(o_orderdate#") && sp.contains(" <= 1997-06-30"), sp)
 
+    // The Z-clustered layout prunes on user_id ALONE (the second
+    // interleaved dimension) — what a 1-D o_orderdate-style sort
+    // cannot give: a 5-user range must read a strict subset of files.
+    val zdf = SparkEntry.queries("skipscan_events_zorder")(spark, dir)
+    val (zSurv, zTotal) = graft.runtime.DataSkipping.pruneFiles(spark,
+      graft.sim.AnnIndex.dir(spark, dir, "skip_events_z"), "user_id",
+      Some(org.apache.spark.sql.functions.lit(3L)),
+      Some(org.apache.spark.sql.functions.lit(7L)))
+    assert(zSurv.nonEmpty && zSurv.size < zTotal,
+      s"z-layout must prune a narrow user range: ${zSurv.size}/$zTotal")
+    assert(zdf.inputFiles.length === zSurv.size)
+
     // Each of the three probes is a partition-pruned index scan
     // (bucket = the key's md5 route); the events base table appears
     // NOWHERE in the plan — the index answers alone.
