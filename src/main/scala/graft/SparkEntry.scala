@@ -184,6 +184,23 @@ object SparkEntry {
     // aggregate from the full sessionization.
     "cdc_view_sessions_country" ->
       graft.runtime.ChangeLog.sessionsCountryViewPersisted _,
+    // SCD TYPE-2 from the log: every (key, version) validity interval
+    // in one events→intervals pass (ops/Scd2); the oracle re-derives
+    // the four states and intervalizes them independently through a
+    // presence grid, so every boundary — tombstone closes, the
+    // change-then-revert triple, the untouched still-current
+    // baseline — must match exactly.
+    "cdc_scd2_orders" -> graft.runtime.ChangeLog.ordersScd2History _,
+    // Result cache (runtime/ResultCache): Q1 served through the
+    // listing-signature cache — the second serve must HIT (its thunk
+    // fails loud if forced) and the answer is a bare scan of the
+    // materialized result; the oracle recomputes Q1 from scratch.
+    "cache_q1_pricing" -> graft.runtime.ResultCache.q1PricingCached _,
+    // SCD2 consumption: every key probed at every position through the
+    // union+window as-of plan (never a range join); absent keys — not
+    // yet added, or tombstoned — must attach NULL, the case the naive
+    // as-of carry gets wrong. Oracle reads each state directly.
+    "cdc_scd2_asof" -> graft.runtime.ChangeLog.ordersScd2AsOf _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -617,6 +634,9 @@ object SparkEntry {
     "cdc_mview_orders_priority" -> OpsOracles.ordersPriorityViewMaintained,
     "cdc_minmax_orders_priority" -> OpsOracles.ordersPriorityMinMax,
     "cdc_view_sessions_country" -> OpsOracles.sessionsCountryView,
+    "cdc_scd2_orders" -> OpsOracles.ordersScd2,
+    "cache_q1_pricing" -> OpsOracles.q1PricingSummary,
+    "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

@@ -3412,6 +3412,166 @@ object OpsOracles {
       |FROM n
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersScd2History: the SCD2 intervals the
+    * engine builds from the change log, re-derived here WITHOUT a log
+    * — the four deterministic states are materialized, laid on a
+    * key × state presence grid, change points detected with lag
+    * (priority is the only value column the history mutates, so the
+    * image comparison reduces to it), and versions intervalized with
+    * lead over the open/tombstone event sequence. Engine and oracle
+    * must agree on every interval boundary: the baseline's
+    * still-current majority (0 → -1), versions tombstone-closed by
+    * the NOT-SPECIFIED drops, and the 1996 change-then-revert triple
+    * (0 → 2, 2 → 3, 3 → -1 on the same keys). */
+  val ordersScd2: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS tp, o_orderdate AS d,
+      |    o_orderpriority AS p
+      |  FROM orders
+      |),
+      |s0 AS (SELECT k, p, tp FROM src WHERE d < TIMESTAMP '1997-07-01'),
+      |s1 AS (SELECT k, p, tp FROM src WHERE d < TIMESTAMP '1997-10-01'),
+      |s2 AS (
+      |  SELECT k,
+      |    CASE WHEN d >= TIMESTAMP '1997-01-01'
+      |          AND d < TIMESTAMP '1997-10-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         WHEN d >= TIMESTAMP '1996-01-01'
+      |          AND d < TIMESTAMP '1996-04-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         ELSE p END AS p, tp
+      |  FROM src
+      |  WHERE d < TIMESTAMP '1997-10-01'
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-06-01' AND d < TIMESTAMP '1997-07-01')
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-09-01' AND d < TIMESTAMP '1997-10-01')
+      |),
+      |s3 AS (
+      |  SELECT k,
+      |    CASE WHEN d >= TIMESTAMP '1997-01-01'
+      |          AND d < TIMESTAMP '1997-10-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         ELSE p END AS p, tp
+      |  FROM src
+      |  WHERE d < TIMESTAMP '1998-01-01'
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-06-01' AND d < TIMESTAMP '1997-07-01')
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-09-01' AND d < TIMESTAMP '1997-10-01')
+      |),
+      |states AS (
+      |  SELECT CAST(0 AS BIGINT) AS b, * FROM s0
+      |  UNION ALL SELECT CAST(1 AS BIGINT), * FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), * FROM s3
+      |),
+      |ks AS (SELECT DISTINCT k FROM states),
+      |grid AS (
+      |  SELECT ks.k, bb.b FROM ks
+      |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+      |    (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) bb(b)
+      |),
+      |g AS (
+      |  SELECT grid.k, grid.b, states.p, states.tp,
+      |    states.k IS NOT NULL AS present
+      |  FROM grid LEFT JOIN states
+      |    ON grid.k = states.k AND grid.b = states.b
+      |),
+      |ev AS (
+      |  SELECT k, b, p, tp, present,
+      |    lag(present, 1, FALSE) OVER w AS prev_present,
+      |    lag(p) OVER w AS prev_p
+      |  FROM g WINDOW w AS (PARTITION BY k ORDER BY b)
+      |),
+      |events AS (
+      |  SELECT k, b, p, tp, TRUE AS is_open FROM ev
+      |  WHERE present
+      |    AND (NOT prev_present OR p IS DISTINCT FROM prev_p)
+      |  UNION ALL
+      |  SELECT k, b, NULL, NULL, FALSE FROM ev
+      |  WHERE (NOT present) AND prev_present
+      |),
+      |vers AS (
+      |  SELECT k, p, tp, b AS valid_from,
+      |    lead(b) OVER (PARTITION BY k ORDER BY b) AS valid_to, is_open
+      |  FROM events
+      |)
+      |SELECT p AS o_orderpriority, valid_from,
+      |  coalesce(valid_to, CAST(-1 AS BIGINT)) AS valid_to_c,
+      |  CAST(count(1) AS BIGINT) AS n_versions,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+      |  CAST(sum(CAST(round(tp * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM vers WHERE is_open
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Mirrors ChangeLog.ordersScd2AsOf: every key probed at every
+    * position must attach the priority of the STATE at that position
+    * — keys not yet added or already dropped attach NULL. The oracle
+    * skips the intervals entirely and reads each state directly,
+    * so the engine's as-of-through-the-dimension plan must agree
+    * with ground truth, not with its own interval bookkeeping. */
+  val ordersScd2AsOf: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderpriority AS p
+      |  FROM orders
+      |),
+      |s0 AS (SELECT k, p FROM src WHERE d < TIMESTAMP '1997-07-01'),
+      |s1 AS (SELECT k, p FROM src WHERE d < TIMESTAMP '1997-10-01'),
+      |s2 AS (
+      |  SELECT k,
+      |    CASE WHEN d >= TIMESTAMP '1997-01-01'
+      |          AND d < TIMESTAMP '1997-10-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         WHEN d >= TIMESTAMP '1996-01-01'
+      |          AND d < TIMESTAMP '1996-04-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         ELSE p END AS p
+      |  FROM src
+      |  WHERE d < TIMESTAMP '1997-10-01'
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-06-01' AND d < TIMESTAMP '1997-07-01')
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-09-01' AND d < TIMESTAMP '1997-10-01')
+      |),
+      |s3 AS (
+      |  SELECT k,
+      |    CASE WHEN d >= TIMESTAMP '1997-01-01'
+      |          AND d < TIMESTAMP '1997-10-01' AND p = '5-LOW'
+      |          THEN '3-MEDIUM'
+      |         ELSE p END AS p
+      |  FROM src
+      |  WHERE d < TIMESTAMP '1998-01-01'
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-06-01' AND d < TIMESTAMP '1997-07-01')
+      |    AND NOT (p = '4-NOT SPECIFIED'
+      |      AND d >= TIMESTAMP '1997-09-01' AND d < TIMESTAMP '1997-10-01')
+      |),
+      |states AS (
+      |  SELECT CAST(0 AS BIGINT) AS b, * FROM s0
+      |  UNION ALL SELECT CAST(1 AS BIGINT), * FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), * FROM s3
+      |),
+      |allk AS (
+      |  SELECT k FROM src WHERE d < TIMESTAMP '1998-01-01'
+      |),
+      |f AS (
+      |  SELECT allk.k, bb.b FROM allk
+      |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+      |    (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) bb(b)
+      |),
+      |j AS (
+      |  SELECT f.b AS pos, states.p, f.k
+      |  FROM f LEFT JOIN states ON f.k = states.k AND f.b = states.b
+      |)
+      |SELECT pos, p AS o_orderpriority,
+      |  CAST(count(1) AS BIGINT) AS n_keys,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM j GROUP BY 1, 2""".stripMargin
+
   /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
     * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
     * empty-input patch. */

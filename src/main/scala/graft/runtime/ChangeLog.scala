@@ -1,6 +1,6 @@
 package graft.runtime
 
-import graft.ops.TableDiff
+import graft.ops.{Scd2, TableDiff}
 import graft.silver.MergeUpsert
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -852,5 +852,79 @@ object ChangeLog {
     s.read.parquet(s"$root/view_country")
       .select(col("country"), col("n_events"),
         col("sum_value_cents"), col("n_rows"))
+  }
+
+  /** SCD TYPE-2 over the table's accumulated log
+    * ([[graft.ops.Scd2.fromLog]] with the guard the generic builder
+    * delegates here): `basePosition` must sit strictly below every
+    * LIVE entry id — at or past it, baseline versions would collide
+    * with (or follow) logged opens and the interval chain would be
+    * silently wrong. The live ids come from the log's partition
+    * LISTING (metadata-scale, no job). */
+  def scd2(spark: SparkSession, tableDir: String, keys: Seq[String],
+           basePosition: Long): DataFrame = {
+    val log = readLog(spark, tableDir).getOrElse(
+      sys.error(s"no change log under ${logDir(tableDir)} — SCD2 " +
+        "derives history from the log; enable CDC on the table first"))
+    Incremental.batches(spark, logDir(tableDir)).minOption
+      .filter(_ <= basePosition).foreach { lo =>
+        sys.error(s"basePosition $basePosition is not below the " +
+          s"lowest live log entry ($lo): baseline versions must " +
+          "precede every logged change — pass the position the " +
+          "baseline snapshot is AS OF (for a collapsed log, below " +
+          "the collapse boundary is unreachable; re-derive the " +
+          "baseline at the boundary instead)")
+      }
+    Scd2.fromLog(log,
+      spark.read.option("mergeSchema", "true").parquet(tableDir),
+      keys, basePosition)
+  }
+
+  /** Registered face #6: the SCD2 dimension built from the cdc_orders
+    * history — every version interval in one pass over the log. The
+    * summary groups by (priority, valid_from, valid_to) so the DuckDB
+    * oracle — which re-derives the four deterministic states and
+    * intervalizes them independently via a presence grid + change
+    * detection — checks every interval boundary, including the
+    * Sep-1997 add-then-remove (a version closed by a tombstone), the
+    * 1996 change-then-revert (three versions of the same key), and
+    * the untouched baseline majority (open since base, still
+    * current). */
+  def ordersScd2History(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    scd2(s, table, Seq("o_orderkey"), basePosition = 0L)
+      .groupBy(col("o_orderpriority"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_c"))
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** Registered face #7: the SCD2 CONSUMPTION path — every order key
+    * probed at every log position through [[graft.ops.Scd2.joinAsOf]]
+    * (the union+window as-of plan, not a range join), summarized per
+    * (position, attached priority). A key absent at the position —
+    * not yet added, or tombstoned at/before it — must surface as a
+    * NULL dimension image, which is exactly where the naive as-of
+    * carry (last version forever) would get it wrong. The DuckDB
+    * oracle reconstructs each position's attachment from the states
+    * directly. */
+  def ordersScd2AsOf(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    val dim = scd2(s, table, Seq("o_orderkey"), basePosition = 0L)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"))
+    val facts = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"))
+      .withColumn("pos", explode(expr("array(0L, 1L, 2L, 3L)")))
+    Scd2.joinAsOf(facts, dim, Seq("o_orderkey"), "pos")
+      .groupBy(col("pos"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
   }
 }
