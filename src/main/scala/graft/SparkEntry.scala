@@ -201,6 +201,12 @@ object SparkEntry {
     // yet added, or tombstoned — must attach NULL, the case the naive
     // as-of carry gets wrong. Oracle reads each state directly.
     "cdc_scd2_asof" -> graft.runtime.ChangeLog.ordersScd2AsOf _,
+    // The incrementally-maintained SCD2 store (runtime/Scd2Store):
+    // seeded before the batches, extended across the log at
+    // O(entries + touched buckets) — served intervals must be
+    // cell-identical to the from-scratch rebuild (same oracle).
+    "cdc_scd2_store_orders" ->
+      graft.runtime.ChangeLog.ordersScd2StoreHistory _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -637,6 +643,7 @@ object SparkEntry {
     "cdc_scd2_orders" -> OpsOracles.ordersScd2,
     "cache_q1_pricing" -> OpsOracles.q1PricingSummary,
     "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
+    "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

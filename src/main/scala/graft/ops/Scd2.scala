@@ -68,18 +68,44 @@ object Scd2 {
       .filter(c => c.startsWith("o_") && !keys.contains(c))
       .map(_.stripPrefix("o_"))
 
-  /** Build the SCD2 frame from a table's accumulated change log and
-    * its CURRENT snapshot. Output = key columns, the log's value
-    * columns, `valid_from`, `valid_to` (NULL = current),
-    * `is_current`. `basePosition` stamps the pre-log baseline; it
-    * must precede every live entry id. */
-  def fromLog(log: DataFrame, current: DataFrame, keys: Seq[String],
-              basePosition: Long): DataFrame = {
-    val vals = valCols(log, keys)
-    val openFlag = "_scd2_open"
+  /** The open/tombstone marker column of an EVENT frame — the
+    * internal algebra [[fromLog]] and the incremental store
+    * ([[graft.runtime.Scd2Store]]) share. An event is
+    * (keys, vals, valid_from, is_open): opens carry an image,
+    * tombstones null vals. Events are FACTS — append-only, unique per
+    * (keys, valid_from, is_open) — which is what makes every consumer
+    * of the algebra convergent under replay: re-deriving the same
+    * event is a dedup no-op, never a double-apply. */
+  val OpenCol = "is_open"
 
-    // Baseline images of log-touched keys: the FIRST entry's o_* when
-    // that entry is not `added` — one log-scale hash aggregate.
+  /** Log entries → events: every non-`removed` entry opens a version
+    * at its batch with the entry's `n_*` image; every `removed` entry
+    * is a close-only tombstone. No baseline — [[baselineEvents]]. */
+  private[graft] def logEvents(log: DataFrame,
+                               keys: Seq[String]): DataFrame = {
+    val vals = valCols(log, keys)
+    val opens = log.filter(col("diff_status") =!= "removed")
+      .select(keys.map(col) ++ vals.map(c => col(s"n_$c").as(c)) :+
+        col("batch_id").cast("long").as("valid_from") :+
+        lit(true).as(OpenCol): _*)
+    val removals = log.filter(col("diff_status") === "removed")
+      .select(keys.map(col) ++
+        vals.map(c => lit(null).cast(log.schema(s"n_$c").dataType)
+          .as(c)) :+
+        col("batch_id").cast("long").as("valid_from") :+
+        lit(false).as(OpenCol): _*)
+    opens.unionByName(removals)
+  }
+
+  /** Pre-log baseline events at `basePosition`: log-touched keys open
+    * with their FIRST entry's `o_*` image (the state just before the
+    * key's first logged change — one log-scale hash aggregate), and
+    * keys the log never touched open with their CURRENT table image
+    * (an anti-join on the key, co-partitioned with the base). */
+  private[graft] def baselineEvents(log: DataFrame, current: DataFrame,
+                                    keys: Seq[String],
+                                    basePosition: Long): DataFrame = {
+    val vals = valCols(log, keys)
     val firstS = struct(
       (col("diff_status") +: vals.map(c => col(s"o_$c"))): _*)
     val baselineTouched = log
@@ -88,37 +114,41 @@ object Scd2 {
       .filter(col("_first.diff_status") =!= "added")
       .select(keys.map(col) ++
         vals.map(c => col(s"_first.o_$c").as(c)) :+
-        lit(basePosition).as("valid_from") :+ lit(true).as(openFlag): _*)
-
-    // Keys the log never touched: current image, valid since base.
-    // Anti-join on the key — co-partitioned with the base's layout.
+        lit(basePosition).as("valid_from") :+ lit(true).as(OpenCol): _*)
     val untouched = current
       .join(log.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .select(keys.map(col) ++ vals.map(col) :+
-        lit(basePosition).as("valid_from") :+ lit(true).as(openFlag): _*)
+        lit(basePosition).as("valid_from") :+ lit(true).as(OpenCol): _*)
+    baselineTouched.unionByName(untouched)
+  }
 
-    // Log events: opens carry the n_* image; removals are tombstones.
-    val opens = log.filter(col("diff_status") =!= "removed")
-      .select(keys.map(col) ++ vals.map(c => col(s"n_$c").as(c)) :+
-        col("batch_id").as("valid_from") :+ lit(true).as(openFlag): _*)
-    val removals = log.filter(col("diff_status") === "removed")
-      .select(keys.map(col) ++
-        vals.map(c => lit(null).cast(log.schema(s"n_$c").dataType)
-          .as(c)) :+
-        col("batch_id").as("valid_from") :+ lit(false).as(openFlag): _*)
-
-    val events = baselineTouched
-      .unionByName(untouched)
-      .unionByName(opens)
-      .unionByName(removals)
-
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+  /** Events → intervals: ONE window per key ordered by position sets
+    * `valid_to = lead(valid_from)` (a tombstone closes its
+    * predecessor and opens nothing). Tombstone rows are KEPT (with
+    * `is_open = false` and a meaningless interval) — the incremental
+    * store persists them as facts; [[fromLog]] filters them for the
+    * serving shape. */
+  private[graft] def intervalize(events: DataFrame,
+                                 keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("valid_from"))
     events
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-      .filter(col(openFlag))
-      .drop(openFlag)
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current", col(OpenCol) && col("valid_to").isNull)
   }
+
+  /** Build the SCD2 frame from a table's accumulated change log and
+    * its CURRENT snapshot. Output = key columns, the log's value
+    * columns, `valid_from`, `valid_to` (NULL = current),
+    * `is_current`. `basePosition` stamps the pre-log baseline; it
+    * must precede every live entry id. */
+  def fromLog(log: DataFrame, current: DataFrame, keys: Seq[String],
+              basePosition: Long): DataFrame =
+    intervalize(
+      baselineEvents(log, current, keys, basePosition)
+        .unionByName(logEvents(log, keys)), keys)
+      .filter(col(OpenCol))
+      .drop(OpenCol)
 
   /** The consumption face: join facts to the versioned dimension AS OF
     * each fact's position — for every fact row, the dimension version

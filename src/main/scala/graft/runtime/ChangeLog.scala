@@ -608,9 +608,10 @@ object ChangeLog {
       val fs = new Path(table)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(table, logDir(table), mviewDir(table),
-          minmaxDir(table)).foreach { d =>
-        val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
-      }
+          minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos")
+        .foreach { d =>
+          val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
+        }
       val orders = s.read.parquet(s"$dir/orders.parquet")
       def lowToMed(from: String, to: String)(df: DataFrame) =
         df.withColumn("o_orderpriority",
@@ -645,6 +646,11 @@ object ChangeLog {
       MaterializedView.refreshByRecompute(s, table, minmaxDir(table),
         Seq("o_orderkey"), priorityProject, Seq("o_orderpriority"),
         priorityMinMaxAgg, pruneDim = Some("o_orderpriority"))
+      // And the incremental SCD2 store, seeded at the same pre-history
+      // position — its registered refresh must extend the dimension
+      // across the whole three-batch log incrementally.
+      Scd2Store.refresh(s, table, scd2Dir(table), Seq("o_orderkey"),
+        basePosition = 0L)
       Seq(state1, state2, state3).zipWithIndex.foreach { case (st, i) =>
         recordBatch(s, table, Seq("o_orderkey"), i + 1L)(
           MergeUpsert.replaceAll(s, table, st,
@@ -657,6 +663,7 @@ object ChangeLog {
   private def mviewDir(table: String): String = table + "_priority_view"
   private def minmaxDir(table: String): String =
     table + "_priority_minmax"
+  private def scd2Dir(table: String): String = table + "_scd2_store"
 
   /** Row-local projection both priority-view faces share. */
   private def priorityProject(df: DataFrame): DataFrame =
@@ -893,6 +900,29 @@ object ChangeLog {
   def ordersScd2History(s: SparkSession, dir: String): DataFrame = {
     val table = ensureOrdersHistory(s, dir)
     scd2(s, table, Seq("o_orderkey"), basePosition = 0L)
+      .groupBy(col("o_orderpriority"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_c"))
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** Registered face #8: the INCREMENTALLY-MAINTAINED SCD2 store
+    * ([[Scd2Store]]) under the SAME oracle as the from-scratch build
+    * — the store was seeded at state0 before any batch published
+    * (inside [[ensureOrdersHistory]]), so this refresh extends the
+    * dimension across the whole three-batch log at
+    * O(entries + touched buckets), and the served intervals must be
+    * cell-identical to the full [[graft.ops.Scd2.fromLog]] rebuild
+    * the oracle independently re-derives. */
+  def ordersScd2StoreHistory(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    Scd2Store.refresh(s, table, scd2Dir(table), Seq("o_orderkey"),
+      basePosition = 0L)
+    Scd2Store.read(s, scd2Dir(table))
       .groupBy(col("o_orderpriority"), col("valid_from"),
         coalesce(col("valid_to"), lit(-1L)).as("valid_to_c"))
       .agg(count(lit(1)).as("n_versions"),

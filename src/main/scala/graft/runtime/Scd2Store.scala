@@ -1,0 +1,157 @@
+package graft.runtime
+
+import graft.ops.Scd2
+import graft.silver.MergeUpsert
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED, INCREMENTALLY-MAINTAINED SCD2 dimension — the serving
+  * form of [[graft.ops.Scd2]]. `fromLog` rebuilds the whole history
+  * on every call: O(base + log), the honest bill ONCE, and the wrong
+  * bill per refresh at 100 TB. This store pays that bill at seed time
+  * and then keeps the dimension current from the log alone: each
+  * [[refresh]] reads only the entries past its durable position and
+  * rewrites only the key-hash BUCKETS those entries touch —
+  * O(new entries + touched buckets), never O(history).
+  *
+  * What the store persists is the EVENT SET, finalized: version rows
+  * (`is_open = true`, with `valid_to`/`is_current` computed) AND
+  * tombstone rows (`is_open = false`). Tombstones must be stored —
+  * they are the only record that a key's last version was CLOSED by a
+  * removal rather than still current; a store of bare versions would
+  * resurrect every removed key's final image as "current" on the next
+  * per-bucket recompute. [[read]] filters them out of the serving
+  * shape.
+  *
+  * Why the refresh converges (the crash story): events are FACTS —
+  * unique per (keys, valid_from, is_open), append-only, and a key's
+  * interval chain is a pure function of ITS OWN event set (keys are
+  * independent; bucketing by key hash keeps every chain inside one
+  * partition). A refresh therefore recomputes each touched bucket
+  * from (its stored events) ∪ (the span's events), deduplicated —
+  * re-running any prefix or the whole span re-derives the SAME
+  * events, dedups to the same set, and rewrites the bucket to the
+  * same rows. Idempotent like [[MaterializedView.refreshByRecompute]]
+  * (and unlike the signed-fold views, which is why THEY need the
+  * atomic position commit and this store only needs the position
+  * file for work-skipping): the position file is written LAST, and
+  * every crash window retries to the identical state.
+  *
+  * The store registers as a log consumer ([[Consumers]]) at each
+  * committed position, so [[ChangeLog.checkpoint]] can never fold
+  * entries it still owes a read — and a fold WITHIN an already-read
+  * prefix is also safe for the events already stored (they are
+  * facts; collapsing the log does not change what happened).
+  *
+  * Layout: parquet partitioned by `bucket = pmod(xxhash64(keys),
+  * buckets)` — every key's whole chain in exactly one partition, so
+  * a touched-bucket rewrite is complete by construction and a
+  * point-key history lookup prunes to one partition. Buckets default
+  * small (32); at 100 TB size them so a bucket fits an executor's
+  * shuffle partition comfortably — the per-refresh rewrite cost is
+  * (touched buckets / buckets) × |dimension|, the standard
+  * granularity dial. */
+object Scd2Store {
+
+  val DefaultBuckets = 32
+  private val BucketCol = "bucket"
+
+  private def posPath(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_pos"
+
+  private def consumerName(storeDir: String): String =
+    "scd2-" + MaterializedView.consumerName(storeDir).stripPrefix("mview-")
+
+  private def withBucket(df: DataFrame, keys: Seq[String],
+                         buckets: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"))
+
+  /** The serving shape: finalized version rows (tombstones and the
+    * layout column stripped) — keys, value columns, `valid_from`,
+    * `valid_to`, `is_current`. Same columns as
+    * [[graft.ops.Scd2.fromLog]], so [[graft.ops.Scd2.joinAsOf]]
+    * consumes it directly. */
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .filter(col(Scd2.OpenCol)).drop(Scd2.OpenCol).drop(BucketCol)
+
+  /** Seed (first call) or incrementally extend the store from the
+    * change log of the table at `tableDir`. Returns the log position
+    * the store is now current as of. `basePosition` stamps the
+    * pre-log baseline (seed only; it must precede every live entry
+    * id — the [[ChangeLog.scd2]] guard, enforced here the same way). */
+  def refresh(spark: SparkSession, tableDir: String, storeDir: String,
+              keys: Seq[String], basePosition: Long = -1L,
+              buckets: Int = DefaultBuckets): Long = {
+    val ld = ChangeLog.logDir(tableDir)
+    val logHw = Incremental.highWatermark(spark, ld).getOrElse(-1L)
+    def registered(pos: Long): Long = {
+      Consumers.register(spark, tableDir, consumerName(storeDir), pos,
+        viewDir = Some(storeDir))
+      pos
+    }
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(root) && MergeUpsert.sweepAndHasData(fs, root)
+    if (!hasState) {
+      // Seed: the full fromLog event set — the one O(base + log) pass.
+      Incremental.batches(spark, ld).minOption
+        .filter(_ <= basePosition).foreach { lo =>
+          sys.error(s"basePosition $basePosition is not below the " +
+            s"lowest live log entry ($lo) — the ChangeLog.scd2 " +
+            "contract; pass the position the baseline snapshot is " +
+            "AS OF")
+        }
+      val current = spark.read.option("mergeSchema", "true")
+        .parquet(tableDir)
+      val events = ChangeLog.readLog(spark, tableDir) match {
+        case Some(log) =>
+          Scd2.baselineEvents(log, current, keys, basePosition)
+            .unionByName(Scd2.logEvents(log, keys))
+        case None =>
+          // Nothing logged yet: every current row is a baseline open.
+          current.withColumn("valid_from", lit(basePosition))
+            .withColumn(Scd2.OpenCol, lit(true))
+      }
+      MergeUpsert.replaceAll(spark, storeDir,
+        withBucket(Scd2.intervalize(events, keys), keys, buckets),
+        partitionCol = BucketCol)
+      Incremental.saveWatermark(spark, posPath(storeDir), logHw)
+      return registered(logHw)
+    }
+    val pos = Incremental.loadWatermark(spark, posPath(storeDir))
+      .getOrElse(sys.error(s"store at $storeDir has data but no " +
+        s"position file (${posPath(storeDir)}): the file is written " +
+        "with the seed and only ever advances — restore it or " +
+        "re-seed into a fresh directory"))
+    if (pos >= logHw) return registered(pos)
+    val span = ChangeLog.readSince(spark, tableDir, Some(pos))
+      .getOrElse(return registered(pos))
+    val spanEvents = withBucket(Scd2.logEvents(span, keys), keys, buckets)
+      .localCheckpoint() // log-scale; reused for buckets + recompute
+    val touched = spanEvents.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (touched.isEmpty) {
+      Incremental.saveWatermark(spark, posPath(storeDir), logHw)
+      return registered(logHw)
+    }
+    // Recompute ONLY the touched buckets from their stored events ∪
+    // the span's events. The dedup makes a replayed span a no-op:
+    // the same entry re-derives the same (keys, valid_from, is_open)
+    // event. Partition pruning keeps the read to the touched buckets.
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(storeDir)
+      .filter(col(BucketCol).isin(touched: _*))
+      .drop("valid_to", "is_current")
+    val events = stored
+      .unionByName(spanEvents.filter(col(BucketCol).isin(touched: _*)),
+        allowMissingColumns = true)
+      .dropDuplicates(keys :+ "valid_from" :+ Scd2.OpenCol)
+    MergeUpsert.replacePartitions(spark, storeDir,
+      Scd2.intervalize(events, keys), touched, partitionCol = BucketCol)
+    Incremental.saveWatermark(spark, posPath(storeDir), logHw)
+    registered(logHw)
+  }
+}
