@@ -145,6 +145,100 @@ object DataSkipping {
       sys.error(s"zone map publish failed: rename $staging -> $target")
   }
 
+  /** Append `df` into a clustered directory and bring the zone map
+    * with it INCREMENTALLY: only the files this append created are
+    * scanned for stats; every existing file's sidecar row carries
+    * over untouched. This is the write path that keeps the sidecar
+    * honest between reclusters without paying [[buildStats]]'s full
+    * table pass per batch — at 100 TB that pass is the difference
+    * between O(delta) and O(table) per ingest. Appended files carry
+    * whatever envelope the delta has (typically wide on the cluster
+    * key) — pruning stays EXACT, just weaker on the unclustered tail,
+    * until [[recluster]] re-tightens the layout. */
+  def append(spark: SparkSession, df: DataFrame, dir: String,
+             statsCols: Seq[String]): Unit = {
+    df.write.mode("append").parquet(dir)
+    ensureStats(spark, dir, statsCols)
+  }
+
+  /** Reconcile the zone map with the directory's CURRENT listing at
+    * delta cost: stat ONLY the data files the sidecar does not cover
+    * (one scan of those files), drop rows for files that vanished (a
+    * recluster or an external rewrite), leave covered files' rows
+    * byte-identical. Idempotent; a no-op when the sets already match.
+    * Like [[buildStats]], publishes by atomic staging-dir rename. */
+  def ensureStats(spark: SparkSession, dir: String,
+                  statsCols: Seq[String]): Unit = {
+    val filesystem = fs(spark, dir)
+    val zm = new Path(zonemapDir(dir))
+    if (!filesystem.exists(zm)) { buildStats(spark, dir, statsCols); return }
+    val live = dataFiles(spark, dir)
+    val existing = spark.read.parquet(zm.toString)
+    val covered = existing.select("file_name").collect()
+      .map(_.getString(0)).toSet
+    if (covered == live) return
+    val fresh = (live -- covered).toSeq.sorted
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val freshStats =
+      if (fresh.isEmpty) existing.filter(lit(false))
+      else spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+        .groupBy(substring_index(col("_metadata.file_path"), "/", -1)
+          .as("file_name"))
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val next = existing.filter(col("file_name").isin(live.toSeq: _*))
+      .unionByName(freshStats, allowMissingColumns = true)
+      .localCheckpoint() // the swap below deletes the dir being read
+    val staging = new Path(
+      s"$dir/_zonemap.tmp-${java.util.UUID.randomUUID()}")
+    next.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    if (filesystem.exists(zm)) filesystem.delete(zm, true)
+    if (!filesystem.rename(staging, zm))
+      sys.error(s"zone map publish failed: rename $staging -> $zm")
+  }
+
+  /** Re-tighten the layout: full range-recluster of the CURRENT table
+    * into a fresh file set, staged beside the directory and swapped
+    * in whole (old dir → backup, staging → live, drop backup — the
+    * [[graft.silver.MergeUpsert]] rename protocol over the one "flat
+    * partition"), then [[buildStats]] over the new files. O(table) by
+    * design — this is the amortized maintenance pass that pays back
+    * the widening [[append]]s; a mid-swap crash leaves either the old
+    * complete directory (retry re-clusters) or the new one (stale
+    * sidecar fails loud until the final buildStats re-runs — wrong
+    * answers are unreachable either way). */
+  def recluster(spark: SparkSession, dir: String,
+                clusterCols: Seq[String], numFiles: Int,
+                statsCols: Seq[String] = Seq.empty): Unit = {
+    val filesystem = fs(spark, dir)
+    val live = new Path(dir)
+    // Recovery: a crash between the two swap renames leaves the table
+    // absent with its complete old data in the backup — restore it
+    // before planning (the single-writer discipline of every
+    // maintenance op here).
+    val oldBackup = new Path(s"$dir.recluster-backup")
+    if (!filesystem.exists(live) && filesystem.exists(oldBackup))
+      filesystem.rename(oldBackup, live)
+    val staging = new Path(
+      s"$dir.recluster-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(dir)
+      .repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val backup = new Path(s"$dir.recluster-backup")
+    if (filesystem.exists(backup)) filesystem.delete(backup, true)
+    if (!filesystem.rename(live, backup))
+      sys.error(s"recluster swap failed: rename $live -> $backup")
+    if (!filesystem.rename(staging, live)) {
+      filesystem.rename(backup, live) // restore; staging left for GC
+      sys.error(s"recluster swap failed: rename $staging -> $live")
+    }
+    filesystem.delete(backup, true)
+    buildStats(spark, dir,
+      if (statsCols.nonEmpty) statsCols else clusterCols)
+  }
+
   /** The surviving file set for `lo <= column <= hi` (inclusive,
     * either side optional), validated against the live directory —
     * exposed for [[scan]] and for specs that pin the pruning itself.

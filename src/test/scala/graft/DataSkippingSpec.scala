@@ -135,4 +135,76 @@ class DataSkippingSpec extends SparkSpec {
       assert(got.count() === 8L * 32L)
     }
   }
+
+  test("append maintains the sidecar incrementally: old rows carry " +
+      "over byte-identical, pruning stays exact over the mixed " +
+      "layout, and recluster re-tightens it") {
+    val dir = freshOrdersLayout()
+    val zmBefore = spark.read.parquet(s"$dir/_zonemap")
+      .collect().map(_.toString).toSet
+
+    // Append an unclustered delta (a wide-envelope tail file).
+    val delta = spark.read.parquet(s"$sf/orders.parquet").limit(500)
+    DataSkipping.append(spark, delta.coalesce(1), dir,
+      Seq("o_orderdate"))
+    val zmAfter = spark.read.parquet(s"$dir/_zonemap")
+    assert(zmAfter.count() === 9, "8 clustered files + 1 appended")
+    assert(zmBefore.subsetOf(
+      zmAfter.collect().map(_.toString).toSet),
+      "covered files' stats rows must carry over untouched")
+
+    // Pruning over the mixed layout: still EXACT (the tail file
+    // survives every in-envelope range — weaker, never wrong).
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-09-30").cast("timestamp")
+    val got = DataSkipping.scan(spark, dir, "o_orderdate", lo, hi)
+    // Materialized: the recluster below replaces the files this lazy
+    // plan would otherwise re-list.
+    val exp = spark.read.parquet(dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .localCheckpoint()
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "mixed-layout pruned scan diverged")
+    val (mixedSurvive, mixedTotal) = DataSkipping.pruneFiles(spark,
+      dir, "o_orderdate", Some(lo), Some(hi))
+    assert(mixedTotal === 9)
+
+    // Recluster: full re-layout, fresh sidecar, tighter than mixed.
+    DataSkipping.recluster(spark, dir, Seq("o_orderdate"),
+      numFiles = 8)
+    val (tight, total) = DataSkipping.pruneFiles(spark, dir,
+      "o_orderdate", Some(lo), Some(hi))
+    assert(total === 8)
+    assert(tight.size < mixedSurvive.size,
+      s"recluster must re-tighten: $tight vs mixed $mixedSurvive")
+    val got2 = DataSkipping.scan(spark, dir, "o_orderdate", lo, hi)
+    assert(got2.exceptAll(exp).isEmpty && exp.exceptAll(got2).isEmpty,
+      "post-recluster scan diverged (delta rows included)")
+    assert(got2.count() === exp.count())
+
+    // ensureStats is an idempotent no-op on a reconciled directory.
+    val snap = spark.read.parquet(s"$dir/_zonemap")
+      .collect().map(_.toString).toSet
+    DataSkipping.ensureStats(spark, dir, Seq("o_orderdate"))
+    assert(spark.read.parquet(s"$dir/_zonemap")
+      .collect().map(_.toString).toSet === snap)
+  }
+
+  test("recluster recovery: a crash between the swap renames restores " +
+      "the complete old table on the next call") {
+    val dir = freshOrdersLayout()
+    val expect = spark.read.parquet(dir).count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate the window: live renamed to backup, new layout never
+    // landed.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.recluster-backup")))
+    DataSkipping.recluster(spark, dir, Seq("o_orderdate"), numFiles = 4)
+    assert(spark.read.parquet(dir).count() === expect)
+    val (_, total) = DataSkipping.pruneFiles(spark, dir, "o_orderdate",
+      Some(lit("1996-07-01").cast("timestamp")),
+      Some(lit("1996-09-30").cast("timestamp")))
+    assert(total === 4, "recovered table re-clustered to the new layout")
+  }
 }
