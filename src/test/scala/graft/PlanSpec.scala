@@ -618,4 +618,42 @@ class PlanSpec extends SparkSpec {
     assert(!kp.contains("events.parquet"), kp)
     assert(!kp.contains("Join"), kp)
   }
+
+  test("SCD2 builds in ONE window pass (never a range join), the " +
+      "as-of consumption is one more window, and the cached result " +
+      "serves as a bare scan") {
+    // The dimension build: exactly one Window (the lead interval
+    // close), one log scan + one base scan (the baseline anti-join
+    // side) + one more log scan for the untouched-keys key set — and
+    // no join shape that could blow up per key.
+    val sp = plan("cdc_scd2_orders")
+    assert("Window".r.findAllIn(sp).size == 1, sp)
+    assert(sp.contains("LeftAnti"), sp)
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"), sp)
+
+    // Consumption: the fact probe rides AsOfJoin's union + ONE more
+    // window — a valid_from <= pos AND pos < valid_to range join
+    // would appear as a nested-loop/cartesian here.
+    val ap = plan("cdc_scd2_asof")
+    assert("Window".r.findAllIn(ap).size == 2, ap) // intervals + as-of
+    assert(!ap.contains("CartesianProduct") &&
+      !ap.contains("BroadcastNestedLoopJoin"), ap)
+
+    // The incremental store serves as a filtered scan of the bucketed
+    // table — its refresh happened before the frame was built; no
+    // window, no join, no base-table re-read in the served plan.
+    val stp = plan("cdc_scd2_store_orders")
+    assert("Scan parquet".r.findAllIn(stp).size == 1, stp)
+    assert(!stp.contains("Window") && !stp.contains("Join"), stp)
+
+    // Result cache hit: ONE scan, zero joins, zero pre-aggregation —
+    // the q1 aggregates were materialized at serve time; only the
+    // registered summary's own GROUP BY remains... which for this
+    // face is none: the cached frame IS the answer.
+    val cp = plan("cache_q1_pricing")
+    assert("Scan parquet".r.findAllIn(cp).size == 1, cp)
+    assert(cp.contains("sum_qty") && !cp.contains("lineitem"), cp)
+    assert(!cp.contains("Join") && !cp.contains("HashAggregate"), cp)
+  }
 }
