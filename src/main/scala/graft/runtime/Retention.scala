@@ -63,6 +63,50 @@ object Retention {
     def total: Long = expired.map(_._2).sum
   }
 
+  /** Durable scope of the pending key-index reconcile — written
+    * before the bronze rewrites erase the evidence of which batches
+    * were touched, cleared only after the index rewrite lands. */
+  private def pendingBatchesPath(warehouseDir: String) =
+    new Path(s"$warehouseDir/retention_pending/batches")
+
+  private def savePendingBatches(spark: SparkSession,
+                                 warehouseDir: String,
+                                 batches: Seq[Long]): Unit = {
+    val p = pendingBatchesPath(warehouseDir)
+    val tmp = new Path(p.toString + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(batches.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  private def loadPendingBatches(spark: SparkSession,
+                                 warehouseDir: String): Seq[Long] = {
+    val p = pendingBatchesPath(warehouseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+  }
+
+  private def clearPendingBatches(spark: SparkSession,
+                                  warehouseDir: String): Unit = {
+    val p = pendingBatchesPath(warehouseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   private def readIfData(spark: SparkSession,
                          dir: String): Option[DataFrame] = {
     val p = new Path(dir)
@@ -77,8 +121,9 @@ object Retention {
     * `to_date(ts)`; silver and the golds by their `datetime`
     * partition column. */
   def expireBefore(spark: SparkSession, bronzeDir: String,
-                   warehouseDir: String,
-                   cutoff: java.sql.Date): Receipt = {
+                   warehouseDir: String, cutoff: java.sql.Date,
+                   keyIndexCol: Option[String] = Some("user_id"))
+      : Receipt = {
     val receipts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val silverDir = s"$warehouseDir/silver_sessions"
     val userGoldDir = s"$warehouseDir/gold_user_daily"
@@ -115,17 +160,29 @@ object Retention {
     // 1./2. Bronze and quarantine (batch_id-partitioned, raw-event
     // shaped): batches wholly old delete; straddlers rewrite in place
     // keeping young rows — batch ids never move.
-    def expireBatched(dir: String, name: String): Unit =
-      readIfData(spark, dir).foreach { t =>
+    def expireBatched(dir: String, name: String): Seq[Long] =
+      readIfData(spark, dir).map { t =>
         val perBatch = t.groupBy(col("batch_id"))
           .agg(sum(when(old, 1L).otherwise(0L)).as("n_old"),
             count(lit(1)).as("n_all"))
           .filter(col("n_old") > 0)
-          .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+          .collect()
+          .map(r => (r.get(0).toString.toLong, r.getLong(1),
+            r.getLong(2)))
         receipts += (name -> perBatch.map(_._2).sum)
         val whole = perBatch.filter(b => b._2 == b._3).map(_._1).toSeq
         val straddle = perBatch.filterNot(b => b._2 == b._3)
           .map(_._1).toSeq
+        // The index-reconcile scope persists DURABLY before the
+        // rewrites erase the evidence (the Forget pendingDates
+        // pattern): a crash after the bronze rewrite but before the
+        // index rewrite would otherwise leave a retry with no way to
+        // know which batches' pairs went stale.
+        if (dir == bronzeDir && keyIndexCol.isDefined &&
+            (whole ++ straddle).nonEmpty)
+          savePendingBatches(spark, warehouseDir,
+            (loadPendingBatches(spark, warehouseDir) ++ whole ++
+              straddle).distinct)
         if (whole.nonEmpty)
           MergeUpsert.replacePartitions(spark, dir,
             t.filter(lit(false)), whole, partitionCol = "batch_id")
@@ -133,9 +190,49 @@ object Retention {
           MergeUpsert.replacePartitions(spark, dir,
             t.filter(col("batch_id").isin(straddle: _*) && !old),
             straddle, partitionCol = "batch_id")
-      }
+        whole ++ straddle
+      }.getOrElse(Seq.empty)
     expireBatched(bronzeDir, "bronze")
     expireBatched(quarDir, "quarantine_events")
+
+    // Bronze's key index, when one is maintained ([[KeyIndex]],
+    // `SilverLoop(keyIndex)`): its (key, batch) pairs for expired
+    // batches are now stale — harmless to lookups (a pruned read of a
+    // dropped partition is empty), but unbounded growth AND retained
+    // personal data: a user whose every row expired would stay
+    // enumerable from the index. Rewrite it once — drop pairs of the
+    // touched batches, re-derive pairs from the touched batches'
+    // CURRENT (post-rewrite) partitions, so straddlers' survivors
+    // re-enter and expired-only users leave. Scope comes from the
+    // durable sidecar, so a crash-interrupted run reconciles on
+    // retry. O(index + touched partitions); the index watermark is
+    // untouched (it bounds batch IDS, which never moved).
+    // `keyIndexCol` names the indexed key (None skips the index).
+    keyIndexCol.foreach { keyCol =>
+      val idxDir = KeyIndex.dirFor(bronzeDir)
+      val touched = loadPendingBatches(spark, warehouseDir)
+      if (touched.nonEmpty && readIfData(spark, idxDir).isDefined) {
+        val idx = spark.read.parquet(idxDir)
+        val dropped = idx.filter(col("batch_id").isin(touched: _*))
+          .count()
+        receipts += ("bronze_keyindex_pairs" -> dropped)
+        if (dropped > 0) {
+          val kept = idx.filter(!col("batch_id").isin(touched: _*))
+            .select(col("key"), col("batch_id"), col("bucket"))
+          val rederived = readIfData(spark, bronzeDir)
+            .map(_.filter(col("batch_id").isin(touched: _*))
+              .select(col(keyCol).as("key"), col("batch_id"))
+              .distinct()
+              .withColumn("bucket",
+                expr(KeyIndex.bucketExpr("key",
+                  KeyIndex.DefaultBuckets))))
+            .getOrElse(kept.filter(lit(false)))
+          MergeUpsert.replaceAll(spark, idxDir,
+            kept.unionByName(rederived), partitionCol = "bucket")
+        }
+      }
+      clearPendingBatches(spark, warehouseDir)
+    }
 
     // 3. Silver and the user gold (datetime-partitioned, row-image
     // logs): delete the expired date partitions, PURGE the expired

@@ -94,6 +94,18 @@ object Scd2Store {
     }
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Compliance invalidation: [[Forget.forgetUser]] and
+    // [[Retention.expireBefore]] PURGE the logs this store derives
+    // from and mark every registered consumer invalid — and an SCD2
+    // store is the worst possible place to miss that signal: it
+    // persists HISTORICAL row images, so a purged user's versions
+    // would keep serving from here forever. Honor the marker by
+    // discarding the state and re-seeding from the (already purged)
+    // base + log.
+    if (MaterializedView.isInvalid(spark, storeDir)) {
+      fs.delete(root, true)
+      fs.delete(new Path(posPath(storeDir)), false)
+    }
     val hasState = fs.exists(root) && MergeUpsert.sweepAndHasData(fs, root)
     if (!hasState) {
       // Seed: the full fromLog event set — the one O(base + log) pass.

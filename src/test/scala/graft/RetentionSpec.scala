@@ -69,6 +69,17 @@ class RetentionSpec extends SparkSpec {
       viewProject, Seq("country"), Seq("n_events", "sum_value_cents"))
     refreshView()
 
+    // A maintained bronze key index: retention must reconcile it —
+    // stale pairs are unbounded growth AND retained personal data.
+    val idxDir = graft.runtime.KeyIndex.dirFor(bronze)
+    graft.runtime.KeyIndex.ensure(spark, bronze, idxDir, "user_id")
+    // A user whose EVERY event is pre-cutoff must leave the index.
+    val expiredOnly = spark.read.parquet(bronze)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"))
+      .filter(col("last_d") < lit(cutoff))
+      .select(col("user_id")).head(1).headOption.map(_.getLong(0))
+
     val episodeDir = s"$wh/gold_episode_daily"
     val preEpisode = spark.read.parquet(episodeDir).localCheckpoint()
     val retainedBefore = cells(spark.read.parquet(episodeDir)
@@ -103,6 +114,24 @@ class RetentionSpec extends SparkSpec {
         .filter(col("datetime") < lit(cutoff)).isEmpty,
         s"$t log must not keep expired images")
     }
+
+    // (1b) The key index reconciled: no pairs to the dropped batch,
+    // straddler pairs only for users with surviving rows, the
+    // expired-only user's key gone, watermark intact.
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.filter(col("batch_id") === 1L).isEmpty,
+      "pairs to the dropped batch must leave the index")
+    val survivors = spark.read.parquet(bronze)
+      .filter(col("batch_id") === 2L).select(col("user_id")).distinct()
+    assert(idx.filter(col("batch_id") === 2L)
+      .join(survivors, col("key") === col("user_id"), "left_anti")
+      .isEmpty, "straddler pairs must re-derive from surviving rows")
+    expiredOnly.foreach { u =>
+      assert(idx.filter(col("key") === lit(u)).isEmpty,
+        s"expired-only user $u must not stay enumerable in the index")
+    }
+    assert(graft.runtime.KeyIndex.watermark(spark, idxDir)
+      .contains(3L), "index watermark bounds batch ids — untouched")
 
     // (2) Retained partitions byte-untouched (values identical).
     assert(cells(spark.read.parquet(episodeDir)) === retainedBefore,

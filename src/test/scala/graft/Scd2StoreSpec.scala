@@ -111,6 +111,45 @@ class Scd2StoreSpec extends SparkSpec {
       cells(rebuild(dir).drop("pt")), "after the single-key batch")
   }
 
+  test("compliance invalidation: a purge that marks the store " +
+      "invalid forces a re-seed — the purged key's version history " +
+      "stops serving") {
+    val base = tmpDir("scd2store-forget")
+    val dir = s"$base/t"
+    val store = s"$base/store"
+    MergeUpsert.replaceAll(spark, dir, df(s0: _*), partitionCol = "pt")
+    Seq(s1, s2, s3).zipWithIndex.foreach { case (st, i) =>
+      ChangeLog.recordBatch(spark, dir, Seq("id"), i + 1L)(
+        MergeUpsert.replaceAll(spark, dir, df(st: _*),
+          partitionCol = "pt"))
+    }
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L)
+    assert(Scd2Store.read(spark, store)
+      .filter(col("id") === 2L).count() === 2L,
+      "id 2 has two versions pre-purge")
+
+    // The Forget/Retention move: erase key 2 from table + log, mark
+    // every registered consumer invalid.
+    val keep = !(col("id") <=> lit(2L))
+    MergeUpsert.replaceAll(spark, dir,
+      spark.read.parquet(dir).filter(keep), partitionCol = "pt")
+    ChangeLog.purge(spark, dir, keep)
+    Consumers.list(spark, dir).flatMap(_.viewDir)
+      .foreach(graft.runtime.MaterializedView.invalidate(spark, _))
+    assert(graft.runtime.MaterializedView.isInvalid(spark, store))
+
+    // The next refresh re-seeds from the purged base + log: key 2's
+    // HISTORICAL IMAGES are gone — the one failure a version store
+    // cannot have after an erasure.
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L)
+    assert(Scd2Store.read(spark, store)
+      .filter(col("id") === 2L).isEmpty,
+      "purged key's versions must stop serving")
+    assert(cells(Scd2Store.read(spark, store).drop("pt")) ===
+      cells(rebuild(dir).drop("pt")),
+      "re-seeded store == rebuild over the purged history")
+  }
+
   test("store with data but no position file fails loud") {
     val base = tmpDir("scd2store-nopos")
     val dir = s"$base/t"
