@@ -355,6 +355,61 @@ object Pipeline {
     d.watermark
   }
 
+  /** LOGIC-CHANGE REPROCESS over a logged warehouse — the non-blind
+    * full recompute the cdc_guard's refusal points to. `runDaily`
+    * refuses to full-recompute a logged warehouse because rewriting
+    * tables without publishing the delta breaks every consumer's
+    * replay contract; retiring the logs costs every consumer a
+    * re-seed. This is the third way: re-consume ALL of bronze through
+    * the incremental chain (watermark = None) so every table
+    * converges to the new logic's answer AND publishes what changed
+    * as ordinary log entries — consumers replay/refresh across the
+    * logic change with no re-seed.
+    *
+    * The one discipline a reprocess needs beyond `watermark = None`
+    * is a FRESH id: the chain already published an entry at the
+    * current endpoint id, and [[ChangeLog.recordBatch]] would read a
+    * same-producer re-publish at that id as a crash retry — keeping
+    * the OLD entry and silently dropping the logic change's delta
+    * (the exact loss mode the keep-entry rule exists to prevent on
+    * real retries). So the warehouse's durable CDC id offset bumps
+    * past every published entry first, and the reprocess lands at
+    * ids strictly after the history it revises. Ids stay monotonic;
+    * `readSince` consumers see the change as one more span.
+    *
+    * Use it for: a cleanse-rule fix, a sessionization-parameter
+    * change (`asOfUs`), any logic revision that must propagate
+    * through a logged warehouse. Cost: one full bronze re-consume —
+    * O(bronze), the honest bill of a logic change; the publication
+    * rides the same scoped diffs as every incremental update.
+    * Crash-retry: the offset bump is durable-first, so a retry
+    * re-runs under the SAME fresh ids and converges through the
+    * normal recordBatch retry protocol. */
+  def reprocessPublishing(spark: SparkSession, bronzeDir: String,
+                          warehouseDir: String,
+                          asOfUs: Long = Events.AsOfUs,
+                          onFailure: (String, Throwable) => Unit =
+                            (_, _) => (),
+                          toSilver: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame = null)
+      : Option[Long] = {
+    val bronzeHw = Incremental.highWatermark(spark, bronzeDir)
+      .getOrElse(return None) // nothing ingested — nothing to reprocess
+    val idOffset = cdcIdOffset(spark, warehouseDir)
+    val logHwMax = (0L +: loggedTables.map { case (t, _) =>
+      Incremental.highWatermark(spark,
+        ChangeLog.logDir(s"$warehouseDir/$t")).getOrElse(0L)
+    }).max
+    val needed = 1L + math.max(bronzeHw + idOffset, logHwMax)
+    val bumped = needed - bronzeHw
+    if (bumped > idOffset)
+      Incremental.saveWatermark(spark, cdcIdOffsetPath(warehouseDir),
+        bumped)
+    runDailyIncremental(spark, bronzeDir, warehouseDir,
+      watermark = None, asOfUs = asOfUs, onFailure = onFailure,
+      toSilver = toSilver)
+  }
+
   /** The warehouse's durable CDC id-offset file: log-entry ids for
     * every [[loggedTables]] log are `bronze endpoint + offset`. The
     * offset exists for exactly one reason — to keep the id space of
