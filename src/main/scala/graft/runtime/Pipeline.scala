@@ -99,7 +99,9 @@ object Pipeline {
           s"$warehouseDir/$t has a CDC change log: a full recompute " +
             "would rewrite the table without publishing its delta, " +
             "breaking every log consumer's replay contract — run " +
-            "runDailyIncremental, or retire the log first (re-seed " +
+            "runDailyIncremental; for a LOGIC change, " +
+            "reprocessPublishing (full re-consume that publishes the " +
+            "delta at fresh ids); or retire the log (re-seed " +
             "consumers from a snapshot, then collapse/delete it)")
       }
     }
