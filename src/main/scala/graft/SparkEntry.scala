@@ -207,6 +207,12 @@ object SparkEntry {
     // cell-identical to the from-scratch rebuild (same oracle).
     "cdc_scd2_store_orders" ->
       graft.runtime.ChangeLog.ordersScd2StoreHistory _,
+    // Time travel from the log (ChangeLog.snapshotAt): position 1's
+    // never-stored snapshot reconstructed from the CURRENT table +
+    // the later entries' pre-images — O(current + distance), the
+    // merge-maintained twin of Incremental.readAsOf.
+    "cdc_snapshot_at_orders" ->
+      graft.runtime.ChangeLog.ordersSnapshotAt1 _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -644,6 +650,7 @@ object SparkEntry {
     "cache_q1_pricing" -> OpsOracles.q1PricingSummary,
     "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
     "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
+    "cdc_snapshot_at_orders" -> OpsOracles.ordersSnapshotAt1,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

@@ -3572,6 +3572,20 @@ object OpsOracles {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM j GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors ChangeLog.ordersSnapshotAt1: the time-travel
+    * reconstruction of position 1 — state1 is simply the source
+    * filtered to its date horizon (no transforms had happened yet),
+    * computed here directly; the engine must UNWIND batches 2 and 3
+    * from the current table using only the log's pre-images. */
+  val ordersSnapshotAt1: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(1) AS BIGINT) AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors SubqueryOps.scalarCountBug: the literal correlated scalar
     * COUNT — DuckDB's decorrelation must make the same 0-not-NULL
     * empty-input patch. */

@@ -331,6 +331,54 @@ object ChangeLog {
       }
     }
 
+  /** TIME TRAVEL over a merge-maintained table, from the log alone:
+    * reconstruct the table's snapshot AS OF position `pos` (the state
+    * after entry `pos` published, before `pos + 1`) out of the
+    * CURRENT table and the entries SINCE `pos` — no stored snapshots,
+    * no replay-from-origin. [[Incremental.readAsOf]] answers this for
+    * batch-append layouts (bronze, the logs themselves); a
+    * merge-maintained table rewrites partitions in place and has no
+    * multi-version storage — but its log carries every o_ pre-image,
+    * so the inverse reconstruction is one log-scale aggregate plus
+    * one co-partitioned anti-join:
+    *
+    *  - keys untouched since `pos` carry their CURRENT image;
+    *  - a touched key's image at `pos` is its FIRST later entry's
+    *    `o_*` (the state just before its first post-`pos` change) —
+    *    and `added` there means the key did not exist at `pos`.
+    *
+    * O(current + log since pos) — the bill grows with the DISTANCE
+    * travelled, not with history depth. `pos` must be at/past the
+    * collapse boundary ([[readSince]] fails loud behind it: those
+    * pre-images were folded). Under additive schema evolution the
+    * reconstruction lands in the union schema (pre-evolution images
+    * carry NULL for later columns — the same contract as
+    * [[netDiff]]/[[replay]]). Columns are the LOG's keys + values:
+    * exactly the surface the log can faithfully reconstruct. */
+  def snapshotAt(spark: SparkSession, tableDir: String,
+                 keys: Seq[String], pos: Long): DataFrame = {
+    val current = spark.read.option("mergeSchema", "true")
+      .parquet(tableDir)
+    val span = readSince(spark, tableDir, Some(pos)).getOrElse(
+      sys.error(s"no change log under ${logDir(tableDir)} — " +
+        "snapshotAt reconstructs history from the log; enable CDC " +
+        "on the table first"))
+    val vals = valCols(span, keys)
+    val firstS = struct(
+      (col("diff_status") +: vals.map(c => col(s"o_$c"))): _*)
+    val first = span.groupBy(keys.map(col): _*)
+      .agg(min_by(firstS, col("batch_id")).as("_first"))
+      .localCheckpoint() // log-scale; feeds both the anti-join and restore
+    val untouched = current
+      .join(first.select(keys.map(col): _*), keys, "left_anti")
+      .select(keys.map(col) ++ vals.map(col): _*)
+    val restored = first
+      .filter(col("_first.diff_status") =!= "added")
+      .select(keys.map(col) ++
+        vals.map(c => col(s"_first.o_$c").as(c)): _*)
+    untouched.unionByName(restored, allowMissingColumns = true)
+  }
+
   /** Watermark-safe retention: fold every entry with
     * `batch_id <= upToBatch` into ONE net base entry at `upToBatch`
     * (via [[netDiff]] — a reverted change nets out, an added-then-
@@ -908,6 +956,25 @@ object ChangeLog {
           .as("sum_cents"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** Registered face #9: TIME TRAVEL from the log — the cdc_orders
+    * table rewound to position 1 ([[snapshotAt]]): the batch-2
+    * re-prioritizations and drops and the batch-3 additions must all
+    * UNWIND (their first-later-entry `o_` images restore; `added`
+    * keys leave), while rows no later batch touched carry their
+    * current images. The DuckDB oracle computes state1 independently
+    * from the source — position 1's snapshot, never stored, must
+    * reappear exactly. */
+  def ordersSnapshotAt1(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    snapshotAt(s, table, Seq("o_orderkey"), pos = 1L)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        countDistinct(col("o_custkey")).as("n_cust"))
   }
 
   /** Registered face #8: the INCREMENTALLY-MAINTAINED SCD2 store

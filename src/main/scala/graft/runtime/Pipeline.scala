@@ -433,6 +433,27 @@ object Pipeline {
     Incremental.loadWatermark(spark, cdcIdOffsetPath(warehouseDir))
       .getOrElse(0L)
 
+  /** CONSISTENT CROSS-TABLE TIME TRAVEL: the warehouse's logged
+    * tables, each reconstructed AS OF log position `pos`
+    * ([[ChangeLog.snapshotAt]]). Consistency is free by construction:
+    * every chain update publishes ALL tables' entries under ONE id
+    * (the bronze endpoint + offset), so a single `pos` names the same
+    * update boundary in every log — the returned map is the warehouse
+    * exactly as update `pos` left it, even while a later update is
+    * mid-flight. The other half of the snapshot story:
+    * [[Incremental.readAsOf]] covers the batch-append layouts
+    * (bronze, quarantine), this covers the merge-maintained ones.
+    * Tables without a log (or not yet created) are omitted — absent,
+    * not empty. */
+  def warehouseAt(spark: SparkSession, warehouseDir: String,
+                  pos: Long): Map[String, org.apache.spark.sql.DataFrame] =
+    loggedTables.flatMap { case (t, keys) =>
+      val dir = s"$warehouseDir/$t"
+      if (ChangeLog.readLog(spark, dir).isDefined)
+        Some(t -> ChangeLog.snapshotAt(spark, dir, keys, pos))
+      else None
+    }.toMap
+
   /** The incremental chain's CDC-logged tables and their row keys —
     * one source of truth shared by the collapse hook and any consumer
     * that tails the logs. (The sketch gold logs at its CONTRACT grain:
