@@ -213,6 +213,12 @@ object SparkEntry {
     // merge-maintained twin of Incremental.readAsOf.
     "cdc_snapshot_at_orders" ->
       graft.runtime.ChangeLog.ordersSnapshotAt1 _,
+    // Bounded-window net change (ChangeLog.changesBetween): what a
+    // position-1 consumer applies to reach position 2 — churn inside
+    // the window telescopes, revisions OUTSIDE it stay visible (the
+    // window bound is the thing the full-span net cannot check).
+    "cdc_changes_between_orders" ->
+      graft.runtime.ChangeLog.ordersChangesBetween1And2 _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -651,6 +657,7 @@ object SparkEntry {
     "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
     "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
     "cdc_snapshot_at_orders" -> OpsOracles.ordersSnapshotAt1,
+    "cdc_changes_between_orders" -> OpsOracles.ordersChangesBetween1And2,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

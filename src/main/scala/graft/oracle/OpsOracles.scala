@@ -3572,6 +3572,56 @@ object OpsOracles {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM j GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors ChangeLog.ordersChangesBetween1And2: the bounded-window
+    * net change (1, 2] — state1 vs state2 diffed independently. The
+    * 1996 change-then-revert keys DO appear here (the reverting batch
+    * 3 sits outside the window) — the window bound itself is what the
+    * full-span net query cannot check. */
+  val ordersChangesBetween1And2: String =
+    """WITH o AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |),
+      |n AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-10-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate < TIMESTAMP '1996-04-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |),
+      |j AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+      |    (o.o_orderkey IS NULL) AS is_added,
+      |    (n.o_orderkey IS NULL) AS is_removed,
+      |    CAST(o.o_custkey IS DISTINCT FROM n.o_custkey AS INT) +
+      |    CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS INT) +
+      |    CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice AS INT) +
+      |    CAST(o.o_orderdate IS DISTINCT FROM n.o_orderdate AS INT) +
+      |    CAST(o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |      AS INT) AS n_changed
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+      |)
+      |SELECT
+      |  CASE WHEN is_added THEN 'added' WHEN is_removed THEN 'removed'
+      |    ELSE 'changed' END AS diff_status,
+      |  CAST(count(1) AS BIGINT) AS n_rows,
+      |  min(k) AS min_key, max(k) AS max_key,
+      |  CAST(sum(n_changed) AS BIGINT) AS n_changed_cells
+      |FROM j
+      |WHERE is_added OR is_removed OR n_changed > 0
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors ChangeLog.ordersSnapshotAt1: the time-travel
     * reconstruction of position 1 — state1 is simply the source
     * filtered to its date horizon (no transforms had happened yet),

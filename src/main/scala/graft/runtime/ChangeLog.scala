@@ -331,6 +331,23 @@ object ChangeLog {
       }
     }
 
+  /** The NET change between two positions: exactly what a consumer
+    * holding the table's state at `p0` must apply to hold it at `p1`
+    * — [[netDiff]] of the (p0, p1] span, so intermediate churn
+    * inside the window telescopes away (a change reverted within it
+    * nets to nothing, an add-then-remove never appears). `p0` obeys
+    * the collapse boundary ([[readSince]]); `p1` past the head just
+    * clamps to it. Log-scale: one bounded partition-pruned scan into
+    * the one netDiff aggregate + diff join. */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     keys: Seq[String], p0: Long, p1: Long): DataFrame = {
+    require(p0 <= p1, s"changesBetween($p0, $p1): p0 must be <= p1")
+    val span = readSince(spark, tableDir, Some(p0)).getOrElse(
+      sys.error(s"no change log under ${logDir(tableDir)}"))
+      .filter(col("batch_id") <= p1)
+    netDiff(span, keys)
+  }
+
   /** TIME TRAVEL over a merge-maintained table, from the log alone:
     * reconstruct the table's snapshot AS OF position `pos` (the state
     * after entry `pos` published, before `pos + 1`) out of the
@@ -956,6 +973,26 @@ object ChangeLog {
           .as("sum_cents"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** Registered face #10: the BOUNDED-WINDOW net change — what a
+    * position-1 consumer applies to reach position 2
+    * ([[changesBetween]]), summarized per status. The DuckDB oracle
+    * diffs state1 and state2 independently; the 1996
+    * change-then-revert keys must NOT appear (batch 3 reverts them —
+    * but it sits OUTSIDE the window, so here they DO appear as
+    * changed; the window bound is the thing under test: the same keys
+    * vanish from the full-span `cdc_orders_net`). */
+  def ordersChangesBetween1And2(s: SparkSession, dir: String)
+      : DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    changesBetween(s, table, Seq("o_orderkey"), 1L, 2L)
+      .groupBy(col("diff_status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(size(col("changed_cols"))).as("n_changed_cells"))
   }
 
   /** Registered face #9: TIME TRAVEL from the log — the cdc_orders

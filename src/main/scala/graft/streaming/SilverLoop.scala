@@ -72,13 +72,26 @@ object SilverLoop {
     * 100 TB erasure path, which refuses a stale index — can run
     * against a live deployment at any quiesced moment without a
     * catch-up scan first. */
+  /** `scd2Store`: maintain a persisted SCD2 dimension over the
+    * user-gold change log ([[graft.runtime.Scd2Store]] at
+    * `<warehouse>/gold_user_daily_scd2` — the user-day metric's
+    * version history: every recomputation of a user's day opens a
+    * version, a grain moving off a date tombstones) inside the loop —
+    * each micro-batch's refresh extends the history at
+    * O(new entries + touched buckets), and the store's consumer
+    * registration clamps `logRetention`'s folds, so streaming
+    * retention can never outrun the dimension it feeds. (The
+    * user-gold log publishes under custom `toSilver` too; a
+    * default-derivation deployment can run the same store over
+    * `silver_sessions` with [[graft.silver.Sessionize.SessionKey]].) */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
                     checkpointDir: String,
                     toSilver: DataFrame => DataFrame,
                     availableNow: Boolean = false,
                     logRetention: Option[Long] = None,
-                    keyIndex: Boolean = false): StreamingQuery = {
+                    keyIndex: Boolean = false,
+                    scd2Store: Boolean = false): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("30 seconds")
@@ -107,6 +120,13 @@ object SilverLoop {
               w <- wm; k <- logRetention
             } yield w + off - k + 1)
           .foreach(w => Incremental.saveWatermark(spark, watermarkPath, w))
+        if (scd2Store) {
+          graft.runtime.Scd2Store.refresh(spark,
+            s"$warehouseDir/gold_user_daily",
+            s"$warehouseDir/gold_user_daily_scd2",
+            Seq("datetime", "user_id"))
+          ()
+        }
       }
       .start()
   }

@@ -248,4 +248,61 @@ class SilverLoopSpec extends SparkSpec {
       ChangeLog.readSince(spark, goldDir, Some(0L)).get.count()
     }
   }
+
+  test("scd2Store: the loop maintains the streamed user-day dimension " +
+      "— incremental refreshes across micro-batches == the rebuild, " +
+      "a moved session's old-day version tombstone-closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("scd2s-bronze")
+    val wh = tmpDir("scd2s-wh")
+    val wmPath = s"${tmpDir("scd2s-wm")}/wm"
+    val ckpt = tmpDir("scd2s-ckpt")
+    val b1 = Seq(
+      ev("r1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("r4", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+    val b2 = Seq(
+      ev("r2", 1, "s1", "2024-01-01T10:00:40+00:00", "complete", 1.0))
+    // r4 redelivered re-stamped a day later: u2's session MOVES dates
+    // — in the dimension that is a tombstone on the 01-01 version and
+    // a fresh version on 01-02.
+    val b3 = Seq(
+      ev("r4", 2, "s2", "2024-01-02T11:00:00+00:00", "enter", 0.0))
+
+    val stream = MemoryStream[String]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b)
+      SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+        wh, wmPath, ckpt, toSilver, availableNow = true,
+        scd2Store = true).awaitTermination()
+    }
+
+    import graft.runtime.{ChangeLog, Scd2Store}
+    val goldDir = s"$wh/gold_user_daily"
+    val store = s"$wh/gold_user_daily_scd2"
+    val key = Seq("datetime", "user_id")
+    def cells(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = d.columns.sorted
+      d.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    assert(cells(Scd2Store.read(spark, store)) ===
+      cells(ChangeLog.scd2(spark, goldDir, key, basePosition = -1L)),
+      "streamed store diverged from the from-scratch rebuild")
+
+    // u2's 01-01 version exists, is CLOSED (tombstoned by the move,
+    // not superseded in place), and its 01-02 successor is current.
+    val u2 = Scd2Store.read(spark, store).filter(col("user_id") === 2)
+    assert(u2.filter(col("datetime") === "2024-01-01" &&
+      !col("is_current") && col("valid_to").isNotNull).count() === 1L)
+    assert(u2.filter(col("datetime") === "2024-01-02" &&
+      col("is_current")).count() === 1L)
+    // The dimension answers the as-of question the live table cannot:
+    // at position 1 the session sat on 01-01.
+    val asOf1 = u2.filter(col("valid_from") <= 1L &&
+      (col("valid_to").isNull || col("valid_to") > 1L))
+    assert(asOf1.count() === 1L &&
+      asOf1.head().getAs[java.sql.Date]("datetime").toString ===
+        "2024-01-01")
+  }
 }
