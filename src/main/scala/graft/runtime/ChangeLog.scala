@@ -249,11 +249,25 @@ object ChangeLog {
       touch(fs, new Path(preP, PreCommitMarker))
     }
     write
+    // The post-image read must survive a write that EMPTIED the table
+    // (full-horizon retention, a zero-row recompute): an emptied
+    // directory has no parquet footer to infer a schema from, and
+    // reading it blind would crash AFTER the write ran — leaving the
+    // pre-image pending and every retry re-crashing (a poison batch).
+    // The schema then comes from the pre-image; empty→empty has no
+    // delta AND no schema anywhere — nothing to publish, the pre-image
+    // simply retires (an absent entry is exactly how empty batches
+    // publish).
+    val preEmpty = fs.exists(new Path(preP, PreEmptyMarker))
+    val tableHasData = MergeUpsert.sweepAndHasData(fs, rootPath)
+    if (!tableHasData && preEmpty) { fs.delete(preP, true); return }
+    val base =
+      if (preEmpty) None else Some(spark.read.parquet(preP.toString))
     val after =
-      scope(spark.read.option("mergeSchema", "true").parquet(tableDir))
-    val before =
-      if (fs.exists(new Path(preP, PreEmptyMarker))) after.filter(lit(false))
-      else spark.read.parquet(preP.toString)
+      if (tableHasData)
+        scope(spark.read.option("mergeSchema", "true").parquet(tableDir))
+      else base.get.filter(lit(false))
+    val before = base.getOrElse(after.filter(lit(false)))
     // Align both images to the UNION schema before diffing: the write
     // may have evolved the table additively, and TableDiff's
     // intersection rule would otherwise DROP the new column from the
@@ -374,8 +388,6 @@ object ChangeLog {
     * exactly the surface the log can faithfully reconstruct. */
   def snapshotAt(spark: SparkSession, tableDir: String,
                  keys: Seq[String], pos: Long): DataFrame = {
-    val current = spark.read.option("mergeSchema", "true")
-      .parquet(tableDir)
     val span = readSince(spark, tableDir, Some(pos)).getOrElse(
       sys.error(s"no change log under ${logDir(tableDir)} — " +
         "snapshotAt reconstructs history from the log; enable CDC " +
@@ -386,13 +398,23 @@ object ChangeLog {
     val first = span.groupBy(keys.map(col): _*)
       .agg(min_by(firstS, col("batch_id")).as("_first"))
       .localCheckpoint() // log-scale; feeds both the anti-join and restore
-    val untouched = current
-      .join(first.select(keys.map(col): _*), keys, "left_anti")
-      .select(keys.map(col) ++ vals.map(col): _*)
     val restored = first
       .filter(col("_first.diff_status") =!= "added")
       .select(keys.map(col) ++
         vals.map(c => col(s"_first.o_$c").as(c)): _*)
+    // A table emptied by a delete-capable write has no parquet footer
+    // to read a schema from — the history is then carried ENTIRELY by
+    // the log's pre-images (every current row was removed, so every
+    // key at `pos` is a restored one).
+    val tp = new Path(tableDir)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!tfs.exists(tp) || !MergeUpsert.sweepAndHasData(tfs, tp))
+      return restored
+    val current = spark.read.option("mergeSchema", "true")
+      .parquet(tableDir)
+    val untouched = current
+      .join(first.select(keys.map(col): _*), keys, "left_anti")
+      .select(keys.map(col) ++ vals.map(col): _*)
     untouched.unionByName(restored, allowMissingColumns = true)
   }
 
@@ -673,7 +695,8 @@ object ChangeLog {
       val fs = new Path(table)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(table, logDir(table), mviewDir(table),
-          minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos")
+          minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos",
+          scd2Dir(table) + "_buckets")
         .foreach { d =>
           val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
         }

@@ -384,9 +384,13 @@ object Pipeline {
     * through a logged warehouse. Cost: one full bronze re-consume —
     * O(bronze), the honest bill of a logic change; the publication
     * rides the same scoped diffs as every incremental update.
-    * Crash-retry: the offset bump is durable-first, so a retry
-    * re-runs under the SAME fresh ids and converges through the
-    * normal recordBatch retry protocol. */
+    * Crash-retry: the offset bump is durable-first; a retry that
+    * finds entries from the partial first attempt computes a HIGHER
+    * fresh id (their head moved the max) and completes the revision
+    * there — the first attempt's entries stand, unfinished tables
+    * publish their still-pending delta, finished ones publish an
+    * empty entry. Ids stay monotonic and every table converges;
+    * consumers just see the revision arrive as two spans. */
   def reprocessPublishing(spark: SparkSession, bronzeDir: String,
                           warehouseDir: String,
                           asOfUs: Long = Events.AsOfUs,

@@ -154,7 +154,14 @@ object ResultCache {
 
     // Miss: retire the signature FIRST (a crash mid-swap must read as
     // a miss, never as "old sig + new data" or vice versa), stage the
-    // result, swap, then commit the signature LAST.
+    // result, swap, then commit the signature LAST. Stale staging
+    // dirs from crashed computes are swept here — invisible to reads
+    // (dot-prefixed) but not free on disk.
+    val entryRoot = new Path(s"$cacheRoot/$name")
+    if (fs.exists(entryRoot))
+      fs.listStatus(entryRoot)
+        .filter(_.getPath.getName.startsWith(".data-staging-"))
+        .foreach(st => fs.delete(st.getPath, true))
     val sp = sigPath(cacheRoot, name)
     if (fs.exists(sp)) fs.delete(sp, false)
     val staging = new Path(

@@ -60,6 +60,15 @@ object Scd2Store {
   private def posPath(storeDir: String): String =
     storeDir.stripSuffix("/") + "_pos"
 
+  /** The bucket count is LAYOUT, not a per-call knob: a refresh
+    * hashing with a different count than the seed would route a key's
+    * new events to a different partition than its stored chain — two
+    * half-chains that never meet in one bucket recompute, silently
+    * wrong intervals. Pinned durably at seed; later calls use the
+    * pinned value and fail loud on an explicit mismatch. */
+  private def bucketsPath(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_buckets"
+
   private def consumerName(storeDir: String): String =
     "scd2-" + MaterializedView.consumerName(storeDir).stripPrefix("mview-")
 
@@ -105,8 +114,23 @@ object Scd2Store {
     if (MaterializedView.isInvalid(spark, storeDir)) {
       fs.delete(root, true)
       fs.delete(new Path(posPath(storeDir)), false)
+      fs.delete(new Path(bucketsPath(storeDir)), false)
     }
     val hasState = fs.exists(root) && MergeUpsert.sweepAndHasData(fs, root)
+    // Layout pin (see [[bucketsPath]]): the seed records its bucket
+    // count; every later refresh hashes with the PINNED count and
+    // refuses an explicitly different ask.
+    val pinned = Incremental.loadWatermark(spark, bucketsPath(storeDir))
+      .map(_.toInt)
+    val b = if (!hasState) buckets else pinned.getOrElse(buckets)
+    if (hasState)
+      pinned.filter(_ != buckets)
+        .filter(_ => buckets != DefaultBuckets).foreach { p =>
+          sys.error(s"store at $storeDir was seeded with $p buckets; " +
+            s"refreshing with $buckets would split key chains across " +
+            "partitions — re-seed into a fresh directory to change " +
+            "the layout")
+        }
     if (!hasState) {
       // Seed: the full fromLog event set — the one O(base + log) pass.
       Incremental.batches(spark, ld).minOption
@@ -128,8 +152,9 @@ object Scd2Store {
             .withColumn(Scd2.OpenCol, lit(true))
       }
       MergeUpsert.replaceAll(spark, storeDir,
-        withBucket(Scd2.intervalize(events, keys), keys, buckets),
+        withBucket(Scd2.intervalize(events, keys), keys, b),
         partitionCol = BucketCol)
+      Incremental.saveWatermark(spark, bucketsPath(storeDir), b.toLong)
       Incremental.saveWatermark(spark, posPath(storeDir), logHw)
       return registered(logHw)
     }
@@ -141,7 +166,7 @@ object Scd2Store {
     if (pos >= logHw) return registered(pos)
     val span = ChangeLog.readSince(spark, tableDir, Some(pos))
       .getOrElse(return registered(pos))
-    val spanEvents = withBucket(Scd2.logEvents(span, keys), keys, buckets)
+    val spanEvents = withBucket(Scd2.logEvents(span, keys), keys, b)
       .localCheckpoint() // log-scale; reused for buckets + recompute
     val touched = spanEvents.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq

@@ -171,4 +171,44 @@ class RetentionSpec extends SparkSpec {
     val wm2 = Pipeline.runDailyIncremental(spark, bronze, wh, wm)
     assert(wm2.contains(4L), "post-retention incremental update")
   }
+
+  test("full-horizon expiry: a cutoff past ALL data empties every " +
+      "surface — the whole-table wipe publishes cleanly (the log " +
+      "entry carries only removals) and a re-run is zeros") {
+    val allRaw = Events.raw(spark, "/root/testdata/sf0.001")
+    val dts = allRaw.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime).take(2)
+    val raw = allRaw.filter(to_date(col("ts")) <= lit(dts.last))
+      .localCheckpoint()
+    val bronze = tmpDir("rt-full-bronze")
+    val wh = tmpDir("rt-full-wh")
+    Incremental.appendBatch(spark, bronze, raw, 1L)
+    Pipeline.runDailyIncremental(spark, bronze, wh, None)
+    val episodeDir = s"$wh/gold_episode_daily"
+    val preEpisode = spark.read.parquet(episodeDir).localCheckpoint()
+
+    val horizon = java.sql.Date.valueOf(
+      dts.last.toLocalDate.plusDays(30))
+    val r = Retention.expireBefore(spark, bronze, wh, horizon)
+    assert(r.total > 0)
+    // Every surface is empty (absent counts as empty).
+    def isEmptyTable(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(p) ||
+        !graft.silver.MergeUpsert.sweepAndHasData(fs, p)
+    }
+    (Seq(bronze, s"$wh/quarantine_events") ++
+      Pipeline.loggedTables.map { case (t, _) => s"$wh/$t" })
+      .foreach(d => assert(isEmptyTable(d), s"$d must be empty"))
+    // The wipe entry replays the pre-state to nothing.
+    val span = ChangeLog.readSince(spark, episodeDir,
+      Some(r.batchId - 1)).get
+    assert(ChangeLog.replay(preEpisode, span,
+      Seq("datetime", "webtoon_id", "episode_id")).isEmpty,
+      "the wipe entry must replay the gold to empty")
+    // Idempotent: a second full-horizon run finds nothing.
+    assert(Retention.expireBefore(spark, bronze, wh, horizon)
+      .total === 0L)
+  }
 }

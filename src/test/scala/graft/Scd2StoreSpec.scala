@@ -150,6 +150,27 @@ class Scd2StoreSpec extends SparkSpec {
       "re-seeded store == rebuild over the purged history")
   }
 
+  test("the bucket layout pins at seed: refreshing with an explicit " +
+      "different count fails loud; the default ask follows the pin") {
+    val base = tmpDir("scd2store-buckets")
+    val dir = s"$base/t"
+    val store = s"$base/store"
+    MergeUpsert.replaceAll(spark, dir, df(s0: _*), partitionCol = "pt")
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir, df(s1: _*), partitionCol = "pt"))
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L,
+      buckets = 8)
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 2L)(
+      MergeUpsert.replaceAll(spark, dir, df(s2: _*), partitionCol = "pt"))
+    val e = intercept[RuntimeException](
+      Scd2Store.refresh(spark, dir, store, Seq("id"), buckets = 16))
+    assert(e.getMessage.contains("seeded with 8 buckets"))
+    // The default ask silently follows the pinned 8-bucket layout.
+    Scd2Store.refresh(spark, dir, store, Seq("id"))
+    assert(cells(Scd2Store.read(spark, store).drop("pt")) ===
+      cells(rebuild(dir).drop("pt")))
+  }
+
   test("store with data but no position file fails loud") {
     val base = tmpDir("scd2store-nopos")
     val dir = s"$base/t"

@@ -67,6 +67,25 @@ class SnapshotAtSpec extends SparkSpec {
     assert(e.getMessage.contains("collapse boundary"))
   }
 
+  test("a table emptied by its last batch still reconstructs every " +
+      "earlier position — the history rides the log alone") {
+    import spark.implicits._
+    val dir = tmpDir("snapat-empty") + "/t"
+    MergeUpsert.replaceAll(spark, dir, df(s0: _*), partitionCol = "pt")
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir, df(s1: _*), partitionCol = "pt"))
+    // Batch 2 removes EVERYTHING: no parquet footer survives.
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 2L)(
+      graft.silver.MergeUpsert.upsertScoped(spark, dir,
+        spark.read.parquet(dir).filter(lit(false)),
+        Seq("pt"), Seq("all").toDF("pt"), partitionCol = "pt"))
+    assert(cells(ChangeLog.snapshotAt(spark, dir, Seq("id"), 1L)
+        .drop("pt")) === cells(df(s1: _*).drop("pt")),
+      "pre-wipe position must reconstruct from pre-images alone")
+    assert(ChangeLog.snapshotAt(spark, dir, Seq("id"), 2L).isEmpty,
+      "the wiped position is empty")
+  }
+
   test("warehouseAt: one position names the consistent multi-table " +
       "state an update left behind") {
     val allRaw = Events.raw(spark, "/root/testdata/sf0.001")
