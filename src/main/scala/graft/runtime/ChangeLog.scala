@@ -385,7 +385,14 @@ object ChangeLog {
     * reconstruction lands in the union schema (pre-evolution images
     * carry NULL for later columns — the same contract as
     * [[netDiff]]/[[replay]]). Columns are the LOG's keys + values:
-    * exactly the surface the log can faithfully reconstruct. */
+    * exactly the surface the log can faithfully reconstruct.
+    *
+    * Erasure semantics, deliberate: after [[Forget.forgetUser]] or
+    * [[Retention.expireBefore]] PURGED row images from this log, the
+    * reconstruction is the history in which those rows never existed
+    * — time travel must not resurrect what compliance erased. Rows
+    * removed by orderly (logged) deletion, including whole-table
+    * wipes, DO reconstruct. */
   def snapshotAt(spark: SparkSession, tableDir: String,
                  keys: Seq[String], pos: Long): DataFrame = {
     val span = readSince(spark, tableDir, Some(pos)).getOrElse(

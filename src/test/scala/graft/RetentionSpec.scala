@@ -133,6 +133,14 @@ class RetentionSpec extends SparkSpec {
     assert(graft.runtime.KeyIndex.watermark(spark, idxDir)
       .contains(3L), "index watermark bounds batch ids — untouched")
 
+    // (1c) Time travel cannot resurrect what retention erased: the
+    // reconstruction of an EARLIER position is the history in which
+    // the expired rows never existed.
+    assert(ChangeLog.snapshotAt(spark, s"$wh/silver_sessions",
+        graft.silver.Sessionize.SessionKey, 1L)
+      .filter(col("datetime") < lit(cutoff)).isEmpty,
+      "snapshotAt must not resurrect purged images")
+
     // (2) Retained partitions byte-untouched (values identical).
     assert(cells(spark.read.parquet(episodeDir)) === retainedBefore,
       "retained gold partitions must keep their computed values")
