@@ -219,6 +219,12 @@ object SparkEntry {
     // window bound is the thing the full-span net cannot check).
     "cdc_changes_between_orders" ->
       graft.runtime.ChangeLog.ordersChangesBetween1And2 _,
+    // Join-view IVM (ops/CdcJoinView): the per-segment revenue view
+    // over orders ⋈ customer maintained from the orders log's SIGNED
+    // join delta (ΔA⋈B) — every fact change reaches the view through
+    // the join; the oracle recomputes the endpoint join from scratch.
+    "cdc_joinview_orders_mkt" ->
+      graft.runtime.ChangeLog.ordersJoinViewMaintained _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -658,6 +664,7 @@ object SparkEntry {
     "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
     "cdc_snapshot_at_orders" -> OpsOracles.ordersSnapshotAt1,
     "cdc_changes_between_orders" -> OpsOracles.ordersChangesBetween1And2,
+    "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

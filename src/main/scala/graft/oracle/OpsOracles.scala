@@ -3622,6 +3622,30 @@ object OpsOracles {
       |WHERE is_added OR is_removed OR n_changed > 0
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersJoinViewMaintained: the endpoint
+    * orders ⋈ customer per-segment revenue recomputed from scratch —
+    * the engine instead applies the orders log's signed join delta to
+    * the state0 seed, so every add/remove/re-prioritization must
+    * reach the right segment THROUGH the join. */
+  val ordersJoinViewMaintained: String =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |)
+      |SELECT c.c_mktsegment,
+      |  CAST(sum(CAST(round(n.o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM n JOIN customer c ON n.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors ChangeLog.ordersSnapshotAt1: the time-travel
     * reconstruction of position 1 — state1 is simply the source
     * filtered to its date horizon (no transforms had happened yet),

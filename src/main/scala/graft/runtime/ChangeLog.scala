@@ -1025,6 +1025,60 @@ object ChangeLog {
         sum(size(col("changed_cols"))).as("n_changed_cells"))
   }
 
+  /** Registered face #11: JOIN-VIEW IVM ([[graft.ops.CdcJoinView]])
+    * — a per-market-segment revenue view over orders ⋈ customer,
+    * seeded at state0 and brought to the endpoint by applying the
+    * orders log's signed join delta (`ΔA ⋈ B`; the customer side is
+    * static here, so the `A₀ ⋈ ΔB` branch is empty — CdcJoinViewSpec
+    * exercises both sides moving). Every order add/remove/change
+    * reaches the view THROUGH the join (the fact's own columns don't
+    * carry the segment); the DuckDB oracle recomputes the endpoint
+    * join from scratch. */
+  def ordersJoinViewMaintained(s: SparkSession, dir: String)
+      : DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select(col("o_custkey"), col("c_mktsegment"))
+    val aNet = netDiff(
+      readSince(s, table, Some(0L)).get, Seq("o_orderkey"))
+    // The static side's empty net, in the netDiff schema — built from
+    // a DETACHED schema copy: deriving it from `cust` itself would
+    // share that plan's attribute ids with the live join side and
+    // trip the ambiguous-self-join check.
+    val custEmpty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], cust.schema)
+    val bNet = TableDiff.diff(custEmpty,
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], cust.schema),
+      Seq("o_custkey"))
+    val dims = Seq("c_mktsegment")
+    val measures = Seq(("sum_cents",
+      round(col("o_totalprice") * 100, 0).cast("long")))
+    val state0 = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < ts("1997-07-01"))
+    // The seed reads customer INDEPENDENTLY (fresh attribute ids):
+    // sharing `cust`'s plan with the delta side trips the ambiguous
+    // self-join check in applyDelta's full-outer (localCheckpoint
+    // does not help — it truncates lineage but keeps the ids).
+    val custForSeed = s.read.parquet(s"$dir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select(col("o_custkey"), col("c_mktsegment"))
+    val view0 = state0.join(custForSeed, Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"))
+      .select(col("c_mktsegment"), col("sum_cents"), col("n_rows"))
+      .localCheckpoint()
+    graft.ops.CdcView.applyDelta(view0,
+      graft.ops.CdcJoinView.joinGroupDelta(aNet, Seq("o_orderkey"),
+        bNet, Seq("o_custkey"), bCurrent = cust,
+        aAtStart = s.read.parquet(table).limit(0),
+        joinKeys = Seq("o_custkey"), dims, measures),
+      dims, measures.map(_._1))
+  }
+
   /** Registered face #9: TIME TRAVEL from the log — the cdc_orders
     * table rewound to position 1 ([[snapshotAt]]): the batch-2
     * re-prioritizations and drops and the batch-3 additions must all
