@@ -201,6 +201,13 @@ object SparkEntry {
     // yet added, or tombstoned — must attach NULL, the case the naive
     // as-of carry gets wrong. Oracle reads each state directly.
     "cdc_scd2_asof" -> graft.runtime.ChangeLog.ordersScd2AsOf _,
+    // Serving twin: the SAME as-of probe under the SAME oracle, with
+    // the dimension read from the PERSISTED Scd2Store (pre-
+    // intervalized version rows) instead of an inline fromLog rebuild
+    // — the plan a 100 TB consumer runs; PlanSpec pins that no log or
+    // base-orders scan appears in it.
+    "cdc_scd2_asof_stored" ->
+      graft.runtime.ChangeLog.ordersScd2AsOfStored _,
     // The incrementally-maintained SCD2 store (runtime/Scd2Store):
     // seeded before the batches, extended across the log at
     // O(entries + touched buckets) — served intervals must be
@@ -225,6 +232,14 @@ object SparkEntry {
     // the join; the oracle recomputes the endpoint join from scratch.
     "cdc_joinview_orders_mkt" ->
       graft.runtime.ChangeLog.ordersJoinViewMaintained _,
+    // The PERSISTED two-log join view (runtime/JoinView): positions in
+    // BOTH change logs committed atomically with the data (the paired
+    // _as_of trick on the single-partition swap), both consumers
+    // registered, refreshed across an interleaved history where BOTH
+    // sides move — the serve-time refresh catches up a B-only removal
+    // span; the oracle recomputes the endpoint A₂ ⋈ B₂ from source.
+    "cdc_joinview_persisted" ->
+      graft.runtime.ChangeLog.ordersJoinViewPersisted _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -330,6 +345,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(expr("cast(round(value * 100, 0) as bigint)"))
             .as("sum_value_cents"))
+    }),
+    // The PARTITIONED warehouse form of data skipping
+    // (DataSkipping.enablePartitioned/maintain/scanPartitioned):
+    // orders laid out ONCE per JVM as a hive-partitioned table
+    // (o_year leaves, in-leaf files range-clustered on o_custkey),
+    // skipping PINNED at the root — then one year is REWRITTEN
+    // through the warehouse writer (MergeUpsert.replacePartitions),
+    // whose swap reconciles the touched leaf's zone map itself. The
+    // query scans a narrow custkey range: partition pruning cuts
+    // directories, each leaf's map cuts files within, and the oracle
+    // recomputes the same range from the raw table — a hash match
+    // proves writer-maintained per-leaf pruning loses and duplicates
+    // nothing. At 100 TB this is the Silver-read shape: datetime
+    // partitions × within-partition file skipping on the query key.
+    "skipscan_orders_partitioned" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lay = graft.sim.AnnIndex.dir(s, dir, "skip_part_orders")
+      graft.sim.AnnIndex.ensure(lay) {
+        val stage = s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("o_year", year(col("o_orderdate")))
+        def shaped(df: org.apache.spark.sql.DataFrame) = df
+          .repartitionByRange(32, col("o_year"), col("o_custkey"))
+          .sortWithinPartitions(col("o_year"), col("o_custkey"))
+        graft.silver.MergeUpsert.replaceAll(s, lay, shaped(stage),
+          partitionCol = "o_year")
+        graft.runtime.DataSkipping.enablePartitioned(s, lay,
+          Seq("o_custkey"))
+        graft.silver.MergeUpsert.replacePartitions(s, lay,
+          shaped(stage.filter(col("o_year") === 1996)), Seq(1996),
+          partitionCol = "o_year")
+      }
+      graft.runtime.DataSkipping.scanPartitioned(s, lay, "o_custkey",
+          lit(1L), lit(150L))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+            .as("sum_cents"))
     }),
     // Key→batch secondary index (runtime/KeyIndex): a bronze-shaped
     // daily-batched copy of events is laid down and indexed ONCE per
@@ -661,10 +714,12 @@ object SparkEntry {
     "cdc_scd2_orders" -> OpsOracles.ordersScd2,
     "cache_q1_pricing" -> OpsOracles.q1PricingSummary,
     "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
+    "cdc_scd2_asof_stored" -> OpsOracles.ordersScd2AsOf,
     "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
     "cdc_snapshot_at_orders" -> OpsOracles.ordersSnapshotAt1,
     "cdc_changes_between_orders" -> OpsOracles.ordersChangesBetween1And2,
     "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,
+    "cdc_joinview_persisted" -> OpsOracles.ordersJoinViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,
@@ -698,6 +753,7 @@ object SparkEntry {
       OpsOracles.tableFileStats(graft.runtime.TableStats.lastDir),
     "skipscan_orders_date" -> OpsOracles.skipscanOrdersDate,
     "skipscan_events_zorder" -> OpsOracles.skipscanEventsZorder,
+    "skipscan_orders_partitioned" -> OpsOracles.skipscanOrdersPartitioned,
     "keyindex_user_batches" -> OpsOracles.keyindexUserBatches,
     "text_token_topk" -> OpsOracles.tokenTopK,
     "sketch_count_min" -> OpsOracles.countMinTopTokens,

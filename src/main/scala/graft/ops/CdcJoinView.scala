@@ -55,6 +55,17 @@ object CdcJoinView {
     minus.unionByName(plus)
   }
 
+  /** The DISTINCT join-key values ΔB touches — old AND new images
+    * both, because a join-key move restricts A₀ on its source and its
+    * destination key alike. This is the semi-join restriction the
+    * scaladoc above prescribes for `aAtStart`
+    * (`aAtStart.join(deltaJoinKeys(...), joinKeys, "left_semi")` —
+    * exact, log-scale), now a named helper so the persisted loop
+    * ([[graft.runtime.JoinView]]) and callers share one definition. */
+  def deltaJoinKeys(bNet: DataFrame, bKeys: Seq[String],
+                    joinKeys: Seq[String]): DataFrame =
+    signedRows(bNet, bKeys).select(joinKeys.map(col): _*).distinct()
+
   /** The per-group contribution delta of the two spans. `aNet`/`bNet`
     * are [[graft.runtime.ChangeLog.netDiff]] frames of each log's
     * span (an empty frame for a side that did not move); `bCurrent`

@@ -493,6 +493,23 @@ object OpsOracles {
       |WHERE user_id >= 3 AND user_id <= 7
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors skipscan_orders_partitioned: the same custkey range over
+    * the RAW orders table, grouped by order year — the engine side
+    * serves it from a hive-partitioned layout whose per-leaf zone maps
+    * are maintained BY the warehouse writers (one year rewritten
+    * through MergeUpsert after enablement), so a hash match proves the
+    * composed partition-cut × file-cut pruning loses and duplicates
+    * nothing across rewrites. */
+  val skipscanOrdersPartitioned: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_custkey >= 1 AND o_custkey <= 150
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors keyindex_user_batches: each probed user's distinct daily
     * batch footprint recomputed from the RAW events table — the engine
     * side answers it from the md5-bucketed KeyIndex without touching
@@ -3644,6 +3661,35 @@ object OpsOracles {
       |    AS BIGINT) AS sum_cents,
       |  CAST(count(1) AS BIGINT) AS n_rows
       |FROM n JOIN customer c ON n.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Mirrors ChangeLog.ordersJoinViewPersisted: the endpoint A₂ ⋈ B₂
+    * per-segment revenue recomputed from the source tables — the
+    * engine instead maintains the PERSISTED two-log join view
+    * (runtime/JoinView) across the interleaved history (A adds, A
+    * price bumps, B segment flips, B row removals), committing the
+    * position PAIR atomically with the data, so a hash match proves
+    * every signed contribution of both logs landed exactly once. */
+  val ordersJoinViewPersisted: String =
+    """WITH a AS (
+      |  SELECT o_custkey,
+      |    o_totalprice
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END
+      |      AS price
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |), b AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'FLIPPED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |  WHERE NOT (c_custkey % 17 = 5)
+      |)
+      |SELECT b.c_mktsegment,
+      |  CAST(sum(CAST(round(a.price * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM a JOIN b ON a.o_custkey = b.c_custkey
       |GROUP BY 1""".stripMargin
 
   /** Mirrors ChangeLog.ordersSnapshotAt1: the time-travel

@@ -453,12 +453,26 @@ object ChangeLog {
     * the laggard and proceeds once it catches up — converting the one
     * silent-operational-loss mode (collapse past a view ⇒ forced full
     * re-seed) into impossibility. Unregistered consumers remain the
-    * caller's discipline, exactly as before. */
+    * caller's discipline, exactly as before.
+    *
+    * Staleness is SURFACED, never overridden: a consumer that clamps
+    * the fold for [[Consumers.WarnAfterClamps]] successive checkpoints
+    * at the same position is named in a loud warning with the remedy
+    * (catch it up, or `unregister` a decommissioned one) — a dead
+    * registration still blocks (only an operator can know it is dead;
+    * correctness first), but it can no longer block silently while the
+    * log grows unbounded ([[Consumers.noteClamp]] scaladoc). */
   def checkpoint(spark: SparkSession, tableDir: String,
                  keys: Seq[String], upToBatch: Long): Boolean = {
     val ld = logDir(tableDir)
-    val upTo = Consumers.minPosition(spark, tableDir)
-      .fold(upToBatch)(math.min(upToBatch, _))
+    val regs = Consumers.list(spark, tableDir).filterNot(_.observer)
+    val minPos = regs.map(_.position).minOption
+    val upTo = minPos.fold(upToBatch)(math.min(upToBatch, _))
+    // Ledger update: blockers are the consumers AT the clamped
+    // boundary when the caller asked to fold further; an unclamped
+    // checkpoint clears the ledger (every blocker advanced).
+    Consumers.noteClamp(spark, tableDir,
+      if (upTo < upToBatch) regs.filter(_.position == upTo) else Seq.empty)
     val committed = Incremental.batches(spark, ld)
     // The effective boundary CLAMPS to the highest committed partition
     // at/under the requested watermark: empty entries are published as
@@ -1079,6 +1093,93 @@ object ChangeLog {
       dims, measures.map(_._1))
   }
 
+  /** Build (once per JVM) the TWO-LOG join-view chain
+    * ([[graft.runtime.JoinView]]): a dedicated orders copy AND a
+    * LOGGED customer-dim table, the persisted view seeded at the
+    * pre-history pair and refreshed across an interleaved history in
+    * which BOTH sides move — span 1 A-only (ΔA ⋈ B), span 2 both
+    * sides in one refresh (ΔA ⋈ B₁ ∪ A₀ ⋈ ΔB, A₀ via snapshotAt at
+    * the committed A-position), span 3 B-only with ROW REMOVALS
+    * (negative contributions through the join), left for the
+    * REGISTERED refresh to catch up. Every state is a deterministic
+    * SQL-expressible transform so the DuckDB oracle recomputes the
+    * endpoint join independently. */
+  private def ensureJoinViewPersisted(s: SparkSession,
+                                      dir: String): String = {
+    val root = graft.sim.AnnIndex.dir(s, dir, "cdc_jview_persist")
+    graft.sim.AnnIndex.ensure(root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val aT = s"$root/orders"
+      val bT = s"$root/custdim"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val a0 = orders.filter(col("o_orderdate") < ts("1997-07-01"))
+      val a1 = orders.filter(col("o_orderdate") < ts("1997-10-01"))
+      val a2 = a1.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      // Each B state re-reads customer (fresh attribute ids — the
+      // shared-frame self-join hazard the joinview face documents).
+      def b(flip: Boolean, dropRows: Boolean): DataFrame = {
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        val flipped =
+          if (!flip) base
+          else base.withColumn("c_mktsegment",
+            when(col("o_custkey") % 10 === 3, lit("FLIPPED"))
+              .otherwise(col("c_mktsegment")))
+        if (dropRows) flipped.filter(!(col("o_custkey") % 17 === 5))
+        else flipped
+      }
+      MergeUpsert.replaceAll(s, aT, a0, partitionCol = "o_orderpriority")
+      MergeUpsert.replaceAll(s, bT, b(flip = false, dropRows = false),
+        partitionCol = "c_mktsegment")
+      refreshJoinView(s, root) // seed at the pre-history pair (-1, -1)
+      recordBatch(s, aT, Seq("o_orderkey"), 1L)(
+        MergeUpsert.replaceAll(s, aT, a1,
+          partitionCol = "o_orderpriority"))
+      refreshJoinView(s, root) // span 1: A only
+      recordBatch(s, bT, Seq("o_custkey"), 1L)(
+        MergeUpsert.replaceAll(s, bT, b(flip = true, dropRows = false),
+          partitionCol = "c_mktsegment"))
+      recordBatch(s, aT, Seq("o_orderkey"), 2L)(
+        MergeUpsert.replaceAll(s, aT, a2,
+          partitionCol = "o_orderpriority"))
+      refreshJoinView(s, root) // span 2: BOTH sides in one refresh
+      recordBatch(s, bT, Seq("o_custkey"), 2L)(
+        MergeUpsert.replaceAll(s, bT, b(flip = true, dropRows = true),
+          partitionCol = "c_mktsegment"))
+      // span 3 (B-only removals) is the registered face's catch-up
+    }
+    root
+  }
+
+  private def refreshJoinView(s: SparkSession,
+                              root: String): (Long, Long) =
+    JoinView.refresh(s, s"$root/orders", s"$root/custdim",
+      s"$root/view", aKeys = Seq("o_orderkey"),
+      bKeys = Seq("o_custkey"), joinKeys = Seq("o_custkey"),
+      dims = Seq("c_mktsegment"),
+      measures = Seq(("sum_cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))))
+
+  /** Registered face #12: the PERSISTED two-log join view — the
+    * [[graft.runtime.JoinView]] loop caught up across the interleaved
+    * history above (the serve-time refresh applies the outstanding
+    * B-only removal span; bench reps past the first are a position
+    * check + a bare scan of the tiny view). The DuckDB oracle
+    * recomputes the ENDPOINT A₂ ⋈ B₂ per-segment revenue from the
+    * source tables, so every signed contribution — adds, price
+    * changes, segment flips THROUGH the join, and removed dim rows
+    * taking their fact rows out of the view — must land exactly. */
+  def ordersJoinViewPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureJoinViewPersisted(s, dir)
+    refreshJoinView(s, root)
+    s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("sum_cents"), col("n_rows"))
+  }
+
   /** Registered face #9: TIME TRAVEL from the log — the cdc_orders
     * table rewound to position 1 ([[snapshotAt]]): the batch-2
     * re-prioritizations and drops and the batch-3 additions must all
@@ -1132,9 +1233,35 @@ object ChangeLog {
     * directly. */
   def ordersScd2AsOf(s: SparkSession, dir: String): DataFrame = {
     val table = ensureOrdersHistory(s, dir)
-    val dim = scd2(s, table, Seq("o_orderkey"), basePosition = 0L)
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        col("valid_from"), col("valid_to"))
+    scd2AsOfProbe(s, dir,
+      scd2(s, table, Seq("o_orderkey"), basePosition = 0L))
+  }
+
+  /** Registered face #7b, the SERVING twin of [[ordersScd2AsOf]] (the
+    * repo's inline-vs-serving convention, `sim_*_topk` vs
+    * `*_indexed`): the SAME as-of probe under the SAME oracle, but
+    * the dimension input is the PERSISTED [[Scd2Store]] — a scan of
+    * pre-intervalized version rows — instead of an inline
+    * [[graft.ops.Scd2.fromLog]] rebuild. At 100 TB this is the only
+    * viable dimension plan: the inline twin re-reads base + log and
+    * re-windows per query, the store amortizes that into its
+    * incremental refresh and the probe pays one parquet scan
+    * (bucket-partition-prunable for point-key probes). PlanSpec pins
+    * that NO log or base-orders scan appears in the served plan. */
+  def ordersScd2AsOfStored(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    Scd2Store.refresh(s, table, scd2Dir(table), Seq("o_orderkey"),
+      basePosition = 0L)
+    scd2AsOfProbe(s, dir, Scd2Store.read(s, scd2Dir(table)))
+  }
+
+  /** The shared as-of probe of the two faces above: every order key
+    * at every log position through [[graft.ops.Scd2.joinAsOf]],
+    * summarized per (position, attached priority). */
+  private def scd2AsOfProbe(s: SparkSession, dir: String,
+                            dimFull: DataFrame): DataFrame = {
+    val dim = dimFull.select(col("o_orderkey"), col("o_orderpriority"),
+      col("valid_from"), col("valid_to"))
     val facts = s.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderdate") < ts("1998-01-01"))
       .select(col("o_orderkey"))

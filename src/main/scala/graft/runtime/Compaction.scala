@@ -176,6 +176,14 @@ object Compaction {
             want.toLong, bytes))
         }
       }
+      // Writer-maintained file skipping (the MergeUpsert.writeAndSwap
+      // discipline): a compacted leaf's files all changed, so a pinned
+      // table's zone maps reconcile HERE — one fs.exists for the
+      // common unpinned case, O(rewritten leaves) when pinned. After
+      // the swaps, so a crash above leaves a LOUD stale map, never a
+      // wrong scan.
+      DataSkipping.maintain(spark, targetDir,
+        report.map(_._1).toIndexedSeq)
     }
     report.toSeq
       .toDF("partition", "files_before", "files_after", "bytes")

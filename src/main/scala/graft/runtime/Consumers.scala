@@ -49,36 +49,61 @@ object Consumers {
     ChangeLog.logDir(tableDir) + "_consumers"
 
   /** One registered consumer: position = highest applied batch_id;
-    * viewDir = the consumer's state directory, when it has one. */
+    * viewDir = the consumer's state directory, when it has one;
+    * refreshedAt = epoch millis of the last [[register]] call (0 for
+    * a pre-stamp registration) — the liveness signal operational
+    * tooling reads to spot a decommissioned consumer whose position
+    * would otherwise pin the collapse forever.
+    *
+    * `observer = true` marks a NON-BLOCKING registration — a consumer
+    * that wants to be LISTED (so operational tooling can see which
+    * derived state a maintenance op will touch) but must never clamp
+    * the collapse, because its state is a PURE CACHE: recomputable
+    * from the current inputs alone, no log span owed. The observer
+    * contract is therefore also a compliance contract — its viewDir
+    * may be DELETED outright by [[Forget]]/[[Retention]] (a cache
+    * holding purged rows must not outlive the purge, and deletion is
+    * always safe where recompute is always possible). Blocking
+    * consumers ([[MaterializedView]], [[Scd2Store]]) get the gentler
+    * [[MaterializedView.invalidate]] marker instead. */
   case class Registration(name: String, position: Long,
-                          viewDir: Option[String])
+                          viewDir: Option[String],
+                          refreshedAt: Long = 0L,
+                          observer: Boolean = false)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def validName(name: String): Boolean =
     name.nonEmpty && name.forall(c =>
-      c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      !name.startsWith("_") && !name.startsWith(".")
 
   /** Register (or advance) consumer `name` at `position` — call AFTER
     * the span up to `position` is durably applied to the consumer's
-    * own state. Idempotent; re-registering the same position is a
-    * cheap no-op. Positions may also move BACKWARD deliberately (a
-    * consumer restored from an older checkpoint re-registers lower,
-    * and the collapse respects it). */
+    * own state. Idempotent for the collapse (same position ⇒ same
+    * clamp), but every call REFRESHES the liveness stamp — that is
+    * deliberate: a live consumer that holds position P across many
+    * refreshes (nothing new to apply) keeps proving it is alive, so
+    * staleness surfacing ([[staleClamps]]) never misnames it.
+    * Positions may also move BACKWARD deliberately (a consumer
+    * restored from an older checkpoint re-registers lower, and the
+    * collapse respects it). */
   def register(spark: SparkSession, tableDir: String, name: String,
-               position: Long, viewDir: Option[String] = None): Unit = {
+               position: Long, viewDir: Option[String] = None,
+               observer: Boolean = false): Unit = {
     require(validName(name),
       s"consumer name '$name' must be a non-empty [A-Za-z0-9_.-]+ " +
-        "token (it names the registry file)")
-    if (read(spark, tableDir, name)
-          .contains(Registration(name, position, viewDir))) return
+        "token not starting with '_' or '.' (it names the registry " +
+        "file; leading underscore/dot names are reserved sidecars)")
     val p = new Path(dir(tableDir), name)
     val tmp = new Path(dir(tableDir), name + ".tmp")
     val f = fs(spark, p)
     val out = f.create(tmp, true)
     try out.write(
-      (position.toString + "\n" + viewDir.getOrElse("")).getBytes("UTF-8"))
+      (position.toString + "\n" + viewDir.getOrElse("") + "\n" +
+        System.currentTimeMillis().toString + "\n" +
+        (if (observer) "observer" else "")).getBytes("UTF-8"))
     finally out.close()
     if (f.exists(p)) f.delete(p, false)
     f.rename(tmp, p)
@@ -107,23 +132,28 @@ object Consumers {
         while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         new String(buf.toByteArray, "UTF-8")
       } finally in.close()
-    val lines = text.split("\n", 2)
+    val lines = text.split("\n", 4)
     lines.headOption.flatMap(_.trim.toLongOption).map { pos =>
       val vd = lines.lift(1).map(_.trim).filter(_.nonEmpty)
-      Registration(name, pos, vd)
+      val at = lines.lift(2).flatMap(_.trim.toLongOption).getOrElse(0L)
+      val obs = lines.lift(3).exists(_.trim == "observer")
+      Registration(name, pos, vd, at, obs)
     }
   }
 
   /** Every registered consumer of the table's log. Registrations land
     * by atomic rename, so a partial file is unreachable in practice; a
     * hand-damaged file fails loud here rather than being silently
-    * dropped from the [[minPosition]] clamp. */
+    * dropped from the [[minPosition]] clamp. Leading-underscore/dot
+    * entries are registry sidecars (the clamp ledger), not consumers. */
   def list(spark: SparkSession, tableDir: String): Seq[Registration] = {
     val d = new Path(dir(tableDir))
     val f = fs(spark, d)
     if (!f.exists(d)) return Seq.empty
     f.listStatus(d).toIndexedSeq
-      .filter(st => st.isFile && !st.getPath.getName.endsWith(".tmp"))
+      .filter(st => st.isFile && !st.getPath.getName.endsWith(".tmp") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
       .map { st =>
         val n = st.getPath.getName
         read(spark, tableDir, n).getOrElse(sys.error(
@@ -135,8 +165,122 @@ object Consumers {
   }
 
   /** The collapse clamp: the minimum position across registered
-    * consumers, or None when none are registered (the caller's
-    * watermark then stands alone, the pre-registry discipline). */
+    * BLOCKING consumers (observers never clamp — their state is
+    * recomputable, no log span owed), or None when none are
+    * registered (the caller's watermark then stands alone, the
+    * pre-registry discipline). */
   def minPosition(spark: SparkSession, tableDir: String): Option[Long] =
-    list(spark, tableDir).map(_.position).minOption
+    list(spark, tableDir).filterNot(_.observer).map(_.position).minOption
+
+  /** Compliance sweep over every registered consumer of the table's
+    * log — called by [[Forget.forgetUser]] / [[Retention.expireBefore]]
+    * after purging the table or its log. Blocking consumers' state is
+    * MARKED invalid ([[MaterializedView.invalidate]] — their next
+    * refresh discards and re-seeds); observers' state is DELETED
+    * outright, the observer contract: a pure cache is always
+    * recomputable, and a materialization that may hold purged rows
+    * must not outlive the purge on disk (a mere signature mismatch
+    * prevents a stale SERVE but leaves the bytes until the next
+    * serve). The registration itself stays — the next serve/refresh
+    * re-registers, and the listing stays informative meanwhile. */
+  def invalidateAll(spark: SparkSession, tableDir: String): Unit =
+    list(spark, tableDir).foreach { r =>
+      r.viewDir.foreach { vd =>
+        if (r.observer) {
+          val p = new Path(vd)
+          val f = fs(spark, p)
+          if (f.exists(p)) f.delete(p, true)
+        } else MaterializedView.invalidate(spark, vd)
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // Staleness surfacing — the clamp ledger.
+  //
+  // A retired consumer that never unregistered pins the collapse at
+  // its last position FOREVER, and the log grows unbounded — the exact
+  // metadata scale-killer the collapse exists to prevent, reintroduced
+  // by operational forgetfulness. Correctness demands the dead
+  // consumer STILL block (the registry cannot know it is dead, only an
+  // operator can); what it must not do is block SILENTLY. So
+  // [[ChangeLog.checkpoint]] records, per consumer, how many
+  // SUCCESSIVE checkpoints that consumer's position has clamped the
+  // fold below the requested watermark; at [[WarnAfterClamps]] the
+  // checkpoint names it in a loud stderr warning with the remedy
+  // (catch the consumer up, or `unregister` if decommissioned). The
+  // count resets the moment the consumer's position advances past a
+  // requested fold — a merely-slow consumer that eventually catches up
+  // never accumulates.
+
+  /** Successive clamped checkpoints before a consumer is named. */
+  val WarnAfterClamps = 3
+
+  private def clampsPath(tableDir: String) =
+    new Path(dir(tableDir), "_clamps")
+
+  /** One blocking consumer as the ledger sees it: the position it has
+    * been clamping at and for how many successive checkpoints. */
+  case class Clamp(name: String, position: Long, count: Int)
+
+  /** The current clamp ledger (empty when no checkpoint has been
+    * clamped since the blockers last advanced). */
+  def staleClamps(spark: SparkSession, tableDir: String): Seq[Clamp] = {
+    val p = clampsPath(tableDir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(n, pos, c) = line.split("\t", 3)
+      Clamp(n, pos.toLong, c.toInt)
+    }.toSeq
+  }
+
+  /** Record one clamped checkpoint: `blockers` are the consumers whose
+    * registered position equals the clamped boundary while the caller
+    * asked to fold further. Their ledger counts increment (same
+    * position only — an advanced position starts over at 1); every
+    * non-blocking consumer's entry drops. Returns the consumers at or
+    * past [[WarnAfterClamps]], which [[ChangeLog.checkpoint]] surfaces
+    * by name. An UNCLAMPED checkpoint calls this with no blockers,
+    * clearing the ledger. */
+  private[runtime] def noteClamp(spark: SparkSession, tableDir: String,
+                                 blockers: Seq[Registration]): Seq[Clamp] = {
+    val prior = staleClamps(spark, tableDir)
+      .map(c => (c.name, c.position) -> c.count).toMap
+    val next = blockers.map { r =>
+      Clamp(r.name, r.position,
+        prior.getOrElse((r.name, r.position), 0) + 1)
+    }
+    val p = clampsPath(tableDir)
+    val f = fs(spark, p)
+    if (next.isEmpty) { if (f.exists(p)) f.delete(p, false) }
+    else {
+      val tmp = new Path(p.toString + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(next.map(c => s"${c.name}\t${c.position}\t${c.count}")
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (f.exists(p)) f.delete(p, false)
+      f.rename(tmp, p)
+    }
+    val stale = next.filter(_.count >= WarnAfterClamps)
+    stale.foreach { c =>
+      System.err.println(
+        s"WARN [graft.Consumers] consumer '${c.name}' has clamped the " +
+          s"change-log collapse of $tableDir at position ${c.position} " +
+          s"for ${c.count} successive checkpoints — the log cannot fold " +
+          "past it and grows unbounded. If the consumer is live, catch " +
+          "it up (refresh the view); if decommissioned, " +
+          s"Consumers.unregister(tableDir, \"${c.name}\").")
+    }
+    stale
+  }
 }

@@ -70,6 +70,29 @@ object DataSkipping {
 
   private def zonemapDir(dir: String) = s"$dir/_zonemap"
 
+  /** Visible subdirectories of a directory (dot/underscore entries are
+    * working dirs and sidecars, not data) — the guard every FLAT-layout
+    * entry point runs: a hive-partitioned directory must take the
+    * per-partition path ([[maintain]]/[[scanPartitioned]]), because a
+    * by-file read of its leaves loses the partition values and a
+    * TOP-LEVEL-only listing would silently ignore the leaves' files —
+    * the covered==live staleness check would pass while the scan reads
+    * a partial table. Fail loud, never wrong. */
+  private def visibleSubdirs(spark: SparkSession, dir: String): Seq[String] =
+    fs(spark, dir).listStatus(new Path(dir)).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
+
+  private def requireFlat(spark: SparkSession, dir: String,
+                          what: String): Unit = {
+    val subdirs = visibleSubdirs(spark, dir)
+    if (subdirs.nonEmpty)
+      sys.error(s"$dir is hive-partitioned (${subdirs.take(2)
+        .mkString(", ")}…) — $what covers flat clustered layouts; " +
+        "use the per-partition form (enablePartitioned/maintain/" +
+        "scanPartitioned) for partitioned tables")
+  }
+
   /** Visible data-file basenames of the table directory — the reader
     * convention shared with [[Compaction]] and [[TableStats]]:
     * dotfiles and underscore entries (`_SUCCESS`, the sidecar itself,
@@ -118,15 +141,9 @@ object DataSkipping {
     // already prunes on its partition columns at directory level, and
     // a by-file read of its leaves would lose the partition values.
     // Cluster within each partition instead (one flat layout per
-    // partition directory) — fail loud rather than build a map the
-    // scan would mis-serve.
-    val subdirs = fs(spark, dir).listStatus(new Path(dir)).iterator
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
-    if (subdirs.nonEmpty)
-      sys.error(s"$dir is hive-partitioned (${subdirs.take(2)
-        .mkString(", ")}…) — zone maps cover flat clustered layouts; " +
-        "build one per partition directory instead")
+    // partition directory — [[maintain]] keeps those) — fail loud
+    // rather than build a map the scan would mis-serve.
+    requireFlat(spark, dir, "buildStats")
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
@@ -169,6 +186,11 @@ object DataSkipping {
     * Like [[buildStats]], publishes by atomic staging-dir rename. */
   def ensureStats(spark: SparkSession, dir: String,
                   statsCols: Seq[String]): Unit = {
+    // Same flat-only guard as buildStats: a partitioned append into a
+    // zone-mapped dir creates subdirs whose files the TOP-LEVEL
+    // dataFiles listing would ignore — the covered==live check would
+    // pass and scan() would silently serve a partial table.
+    requireFlat(spark, dir, "ensureStats")
     val filesystem = fs(spark, dir)
     val zm = new Path(zonemapDir(dir))
     if (!filesystem.exists(zm)) { buildStats(spark, dir, statsCols); return }
@@ -246,6 +268,7 @@ object DataSkipping {
   def pruneFiles(spark: SparkSession, dir: String, column: String,
                  lo: Option[Column], hi: Option[Column])
       : (Seq[String], Int) = {
+    requireFlat(spark, dir, "pruneFiles") // see ensureStats
     val zm = new Path(zonemapDir(dir))
     if (!fs(spark, dir).exists(zm))
       sys.error(s"no zone map at $dir — run DataSkipping.buildStats " +
@@ -294,6 +317,149 @@ object DataSkipping {
       spark.read.parquet(dir).filter(residual).limit(0)
     else
       spark.read.parquet(surviving.map(f => s"$dir/$f"): _*)
+        .filter(residual)
+  }
+
+  // ------------------------------------------------------------------
+  // PARTITIONED warehouse tables: one `_zonemap` per hive leaf,
+  // maintained BY THE WRITERS.
+  //
+  // The flat form above serves standalone clustered copies; the
+  // warehouse's own tables are all datetime-/batch_id-partitioned and
+  // are REWRITTEN by maintenance ops (MergeUpsert swaps, Compaction,
+  // Retention) — a sidecar nobody maintains goes stale on the exact
+  // tables that matter (loud, never wrong — but opt-out). So the
+  // partitioned form is two pieces:
+  //
+  //  - LAYOUT: each hive leaf directory carries its own `_zonemap`
+  //    over the PINNED stats columns ([[enablePartitioned]] writes the
+  //    pin — a `_skipping_cols` sidecar at the table root — and builds
+  //    every leaf's map). Partition pruning still happens first, at
+  //    directory level, for free; the per-leaf map then prunes FILES
+  //    within each surviving partition — the two cuts compose.
+  //  - MAINTENANCE: every rename-swap writer calls [[maintain]] on the
+  //    partitions it rewrote (MergeUpsert's writeAndSwap and initial
+  //    writes, Compaction's per-partition rewrite; Retention rides
+  //    MergeUpsert). For an unpinned table that is ONE fs.exists — the
+  //    universal-writer bill is a metadata check, not a stats pass.
+  //    For a pinned table the bill is O(touched leaves): ensureStats
+  //    per rewritten leaf, each stat-scanning only the files its map
+  //    does not cover. A writer that bypasses the maintained path
+  //    (a bare spark .mode("append")) leaves that leaf's covered set
+  //    != live and the next [[scanPartitioned]] of it fails LOUD with
+  //    the remedy — the flat form's staleness contract, per leaf.
+  //
+  // Reference analogue: the Silver partition-pruned reads
+  // (silver_user_session_events.py:75-76) are the scans this serves —
+  // partition pruning alone stops at directory granularity; the leaf
+  // maps cut the files WITHIN each partition the same way Delta's
+  // file stats do.
+
+  private def pinPath(rootDir: String) =
+    new Path(rootDir.stripSuffix("/") + "_skipping_cols")
+
+  /** The stats columns a partitioned table is pinned to maintain zone
+    * maps over (None = skipping not enabled; every writer's
+    * [[maintain]] is then a no-op). The pin is a SIBLING of the table
+    * root — the table's own full-recompute `mode("overwrite")` must
+    * not eat it (the ChangeLog `_changelog_pre` lesson). */
+  def pinnedStatsCols(spark: SparkSession,
+                      rootDir: String): Option[Seq[String]] = {
+    val p = pinPath(rootDir)
+    val filesystem = fs(spark, rootDir)
+    if (!filesystem.exists(p)) return None
+    val in = filesystem.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+  }
+
+  /** The table's hive leaf partition directories (one level — the
+    * warehouse convention; nested partitioning fails loud in the leaf
+    * guard when touched). */
+  private def leafDirs(spark: SparkSession, rootDir: String): Seq[String] =
+    visibleSubdirs(spark, rootDir).filter(_.contains("="))
+
+  /** Enable writer-maintained file skipping on a hive-partitioned
+    * table: pin `statsCols` durably at the root (atomic rename), then
+    * bring every leaf's `_zonemap` current. From here on every
+    * rename-swap writer keeps the touched leaves' maps fresh via
+    * [[maintain]] — no manual rebuild, ever. Within-leaf pruning power
+    * is set by the WRITER's layout: a stage range-shaped on
+    * (partitionCol, statsCol) gives each leaf disjoint per-file
+    * envelopes; an unshaped append still serves (exact, weaker) until
+    * the next rewrite re-tightens. */
+  def enablePartitioned(spark: SparkSession, rootDir: String,
+                        statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val p = pinPath(rootDir)
+    val filesystem = fs(spark, rootDir)
+    val tmp = new Path(p.toString + ".tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(statsCols.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (filesystem.exists(p)) filesystem.delete(p, false)
+    if (!filesystem.rename(tmp, p))
+      sys.error(s"skipping pin publish failed: rename $tmp -> $p")
+    maintain(spark, rootDir, Seq.empty)
+  }
+
+  /** Bring the zone maps of `touchedPartDirs` (leaf directory NAMES,
+    * e.g. `datetime=2024-01-01`; empty = every leaf) current — the
+    * writer hook. A no-op (one fs.exists) when the table is not
+    * pinned; O(touched leaves) when it is, each leaf reconciling at
+    * delta cost ([[ensureStats]]). A touched leaf that no longer
+    * exists was dropped whole — its sidecar died with it. */
+  def maintain(spark: SparkSession, rootDir: String,
+               touchedPartDirs: Seq[String]): Unit = {
+    val cols = pinnedStatsCols(spark, rootDir).getOrElse(return)
+    val touched =
+      if (touchedPartDirs.nonEmpty) touchedPartDirs
+      else leafDirs(spark, rootDir)
+    val filesystem = fs(spark, rootDir)
+    touched.foreach { leaf =>
+      val leafPath = new Path(rootDir, leaf)
+      if (filesystem.exists(leafPath))
+        ensureStats(spark, leafPath.toString, cols)
+    }
+  }
+
+  /** Range scan `lo <= column <= hi` over a pinned partitioned table,
+    * composing BOTH cuts: `partitionKeep` prunes leaf DIRECTORIES by
+    * name (the hive cut — pass the partition predicate you'd push
+    * down; defaults to all), then each surviving leaf's zone map
+    * prunes its FILES, and the read re-attaches partition values via
+    * the `basePath` option so the frame is schema-identical to a full
+    * table read. The residual predicate still applies; row-group
+    * pruning still runs inside surviving files. A leaf whose map is
+    * stale (a writer bypassed [[maintain]]) fails LOUD with the
+    * remedy; an unpinned table fails loud here too (there is nothing
+    * exact to serve). */
+  def scanPartitioned(spark: SparkSession, rootDir: String,
+                      column: String, lo: Column, hi: Column,
+                      partitionKeep: String => Boolean = _ => true)
+      : DataFrame = {
+    if (pinnedStatsCols(spark, rootDir).isEmpty)
+      sys.error(s"$rootDir has no skipping pin — run " +
+        "DataSkipping.enablePartitioned before scanPartitioned")
+    val residual = col(column) >= lo && col(column) <= hi
+    val leaves = leafDirs(spark, rootDir).filter(partitionKeep)
+    val surviving = leaves.flatMap { leaf =>
+      pruneFiles(spark, s"$rootDir/$leaf", column, Some(lo), Some(hi))
+        ._1.map(f => s"$rootDir/$leaf/$f")
+    }
+    if (surviving.isEmpty)
+      spark.read.option("basePath", rootDir).parquet(rootDir)
+        .filter(residual).limit(0)
+    else
+      spark.read.option("basePath", rootDir).parquet(surviving: _*)
         .filter(residual)
   }
 }

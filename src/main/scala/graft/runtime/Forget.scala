@@ -352,8 +352,7 @@ object Forget {
       val n = ChangeLog.purge(spark, dir, keep)
       receipts += (s"${name}_changelog" -> n)
       if (n > 0 || tablePurged > 0)
-        Consumers.list(spark, dir).flatMap(_.viewDir)
-          .foreach(MaterializedView.invalidate(spark, _))
+        Consumers.invalidateAll(spark, dir)
     }
     purgeLog(silverDir, "silver_sessions", silverPurged)
     purgeLog(userGoldDir, "gold_user_daily", userGoldPurged)

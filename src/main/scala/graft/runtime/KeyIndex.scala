@@ -71,6 +71,46 @@ object KeyIndex {
 
   private def wmPath(indexDir: String) = s"$indexDir/_indexed_watermark"
 
+  /** The bucket count is LAYOUT, not a per-call knob (the
+    * [[Scd2Store]] `_buckets` lesson): a probe or a maintenance
+    * rewrite hashing with a different count than the build routes the
+    * key to a DIFFERENT partition than its stored pairs — the
+    * one-bucket-pruned [[lookup]] silently misses, and
+    * [[graft.runtime.Retention]]'s reconcile re-derives pairs into
+    * buckets the staleness check never compares. Pinned durably at
+    * build time; every later caller reads the pinned value and an
+    * explicitly different ask fails loud. */
+  private def bucketsPath(indexDir: String) = s"$indexDir/_index_buckets"
+
+  /** The durably pinned bucket count of an existing index (None =
+    * never built / built before pinning — [[ensure]] backfills the
+    * pin on its next run). */
+  def pinnedBuckets(spark: SparkSession, indexDir: String): Option[Int] =
+    Incremental.loadWatermark(spark, bucketsPath(indexDir)).map(_.toInt)
+
+  /** The bucket count maintenance MUST use: the pinned value. Fails
+    * loud when the index has data but no pin (pre-pin index — the
+    * remedy is one [[ensure]] call, which backfills it) rather than
+    * guessing a default that may mis-route every probe. */
+  private[runtime] def requireBuckets(spark: SparkSession,
+                                      indexDir: String): Int =
+    pinnedBuckets(spark, indexDir).getOrElse(
+      sys.error(s"index at $indexDir has no pinned bucket count " +
+        s"(${bucketsPath(indexDir)}); run KeyIndex.ensure once to pin " +
+        "the layout before bucket-pruned reads or maintenance"))
+
+  private def resolveBuckets(spark: SparkSession, indexDir: String,
+                             asked: Int): Int = {
+    val pinned = pinnedBuckets(spark, indexDir)
+    pinned.filter(_ != asked).filter(_ => asked != DefaultBuckets)
+      .foreach { p =>
+        sys.error(s"index at $indexDir was built with $p buckets; " +
+          s"using $asked would route keys to the wrong partition — " +
+          "rebuild into a fresh directory to change the layout")
+      }
+    pinned.getOrElse(asked)
+  }
+
   /** The md5 bucket expression over an arbitrary key column — the
     * [[graft.text.TextOps.md5BucketExpr]] scheme generalized off
     * doc_id, kept byte-identical so DuckDB replays it. */
@@ -91,6 +131,12 @@ object KeyIndex {
     * a caught-up index returns without touching the table. */
   def ensure(spark: SparkSession, tableDir: String, indexDir: String,
              keyCol: String, buckets: Int = DefaultBuckets): Unit = {
+    val b = resolveBuckets(spark, indexDir, buckets)
+    // Pin the layout durably the first time through (and backfill the
+    // pin for a pre-pin index, whose caller is asserting the count it
+    // was built with). Idempotent: the same value every run.
+    if (pinnedBuckets(spark, indexDir).isEmpty)
+      Incremental.saveWatermark(spark, bucketsPath(indexDir), b.toLong)
     val hwOpt = Incremental.highWatermark(spark, tableDir)
     val wm = watermark(spark, indexDir)
     hwOpt.filterNot(hw => wm.exists(_ >= hw)).foreach { tableHw =>
@@ -98,7 +144,7 @@ object KeyIndex {
         .filter(wm.map(col("batch_id") > _).getOrElse(lit(true)))
         .select(col(keyCol).as("key"), col("batch_id"))
         .distinct()
-        .withColumn("bucket", expr(bucketExpr("key", buckets)))
+        .withColumn("bucket", expr(bucketExpr("key", b)))
       delta.write.partitionBy("bucket").mode("append").parquet(indexDir)
       Incremental.saveWatermark(spark, wmPath(indexDir), tableHw)
     }
@@ -110,7 +156,7 @@ object KeyIndex {
     * construction. */
   def lookup(spark: SparkSession, indexDir: String, key: Any,
              buckets: Int = DefaultBuckets): DataFrame = {
-    val b = bucketOf(key, buckets)
+    val b = bucketOf(key, resolveBuckets(spark, indexDir, buckets))
     spark.read.parquet(indexDir)
       .filter(col("bucket") === lit(b) && col("key") === lit(key))
       .select("key", "batch_id").distinct()
@@ -137,7 +183,7 @@ object KeyIndex {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val b = bucketOf(key, buckets)
+    val b = bucketOf(key, resolveBuckets(spark, indexDir, buckets))
     val kept = spark.read.parquet(indexDir)
       .filter(col("bucket") === lit(b) && !(col("key") <=> lit(key)))
     graft.silver.MergeUpsert.replacePartitions(spark, indexDir,

@@ -66,7 +66,14 @@ object ResultCache {
     * (path, length, mtime), recursively, sorted — one metadata sweep
     * per input directory (or file), no data read. A missing input
     * contributes its absence (a table appearing or vanishing changes
-    * the signature too). */
+    * the signature too). Fields AND entries are NUL-delimited so the
+    * encoding is injective: without separators, two distinct listings
+    * could encode to the same byte stream (a digit sliding across the
+    * length/mtime or mtime/next-path boundary) and collide to one
+    * digest — a theoretical stale-serve window in the one component
+    * whose whole correctness rests on this hash. NUL cannot appear in
+    * a filesystem path and the numbers are plain digits, so every
+    * field boundary is unambiguous. */
   def signature(spark: SparkSession, inputDirs: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     inputDirs.sorted.foreach { dir =>
@@ -78,8 +85,8 @@ object ResultCache {
         val entries = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val st = it.next()
-          entries += s"${st.getPath}${st.getLen}" +
-            s"${st.getModificationTime}"
+          entries += s"${st.getPath}\u0000${st.getLen}" +
+            s"\u0000${st.getModificationTime}\u0000"
         }
         entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
       } else md.update("absent".getBytes("UTF-8"))
@@ -136,9 +143,21 @@ object ResultCache {
     * [[graft.PlanFingerprint]]'s scrubbing exists because of that).
     * Bump it with the query (a literal `"v2"`, a config hash) or a
     * definition change silently serves the OLD query's result until
-    * the next input change. */
+    * the next input change.
+    *
+    * `registerIn` names logged WAREHOUSE tables (typically ⊆ the
+    * inputs) whose [[Consumers]] registries should list this cache as
+    * a NON-BLOCKING OBSERVER: the collapse ignores it (a cache owes no
+    * log span — any input change is caught by the signature), but
+    * [[Forget.forgetUser]] / [[Retention.expireBefore]] DELETE the
+    * entry when they purge the table, so a materialization that may
+    * hold purged rows never outlives the purge on disk (without this,
+    * the signature mismatch prevents a stale SERVE but the old bytes
+    * persist until the next serve). Leave empty for inputs outside
+    * the warehouse (read-only source data has no registry to write). */
   def serve(spark: SparkSession, cacheRoot: String, name: String,
-            inputDirs: Seq[String], version: String = "")
+            inputDirs: Seq[String], version: String = "",
+            registerIn: Seq[String] = Seq.empty)
            (compute: => DataFrame): DataFrame = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
@@ -148,9 +167,19 @@ object ResultCache {
     val data = dataDir(cacheRoot, name)
     val dataP = new Path(data)
     val fs = fsOf(spark, dataP)
+    // Observer registration is refreshed on every serve (hit or miss):
+    // position 0 is meaningless by design — observers never clamp, the
+    // signature is the real position — but the refreshed-at stamp
+    // keeps the listing honest about which caches are live.
+    def registered(df: DataFrame): DataFrame = {
+      registerIn.foreach(t => Consumers.register(spark, t,
+        s"cache-$name", 0L, viewDir = Some(s"$cacheRoot/$name"),
+        observer = true))
+      df
+    }
     if (readSig(spark, cacheRoot, name).contains(sig) &&
         fs.exists(dataP))
-      return spark.read.parquet(data)
+      return registered(spark.read.parquet(data))
 
     // Miss: retire the signature FIRST (a crash mid-swap must read as
     // a miss, never as "old sig + new data" or vice versa), stage the
@@ -174,7 +203,7 @@ object ResultCache {
     val out = fs.create(tmp, true)
     try out.write(sig.getBytes("UTF-8")) finally out.close()
     fs.rename(tmp, sp)
-    spark.read.parquet(data)
+    registered(spark.read.parquet(data))
   }
 
   /** Registered face: TPC-H Q1 served THROUGH the cache. The first

@@ -219,13 +219,19 @@ object Retention {
         if (dropped > 0) {
           val kept = idx.filter(!col("batch_id").isin(touched: _*))
             .select(col("key"), col("batch_id"), col("bucket"))
+          // The index's PINNED bucket count, never a default: a
+          // reconcile hashing with the wrong count would file the
+          // re-derived pairs into buckets lookup never probes —
+          // silent under-scoping of forgetUserIndexed (the failure
+          // mode the Scd2Store layout pin exists to prevent). Fails
+          // loud on an unpinned index rather than guessing.
+          val idxBuckets = KeyIndex.requireBuckets(spark, idxDir)
           val rederived = readIfData(spark, bronzeDir)
             .map(_.filter(col("batch_id").isin(touched: _*))
               .select(col(keyCol).as("key"), col("batch_id"))
               .distinct()
               .withColumn("bucket",
-                expr(KeyIndex.bucketExpr("key",
-                  KeyIndex.DefaultBuckets))))
+                expr(KeyIndex.bucketExpr("key", idxBuckets))))
             .getOrElse(kept.filter(lit(false)))
           MergeUpsert.replaceAll(spark, idxDir,
             kept.unionByName(rederived), partitionCol = "bucket")
@@ -252,8 +258,7 @@ object Retention {
       val logPurged = ChangeLog.purge(spark, dir, col("datetime") >= lit(cutoff))
       receipts += (s"${name}_changelog" -> logPurged)
       if (tablePurged > 0 || logPurged > 0)
-        Consumers.list(spark, dir).flatMap(_.viewDir)
-          .foreach(MaterializedView.invalidate(spark, _))
+        Consumers.invalidateAll(spark, dir)
     }
     expireRowImaged(silverDir, "silver_sessions")
     expireRowImaged(userGoldDir, "gold_user_daily")

@@ -51,8 +51,7 @@ object MergeUpsert {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sweepAndHasData(fs, rootPath)) {
-      stage.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetDir)
+      initialWrite(spark, targetDir, stage, partitionCol)
     } else {
       // Affected partitions only: metadata-scale collect (dates, not rows).
       val affected = stage.select(col(partitionCol)).distinct()
@@ -101,8 +100,7 @@ object MergeUpsert {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sweepAndHasData(fs, rootPath)) {
-      stage.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetDir)
+      initialWrite(spark, targetDir, stage, partitionCol)
     } else {
       val target = spark.read.option("mergeSchema", "true").parquet(targetDir)
       val stagedVals = stage.select(col(partitionCol)).distinct()
@@ -135,8 +133,7 @@ object MergeUpsert {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sweepAndHasData(fs, rootPath)) {
-      stage.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetDir)
+      initialWrite(spark, targetDir, stage, partitionCol)
     } else {
       // Safety union: a staged value outside the declared list would
       // otherwise swap in while its siblings' stale rows survive.
@@ -169,8 +166,7 @@ object MergeUpsert {
     val rootPath = new Path(targetDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sweepAndHasData(fs, rootPath)) {
-      stage.write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetDir)
+      initialWrite(spark, targetDir, stage, partitionCol)
     } else {
       val existingDirs = fs.listStatus(rootPath)
         .filter(_.isDirectory).map(_.getPath.getName)
@@ -309,6 +305,30 @@ object MergeUpsert {
       }
       dropPartitionDirs(fs, rootPath,
         dropIfEmpty.filterNot(written.toSet))
+      // Writer-maintained file skipping: a table pinned by
+      // [[graft.runtime.DataSkipping.enablePartitioned]] gets the
+      // rewritten leaves' zone maps reconciled HERE, in the writer —
+      // the sidecar can never go stale under this path. Unpinned
+      // tables (the common case — logs, views, stores) pay one
+      // fs.exists. Ordering: after the swap, so a crash before this
+      // line leaves covered != live, which the scan rejects LOUDLY —
+      // the fail-loud-never-wrong contract, and the retry's
+      // writeAndSwap re-runs maintenance. Dropped partitions need no
+      // step (their sidecars died with the directory).
+      graft.runtime.DataSkipping.maintain(merged.sparkSession,
+        rootPath.toString, written.toIndexedSeq)
     } finally fs.delete(stagingDir, true)
+  }
+
+  /** The shared initial-write branch: a plain partitioned overwrite,
+    * followed by the same writer-maintained skipping reconcile as
+    * [[writeAndSwap]] (all leaves — an initial write after
+    * [[graft.runtime.DataSkipping.enablePartitioned]] happens when a
+    * table was emptied and re-seeded). */
+  private def initialWrite(spark: SparkSession, targetDir: String,
+                           stage: DataFrame, partitionCol: String): Unit = {
+    stage.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(targetDir)
+    graft.runtime.DataSkipping.maintain(spark, targetDir, Seq.empty)
   }
 }

@@ -100,6 +100,84 @@ class ConsumerRegistrySpec extends SparkSpec {
     assert(Incremental.batches(spark, ld) === Seq(3L))
   }
 
+  test("a dead consumer still blocks the fold, but the third clamped " +
+      "checkpoint surfaces it by name; catching up clears the ledger") {
+    val dir = tmpDir("reg-stale") + "/t"
+    buildHistory(dir)
+    val ld = ChangeLog.logDir(dir)
+
+    Consumers.register(spark, dir, "dead-view", 1L)
+    val reg = Consumers.list(spark, dir).head
+    assert(reg.refreshedAt > 0L,
+      "registrations must carry a liveness stamp")
+
+    // Three successive clamped checkpoints: correctness first (the
+    // fold never moves past the dead consumer)...
+    (1 to 3).foreach { i =>
+      assert(!ChangeLog.checkpoint(spark, dir, Seq("id"), 3L),
+        s"clamped checkpoint $i must still block")
+      assert(Incremental.batches(spark, ld) === Seq(1L, 2L, 3L))
+      val clamps = Consumers.staleClamps(spark, dir)
+      assert(clamps.map(c => (c.name, c.position, c.count)) ===
+        Seq(("dead-view", 1L, i)),
+        s"ledger after clamped checkpoint $i")
+    }
+    // ...and at WarnAfterClamps the ledger names it (the loud stderr
+    // warning fires from the same entry — count >= threshold).
+    assert(Consumers.staleClamps(spark, dir)
+      .exists(c => c.name == "dead-view" &&
+        c.count >= Consumers.WarnAfterClamps))
+
+    // The consumer advances (it was merely slow, or the operator
+    // refreshed it): the next checkpoint folds and CLEARS the ledger —
+    // a recovered consumer must not stay named.
+    Consumers.register(spark, dir, "dead-view", 3L)
+    assert(ChangeLog.checkpoint(spark, dir, Seq("id"), 3L))
+    assert(Consumers.staleClamps(spark, dir).isEmpty,
+      "an unclamped checkpoint must clear the ledger")
+  }
+
+  test("an observer registration is listed but never clamps, and the " +
+      "compliance sweep DELETES its state instead of marking it") {
+    val dir = tmpDir("reg-obs") + "/t"
+    buildHistory(dir)
+    val ld = ChangeLog.logDir(dir)
+
+    // An observer far behind the head: the fold ignores it entirely.
+    val cacheState = tmpDir("reg-obs-cache") + "/entry"
+    spark.range(3).write.parquet(s"$cacheState/data")
+    Consumers.register(spark, dir, "cache-entry", 0L,
+      viewDir = Some(cacheState), observer = true)
+    val viewState = tmpDir("reg-obs-view") + "/v"
+    MergeUpsert.replaceAll(spark, viewState,
+      df((9L, 900L, "g9")), partitionCol = "grp")
+    Consumers.register(spark, dir, "real-view", 3L,
+      viewDir = Some(viewState))
+
+    assert(Consumers.list(spark, dir).map(r => (r.name, r.observer)) ===
+      Seq(("cache-entry", true), ("real-view", false)))
+    assert(Consumers.minPosition(spark, dir).contains(3L),
+      "observers must not participate in the clamp")
+    assert(ChangeLog.checkpoint(spark, dir, Seq("id"), 3L),
+      "the fold must proceed past an observer at position 0")
+    assert(Incremental.batches(spark, ld) === Seq(3L))
+    assert(Consumers.staleClamps(spark, dir).isEmpty,
+      "an observer can never be named as a clamp blocker")
+
+    // Compliance sweep: blocking view gets the invalidation marker
+    // (state intact until its next refresh re-seeds); observer state
+    // is DELETED outright — a cache that may hold purged rows must
+    // not outlive the purge on disk.
+    Consumers.invalidateAll(spark, dir)
+    assert(MaterializedView.isInvalid(spark, viewState))
+    assert(spark.read.parquet(viewState).count() === 1L,
+      "blocking view serves until its next refresh")
+    val fs = new org.apache.hadoop.fs.Path(cacheState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cacheState)),
+      "observer (cache) state must be deleted by the sweep")
+  }
+
   test("MaterializedView.refresh registers itself: retention cannot " +
       "outrun the view, and it refreshes cleanly across a collapse") {
     val dir = tmpDir("reg-mview") + "/t"

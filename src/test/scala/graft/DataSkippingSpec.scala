@@ -190,6 +190,103 @@ class DataSkippingSpec extends SparkSpec {
       .collect().map(_.toString).toSet === snap)
   }
 
+  test("partitioned warehouse table: the WRITERS keep per-leaf zone " +
+      "maps fresh — upsert, partition replace/drop and compaction all " +
+      "serve scanPartitioned with NO manual rebuild; a bypassing " +
+      "writer fails loud and maintain heals it") {
+    import graft.silver.MergeUpsert
+    val dir = tmpDir("skip-part") + "/orders"
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .localCheckpoint()
+    // Writer-shaped stage: range layout on (partition, stats col) so
+    // every leaf gets in-partition clustered files.
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.repartitionByRange(12, col("o_month"), col("o_custkey"))
+        .sortWithinPartitions(col("o_month"), col("o_custkey"))
+    MergeUpsert.replaceAll(spark, dir, shaped(base),
+      partitionCol = "o_month")
+    DataSkipping.enablePartitioned(spark, dir, Seq("o_custkey"))
+
+    val maxCust = base.agg(max(col("o_custkey"))).head().getLong(0)
+    val lo = lit(0L); val hi = lit(maxCust / 8)
+    def served = DataSkipping.scanPartitioned(spark, dir,
+      "o_custkey", lo, hi)
+    def expect = spark.read.parquet(dir)
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    def assertServes(what: String): Unit = {
+      val g = served.localCheckpoint(); val e = expect.localCheckpoint()
+      assert(g.exceptAll(e).isEmpty && e.exceptAll(g).isEmpty &&
+        g.count() === e.count(), s"$what diverged")
+    }
+    assertServes("initial enable")
+    // And it actually PRUNES within partitions: the narrow custkey
+    // range must survive in strictly fewer files than the table holds.
+    val allFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val readFiles = served
+      .select(input_file_name()).distinct().count()
+    assert(readFiles < allFiles,
+      s"within-partition file pruning must engage: $readFiles of $allFiles")
+
+    // (a) Keyed upsert into two months — the writer reconciles the
+    // rewritten leaves; no manual rebuild.
+    val touched = base.filter(col("o_month").isin("1996-02", "1996-05"))
+      .limit(40).withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    MergeUpsert.upsert(spark, dir, shaped(touched), Seq("o_orderkey"),
+      partitionCol = "o_month")
+    assertServes("after upsert")
+
+    // (b) replacePartitions (the Retention/IncrementalGold rewrite
+    // shape): one month recomputed, one month dropped empty.
+    MergeUpsert.replacePartitions(spark, dir,
+      shaped(base.filter(col("o_month") === "1996-03")),
+      Seq("1996-03", "1996-06"), partitionCol = "o_month")
+    assert(spark.read.parquet(dir)
+      .filter(col("o_month") === "1996-06").isEmpty,
+      "fixture: the June leaf must be dropped")
+    assertServes("after partition replace + drop")
+
+    // (c) Compaction: rewritten leaves reconcile inside compact().
+    val report = graft.runtime.Compaction.compact(spark, dir)
+    assert(report.count() > 0, "fixture: compaction must rewrite leaves")
+    assertServes("after compaction")
+
+    // (d) A writer that bypasses the maintained path leaves the leaf's
+    // map stale: the scan fails LOUD (names the remedy), and a
+    // maintain pass heals exactly that leaf.
+    base.filter(col("o_month") === "1996-01").limit(5)
+      .coalesce(1).write.mode("append").parquet(s"$dir/o_month=1996-01")
+    val e = intercept[RuntimeException] { served.count() }
+    assert(e.getMessage.contains("STALE"),
+      s"bypassed write must fail loud: ${e.getMessage}")
+    DataSkipping.maintain(spark, dir, Seq("o_month=1996-01"))
+    assertServes("after heal")
+
+    // (e) The partition cut composes: restricting leaves by name reads
+    // a strict subset and stays exact within it.
+    val gotQ1 = DataSkipping.scanPartitioned(spark, dir, "o_custkey",
+      lo, hi, partitionKeep = _ <= "o_month=1996-03")
+    val expQ1 = expect.filter(col("o_month") <= "1996-03")
+    assert(gotQ1.exceptAll(expQ1).isEmpty &&
+      expQ1.exceptAll(gotQ1).isEmpty, "partition-cut scan diverged")
+
+    // (f) Flat-form guards: the flat entry points refuse the
+    // partitioned table instead of serving a silently partial answer.
+    Seq(
+      () => DataSkipping.ensureStats(spark, dir, Seq("o_custkey")),
+      () => DataSkipping.pruneFiles(spark, dir, "o_custkey",
+        Some(lo), Some(hi)),
+      () => DataSkipping.buildStats(spark, dir, Seq("o_custkey"))
+    ).foreach { f =>
+      val g = intercept[RuntimeException] { f() }
+      assert(g.getMessage.contains("hive-partitioned"),
+        s"flat entry point must refuse a partitioned dir: ${g.getMessage}")
+    }
+  }
+
   test("recluster recovery: a crash between the swap renames restores " +
       "the complete old table on the next call") {
     val dir = freshOrdersLayout()

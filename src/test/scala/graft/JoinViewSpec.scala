@@ -1,0 +1,211 @@
+package graft
+
+import graft.runtime.{ChangeLog, Consumers, Incremental, JoinView,
+  MaterializedView}
+import graft.silver.MergeUpsert
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The PERSISTED two-log join view ([[graft.runtime.JoinView]]):
+  * positions in BOTH change logs commit atomically with the data (the
+  * paired `_as_of` single-partition swap), so every crash window
+  * converges; both consumers register (either log's collapse clamps
+  * at the view); a collapse behind either log fails LOUD; and a purge
+  * of either log invalidates the view into a re-seed. */
+class JoinViewSpec extends SparkSpec {
+
+  private val aSchema = StructType(Seq(
+    StructField("id", LongType), StructField("jk", LongType),
+    StructField("m", LongType)))
+  private val bSchema = StructType(Seq(
+    StructField("bk", LongType), StructField("jk", LongType),
+    StructField("grp", StringType), StructField("w", LongType)))
+
+  private def adf(rows: (Long, Long, Long)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3)), 2), aSchema)
+      .withColumn("pt", lit("all"))
+  private def bdf(rows: (Long, Long, String, Long)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)), 2), bSchema)
+      .withColumn("pt", lit("all"))
+
+  private def cells(d: DataFrame): Seq[Seq[String]] = {
+    val cols = d.columns.sorted
+    d.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  private val measures = Seq(("mw", col("m") * col("w")))
+
+  private def refresh(aDir: String, bDir: String,
+                      viewDir: String): (Long, Long) =
+    JoinView.refresh(spark, aDir, bDir, viewDir, Seq("id"), Seq("bk"),
+      Seq("jk"), Seq("grp"), measures)
+
+  private def recomputeNow(aDir: String, bDir: String): DataFrame =
+    spark.read.parquet(aDir).join(spark.read.parquet(bDir), Seq("jk"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("m") * col("w")).as("mw"))
+      .select(col("grp"), col("mw"), col("n_rows"))
+
+  private def viewNow(viewDir: String): DataFrame =
+    spark.read.parquet(viewDir).drop("_as_of_a", "_as_of_b", "gv_pt")
+
+  private def assertConverged(viewDir: String, aDir: String,
+                              bDir: String, what: String): Unit =
+    assert(cells(viewNow(viewDir)) === cells(recomputeNow(aDir, bDir)),
+      s"$what diverged from the recompute")
+
+  /** a0/b0 written unlogged; returns (aDir, bDir, viewDir). */
+  private def seeded(tag: String): (String, String, String) = {
+    val base = tmpDir(tag)
+    val aDir = s"$base/a"; val bDir = s"$base/b"
+    val viewDir = s"$base/v"
+    MergeUpsert.replaceAll(spark, aDir,
+      adf((1L, 10L, 2L), (2L, 10L, 3L), (3L, 20L, 5L), (4L, 30L, 7L)),
+      partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, bDir,
+      bdf((100L, 10L, "g1", 10L), (101L, 20L, "g1", 20L),
+        (102L, 30L, "g2", 30L)), partitionCol = "pt")
+    assert(refresh(aDir, bDir, viewDir) === (-1L, -1L),
+      "seed must stamp the pre-history pair")
+    assertConverged(viewDir, aDir, bDir, "seed")
+    (aDir, bDir, viewDir)
+  }
+
+  private def publishA(aDir: String, id: Long,
+                       rows: (Long, Long, Long)*): Unit =
+    ChangeLog.recordBatch(spark, aDir, Seq("id"), id)(
+      MergeUpsert.replaceAll(spark, aDir, adf(rows: _*),
+        partitionCol = "pt"))
+  private def publishB(bDir: String, id: Long,
+                       rows: (Long, Long, String, Long)*): Unit =
+    ChangeLog.recordBatch(spark, bDir, Seq("bk"), id)(
+      MergeUpsert.replaceAll(spark, bDir, bdf(rows: _*),
+        partitionCol = "pt"))
+
+  test("the persisted loop converges across an interleaved history " +
+      "where BOTH sides move, registers in both registries, and a " +
+      "no-op refresh advances nothing") {
+    val (aDir, bDir, viewDir) = seeded("jv-conv")
+
+    // Span 1: A only (delete id2, add id5, m change on id1).
+    publishA(aDir, 1L, (1L, 10L, 4L), (3L, 20L, 5L), (4L, 30L, 7L),
+      (5L, 10L, 11L))
+    assert(refresh(aDir, bDir, viewDir) === (1L, -1L))
+    assertConverged(viewDir, aDir, bDir, "A-only span")
+
+    // Span 2: BOTH sides in one refresh — A join-key move (id3 jk
+    // 20→30) AND B group move + w change + dim add; the A₀ branch
+    // reconstructs A@1 via snapshotAt and probes only ΔB's keys.
+    publishB(bDir, 1L, (100L, 10L, "g1", 12L), (101L, 20L, "g2", 20L),
+      (102L, 30L, "g2", 30L), (103L, 40L, "g3", 40L))
+    publishA(aDir, 2L, (1L, 10L, 4L), (3L, 30L, 5L), (4L, 30L, 7L),
+      (5L, 10L, 11L))
+    assert(refresh(aDir, bDir, viewDir) === (2L, 1L))
+    assertConverged(viewDir, aDir, bDir, "both-sides span")
+
+    // Span 3: B only, with a ROW REMOVAL (bk 102 — every jk-30 fact
+    // loses its match and leaves the view through the join).
+    publishB(bDir, 2L, (100L, 10L, "g1", 12L), (101L, 20L, "g2", 20L),
+      (103L, 40L, "g3", 40L))
+    assert(refresh(aDir, bDir, viewDir) === (2L, 2L))
+    assertConverged(viewDir, aDir, bDir, "B-only removal span")
+
+    // Registered in BOTH registries, at the committed pair.
+    val ra = Consumers.list(spark, aDir)
+    val rb = Consumers.list(spark, bDir)
+    assert(ra.map(_.name) === Seq(JoinView.consumerName(viewDir, "a")))
+    assert(rb.map(_.name) === Seq(JoinView.consumerName(viewDir, "b")))
+    assert(ra.head.position === 2L && rb.head.position === 2L)
+    assert(ra.head.viewDir.contains(viewDir) &&
+      rb.head.viewDir.contains(viewDir))
+
+    // No-op refresh: same pair, same cells.
+    val before = cells(viewNow(viewDir))
+    assert(refresh(aDir, bDir, viewDir) === (2L, 2L))
+    assert(cells(viewNow(viewDir)) === before)
+  }
+
+  test("crash windows converge: a mid-swap crash heals via the " +
+      "recovery sweep, and registry lag (crash before registering) " +
+      "is conservative — the fold stops early, the refresh is exact") {
+    val (aDir, bDir, viewDir) = seeded("jv-crash")
+    publishA(aDir, 1L, (1L, 10L, 4L), (3L, 20L, 5L), (4L, 30L, 7L))
+    assert(refresh(aDir, bDir, viewDir) === (1L, -1L))
+
+    // Mid-swap crash: the view's single partition sits in a backup,
+    // the live name missing (death between the two renames). The next
+    // refresh's state read runs the shared recovery sweep first.
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$viewDir/gv_pt=all"),
+      new org.apache.hadoop.fs.Path(
+        s"$viewDir/.backup-$uuid--gv_pt=all")))
+    publishB(bDir, 1L, (100L, 10L, "g1", 15L), (101L, 20L, "g1", 20L),
+      (102L, 30L, "g2", 30L))
+    assert(refresh(aDir, bDir, viewDir) === (1L, 1L),
+      "the healed view must refresh from its restored pair")
+    assertConverged(viewDir, aDir, bDir, "after mid-swap heal")
+
+    // Crash between the data commit and the registrations: the
+    // registries lag BELOW the committed pair. That is conservative —
+    // a collapse clamps early (folds less than it could), never past
+    // what the view needs — and the next refresh re-registers.
+    Consumers.register(spark, aDir, JoinView.consumerName(viewDir, "a"),
+      0L, viewDir = Some(viewDir))
+    assert(!ChangeLog.checkpoint(spark, aDir, Seq("id"), 1L),
+      "the lagging registration must clamp the fold early")
+    assert(Incremental.batches(spark, ChangeLog.logDir(aDir))
+      === Seq(1L), "no entry the view might need may fold")
+    publishA(aDir, 2L, (1L, 10L, 4L), (4L, 30L, 7L))
+    assert(refresh(aDir, bDir, viewDir) === (2L, 1L))
+    assertConverged(viewDir, aDir, bDir, "after registry-lag refresh")
+    assert(Consumers.list(spark, aDir).head.position === 2L,
+      "the refresh must re-register the committed position")
+  }
+
+  test("a collapse behind EITHER log fails loud; invalidation (either " +
+      "log's purge) re-seeds from the purged bases") {
+    val (aDir, bDir, viewDir) = seeded("jv-collapse")
+    publishA(aDir, 1L, (1L, 10L, 4L), (3L, 20L, 5L), (4L, 30L, 7L))
+    publishA(aDir, 2L, (1L, 10L, 6L), (3L, 20L, 5L), (4L, 30L, 7L))
+    publishB(bDir, 1L, (100L, 10L, "g1", 15L), (101L, 20L, "g1", 20L),
+      (102L, 30L, "g2", 30L))
+    assert(refresh(aDir, bDir, viewDir) === (2L, 1L))
+
+    // Simulate operational loss: retire the A-side registration, fold
+    // A's log past the view, then hand the view an OLDER A position
+    // (as a restored-from-backup view would carry). The refresh must
+    // fail LOUD — the entries it owes were folded.
+    publishA(aDir, 3L, (1L, 10L, 8L), (3L, 20L, 5L), (4L, 30L, 7L))
+    Consumers.unregister(spark, aDir, JoinView.consumerName(viewDir, "a"))
+    assert(ChangeLog.checkpoint(spark, aDir, Seq("id"), 3L))
+    val stale = viewNow(viewDir)
+      .withColumn("_as_of_a", lit(1L)).withColumn("_as_of_b", lit(1L))
+      .withColumn("gv_pt", lit("all")).localCheckpoint()
+    MergeUpsert.replaceAll(spark, viewDir, stale, partitionCol = "gv_pt")
+    val boom = intercept[IllegalArgumentException] {
+      refresh(aDir, bDir, viewDir)
+    }
+    assert(boom.getMessage.contains("collapse boundary"),
+      s"behind-boundary refresh must fail loud: ${boom.getMessage}")
+
+    // The purge path: EITHER log's compliance sweep invalidates the
+    // view (both registrations carry viewDir); the next refresh
+    // discards state and re-seeds from the current bases.
+    Consumers.register(spark, bDir, JoinView.consumerName(viewDir, "b"),
+      1L, viewDir = Some(viewDir))
+    Consumers.invalidateAll(spark, bDir)
+    assert(MaterializedView.isInvalid(spark, viewDir))
+    assert(refresh(aDir, bDir, viewDir) === (3L, 1L),
+      "the re-seed must stamp the current heads")
+    assert(!MaterializedView.isInvalid(spark, viewDir))
+    assertConverged(viewDir, aDir, bDir, "re-seeded view")
+  }
+}

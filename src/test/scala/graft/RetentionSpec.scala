@@ -80,6 +80,32 @@ class RetentionSpec extends SparkSpec {
       .filter(col("last_d") < lit(cutoff))
       .select(col("user_id")).head(1).headOption.map(_.getLong(0))
 
+    // An SCD2 store over the silver log — the worst place to miss a
+    // purge signal: it persists HISTORICAL row images.
+    val silverDir = s"$wh/silver_sessions"
+    val storeDir = s"$wh/scd2_sessions"
+    val sessKey = graft.silver.Sessionize.SessionKey
+    graft.runtime.Scd2Store.refresh(spark, silverDir, storeDir, sessKey,
+      basePosition = 0L)
+    assert(!graft.runtime.Scd2Store.read(spark, storeDir)
+      .filter(col("datetime") < lit(cutoff)).isEmpty,
+      "fixture: the store must hold pre-cutoff version images")
+
+    // A result cache over silver, REGISTERED as an observer: its
+    // materialization holds pre-cutoff rows, and retention must
+    // delete it at purge time (not merely let the signature rot).
+    val cacheRoot = s"$wh/result_cache"
+    def serveDaily(thunk: => DataFrame): DataFrame =
+      graft.runtime.ResultCache.serve(spark, cacheRoot, "daily_rows",
+        Seq(silverDir), "v1", registerIn = Seq(silverDir))(thunk)
+    val cached0 = serveDaily(spark.read.parquet(silverDir)
+      .groupBy(col("datetime")).agg(count(lit(1)).as("n_rows")))
+    assert(!cached0.filter(col("datetime") < lit(cutoff)).isEmpty,
+      "fixture: the cached result must hold pre-cutoff rows")
+    assert(graft.runtime.Consumers.list(spark, silverDir)
+      .exists(r => r.name == "cache-daily_rows" && r.observer),
+      "the cache must be listed as a non-blocking observer")
+
     val episodeDir = s"$wh/gold_episode_daily"
     val preEpisode = spark.read.parquet(episodeDir).localCheckpoint()
     val retainedBefore = cells(spark.read.parquet(episodeDir)
@@ -165,6 +191,33 @@ class RetentionSpec extends SparkSpec {
         count(lit(1)).as("n_rows"))
     assert(cells(spark.read.parquet(viewDir).drop("_as_of", "gv_pt"))
       === cells(expView), "re-seeded view must serve truncated counts")
+
+    // (3c) The SCD2 store honored the purge: it was invalidated, and
+    // its refresh re-seeds to the TRUNCATED history — no pre-cutoff
+    // version image survives anywhere in the persisted event set.
+    assert(MaterializedView.isInvalid(spark, storeDir),
+      "retention must invalidate the registered SCD2 store")
+    graft.runtime.Scd2Store.refresh(spark, silverDir, storeDir, sessKey,
+      basePosition = 0L)
+    assert(spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .filter(col("datetime") < lit(cutoff)).isEmpty,
+      "re-seeded store must hold no expired images (tombstones included)")
+    assert(cells(graft.runtime.Scd2Store.read(spark, storeDir)) ===
+      cells(ChangeLog.scd2(spark, silverDir, sessKey, 0L)),
+      "re-seeded store must equal the from-scratch truncated rebuild")
+
+    // (3d) The observer cache was DELETED at purge time — the old
+    // materialization's bytes (which held pre-cutoff rows) are gone,
+    // and the next serve recomputes the truncated answer.
+    val cacheEntry = new org.apache.hadoop.fs.Path(
+      s"$cacheRoot/daily_rows")
+    assert(!cacheEntry.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(cacheEntry),
+      "retention must delete the registered cache entry outright")
+    val cached1 = serveDaily(spark.read.parquet(silverDir)
+      .groupBy(col("datetime")).agg(count(lit(1)).as("n_rows")))
+    assert(cached1.filter(col("datetime") < lit(cutoff)).isEmpty,
+      "the recomputed cache must serve the truncated answer")
 
     // (4) A second run at the same cutoff is a receipt of zeros.
     val r2 = Retention.expireBefore(spark, bronze, wh, cutoff)
