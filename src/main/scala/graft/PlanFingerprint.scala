@@ -25,22 +25,41 @@ import org.apache.spark.sql.SparkSession
   * hash that shifts with the JVM-global ExprId counter — so ADDING a
   * query that plans earlier in the alphabetical battery can renumber
   * another query's gids (same tree, gid 1↔2 swapped, Expand rows and
-  * the mid-Aggregate column order swapped with them). Verify with two
-  * `dump` runs (old classes vs new) — a pure gid renumbering diffs
-  * ONLY in gid literals and list order — then re-record. Within a
-  * FIXED battery the assignment is deterministic (verified across six
-  * fresh JVMs), so the guard still catches every real rewrite.
+  * the mid-Aggregate column order swapped with them). Within a FIXED
+  * battery the assignment is deterministic (verified across six fresh
+  * JVMs), so the guard still catches every real rewrite.
+  *
+  * That class is AUTO-CLASSIFIED (round 15): alongside the raw record,
+  * `write` commits `PLANS_NORM.json` — the same fingerprints computed
+  * over a gid-NORMALIZED text ([[normalizeGid]]: on each line that
+  * mentions `gid`, integer literals are scrubbed and the line's
+  * comma-fragments sorted, so a pure renumbering — same fragments,
+  * permuted — hashes identically while any expression/node change on
+  * those lines still drifts). `check` then partitions drifts: raw
+  * drift + norm stable = BENIGN (gid renumbering, machine-verified —
+  * just run `write` and commit, no dump archaeology); norm drift =
+  * REAL (exit 1). Lines without `gid` are never normalized, so the
+  * norm record is byte-equal in strictness everywhere else.
+  *
+  * At 149 queries the class turned out to be JVM-UNSTABLE within a
+  * fixed battery too (`orders_daily_distinct`'s gid hash sits on a
+  * boundary: write and check in fresh JVMs can disagree), so the RAW
+  * record may report an intermittent BENIGN — by design not a
+  * failure; the NORMALIZED record is the binding guard for plans in
+  * this class.
   *
   * Usage (pinned to sf0.01 — fingerprints are per-scale because AQE-
   * independent logical shapes can still differ through fixture
   * parameters derived from data):
-  *   graft.PlanFingerprint write   # (re)record PLANS.json
-  *   graft.PlanFingerprint check   # exit 1 + name every drifted plan
+  *   graft.PlanFingerprint write   # (re)record PLANS.json + PLANS_NORM.json
+  *   graft.PlanFingerprint check   # exit 1 + name every REAL drift;
+  *                                 # gid renumbering reports as BENIGN
   */
 object PlanFingerprint {
 
   private val DefaultSf = "/root/testdata/sf0.01"
   private val RecordPath = "PLANS.json"
+  private val NormRecordPath = "PLANS_NORM.json"
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -135,19 +154,36 @@ object PlanFingerprint {
     s
   }
 
-  private def fingerprints(spark: SparkSession,
-                           sfDir: String): Seq[(String, String)] = {
+  /** Gid-renumbering normalizer — the machine check for the one known
+    * benign-drift class. On every line that mentions the
+    * RewriteDistinctAggregates `gid` column: scrub integer literals
+    * (the gid VALUES) and sort the line's comma-separated fragments
+    * (the Expand rows and mid-Aggregate column order that swap WITH
+    * the values). A pure renumbering permutes fragments without
+    * changing their multiset → identical normalized text; a real
+    * rewrite on those lines changes a fragment → still drifts. All
+    * other lines pass through untouched. */
+  private[graft] def normalizeGid(text: String): String =
+    text.linesIterator.map { line =>
+      if (line.contains("gid")) {
+        val scrubbed = line.replaceAll("\\b\\d+\\b", "N")
+        scrubbed.split(",", -1).map(_.trim).sorted.mkString(",")
+      } else line
+    }.mkString("\n")
+
+  private def fingerprints(spark: SparkSession, sfDir: String)
+      : Seq[(String, String, String)] = {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, q) =>
-        val h =
-          try md5(canonical(spark, sfDir, q(spark, sfDir)))
+        val text =
+          try canonical(spark, sfDir, q(spark, sfDir))
           catch { case e: Throwable =>
             sys.error(s"plan build failed for $name: ${e.getMessage}")
           }
-        name -> h
+        (name, md5(text), md5(normalizeGid(text)))
       }
   }
 
@@ -189,28 +225,54 @@ object PlanFingerprint {
         case "write" =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(RecordPath),
-            render(sfDir, fps).getBytes("UTF-8"))
-          println(s"recorded ${fps.size} plan fingerprints to $RecordPath")
+            render(sfDir, fps.map(f => (f._1, f._2))).getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(NormRecordPath),
+            render(sfDir, fps.map(f => (f._1, f._3))).getBytes("UTF-8"))
+          println(s"recorded ${fps.size} plan fingerprints to " +
+            s"$RecordPath + $NormRecordPath")
         case "check" =>
-          val recorded = parse(new String(java.nio.file.Files
-            .readAllBytes(java.nio.file.Paths.get(RecordPath)), "UTF-8"))
-          val drifted = fps.filter { case (n, h) =>
+          def readRecord(path: String): Map[String, String] = {
+            val p = java.nio.file.Paths.get(path)
+            if (java.nio.file.Files.exists(p))
+              parse(new String(java.nio.file.Files.readAllBytes(p),
+                "UTF-8"))
+            else Map.empty
+          }
+          val recorded = readRecord(RecordPath)
+          val recordedNorm = readRecord(NormRecordPath)
+          val drifted = fps.filter { case (n, h, _) =>
             recorded.get(n).exists(_ != h)
+          }
+          // A raw drift whose NORMALIZED fingerprint matches the norm
+          // record is the machine-verified gid-renumbering class; one
+          // whose norm fingerprint ALSO drifted (or has no norm record
+          // to compare) is a real rewrite and fails.
+          val (benign, real) = drifted.partition { case (n, _, nh) =>
+            recordedNorm.get(n).contains(nh)
           }
           val missing = fps.map(_._1).filterNot(recorded.contains)
           val stale = (recorded.keySet -- fps.map(_._1).toSet).toSeq.sorted
-          drifted.foreach { case (n, h) =>
+          benign.foreach { case (n, h, _) =>
+            println(s"BENIGN $n: ${recorded(n)} -> $h (pure gid " +
+              "renumbering, normalized fingerprint unchanged)") }
+          real.foreach { case (n, h, _) =>
             println(s"DRIFT $n: ${recorded(n)} -> $h") }
           missing.foreach(n => println(s"NEW $n (not in $RecordPath)"))
           stale.foreach(n => println(s"GONE $n (recorded, no query)"))
-          if (drifted.nonEmpty) {
-            println(s"${drifted.size} plan(s) drifted — explain, " +
+          if (real.nonEmpty) {
+            println(s"${real.size} plan(s) REALLY drifted — explain, " +
               "review, then fix or re-record with " +
               "`graft.PlanFingerprint write`")
             sys.exit(1)
           }
+          if (benign.nonEmpty)
+            println(s"${benign.size} benign gid-renumbering drift(s) " +
+              "auto-verified — refresh the record with " +
+              "`graft.PlanFingerprint write` and commit")
           println(s"plans stable: ${fps.size} checked, " +
-            s"${missing.size} new, ${stale.size} retired")
+            s"${benign.size} benign, ${missing.size} new, " +
+            s"${stale.size} retired")
       }
     } finally spark.stop()
   }

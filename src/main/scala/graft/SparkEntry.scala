@@ -214,6 +214,14 @@ object SparkEntry {
     // cell-identical to the from-scratch rebuild (same oracle).
     "cdc_scd2_store_orders" ->
       graft.runtime.ChangeLog.ordersScd2StoreHistory _,
+    // History compaction (Scd2Store.archive): the same dimension in a
+    // DEDICATED store, its pre-position-3 closed versions split into
+    // the _archive sibling, served back through readHistory (live ∪
+    // archive) under the SAME oracle — the split may lose or
+    // duplicate nothing, while current-only reads keep scanning
+    // live buckets alone.
+    "cdc_scd2_archive_orders" ->
+      graft.runtime.ChangeLog.ordersScd2ArchiveHistory _,
     // Time travel from the log (ChangeLog.snapshotAt): position 1's
     // never-stored snapshot reconstructed from the CURRENT table +
     // the later entries' pre-images — O(current + distance), the
@@ -716,6 +724,7 @@ object SparkEntry {
     "cdc_scd2_asof" -> OpsOracles.ordersScd2AsOf,
     "cdc_scd2_asof_stored" -> OpsOracles.ordersScd2AsOf,
     "cdc_scd2_store_orders" -> OpsOracles.ordersScd2,
+    "cdc_scd2_archive_orders" -> OpsOracles.ordersScd2,
     "cdc_snapshot_at_orders" -> OpsOracles.ordersSnapshotAt1,
     "cdc_changes_between_orders" -> OpsOracles.ordersChangesBetween1And2,
     "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,

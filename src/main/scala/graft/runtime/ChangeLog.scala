@@ -717,7 +717,9 @@ object ChangeLog {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(table, logDir(table), mviewDir(table),
           minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos",
-          scd2Dir(table) + "_buckets")
+          scd2Dir(table) + "_buckets",
+          scd2ArchDir(table), scd2ArchDir(table) + "_pos",
+          scd2ArchDir(table) + "_buckets", scd2ArchDir(table) + "_archive")
         .foreach { d =>
           val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
         }
@@ -768,6 +770,13 @@ object ChangeLog {
     }
     table
   }
+
+  /** Dedicated store for the history-compaction face — the SHARED
+    * store ([[scd2Dir]]) must stay unsplit: `cdc_scd2_store_orders`
+    * serves its FULL history through [[Scd2Store.read]], which by
+    * contract sees only live buckets. */
+  private def scd2ArchDir(table: String): String =
+    table + "_scd2_archsplit"
 
   private def mviewDir(table: String): String = table + "_priority_view"
   private def minmaxDir(table: String): String =
@@ -1212,6 +1221,35 @@ object ChangeLog {
     Scd2Store.refresh(s, table, scd2Dir(table), Seq("o_orderkey"),
       basePosition = 0L)
     Scd2Store.read(s, scd2Dir(table))
+      .groupBy(col("o_orderpriority"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_c"))
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** Registered face #8b: HISTORY COMPACTION under the SAME oracle —
+    * the dimension seeded into a DEDICATED store, every version that
+    * closed before position 3 (and the tombstones that closed them)
+    * split into the `_archive` sibling ([[Scd2Store.archive]]), then
+    * served through [[Scd2Store.readHistory]] (live ∪ archive): the
+    * from-scratch rebuild the oracle re-derives must reappear exactly
+    * — not one version row lost or duplicated across the split.
+    * Current-only consumers keep scanning live buckets alone (the
+    * point of the split: the live store stays at live-set size under
+    * append-forever churn); this face deliberately asks for the full
+    * history, the archive's one read path. Bench reps past the first
+    * are a position check + a no-op archive + the two-sided scan. */
+  def ordersScd2ArchiveHistory(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    val store = scd2ArchDir(table)
+    Scd2Store.refresh(s, table, store, Seq("o_orderkey"),
+      basePosition = 0L)
+    Scd2Store.archive(s, store, closedBefore = 3L)
+    Scd2Store.readHistory(s, store)
       .groupBy(col("o_orderpriority"), col("valid_from"),
         coalesce(col("valid_to"), lit(-1L)).as("valid_to_c"))
       .agg(count(lit(1)).as("n_versions"),

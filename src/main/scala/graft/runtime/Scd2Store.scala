@@ -72,6 +72,11 @@ object Scd2Store {
   private def consumerName(storeDir: String): String =
     "scd2-" + MaterializedView.consumerName(storeDir).stripPrefix("mview-")
 
+  /** Closed-version archive sibling (see [[archive]]) — same bucket
+    * layout as the live store, read only by [[readHistory]]. */
+  private def archivePath(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_archive"
+
   private def withBucket(df: DataFrame, keys: Seq[String],
                          buckets: Int): DataFrame =
     df.withColumn(BucketCol,
@@ -115,6 +120,9 @@ object Scd2Store {
       fs.delete(root, true)
       fs.delete(new Path(posPath(storeDir)), false)
       fs.delete(new Path(bucketsPath(storeDir)), false)
+      // The archive holds the OLDEST historical images — the rows a
+      // purge most wants gone. It re-seeds with the store.
+      fs.delete(new Path(archivePath(storeDir)), true)
     }
     val hasState = fs.exists(root) && MergeUpsert.sweepAndHasData(fs, root)
     // Layout pin (see [[bucketsPath]]): the seed records its bucket
@@ -190,5 +198,99 @@ object Scd2Store {
       Scd2.intervalize(events, keys), touched, partitionCol = BucketCol)
     Incremental.saveWatermark(spark, posPath(storeDir), logHw)
     registered(logHw)
+  }
+
+  /** Age-bounded HISTORY COMPACTION: move every version that closed
+    * strictly before `closedBefore` (and every tombstone that fired
+    * strictly before it) out of the live buckets into the `_archive`
+    * sibling, read only by [[readHistory]]. Events are append-forever
+    * facts, so at high churn a key's closed versions pile up in its
+    * bucket and every `is_current` serving read — and every touched-
+    * bucket refresh rewrite — pays O(full history) instead of
+    * O(live set). The split keeps the live store at live-set size
+    * without giving up one row of history.
+    *
+    * Why the split is SAFE against the refresh recompute (which
+    * re-intervalizes a touched bucket from its remaining stored
+    * events): [[Scd2.intervalize]] links each version to the NEXT
+    * event's `valid_from`, so removing a closed PREFIX of a key's
+    * chain never changes a surviving row's interval; and the
+    * tombstone predicate (`valid_from < closedBefore`) archives a
+    * tombstone only together with the version it closed
+    * (`valid_to = tombstone.valid_from < closedBefore`), so no bare
+    * version is ever left to resurrect as "current", and no bare
+    * tombstone to re-close a surviving open.
+    *
+    * Why it is SAFE against a crashed refresh's replay: `closedBefore`
+    * must sit at or below the store's committed position (enforced
+    * loud), every archived event has `valid_from < closedBefore ≤
+    * pos`, and a retry span only re-derives events with
+    * `valid_from > pos` — an archived event can never be re-derived
+    * into the live set. Crash between the two writes here leaves an
+    * event in BOTH archive and live: re-running [[archive]] converges
+    * (the archive write dedups full rows; the live rewrite drops
+    * them), and [[readHistory]] dedups regardless — duplicated-never-
+    * lost, the same direction every crash window in this runtime
+    * chooses. Closed rows are immutable (a version's `valid_to` is
+    * its successor's `valid_from`, fixed once the successor exists;
+    * `is_current` false forever), so full-row dedup is exact.
+    *
+    * Returns the number of events moved. */
+  def archive(spark: SparkSession, storeDir: String,
+              closedBefore: Long): Long = {
+    val pos = Incremental.loadWatermark(spark, posPath(storeDir))
+      .getOrElse(sys.error(s"no store at $storeDir (missing position " +
+        "file) — seed with refresh before archiving"))
+    if (closedBefore > pos)
+      sys.error(s"closedBefore $closedBefore is past the store's " +
+        s"committed position $pos — a crashed refresh's replay could " +
+        "re-derive archived events into the live set; archive only " +
+        "up to the committed position")
+    val live = spark.read.option("mergeSchema", "true").parquet(storeDir)
+    val archivable = (col(Scd2.OpenCol) && col("valid_to").isNotNull &&
+      col("valid_to") < lit(closedBefore)) ||
+      (!col(Scd2.OpenCol) && col("valid_from") < lit(closedBefore))
+    val moving = live.filter(archivable).localCheckpoint()
+    val moved = moving.count()
+    if (moved == 0L) return 0L
+    // ≤ bucket-count ints — metadata-scale collect by construction.
+    val touched = moving.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val aDir = archivePath(storeDir)
+    val aPath = new Path(aDir)
+    val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived =
+      if (fs.exists(aPath) && MergeUpsert.sweepAndHasData(fs, aPath))
+        spark.read.option("mergeSchema", "true").parquet(aDir)
+          .filter(col(BucketCol).isin(touched: _*))
+          .unionByName(moving, allowMissingColumns = true)
+          .dropDuplicates()
+      else moving
+    // Archive FIRST, then drop from live: every crash window holds
+    // the full history across the pair (duplicated, never lost).
+    MergeUpsert.replacePartitions(spark, aDir, archived, touched,
+      partitionCol = BucketCol)
+    MergeUpsert.replacePartitions(spark, storeDir,
+      live.filter(!archivable).filter(col(BucketCol).isin(touched: _*)),
+      touched, partitionCol = BucketCol)
+    moved
+  }
+
+  /** The FULL history — live ∪ archive, in [[read]]'s serving shape
+    * (finalized version rows; tombstones filtered). Full-row dedup
+    * heals a between-writes [[archive]] crash (see there). Point-key
+    * lookups still prune to one bucket per side. */
+  def readHistory(spark: SparkSession, storeDir: String): DataFrame = {
+    val aDir = archivePath(storeDir)
+    val aPath = new Path(aDir)
+    val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.option("mergeSchema", "true").parquet(storeDir)
+    val all =
+      if (fs.exists(aPath) && MergeUpsert.sweepAndHasData(fs, aPath))
+        live.unionByName(
+          spark.read.option("mergeSchema", "true").parquet(aDir),
+          allowMissingColumns = true).dropDuplicates()
+      else live
+    all.filter(col(Scd2.OpenCol)).drop(Scd2.OpenCol).drop(BucketCol)
   }
 }

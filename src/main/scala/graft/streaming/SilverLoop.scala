@@ -84,6 +84,17 @@ object SilverLoop {
     * user-gold log publishes under custom `toSilver` too; a
     * default-derivation deployment can run the same store over
     * `silver_sessions` with [[graft.silver.Sessionize.SessionKey]].) */
+  /** `joinView`: maintain the PERSISTED two-log join view
+    * ([[graft.runtime.JoinView]] at
+    * `<warehouse>/gold_episode_webtoon_jview`) inside the loop — the
+    * reference's one gold→gold dependency (the webtoon job reading
+    * the episode gold, `gold_webtoon_daily_metrics.py:74-77`) kept
+    * current incrementally from BOTH gold change logs instead of
+    * re-joined per refresh: per datetime, episode-grain sessions and
+    * the webtoon-level session totals each episode row fans out to.
+    * The position PAIR commits atomically with the view data (the
+    * paired `_as_of` swap), both consumers register, so
+    * `logRetention`'s folds clamp behind the view on EITHER log. */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
                     checkpointDir: String,
@@ -91,7 +102,8 @@ object SilverLoop {
                     availableNow: Boolean = false,
                     logRetention: Option[Long] = None,
                     keyIndex: Boolean = false,
-                    scd2Store: Boolean = false): StreamingQuery = {
+                    scd2Store: Boolean = false,
+                    joinView: Boolean = false): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("30 seconds")
@@ -125,6 +137,25 @@ object SilverLoop {
             s"$warehouseDir/gold_user_daily",
             s"$warehouseDir/gold_user_daily_scd2",
             Seq("datetime", "user_id"))
+          ()
+        }
+        if (joinView) {
+          import org.apache.spark.sql.functions.col
+          graft.runtime.JoinView.refresh(spark,
+            s"$warehouseDir/gold_episode_daily",
+            s"$warehouseDir/gold_webtoon_daily",
+            s"$warehouseDir/gold_episode_webtoon_jview",
+            aKeys = Seq("datetime", "webtoon_id", "episode_id"),
+            bKeys = Seq("datetime", "webtoon_id"),
+            joinKeys = Seq("datetime", "webtoon_id"),
+            dims = Seq("datetime"),
+            // Side-unique columns only: the two golds share generic
+            // measure names (n_rows, exit_rows) that stay unreferenced
+            // — `sessions` is episode-grain, `total_sessions` the
+            // webtoon-level figure each episode row fans out to.
+            measures = Seq(
+              ("ep_sessions", col("sessions")),
+              ("wt_sessions_fanout", col("total_sessions"))))
           ()
         }
       }

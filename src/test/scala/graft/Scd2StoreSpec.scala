@@ -171,6 +171,103 @@ class Scd2StoreSpec extends SparkSpec {
       cells(rebuild(dir).drop("pt")))
   }
 
+  test("history compaction: archive + live == full history; the live " +
+      "store drops to live-set size; refreshes after the split stay " +
+      "correct; the split is idempotent") {
+    val base = tmpDir("scd2store-archive")
+    val dir = s"$base/t"
+    val store = s"$base/store"
+    MergeUpsert.replaceAll(spark, dir, df(s0: _*), partitionCol = "pt")
+    Seq(s1, s2, s3).zipWithIndex.foreach { case (st, i) =>
+      ChangeLog.recordBatch(spark, dir, Seq("id"), i + 1L)(
+        MergeUpsert.replaceAll(spark, dir, df(st: _*),
+          partitionCol = "pt"))
+    }
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L)
+    val fullBefore = cells(rebuild(dir).drop("pt"))
+
+    // Past the committed position fails loud — a crashed refresh's
+    // replay could re-derive archived events into the live set.
+    val e = intercept[RuntimeException](
+      Scd2Store.archive(spark, store, closedBefore = 99L))
+    assert(e.getMessage.contains("committed position"))
+
+    // Move everything that closed strictly before position 3:
+    // versions 20/30/40/70 and the tombstones that closed 30/40/70.
+    val moved = Scd2Store.archive(spark, store, closedBefore = 3L)
+    assert(moved === 7L, "4 closed versions (20/30/40/70) + the 3 " +
+      s"tombstones that closed 30/40/70, got $moved")
+    // Not one row of history lost...
+    assert(cells(Scd2Store.readHistory(spark, store).drop("pt")) ===
+      fullBefore, "archive + live must equal the full rebuild")
+    // ...and the live store now holds ONLY the live set: no version
+    // that closed before the cutoff survives in a live bucket.
+    val live = spark.read.option("mergeSchema", "true").parquet(store)
+    assert(live.filter(col("is_open") && col("valid_to") < lit(3L))
+      .isEmpty, "live buckets must not keep pre-cutoff closed versions")
+    // The live serving shape is exactly the rebuild MINUS the
+    // archived prefix — the at-or-past-cutoff slice.
+    assert(cells(Scd2Store.read(spark, store).drop("pt")) ===
+      cells(rebuild(dir).drop("pt")
+        .filter(col("valid_to").isNull || col("valid_to") >= lit(3L))),
+      "live == the at-or-past-cutoff slice of the rebuild")
+
+    // Idempotent: a second run at the same cutoff moves nothing.
+    assert(Scd2Store.archive(spark, store, closedBefore = 3L) === 0L)
+
+    // A refresh AFTER the split stays correct — including a RE-ADD of
+    // an archived key (its tombstone + old version live in the
+    // archive; the bucket recompute sees only the new open, and the
+    // interval algebra's closed-prefix independence keeps both sides
+    // exact).
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 4L)(
+      MergeUpsert.replaceAll(spark, dir,
+        df((s3.filterNot(_._1 == 2L) :+ (2L, 22L) :+ (4L, 41L)): _*),
+        partitionCol = "pt"))
+    Scd2Store.refresh(spark, dir, store, Seq("id"))
+    assert(cells(Scd2Store.read(spark, store)
+        .filter(col("is_current")).drop("pt")) ===
+      cells(rebuild(dir).filter(col("is_current")).drop("pt")),
+      "current set after post-split batch")
+    assert(cells(Scd2Store.readHistory(spark, store).drop("pt")) ===
+      cells(rebuild(dir).drop("pt")),
+      "full history after post-split batch == the from-scratch rebuild")
+  }
+
+  test("compliance invalidation reaches the archive: a purge re-seeds " +
+      "the store AND deletes the archived historical images") {
+    val base = tmpDir("scd2store-archive-forget")
+    val dir = s"$base/t"
+    val store = s"$base/store"
+    MergeUpsert.replaceAll(spark, dir, df(s0: _*), partitionCol = "pt")
+    Seq(s1, s2, s3).zipWithIndex.foreach { case (st, i) =>
+      ChangeLog.recordBatch(spark, dir, Seq("id"), i + 1L)(
+        MergeUpsert.replaceAll(spark, dir, df(st: _*),
+          partitionCol = "pt"))
+    }
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L)
+    Scd2Store.archive(spark, store, closedBefore = 3L)
+    assert(!Scd2Store.readHistory(spark, store)
+      .filter(col("id") === 4L).isEmpty,
+      "fixture: id 4's closed version serves from the archive")
+
+    // Purge id 4 (its only versions are ARCHIVED — the re-seed alone
+    // would not touch them; the invalidation must reach the sibling).
+    val keep = !(col("id") <=> lit(4L))
+    MergeUpsert.replaceAll(spark, dir,
+      spark.read.parquet(dir).filter(keep), partitionCol = "pt")
+    ChangeLog.purge(spark, dir, keep)
+    Consumers.list(spark, dir).flatMap(_.viewDir)
+      .foreach(graft.runtime.MaterializedView.invalidate(spark, _))
+    Scd2Store.refresh(spark, dir, store, Seq("id"), basePosition = 0L)
+    assert(Scd2Store.readHistory(spark, store)
+      .filter(col("id") === 4L).isEmpty,
+      "the purged key's archived images must be gone")
+    assert(cells(Scd2Store.readHistory(spark, store).drop("pt")) ===
+      cells(rebuild(dir).drop("pt")),
+      "post-purge history == rebuild over the purged log")
+  }
+
   test("store with data but no position file fails loud") {
     val base = tmpDir("scd2store-nopos")
     val dir = s"$base/t"

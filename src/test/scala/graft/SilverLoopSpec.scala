@@ -305,4 +305,76 @@ class SilverLoopSpec extends SparkSpec {
       asOf1.head().getAs[java.sql.Date]("datetime").toString ===
         "2024-01-01")
   }
+
+  test("joinView: the loop maintains the gold→gold join view from " +
+      "BOTH gold change logs — incremental across micro-batches == " +
+      "the endpoint re-join, both consumers registered") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("jv-bronze")
+    val wh = tmpDir("jv-wh")
+    val wmPath = s"${tmpDir("jv-wm")}/wm"
+    val ckpt = tmpDir("jv-ckpt")
+    def evW(id: String, user: Int, session: String, ts: String,
+            etype: String, ratio: Double, webtoon: String,
+            episode: String): String =
+      ev(id, user, session, ts, etype, ratio)
+        .replace("\"webtoon_id\":\"webtoon_1\"",
+          s""""webtoon_id":"$webtoon"""")
+        .replace("\"episode_id\":\"ep_1\"",
+          s""""episode_id":"$episode"""")
+    val b1 = Seq(
+      evW("j1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0,
+        "webtoon_1", "ep_1"),
+      evW("j2", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0,
+        "webtoon_2", "ep_1"))
+    // Both logs move: u1 completes (episode AND webtoon gold change),
+    // u3 opens a second episode of webtoon_1 (a NEW episode grain —
+    // through the join it also fans out webtoon_1's new totals).
+    val b2 = Seq(
+      evW("j3", 1, "s1", "2024-01-01T10:00:40+00:00", "complete", 1.0,
+        "webtoon_1", "ep_1"),
+      evW("j4", 3, "s3", "2024-01-01T12:00:00+00:00", "enter", 0.0,
+        "webtoon_1", "ep_2"))
+    // u2's session re-stamped a day later: the 01-01 grains REMOVE on
+    // both sides (negative contributions through the join) and 01-02
+    // grains appear.
+    val b3 = Seq(
+      evW("j2", 2, "s2", "2024-01-02T11:00:00+00:00", "enter", 0.0,
+        "webtoon_2", "ep_1"))
+
+    val stream = MemoryStream[String]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b)
+      SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+        wh, wmPath, ckpt, toSilver, availableNow = true,
+        joinView = true).awaitTermination()
+    }
+
+    def cells(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = d.columns.sorted
+      d.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    val view = spark.read.parquet(s"$wh/gold_episode_webtoon_jview")
+      .drop("_as_of_a", "_as_of_b", "gv_pt")
+    val expected = spark.read.parquet(s"$wh/gold_episode_daily")
+      .join(spark.read.parquet(s"$wh/gold_webtoon_daily"),
+        Seq("datetime", "webtoon_id"))
+      .groupBy(col("datetime"))
+      .agg(sum(col("sessions")).as("ep_sessions"),
+        sum(col("total_sessions")).as("wt_sessions_fanout"),
+        count(lit(1)).as("n_rows"))
+    assert(cells(view) === cells(expected),
+      "streamed join view diverged from the endpoint re-join")
+    // The view moved dates with the re-stamped session: 01-02 serves.
+    assert(!view.filter(col("datetime") === "2024-01-02").isEmpty)
+    // Both sides' registries hold the view's positions — retention
+    // on EITHER gold log clamps behind it.
+    import graft.runtime.Consumers
+    assert(Consumers.list(spark, s"$wh/gold_episode_daily")
+      .exists(_.name.startsWith("jview-a-")))
+    assert(Consumers.list(spark, s"$wh/gold_webtoon_daily")
+      .exists(_.name.startsWith("jview-b-")))
+  }
 }
