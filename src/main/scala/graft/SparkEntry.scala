@@ -248,6 +248,13 @@ object SparkEntry {
     // span; the oracle recomputes the endpoint A₂ ⋈ B₂ from source.
     "cdc_joinview_persisted" ->
       graft.runtime.ChangeLog.ordersJoinViewPersisted _,
+    // The PARTITIONED join view (JoinView.refreshPartitioned): same
+    // definition over the same interleaved two-log history, but each
+    // refresh rewrites ONLY the segment partitions its span touches —
+    // per-partition _as_of pairs, pair-position file committed last,
+    // straggler top-up from a partition's OWN pair. Same oracle.
+    "cdc_joinview_partitioned" ->
+      graft.runtime.ChangeLog.ordersJoinViewPartitioned _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -729,6 +736,7 @@ object SparkEntry {
     "cdc_changes_between_orders" -> OpsOracles.ordersChangesBetween1And2,
     "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,
     "cdc_joinview_persisted" -> OpsOracles.ordersJoinViewPersisted,
+    "cdc_joinview_partitioned" -> OpsOracles.ordersJoinViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

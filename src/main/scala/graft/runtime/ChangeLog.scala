@@ -1145,10 +1145,12 @@ object ChangeLog {
       MergeUpsert.replaceAll(s, bT, b(flip = false, dropRows = false),
         partitionCol = "c_mktsegment")
       refreshJoinView(s, root) // seed at the pre-history pair (-1, -1)
+      refreshJoinViewPartitioned(s, root) // partitioned twin, same seed
       recordBatch(s, aT, Seq("o_orderkey"), 1L)(
         MergeUpsert.replaceAll(s, aT, a1,
           partitionCol = "o_orderpriority"))
       refreshJoinView(s, root) // span 1: A only
+      refreshJoinViewPartitioned(s, root)
       recordBatch(s, bT, Seq("o_custkey"), 1L)(
         MergeUpsert.replaceAll(s, bT, b(flip = true, dropRows = false),
           partitionCol = "c_mktsegment"))
@@ -1156,10 +1158,11 @@ object ChangeLog {
         MergeUpsert.replaceAll(s, aT, a2,
           partitionCol = "o_orderpriority"))
       refreshJoinView(s, root) // span 2: BOTH sides in one refresh
+      refreshJoinViewPartitioned(s, root)
       recordBatch(s, bT, Seq("o_custkey"), 2L)(
         MergeUpsert.replaceAll(s, bT, b(flip = true, dropRows = true),
           partitionCol = "c_mktsegment"))
-      // span 3 (B-only removals) is the registered face's catch-up
+      // span 3 (B-only removals) is the registered faces' catch-up
     }
     root
   }
@@ -1172,6 +1175,19 @@ object ChangeLog {
       dims = Seq("c_mktsegment"),
       measures = Seq(("sum_cents",
         round(col("o_totalprice") * 100, 0).cast("long"))))
+
+  /** The PARTITIONED twin — same view definition, hive-partitioned on
+    * the segment dim so each refresh rewrites only the partitions its
+    * span's delta touches ([[JoinView.refreshPartitioned]]). */
+  private def refreshJoinViewPartitioned(s: SparkSession,
+                                         root: String): (Long, Long) =
+    JoinView.refreshPartitioned(s, s"$root/orders", s"$root/custdim",
+      s"$root/view_part", aKeys = Seq("o_orderkey"),
+      bKeys = Seq("o_custkey"), joinKeys = Seq("o_custkey"),
+      dims = Seq("c_mktsegment"),
+      measures = Seq(("sum_cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))),
+      partDim = "c_mktsegment")
 
   /** Registered face #12: the PERSISTED two-log join view — the
     * [[graft.runtime.JoinView]] loop caught up across the interleaved
@@ -1186,6 +1202,21 @@ object ChangeLog {
     val root = ensureJoinViewPersisted(s, dir)
     refreshJoinView(s, root)
     s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("sum_cents"), col("n_rows"))
+  }
+
+  /** Registered face #12b: the PARTITIONED join view — the same
+    * definition and the same interleaved two-log history, maintained
+    * by [[JoinView.refreshPartitioned]]: per-partition `_as_of_a`/
+    * `_as_of_b` pairs with the pair-position file committed LAST, so
+    * each refresh rewrites only the segment partitions its span
+    * touches — O(spans + touched partitions) against [[refresh]]'s
+    * O(|view|), the form a 100 TB join view must take. Same oracle as
+    * the single-partition twin: the endpoint A₂ ⋈ B₂ recompute. */
+  def ordersJoinViewPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureJoinViewPersisted(s, dir)
+    refreshJoinViewPartitioned(s, root)
+    s.read.parquet(s"$root/view_part")
       .select(col("c_mktsegment"), col("sum_cents"), col("n_rows"))
   }
 

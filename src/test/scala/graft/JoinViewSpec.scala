@@ -7,6 +7,18 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Raw pair-file writer for crash simulation (the production writer
+  * is private to [[graft.runtime.JoinView]] by design). */
+object JoinViewSpecHelper {
+  def writePair(fs: org.apache.hadoop.fs.FileSystem,
+                path: org.apache.hadoop.fs.Path,
+                pa: Long, pb: Long): Unit = {
+    if (fs.exists(path)) fs.delete(path, false)
+    val out = fs.create(path, true)
+    try out.write(s"$pa,$pb".getBytes("UTF-8")) finally out.close()
+  }
+}
+
 /** The PERSISTED two-log join view ([[graft.runtime.JoinView]]):
   * positions in BOTH change logs commit atomically with the data (the
   * paired `_as_of` single-partition swap), so every crash window
@@ -168,6 +180,95 @@ class JoinViewSpec extends SparkSpec {
     assertConverged(viewDir, aDir, bDir, "after registry-lag refresh")
     assert(Consumers.list(spark, aDir).head.position === 2L,
       "the refresh must re-register the committed position")
+  }
+
+  private def refreshPart(aDir: String, bDir: String,
+                          viewDir: String): (Long, Long) =
+    JoinView.refreshPartitioned(spark, aDir, bDir, viewDir, Seq("id"),
+      Seq("bk"), Seq("jk"), Seq("grp"), measures, partDim = "grp")
+
+  test("partitioned form: only touched partitions rewrite; straggler " +
+      "partitions top up from their OWN pair; a crashed seed recovers " +
+      "its pair; a rewound pair file never double-applies") {
+    val (aDir, bDir, _) = seeded("jv-part")
+    val base = new java.io.File(aDir).getParent
+    val viewDir = s"$base/vp"
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    assert(refreshPart(aDir, bDir, viewDir) === (-1L, -1L))
+    assertConverged(viewDir, aDir, bDir, "partitioned seed")
+    assert(fs.exists(p(s"$viewDir/grp=g1")) &&
+      fs.exists(p(s"$viewDir/grp=g2")))
+
+    // Crashed-seed window: data present, pair file not — the refresh
+    // recovers the pair from the per-row stamps, then proceeds.
+    fs.delete(p(viewDir + "_pos"), false)
+    publishA(aDir, 1L, (1L, 10L, 4L), (2L, 10L, 3L), (3L, 20L, 5L),
+      (4L, 30L, 7L))
+    assert(refreshPart(aDir, bDir, viewDir) === (1L, -1L),
+      "recovered pair must refresh, not re-seed")
+    assertConverged(viewDir, aDir, bDir, "after crashed-seed recovery")
+
+    // The id-1 m change touches only jk=10 → g1: g2 must not rewrite.
+    val mt0 = fs.getFileStatus(p(s"$viewDir/grp=g2")).getModificationTime
+    Thread.sleep(1100)
+    publishA(aDir, 2L, (1L, 10L, 9L), (2L, 10L, 3L), (3L, 20L, 5L),
+      (4L, 30L, 7L))
+    assert(refreshPart(aDir, bDir, viewDir) === (2L, -1L))
+    assertConverged(viewDir, aDir, bDir, "A-only g1 span")
+    assert(fs.getFileStatus(p(s"$viewDir/grp=g2")).getModificationTime
+      === mt0, "an untouched partition must not rewrite")
+
+    // Mid-swap crash: snapshot g1 + the pair file, run a BOTH-sides
+    // refresh (touches g1 AND g2), then restore g1 and the file — the
+    // exact crash state: g2 at the new pair, g1 a straggler at the
+    // old, file old. The next refresh must top g2 up by an EMPTY span
+    // (skip) and g1 from its own pair — never double-applying g2.
+    val saveDir = p(s"$base/save-g1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$viewDir/grp=g1"),
+      fs, saveDir, false, conf)
+    val savePos = p(s"$base/save-pos")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(viewDir + "_pos"),
+      fs, savePos, false, conf)
+    publishB(bDir, 1L, (100L, 10L, "g1", 11L), (101L, 20L, "g2", 20L),
+      (102L, 30L, "g2", 30L))
+    publishA(aDir, 3L, (1L, 10L, 9L), (2L, 10L, 3L), (4L, 30L, 7L),
+      (6L, 20L, 13L))
+    assert(refreshPart(aDir, bDir, viewDir) === (3L, 1L))
+    fs.delete(p(s"$viewDir/grp=g1"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saveDir,
+      fs, p(s"$viewDir/grp=g1"), false, conf)
+    fs.delete(p(viewDir + "_pos"), false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, savePos,
+      fs, p(viewDir + "_pos"), false, conf)
+    // Before healing, ANOTHER A span lands (id4 m change → g2): the
+    // next refresh must group the stragglers by pair — g1 tops up
+    // from the committed (2,-1) via the shared span delta, g2 from
+    // ITS OWN (3,1) via a recomputed one — and neither double-applies.
+    publishA(aDir, 4L, (1L, 10L, 9L), (2L, 10L, 3L), (4L, 30L, 8L),
+      (6L, 20L, 13L))
+    assert(refreshPart(aDir, bDir, viewDir) === (4L, 1L))
+    assertConverged(viewDir, aDir, bDir, "after mixed-pair top-up")
+
+    // All-swapped-file-not window: rewind ONLY the pair file — every
+    // partition is at the head, every top-up span is empty, nothing
+    // double-applies, and the file recommits.
+    val healthy = cells(viewNow(viewDir))
+    JoinViewSpecHelper.writePair(fs, p(viewDir + "_pos"), 3L, 1L)
+    assert(refreshPart(aDir, bDir, viewDir) === (4L, 1L))
+    assert(cells(viewNow(viewDir)) === healthy,
+      "a rewound pair file must not double-apply")
+
+    // Registered in both registries at the committed pair.
+    assert(Consumers.list(spark, aDir).exists(r =>
+      r.name === JoinView.consumerName(viewDir, "a") &&
+        r.position === 4L))
+    assert(Consumers.list(spark, bDir).exists(r =>
+      r.name === JoinView.consumerName(viewDir, "b") &&
+        r.position === 1L))
   }
 
   test("a collapse behind EITHER log fails loud; invalidation (either " +
