@@ -83,7 +83,13 @@ object SilverLoop {
     * retention can never outrun the dimension it feeds. (The
     * user-gold log publishes under custom `toSilver` too; a
     * default-derivation deployment can run the same store over
-    * `silver_sessions` with [[graft.silver.Sessionize.SessionKey]].) */
+    * `silver_sessions` with [[graft.silver.Sessionize.SessionKey]].)
+    * `scd2HistoryRetention = Some(k)` is the store's `logRetention`
+    * analogue: versions that closed more than k positions back split
+    * into the `_archive` sibling each micro-batch, keeping the live
+    * buckets at live-set size — with NO history lost
+    * ([[graft.runtime.Scd2Store.readHistory]] serves live ∪
+    * archive), where logRetention's fold genuinely coarsens. */
   /** `joinView`: maintain the PERSISTED two-log join view
     * ([[graft.runtime.JoinView]] at
     * `<warehouse>/gold_episode_webtoon_jview`) inside the loop — the
@@ -103,7 +109,13 @@ object SilverLoop {
                     logRetention: Option[Long] = None,
                     keyIndex: Boolean = false,
                     scd2Store: Boolean = false,
+                    scd2HistoryRetention: Option[Long] = None,
                     joinView: Boolean = false): StreamingQuery = {
+    require(scd2HistoryRetention.isEmpty || scd2Store,
+      "scd2HistoryRetention compacts the scd2Store's history — enable " +
+        "scd2Store with it")
+    require(scd2HistoryRetention.forall(_ >= 1),
+      "scd2HistoryRetention must keep at least one position of history")
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("30 seconds")
@@ -133,10 +145,22 @@ object SilverLoop {
             } yield w + off - k + 1)
           .foreach(w => Incremental.saveWatermark(spark, watermarkPath, w))
         if (scd2Store) {
-          graft.runtime.Scd2Store.refresh(spark,
+          val pos = graft.runtime.Scd2Store.refresh(spark,
             s"$warehouseDir/gold_user_daily",
             s"$warehouseDir/gold_user_daily_scd2",
             Seq("datetime", "user_id"))
+          // `scd2HistoryRetention = Some(k)`: versions that CLOSED
+          // more than k positions ago split into the `_archive`
+          // sibling ([[graft.runtime.Scd2Store.archive]]) — a
+          // streaming deployment opens versions forever, and without
+          // the split every is_current read and touched-bucket
+          // rewrite eventually pays O(full history). History is
+          // NEVER lost (readHistory serves live ∪ archive); the
+          // cutoff trails the committed position by construction, so
+          // the archive guard always admits it.
+          for (k <- scd2HistoryRetention; c = pos - k + 1; if c > 0)
+            graft.runtime.Scd2Store.archive(spark,
+              s"$warehouseDir/gold_user_daily_scd2", closedBefore = c)
           ()
         }
         if (joinView) {

@@ -306,6 +306,60 @@ class SilverLoopSpec extends SparkSpec {
         "2024-01-01")
   }
 
+  test("scd2HistoryRetention: the loop archives versions closed more " +
+      "than k positions back — live buckets stay at live-set size, " +
+      "readHistory still equals the from-scratch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("scd2r-bronze")
+    val wh = tmpDir("scd2r-wh")
+    val wmPath = s"${tmpDir("scd2r-wm")}/wm"
+    val ckpt = tmpDir("scd2r-ckpt")
+    // The scd2Store shapes: a version chain (u1's day recomputed per
+    // batch) plus a date MOVE (u2's tombstone + new-day version).
+    val b1 = Seq(
+      ev("h1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("h4", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+    val b2 = Seq(
+      ev("h2", 1, "s1", "2024-01-01T10:00:40+00:00", "scroll", 0.5))
+    val b3 = Seq(
+      ev("h3", 1, "s1", "2024-01-01T10:01:20+00:00", "complete", 1.0),
+      ev("h4", 2, "s2", "2024-01-02T11:00:00+00:00", "enter", 0.0))
+
+    val stream = MemoryStream[String]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b)
+      SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+        wh, wmPath, ckpt, toSilver, availableNow = true,
+        scd2Store = true, scd2HistoryRetention = Some(1L))
+        .awaitTermination()
+    }
+
+    import graft.runtime.{ChangeLog, Incremental, Scd2Store}
+    val goldDir = s"$wh/gold_user_daily"
+    val store = s"$wh/gold_user_daily_scd2"
+    val key = Seq("datetime", "user_id")
+    def cells(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = d.columns.sorted
+      d.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    // Full history preserved across the split...
+    assert(cells(Scd2Store.readHistory(spark, store)) ===
+      cells(ChangeLog.scd2(spark, goldDir, key, basePosition = -1L)),
+      "live ∪ archive diverged from the from-scratch rebuild")
+    // ...while the LIVE buckets hold only versions that closed within
+    // the last k=1 positions (cutoff = pos) or are still open.
+    val pos = Incremental.loadWatermark(spark, store + "_pos").get
+    assert(spark.read.option("mergeSchema", "true").parquet(store)
+      .filter(col("is_open") && col("valid_to") < lit(pos))
+      .isEmpty, "live buckets must not keep versions past the cutoff")
+    // The archive is non-trivial: u1's superseded day versions and
+    // u2's moved-off 01-01 version live there.
+    assert(!spark.read.parquet(store + "_archive").isEmpty,
+      "the loop must actually have archived closed versions")
+  }
+
   test("joinView: the loop maintains the gold→gold join view from " +
       "BOTH gold change logs — incremental across micro-batches == " +
       "the endpoint re-join, both consumers registered") {
