@@ -431,6 +431,39 @@ object DataSkipping {
     }
   }
 
+  /** Re-tighten ONE leaf of a pinned partitioned table — the
+    * incremental maintenance pass: appends widen a leaf's per-file
+    * envelopes until its map stops pruning, and the flat
+    * [[recluster]] answer (O(table), and staging/backup SIBLINGS that
+    * a hive listing would mis-read as phantom partitions) is the
+    * wrong tool inside a partitioned root. This re-range-shapes JUST
+    * the named leaf and lands it through the standard rename-swap
+    * writer ([[graft.silver.MergeUpsert.replacePartitions]]) — crash
+    * recovery (dot-prefixed backups, invisible to the listing) and
+    * the zone-map reconcile come from the writer, not re-implemented
+    * — so the bill is O(leaf), the granularity a 100 TB table's
+    * maintenance scheduler actually wants (recluster the day that
+    * churned, not the decade that didn't). */
+  def reclusterPartition(spark: SparkSession, rootDir: String,
+                         leaf: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(leaf.contains("="),
+      s"'$leaf' is not a hive leaf name (col=value)")
+    val cols = pinnedStatsCols(spark, rootDir).getOrElse(
+      sys.error(s"$rootDir has no skipping pin — run " +
+        "DataSkipping.enablePartitioned before reclusterPartition"))
+    val leafPath = new Path(rootDir, leaf)
+    if (!fs(spark, rootDir).exists(leafPath))
+      sys.error(s"no such partition: $leafPath")
+    val partCol = leaf.takeWhile(_ != '=')
+    val shaped = spark.read.option("basePath", rootDir)
+      .parquet(leafPath.toString)
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    graft.silver.MergeUpsert.replacePartitions(spark, rootDir, shaped,
+      Seq.empty, partitionCol = partCol)
+  }
+
   /** Range scan `lo <= column <= hi` over a pinned partitioned table,
     * composing BOTH cuts: `partitionKeep` prunes leaf DIRECTORIES by
     * name (the hive cut — pass the partition predicate you'd push

@@ -285,6 +285,34 @@ class DataSkippingSpec extends SparkSpec {
       assert(g.getMessage.contains("hive-partitioned"),
         s"flat entry point must refuse a partitioned dir: ${g.getMessage}")
     }
+
+    // (g) Per-leaf recluster: the bypassed-then-healed January leaf
+    // carries an unshaped wide-envelope file; re-tightening JUST that
+    // leaf goes through the standard writer (zone map reconciled, no
+    // manual rebuild), leaves every other leaf untouched, and the
+    // scan stays exact.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val otherLeaf = new org.apache.hadoop.fs.Path(s"$dir/o_month=1996-02")
+    val otherMt = fs.getFileStatus(otherLeaf).getModificationTime
+    DataSkipping.reclusterPartition(spark, dir, "o_month=1996-01",
+      numFiles = 4)
+    assertServes("after per-leaf recluster")
+    assert(fs.getFileStatus(otherLeaf).getModificationTime === otherMt,
+      "a per-leaf recluster must not touch other leaves")
+    val janFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/o_month=1996-01"))
+      .map(_.getPath.getName)
+      .count(n => !n.startsWith(".") && !n.startsWith("_"))
+    assert(janFiles === 4,
+      s"the leaf must carry exactly the asked file count, got $janFiles")
+    // Guards: a missing leaf and a non-leaf name fail loud.
+    assert(intercept[RuntimeException] {
+      DataSkipping.reclusterPartition(spark, dir, "o_month=2099-01", 2)
+    }.getMessage.contains("no such partition"))
+    assert(intercept[IllegalArgumentException] {
+      DataSkipping.reclusterPartition(spark, dir, "noleaf", 2)
+    }.getMessage.contains("hive leaf"))
   }
 
   test("recluster recovery: a crash between the swap renames restores " +
