@@ -255,6 +255,13 @@ object SparkEntry {
     // straggler top-up from a partition's OWN pair. Same oracle.
     "cdc_joinview_partitioned" ->
       graft.runtime.ChangeLog.ordersJoinViewPartitioned _,
+    // The PERSISTED STAR view (runtime/StarJoinView + ops/CdcStarView):
+    // fact + TWO logged dims maintained from all three change logs —
+    // the K+1-position vector commits atomically with the data; the
+    // serve-time refresh catches up a dim-REMOVAL span; the oracle
+    // recomputes the endpoint three-way join from source.
+    "cdc_starview_persisted" ->
+      graft.runtime.ChangeLog.ordersStarViewPersisted _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -737,6 +744,7 @@ object SparkEntry {
     "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,
     "cdc_joinview_persisted" -> OpsOracles.ordersJoinViewPersisted,
     "cdc_joinview_partitioned" -> OpsOracles.ordersJoinViewPersisted,
+    "cdc_starview_persisted" -> OpsOracles.ordersStarViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

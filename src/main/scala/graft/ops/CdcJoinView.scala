@@ -38,11 +38,13 @@ import org.apache.spark.sql.functions._
   * would drop it. Dims are joined-frame column names. */
 object CdcJoinView {
 
-  private val SignCol = "_cjv_sign"
+  private[graft] val SignCol = "_cjv_sign"
 
   /** Signed net row images: o_ images at −1 (every key present at the
-    * span start), n_ images at +1 (every key present at the end). */
-  private def signedRows(net: DataFrame, keys: Seq[String]): DataFrame = {
+    * span start), n_ images at +1 (every key present at the end).
+    * Shared with [[CdcStarView]], the N-ary generalization. */
+  private[graft] def signedRows(net: DataFrame,
+                                keys: Seq[String]): DataFrame = {
     val vals = net.columns.toSeq
       .filter(c => c.startsWith("o_") && !keys.contains(c))
       .map(_.stripPrefix("o_"))

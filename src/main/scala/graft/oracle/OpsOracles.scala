@@ -3692,6 +3692,37 @@ object OpsOracles {
       |FROM a JOIN b ON a.o_custkey = b.c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersStarViewPersisted: the endpoint
+    * F₁ ⋈ C₁ ⋈ P₂ three-way star recomputed from source — fact at its
+    * widened horizon, the customer dim with its deterministic segment
+    * flip, the priority dim re-derived with the batch-1 reclass and
+    * the batch-2 '4-NOT SPECIFIED' removal applied. */
+  val ordersStarViewPersisted: String =
+    """WITH f AS (
+      |  SELECT o_custkey, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |), c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'FLIPPED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |), p AS (
+      |  SELECT DISTINCT o_orderpriority,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |         THEN 'fast' ELSE 'slow' END AS prio_class
+      |  FROM orders
+      |  WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |)
+      |SELECT c.c_mktsegment, p.prio_class,
+      |  CAST(sum(CAST(round(f.o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM f
+      |JOIN c ON f.o_custkey = c.c_custkey
+      |JOIN p ON f.o_orderpriority = p.o_orderpriority
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors ChangeLog.ordersSnapshotAt1: the time-travel
     * reconstruction of position 1 — state1 is simply the source
     * filtered to its date horizon (no transforms had happened yet),

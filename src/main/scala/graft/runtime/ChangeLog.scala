@@ -1189,6 +1189,106 @@ object ChangeLog {
         round(col("o_totalprice") * 100, 0).cast("long"))),
       partDim = "c_mktsegment")
 
+  /** Build (once per JVM) the STAR-view chain
+    * ([[graft.runtime.StarJoinView]]): a fact (orders slice) and TWO
+    * logged dimensions — the customer-segment dim and a priority-
+    * class dim derived from the fact's own distinct priorities — with
+    * an interleaved history exercising every decomposition term:
+    * span 1 fact-only adds; span 2 BOTH dims in one refresh (segment
+    * flip + priority reclass — the later dim's term must see the
+    * earlier dim at its span-START state); span 3 a dim ROW REMOVAL
+    * (every '4-NOT SPECIFIED' fact loses its match), left for the
+    * registered face's serve-time catch-up. Deterministic transforms
+    * so the DuckDB oracle recomputes the endpoint three-way join. */
+  private def ensureStarViewPersisted(s: SparkSession,
+                                      dir: String): String = {
+    val root = graft.sim.AnnIndex.dir(s, dir, "cdc_starview")
+    graft.sim.AnnIndex.ensure(root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val fT = s"$root/orders"
+      val cT = s"$root/custdim"
+      val pT = s"$root/priodim"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val f0 = orders.filter(col("o_orderdate") < ts("1997-07-01"))
+      val f1 = orders.filter(col("o_orderdate") < ts("1997-10-01"))
+      // Fresh reads per state — the shared-frame self-join hazard.
+      def c(flip: Boolean): DataFrame = {
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        if (!flip) base
+        else base.withColumn("c_mktsegment",
+          when(col("o_custkey") % 10 === 3, lit("FLIPPED"))
+            .otherwise(col("c_mktsegment")))
+      }
+      def pd(reclass: Boolean, drop: Boolean): DataFrame = {
+        val classed = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority")).distinct()
+          .withColumn("prio_class",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+              (lit(reclass) && col("o_orderpriority") === "3-MEDIUM"),
+              lit("fast")).otherwise(lit("slow")))
+        if (drop)
+          classed.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        else classed
+      }
+      MergeUpsert.replaceAll(s, fT, f0, partitionCol = "o_orderpriority")
+      MergeUpsert.replaceAll(s, cT, c(flip = false),
+        partitionCol = "c_mktsegment")
+      MergeUpsert.replaceAll(s, pT, pd(reclass = false, drop = false),
+        partitionCol = "prio_class")
+      refreshStarView(s, root) // seed at the pre-history vector
+      recordBatch(s, fT, Seq("o_orderkey"), 1L)(
+        MergeUpsert.replaceAll(s, fT, f1,
+          partitionCol = "o_orderpriority"))
+      refreshStarView(s, root) // span 1: fact only
+      recordBatch(s, cT, Seq("o_custkey"), 1L)(
+        MergeUpsert.replaceAll(s, cT, c(flip = true),
+          partitionCol = "c_mktsegment"))
+      recordBatch(s, pT, Seq("o_orderpriority"), 1L)(
+        MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = false),
+          partitionCol = "prio_class"))
+      refreshStarView(s, root) // span 2: BOTH dims in one refresh
+      recordBatch(s, pT, Seq("o_orderpriority"), 2L)(
+        MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = true),
+          partitionCol = "prio_class"))
+      // span 3 (dim removal) is the registered face's catch-up
+    }
+    root
+  }
+
+  private def refreshStarView(s: SparkSession,
+                              root: String): Seq[Long] =
+    StarJoinView.refresh(s, s"$root/orders",
+      Seq(
+        StarJoinView.DimSpec(s"$root/custdim", Seq("o_custkey"),
+          Seq("o_custkey")),
+        StarJoinView.DimSpec(s"$root/priodim", Seq("o_orderpriority"),
+          Seq("o_orderpriority"))),
+      s"$root/view", fKeys = Seq("o_orderkey"),
+      viewDims = Seq("c_mktsegment", "prio_class"),
+      measures = Seq(("sum_cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))))
+
+  /** Registered face #13: the PERSISTED STAR view — fact + TWO logged
+    * dimensions maintained from all three change logs
+    * ([[graft.runtime.StarJoinView]]; the K+1-position vector rides
+    * the swap atomically), caught up at serve time across the
+    * outstanding dim-removal span. The DuckDB oracle recomputes the
+    * ENDPOINT three-way join from source, so every term of the
+    * decomposition — fact adds through both dims, the segment flip,
+    * the priority reclass seen WITH the earlier dim at span-start
+    * state, and the removed dim row taking its facts out — must land
+    * exactly. */
+  def ordersStarViewPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureStarViewPersisted(s, dir)
+    refreshStarView(s, root)
+    s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("prio_class"),
+        col("sum_cents"), col("n_rows"))
+  }
+
   /** Registered face #12: the PERSISTED two-log join view — the
     * [[graft.runtime.JoinView]] loop caught up across the interleaved
     * history above (the serve-time refresh applies the outstanding

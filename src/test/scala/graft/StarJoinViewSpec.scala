@@ -1,0 +1,160 @@
+package graft
+
+import graft.runtime.{ChangeLog, Consumers, MaterializedView,
+  StarJoinView}
+import graft.runtime.StarJoinView.DimSpec
+import graft.silver.MergeUpsert
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The PERSISTED star join view ([[graft.runtime.StarJoinView]]):
+  * fact + K logged dimensions maintained from ALL K+1 change logs,
+  * the position VECTOR committed atomically with the data through the
+  * single-partition swap; every log registered; a purge of ANY log
+  * invalidates into a re-seed. The decomposition's term shapes are
+  * each exercised: fact-only, several dims in one refresh (earlier
+  * dims at span-START state in later movers' terms), late-dim-only
+  * with fact and earlier dim at snapshots. */
+class StarJoinViewSpec extends SparkSpec {
+
+  private val fSchema = StructType(Seq(
+    StructField("id", LongType), StructField("k1", LongType),
+    StructField("k2", LongType), StructField("m", LongType)))
+  private val d1Schema = StructType(Seq(
+    StructField("k1", LongType), StructField("g1", StringType),
+    StructField("w1", LongType)))
+  private val d2Schema = StructType(Seq(
+    StructField("k2", LongType), StructField("g2", StringType),
+    StructField("w2", LongType)))
+
+  private def fdf(rows: (Long, Long, Long, Long)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)), 2), fSchema)
+      .withColumn("pt", lit("all"))
+  private def d1df(rows: (Long, String, Long)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3)), 2), d1Schema)
+      .withColumn("pt", lit("all"))
+  private def d2df(rows: (Long, String, Long)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3)), 2), d2Schema)
+      .withColumn("pt", lit("all"))
+
+  private def cells(d: DataFrame): Seq[Seq[String]] = {
+    val cols = d.columns.sorted
+    d.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  private val measures = Seq(
+    ("mw", col("m") * col("w1") * col("w2")))
+
+  private def refresh(fDir: String, d1Dir: String, d2Dir: String,
+                      viewDir: String): Seq[Long] =
+    StarJoinView.refresh(spark, fDir,
+      Seq(DimSpec(d1Dir, Seq("k1"), Seq("k1")),
+        DimSpec(d2Dir, Seq("k2"), Seq("k2"))),
+      viewDir, Seq("id"), Seq("g1", "g2"), measures)
+
+  private def recomputeNow(fDir: String, d1Dir: String,
+                           d2Dir: String): DataFrame =
+    spark.read.parquet(fDir)
+      .join(spark.read.parquet(d1Dir).drop("pt"), Seq("k1"))
+      .join(spark.read.parquet(d2Dir).drop("pt"), Seq("k2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("m") * col("w1") * col("w2")).as("mw"))
+      .select(col("g1"), col("g2"), col("mw"), col("n_rows"))
+
+  private def viewNow(viewDir: String): DataFrame =
+    spark.read.parquet(viewDir)
+      .drop("_as_of_f", "_as_of_d0", "_as_of_d1", "gv_pt")
+
+  private def assertConverged(viewDir: String, fDir: String,
+                              d1Dir: String, d2Dir: String,
+                              what: String): Unit =
+    assert(cells(viewNow(viewDir)) ===
+      cells(recomputeNow(fDir, d1Dir, d2Dir)),
+      s"$what diverged from the recompute")
+
+  test("the star loop converges across spans that exercise every " +
+      "term shape, registers in all three registries, and a purge of " +
+      "ANY log re-seeds") {
+    val base = tmpDir("sjv")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/v"
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L), (2L, 10L, 200L, 3L), (3L, 20L, 100L, 5L)),
+      partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "x", 2L), (20L, "y", 3L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d2Dir,
+      d2df((100L, "p", 1L), (200L, "q", 4L)), partitionCol = "pt")
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, -1L, -1L),
+      "seed must stamp the pre-history vector")
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "seed")
+
+    // Span 1 — FACT only (term 0): m change, a removal, an add whose
+    // k1 has no dim match (contributes nothing, exactly).
+    ChangeLog.recordBatch(spark, fDir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, fDir,
+        fdf((1L, 10L, 100L, 4L), (3L, 20L, 100L, 5L),
+          (4L, 30L, 100L, 7L)), partitionCol = "pt"))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(1L, -1L, -1L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "fact-only span")
+
+    // Span 2 — ALL THREE in one refresh: fact changes again, D1 moves
+    // a group and a weight, D2 REMOVES a row; D2's term must see D1
+    // at its span-START state (the ordering the telescoping needs).
+    ChangeLog.recordBatch(spark, fDir, Seq("id"), 2L)(
+      MergeUpsert.replaceAll(spark, fDir,
+        fdf((1L, 10L, 100L, 4L), (3L, 20L, 200L, 5L),
+          (4L, 30L, 100L, 7L), (5L, 20L, 100L, 11L)),
+        partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, d1Dir, Seq("k1"), 1L)(
+      MergeUpsert.replaceAll(spark, d1Dir,
+        d1df((10L, "x", 6L), (20L, "z", 3L), (30L, "x", 1L)),
+        partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 1L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((100L, "p", 1L)), partitionCol = "pt"))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 1L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "all-three span")
+
+    // Span 3 — LATE dim only: fact and D1 untouched (their terms
+    // empty, no snapshot of either is even built for term 0/1; D2's
+    // term reconstructs both at their committed positions).
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 2L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((100L, "p", 2L), (200L, "q", 1L)), partitionCol = "pt"))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 2L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "late-dim-only span")
+
+    // All three registries hold the vector's positions.
+    assert(Consumers.list(spark, fDir).exists(r =>
+      r.name === StarJoinView.consumerName(viewDir, "f") &&
+        r.position === 2L))
+    assert(Consumers.list(spark, d1Dir).exists(r =>
+      r.name === StarJoinView.consumerName(viewDir, "d0") &&
+        r.position === 1L))
+    assert(Consumers.list(spark, d2Dir).exists(r =>
+      r.name === StarJoinView.consumerName(viewDir, "d1") &&
+        r.position === 2L))
+
+    // No-op refresh: same vector, same cells.
+    val before = cells(viewNow(viewDir))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 2L))
+    assert(cells(viewNow(viewDir)) === before)
+
+    // A purge of ANY of the three logs invalidates: take the MIDDLE
+    // dim (d1) — its registration carries the view dir.
+    Consumers.invalidateAll(spark, d1Dir)
+    assert(MaterializedView.isInvalid(spark, viewDir))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 2L),
+      "the re-seed must stamp the current heads")
+    assert(!MaterializedView.isInvalid(spark, viewDir))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "re-seeded view")
+  }
+}
