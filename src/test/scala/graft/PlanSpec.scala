@@ -656,4 +656,29 @@ class PlanSpec extends SparkSpec {
     assert(cp.contains("sum_qty") && !cp.contains("lineitem"), cp)
     assert(!cp.contains("Join") && !cp.contains("HashAggregate"), cp)
   }
+
+  test("the persisted join/star views serve as bare scans of the view " +
+      "table; the archived SCD2 history serves as live ∪ archive " +
+      "with no re-windowing") {
+    // All three loops refreshed BEFORE the served frame was built —
+    // the registered plan is one scan of the tiny view, zero joins,
+    // zero aggregates: the 100 TB serving argument in one line each.
+    Seq("cdc_joinview_persisted", "cdc_joinview_partitioned",
+        "cdc_starview_persisted").foreach { n =>
+      val p = plan(n)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$n:\n$p")
+      assert(p.contains("sum_cents:bigint") &&
+        p.contains("n_rows:bigint"), s"$n:\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$n:\n$p")
+    }
+    // The split store's full-history read: exactly TWO parquet scans
+    // (live buckets + archive), a dedup aggregate and the face's own
+    // summary — but NO window (the intervals were computed at refresh
+    // time, never re-derived at read time) and NO join or log scan.
+    val ah = plan("cdc_scd2_archive_orders")
+    assert("Scan parquet".r.findAllIn(ah).size == 2, ah)
+    assert(!ah.contains("Window") && !ah.contains("Join"), ah)
+    assert(!ah.contains("_changelog"), ah)
+  }
 }
