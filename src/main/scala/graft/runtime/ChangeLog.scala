@@ -719,7 +719,8 @@ object ChangeLog {
           minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos",
           scd2Dir(table) + "_buckets",
           scd2ArchDir(table), scd2ArchDir(table) + "_pos",
-          scd2ArchDir(table) + "_buckets", scd2ArchDir(table) + "_archive")
+          scd2ArchDir(table) + "_buckets", scd2ArchDir(table) + "_archive",
+          scd2ArchDir(table) + "_archived_through")
         .foreach { d =>
           val p = new Path(d); if (fs.exists(p)) fs.delete(p, true)
         }

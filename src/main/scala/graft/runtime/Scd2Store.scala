@@ -77,6 +77,20 @@ object Scd2Store {
   private def archivePath(storeDir: String): String =
     storeDir.stripSuffix("/") + "_archive"
 
+  /** Highest cutoff [[archive]] has fully processed — the no-op
+    * short-circuit. Without it every archive call pays a full live
+    * scan to discover there is nothing below the cutoff, which at
+    * 100 TB turns the steady-state "nothing to do" into the most
+    * expensive answer. Sound to record even when nothing moved:
+    * every future event carries `valid_from` past the committed
+    * position ≥ the cutoff, so nothing below the cutoff can ever
+    * become archivable. Written LAST (a crash retries the scan and
+    * converges); deleted with the store on compliance invalidation
+    * (a re-seeded, truncated history must not inherit the old
+    * watermark). */
+  private def archivedThroughPath(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_archived_through"
+
   private def withBucket(df: DataFrame, keys: Seq[String],
                          buckets: Int): DataFrame =
     df.withColumn(BucketCol,
@@ -123,6 +137,7 @@ object Scd2Store {
       // The archive holds the OLDEST historical images — the rows a
       // purge most wants gone. It re-seeds with the store.
       fs.delete(new Path(archivePath(storeDir)), true)
+      fs.delete(new Path(archivedThroughPath(storeDir)), false)
     }
     val hasState = fs.exists(root) && MergeUpsert.sweepAndHasData(fs, root)
     // Layout pin (see [[bucketsPath]]): the seed records its bucket
@@ -246,13 +261,21 @@ object Scd2Store {
         s"committed position $pos — a crashed refresh's replay could " +
         "re-derive archived events into the live set; archive only " +
         "up to the committed position")
+    // No-op short-circuit: a cutoff at or below the archived-through
+    // watermark has nothing left to move — skip the live scan.
+    if (Incremental.loadWatermark(spark, archivedThroughPath(storeDir))
+        .exists(closedBefore <= _)) return 0L
     val live = spark.read.option("mergeSchema", "true").parquet(storeDir)
     val archivable = (col(Scd2.OpenCol) && col("valid_to").isNotNull &&
       col("valid_to") < lit(closedBefore)) ||
       (!col(Scd2.OpenCol) && col("valid_from") < lit(closedBefore))
     val moving = live.filter(archivable).localCheckpoint()
     val moved = moving.count()
-    if (moved == 0L) return 0L
+    if (moved == 0L) {
+      Incremental.saveWatermark(spark, archivedThroughPath(storeDir),
+        closedBefore)
+      return 0L
+    }
     // ≤ bucket-count ints — metadata-scale collect by construction.
     val touched = moving.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
@@ -273,6 +296,8 @@ object Scd2Store {
     MergeUpsert.replacePartitions(spark, storeDir,
       live.filter(!archivable).filter(col(BucketCol).isin(touched: _*)),
       touched, partitionCol = BucketCol)
+    Incremental.saveWatermark(spark, archivedThroughPath(storeDir),
+      closedBefore)
     moved
   }
 

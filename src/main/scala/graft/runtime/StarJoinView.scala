@@ -107,30 +107,210 @@ object StarJoinView {
       case Some(pos) if pos.indices.forall(i => pos(i) >= heads(i)) =>
         registered(pos) // nothing new on any side
       case Some(pos) =>
-        val fNet =
-          if (pos.head >= heads.head) None
-          else Some(ChangeLog.netDiff(
-            ChangeLog.readSince(spark, factDir, Some(pos.head)).get,
-            fKeys))
-        val sides = dims.zipWithIndex.map { case (d, i) =>
-          val p = pos(i + 1)
-          CdcStarView.Side(d.keys, d.joinKeys, read(d.dir),
-            net =
-              if (p >= heads(i + 1)) None
-              else Some(ChangeLog.netDiff(
-                ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys)),
-            atStart = () =>
-              ChangeLog.snapshotAt(spark, d.dir, d.keys, p))
-        }
-        val delta = CdcStarView.starGroupDelta(fNet, fKeys,
-          fAtStart = () =>
-            ChangeLog.snapshotAt(spark, factDir, fKeys, pos.head),
-          sides, viewDims, measures)
+        val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
+          measures, pos, heads)
         val dropCols = (AsOfFCol +: dims.indices.map(asOfDCol)) :+
           PartCol
         val view = spark.read.parquet(viewDir).drop(dropCols: _*)
         persist(CdcView.applyDelta(view, delta, viewDims, names), heads)
         registered(heads)
     }
+  }
+
+  /** The signed view delta from position vector `pos` to `heads` —
+    * the star decomposition assembled from every log's span. Like
+    * [[JoinView]]'s spanDelta it telescopes from ANY starting vector
+    * (each term's identity holds per side independently), which is
+    * what lets [[refreshPartitioned]] top up straggler partitions
+    * from their OWN vectors. */
+  private def vectorDelta(spark: SparkSession, factDir: String,
+                          dims: Seq[DimSpec], fKeys: Seq[String],
+                          viewDims: Seq[String],
+                          measures: Seq[(String, Column)],
+                          pos: Seq[Long], heads: Seq[Long]): DataFrame = {
+    def read(dir: String): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(dir)
+    val fNet =
+      if (pos.head >= heads.head) None
+      else Some(ChangeLog.netDiff(
+        ChangeLog.readSince(spark, factDir, Some(pos.head)).get,
+        fKeys))
+    val sides = dims.zipWithIndex.map { case (d, i) =>
+      val p = pos(i + 1)
+      CdcStarView.Side(d.keys, d.joinKeys, read(d.dir),
+        net =
+          if (p >= heads(i + 1)) None
+          else Some(ChangeLog.netDiff(
+            ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys)),
+        atStart = () =>
+          ChangeLog.snapshotAt(spark, d.dir, d.keys, p))
+    }
+    CdcStarView.starGroupDelta(fNet, fKeys,
+      fAtStart = () =>
+        ChangeLog.snapshotAt(spark, factDir, fKeys, pos.head),
+      sides, viewDims, measures)
+  }
+
+  /** The partitioned form's VECTOR-position file — one atomic file
+    * holding every position (`p0,p1,…,pk`), same tear argument as
+    * [[JoinView]]'s pair file. Sibling of the view. */
+  private def vecPosPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_pos"
+
+  private def saveVec(spark: SparkSession, path: String,
+                      pos: Seq[Long]): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(pos.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  private def loadVec(spark: SparkSession, path: String,
+                      n: Int): Option[Seq[Long]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bytes = new Array[Byte](512)
+      val read = in.read(bytes)
+      if (read <= 0) return None
+      new String(bytes, 0, read, "UTF-8").trim
+    } finally in.close()
+    val parts = text.split(",").toSeq
+    if (parts.size != n) None
+    else {
+      val longs = parts.flatMap(_.toLongOption)
+      if (longs.size == n) Some(longs) else None
+    }
+  }
+
+  /** Large-star-view refresh — [[JoinView.refreshPartitioned]]'s
+    * split commit with the position VECTOR where the pair rode: the
+    * view is hive-partitioned on `partDim` (one of its dims), every
+    * row carries the vector ITS partition has applied, and one atomic
+    * vector-position file commits LAST. Recovery is per-partition
+    * local arithmetic from each straggler's OWN vector
+    * ([[vectorDelta]] telescopes from any start); crash windows are
+    * the same three as the pair form — crashed seed (recover the
+    * vector as the per-column minima), mixed stragglers (per-vector
+    * top-ups), all-swapped-file-not (every top-up span empty, the
+    * file recommits). */
+  def refreshPartitioned(spark: SparkSession, factDir: String,
+                         dims: Seq[DimSpec], viewDir: String,
+                         fKeys: Seq[String], viewDims: Seq[String],
+                         measures: Seq[(String, Column)],
+                         partDim: String): Seq[Long] = {
+    require(dims.nonEmpty, "a star needs at least one dimension")
+    require(viewDims.contains(partDim),
+      s"partDim '$partDim' must be one of the view dims " +
+        s"${viewDims.mkString("[", ", ", "]")} — a group must live " +
+        "in exactly one partition")
+    val names = measures.map(_._1)
+    val asOfCols = AsOfFCol +: dims.indices.map(asOfDCol)
+    val viewPath = new Path(viewDir)
+    val fs = viewPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (MaterializedView.isInvalid(spark, viewDir)) {
+      fs.delete(viewPath, true)
+      fs.delete(new Path(vecPosPath(viewDir)), false)
+    }
+    def head(dir: String): Long =
+      Incremental.highWatermark(spark, ChangeLog.logDir(dir))
+        .getOrElse(-1L)
+    val heads = head(factDir) +: dims.map(d => head(d.dir))
+    def registered(pos: Seq[Long]): Seq[Long] = {
+      Consumers.register(spark, factDir, consumerName(viewDir, "f"),
+        pos.head, viewDir = Some(viewDir))
+      dims.zipWithIndex.foreach { case (d, i) =>
+        Consumers.register(spark, d.dir, consumerName(viewDir, s"d$i"),
+          pos(i + 1), viewDir = Some(viewDir))
+      }
+      pos
+    }
+    def stamp(v: DataFrame, pos: Seq[Long]): DataFrame =
+      asOfCols.zip(pos).foldLeft(v) { case (acc, (c, p)) =>
+        acc.withColumn(c, lit(p))
+      }
+    def read(dir: String): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(dir)
+    val hasState =
+      fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
+    if (!hasState) {
+      val joined = dims.foldLeft(read(factDir)) {
+        (acc, d) => acc.join(read(d.dir), d.joinKeys)
+      }
+      val seed = joined.groupBy(viewDims.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          measures.map { case (n, e) => sum(e).as(n) }: _*)
+        .select(viewDims.map(col) ++ names.map(col) :+
+          col("n_rows"): _*)
+      CdcView.requireExactMeasures(seed.schema, names)
+      MergeUpsert.replaceAll(spark, viewDir, stamp(seed, heads),
+        partitionCol = partDim)
+      saveVec(spark, vecPosPath(viewDir), heads)
+      return registered(heads)
+    }
+    val pos = loadVec(spark, vecPosPath(viewDir), heads.size)
+      .getOrElse {
+        // Data without a vector file ⇔ a crashed seed: one vector on
+        // every row — recover it as the per-column minima.
+        val r = spark.read.parquet(viewDir)
+          .agg(min(col(asOfCols.head)),
+            asOfCols.tail.map(c => min(col(c))): _*).head()
+        val rec = asOfCols.indices.map(r.getLong)
+        saveVec(spark, vecPosPath(viewDir), rec)
+        rec
+      }
+    if (pos.indices.forall(i => pos(i) >= heads(i)))
+      return registered(pos)
+    val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
+      measures, pos, heads).localCheckpoint()
+    val touched = delta.select(col(partDim)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (touched.isEmpty) {
+      saveVec(spark, vecPosPath(viewDir), heads)
+      return registered(heads)
+    }
+    val viewCur = spark.read.parquet(viewDir)
+      .filter(col(partDim).isin(touched: _*))
+    // Straggler detection: each partition's applied VECTOR, clamped
+    // to the committed vector component-wise (the file invariant).
+    val partPos: Map[Any, Seq[Long]] = viewCur
+      .groupBy(col(partDim))
+      .agg(max(col(asOfCols.head)).as("a0"),
+        asOfCols.tail.zipWithIndex.map { case (c, i) =>
+          max(col(c)).as(s"a${i + 1}")
+        }: _*)
+      .collect()
+      .map(r => r.get(0) ->
+        asOfCols.indices.map(i => math.max(r.getLong(i + 1), pos(i))))
+      .toMap
+    val groups = touched.groupBy(v => partPos.getOrElse(v, pos))
+    val staged = groups.toSeq.flatMap { case (vec, parts) =>
+      if (vec.indices.forall(i => vec(i) >= heads(i))) None // at head
+      else {
+        val deltaV =
+          if (vec == pos) delta.filter(col(partDim).isin(parts: _*))
+          else vectorDelta(spark, factDir, dims, fKeys, viewDims,
+            measures, vec, heads)
+            .filter(col(partDim).isin(parts: _*))
+        val viewPart = viewCur.filter(col(partDim).isin(parts: _*))
+          .drop(asOfCols: _*)
+        Some((parts,
+          stamp(CdcView.applyDelta(viewPart, deltaV, viewDims, names),
+            heads)))
+      }
+    }
+    if (staged.nonEmpty) {
+      val stage = staged.map(_._2).reduce(_.unionByName(_))
+      MergeUpsert.replacePartitions(spark, viewDir, stage,
+        staged.flatMap(_._1), partitionCol = partDim)
+    }
+    saveVec(spark, vecPosPath(viewDir), heads)
+    registered(heads)
   }
 }

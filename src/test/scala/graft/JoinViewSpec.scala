@@ -12,10 +12,16 @@ import org.apache.spark.sql.types._
 object JoinViewSpecHelper {
   def writePair(fs: org.apache.hadoop.fs.FileSystem,
                 path: org.apache.hadoop.fs.Path,
-                pa: Long, pb: Long): Unit = {
+                pa: Long, pb: Long): Unit =
+    writeVec(fs, path, Seq(pa, pb))
+
+  def writeVec(fs: org.apache.hadoop.fs.FileSystem,
+               path: org.apache.hadoop.fs.Path,
+               pos: Seq[Long]): Unit = {
     if (fs.exists(path)) fs.delete(path, false)
     val out = fs.create(path, true)
-    try out.write(s"$pa,$pb".getBytes("UTF-8")) finally out.close()
+    try out.write(pos.mkString(",").getBytes("UTF-8"))
+    finally out.close()
   }
 }
 

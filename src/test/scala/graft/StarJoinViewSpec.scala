@@ -157,4 +157,94 @@ class StarJoinViewSpec extends SparkSpec {
     assert(!MaterializedView.isInvalid(spark, viewDir))
     assertConverged(viewDir, fDir, d1Dir, d2Dir, "re-seeded view")
   }
+
+  private def refreshPart(fDir: String, d1Dir: String, d2Dir: String,
+                          viewDir: String): Seq[Long] =
+    StarJoinView.refreshPartitioned(spark, fDir,
+      Seq(DimSpec(d1Dir, Seq("k1"), Seq("k1")),
+        DimSpec(d2Dir, Seq("k2"), Seq("k2"))),
+      viewDir, Seq("id"), Seq("g1", "g2"), measures, partDim = "g1")
+
+  test("partitioned star form: only touched partitions rewrite; a " +
+      "crashed seed recovers its vector; mixed-vector stragglers top " +
+      "up from their OWN vectors; a rewound vector file never " +
+      "double-applies") {
+    val base = tmpDir("sjv-part")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/vp"
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L), (2L, 10L, 200L, 3L), (3L, 20L, 100L, 5L)),
+      partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "x", 2L), (20L, "y", 3L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d2Dir,
+      d2df((100L, "p", 1L), (200L, "q", 4L)), partitionCol = "pt")
+    assert(refreshPart(fDir, d1Dir, d2Dir, viewDir)
+      === Seq(-1L, -1L, -1L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "partitioned seed")
+    assert(fs.exists(p(s"$viewDir/g1=x")) && fs.exists(p(s"$viewDir/g1=y")))
+
+    // Crashed-seed window: vector file gone — recover from the rows.
+    fs.delete(p(viewDir + "_pos"), false)
+    // Fact-only span touching ONLY k1=10 → g1=x: g1=y must not move.
+    val yMt = fs.getFileStatus(p(s"$viewDir/g1=y")).getModificationTime
+    Thread.sleep(1100)
+    ChangeLog.recordBatch(spark, fDir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, fDir,
+        fdf((1L, 10L, 100L, 4L), (2L, 10L, 200L, 3L),
+          (3L, 20L, 100L, 5L)), partitionCol = "pt"))
+    assert(refreshPart(fDir, d1Dir, d2Dir, viewDir)
+      === Seq(1L, -1L, -1L), "recovered vector must refresh, not re-seed")
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "fact-only g1=x span")
+    assert(fs.getFileStatus(p(s"$viewDir/g1=y")).getModificationTime
+      === yMt, "an untouched partition must not rewrite")
+
+    // Mid-swap crash with a FURTHER span before the heal: snapshot
+    // g1=x + the vector file, run an all-three refresh (touches both
+    // partitions), restore g1=x and the file (x a straggler at the
+    // committed vector, y past it), then land one more d2 batch — the
+    // healing refresh must top x up via the shared delta and y via a
+    // recomputed delta from ITS OWN vector.
+    val saveDir = p(s"$base/save-x")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$viewDir/g1=x"),
+      fs, saveDir, false, conf)
+    val savePos = p(s"$base/save-pos")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(viewDir + "_pos"),
+      fs, savePos, false, conf)
+    ChangeLog.recordBatch(spark, fDir, Seq("id"), 2L)(
+      MergeUpsert.replaceAll(spark, fDir,
+        fdf((1L, 10L, 100L, 4L), (2L, 10L, 200L, 3L),
+          (3L, 20L, 200L, 6L)), partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, d1Dir, Seq("k1"), 1L)(
+      MergeUpsert.replaceAll(spark, d1Dir,
+        d1df((10L, "x", 5L), (20L, "y", 3L)), partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 1L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((100L, "p", 2L), (200L, "q", 4L)), partitionCol = "pt"))
+    assert(refreshPart(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 1L))
+    fs.delete(p(s"$viewDir/g1=x"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saveDir,
+      fs, p(s"$viewDir/g1=x"), false, conf)
+    fs.delete(p(viewDir + "_pos"), false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, savePos,
+      fs, p(viewDir + "_pos"), false, conf)
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 2L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((100L, "p", 3L), (200L, "q", 1L)), partitionCol = "pt"))
+    assert(refreshPart(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 2L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "mixed-vector top-up")
+
+    // All-swapped-file-not: rewind only the file — nothing
+    // double-applies and it recommits.
+    val healthy = cells(viewNow(viewDir))
+    JoinViewSpecHelper.writeVec(fs, p(viewDir + "_pos"),
+      Seq(2L, 1L, 1L))
+    assert(refreshPart(fDir, d1Dir, d2Dir, viewDir) === Seq(2L, 1L, 2L))
+    assert(cells(viewNow(viewDir)) === healthy,
+      "a rewound vector file must not double-apply")
+  }
 }
