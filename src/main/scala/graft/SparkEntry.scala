@@ -262,6 +262,11 @@ object SparkEntry {
     // recomputes the endpoint three-way join from source.
     "cdc_starview_persisted" ->
       graft.runtime.ChangeLog.ordersStarViewPersisted _,
+    // Its PARTITIONED twin: per-partition _as_of vectors, the
+    // vector-position file last, touched-partitions-only rewrites.
+    // Same oracle.
+    "cdc_starview_partitioned" ->
+      graft.runtime.ChangeLog.ordersStarViewPartitioned _,
     // Q7/Q9/Q10/Q14: bilateral-pair disjunction, signed profit over a
     // LIKE-filtered dimension, returned-revenue top-k, and the
     // one-pass conditional-ratio month slice.
@@ -745,6 +750,7 @@ object SparkEntry {
     "cdc_joinview_persisted" -> OpsOracles.ordersJoinViewPersisted,
     "cdc_joinview_partitioned" -> OpsOracles.ordersJoinViewPersisted,
     "cdc_starview_persisted" -> OpsOracles.ordersStarViewPersisted,
+    "cdc_starview_partitioned" -> OpsOracles.ordersStarViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

@@ -1240,10 +1240,12 @@ object ChangeLog {
       MergeUpsert.replaceAll(s, pT, pd(reclass = false, drop = false),
         partitionCol = "prio_class")
       refreshStarView(s, root) // seed at the pre-history vector
+      refreshStarViewPartitioned(s, root) // partitioned twin
       recordBatch(s, fT, Seq("o_orderkey"), 1L)(
         MergeUpsert.replaceAll(s, fT, f1,
           partitionCol = "o_orderpriority"))
       refreshStarView(s, root) // span 1: fact only
+      refreshStarViewPartitioned(s, root)
       recordBatch(s, cT, Seq("o_custkey"), 1L)(
         MergeUpsert.replaceAll(s, cT, c(flip = true),
           partitionCol = "c_mktsegment"))
@@ -1251,26 +1253,40 @@ object ChangeLog {
         MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = false),
           partitionCol = "prio_class"))
       refreshStarView(s, root) // span 2: BOTH dims in one refresh
+      refreshStarViewPartitioned(s, root)
       recordBatch(s, pT, Seq("o_orderpriority"), 2L)(
         MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = true),
           partitionCol = "prio_class"))
-      // span 3 (dim removal) is the registered face's catch-up
+      // span 3 (dim removal) is the registered faces' catch-up
     }
     root
   }
 
+  private def starDims(root: String): Seq[StarJoinView.DimSpec] = Seq(
+    StarJoinView.DimSpec(s"$root/custdim", Seq("o_custkey"),
+      Seq("o_custkey")),
+    StarJoinView.DimSpec(s"$root/priodim", Seq("o_orderpriority"),
+      Seq("o_orderpriority")))
+
+  private val starMeasures = Seq(("sum_cents",
+    round(col("o_totalprice") * 100, 0).cast("long")))
+
   private def refreshStarView(s: SparkSession,
                               root: String): Seq[Long] =
-    StarJoinView.refresh(s, s"$root/orders",
-      Seq(
-        StarJoinView.DimSpec(s"$root/custdim", Seq("o_custkey"),
-          Seq("o_custkey")),
-        StarJoinView.DimSpec(s"$root/priodim", Seq("o_orderpriority"),
-          Seq("o_orderpriority"))),
+    StarJoinView.refresh(s, s"$root/orders", starDims(root),
       s"$root/view", fKeys = Seq("o_orderkey"),
       viewDims = Seq("c_mktsegment", "prio_class"),
-      measures = Seq(("sum_cents",
-        round(col("o_totalprice") * 100, 0).cast("long"))))
+      measures = starMeasures)
+
+  /** The PARTITIONED twin — hive-partitioned on the segment dim, each
+    * refresh rewriting only the partitions its vector-span touches
+    * ([[StarJoinView.refreshPartitioned]]). */
+  private def refreshStarViewPartitioned(s: SparkSession,
+                                         root: String): Seq[Long] =
+    StarJoinView.refreshPartitioned(s, s"$root/orders", starDims(root),
+      s"$root/view_part", fKeys = Seq("o_orderkey"),
+      viewDims = Seq("c_mktsegment", "prio_class"),
+      measures = starMeasures, partDim = "c_mktsegment")
 
   /** Registered face #13: the PERSISTED STAR view — fact + TWO logged
     * dimensions maintained from all three change logs
@@ -1286,6 +1302,19 @@ object ChangeLog {
     val root = ensureStarViewPersisted(s, dir)
     refreshStarView(s, root)
     s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("prio_class"),
+        col("sum_cents"), col("n_rows"))
+  }
+
+  /** Registered face #13b: the PARTITIONED star view — same history,
+    * same oracle, maintained by [[StarJoinView.refreshPartitioned]]:
+    * per-partition `_as_of` VECTORS with the vector-position file
+    * committed last, so each refresh rewrites only the segment
+    * partitions its spans touch. */
+  def ordersStarViewPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureStarViewPersisted(s, dir)
+    refreshStarViewPartitioned(s, root)
+    s.read.parquet(s"$root/view_part")
       .select(col("c_mktsegment"), col("prio_class"),
         col("sum_cents"), col("n_rows"))
   }

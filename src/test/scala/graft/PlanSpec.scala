@@ -664,7 +664,7 @@ class PlanSpec extends SparkSpec {
     // the registered plan is one scan of the tiny view, zero joins,
     // zero aggregates: the 100 TB serving argument in one line each.
     Seq("cdc_joinview_persisted", "cdc_joinview_partitioned",
-        "cdc_starview_persisted").foreach { n =>
+        "cdc_starview_persisted", "cdc_starview_partitioned").foreach { n =>
       val p = plan(n)
       assert("Scan parquet".r.findAllIn(p).size == 1, s"$n:\n$p")
       assert(p.contains("sum_cents:bigint") &&
