@@ -155,21 +155,34 @@ object PlanFingerprint {
   }
 
   /** Gid-renumbering normalizer — the machine check for the one known
-    * benign-drift class. On every line that mentions the
-    * RewriteDistinctAggregates `gid` column: scrub integer literals
-    * (the gid VALUES) and sort the line's comma-separated fragments
-    * (the Expand rows and mid-Aggregate column order that swap WITH
-    * the values). A pure renumbering permutes fragments without
-    * changing their multiset → identical normalized text; a real
-    * rewrite on those lines changes a fragment → still drifts. All
-    * other lines pass through untouched. */
+    * benign-drift class. On every line that references the
+    * RewriteDistinctAggregates `gid` COLUMN (the scrubbed attribute
+    * prints as `gid#` — a bare substring match would also fire on
+    * user columns merely containing "gid"): scrub integer literals
+    * (the gid VALUES live as bare ints inside the Expand projection
+    * lists) and sort the line's comma-separated fragments (the Expand
+    * rows and mid-Aggregate column order that swap WITH the values).
+    * A pure renumbering permutes fragments without changing their
+    * multiset → identical normalized text; a real rewrite on those
+    * lines changes a fragment → still drifts. Scrubbing alone would
+    * also hide a REAL change that only alters a literal on a gid line
+    * (a filter constant inside an aggregate, say) — so the line's
+    * integer MULTISET, sorted, is appended to the normalized text: a
+    * renumbering permutes the same values (multiset unchanged), a
+    * changed literal changes it (drift). All other lines pass through
+    * untouched. */
   private[graft] def normalizeGid(text: String): String =
     text.linesIterator.map { line =>
-      if (line.contains("gid")) {
+      if (GidColumn.findFirstIn(line).isDefined) {
+        val ints = IntLit.findAllIn(line).toSeq.sorted
         val scrubbed = line.replaceAll("\\b\\d+\\b", "N")
-        scrubbed.split(",", -1).map(_.trim).sorted.mkString(",")
+        scrubbed.split(",", -1).map(_.trim).sorted.mkString(",") +
+          ints.mkString(" ints{", ",", "}")
       } else line
     }.mkString("\n")
+
+  private val GidColumn = "\\bgid#".r
+  private val IntLit = "\\b\\d+\\b".r
 
   private def fingerprints(spark: SparkSession, sfDir: String)
       : Seq[(String, String, String)] = {
@@ -254,8 +267,10 @@ object PlanFingerprint {
           val missing = fps.map(_._1).filterNot(recorded.contains)
           val stale = (recorded.keySet -- fps.map(_._1).toSet).toSeq.sorted
           benign.foreach { case (n, h, _) =>
-            println(s"BENIGN $n: ${recorded(n)} -> $h (pure gid " +
-              "renumbering, normalized fingerprint unchanged)") }
+            println(s"INFO $n: raw ${recorded(n)} -> $h, normalized " +
+              "unchanged (gid renumbering — machine-verified, no " +
+              "action needed; the raw hash for this class is " +
+              "JVM-unstable by design)") }
           real.foreach { case (n, h, _) =>
             println(s"DRIFT $n: ${recorded(n)} -> $h") }
           missing.foreach(n => println(s"NEW $n (not in $RecordPath)"))
@@ -266,12 +281,8 @@ object PlanFingerprint {
               "`graft.PlanFingerprint write`")
             sys.exit(1)
           }
-          if (benign.nonEmpty)
-            println(s"${benign.size} benign gid-renumbering drift(s) " +
-              "auto-verified — refresh the record with " +
-              "`graft.PlanFingerprint write` and commit")
           println(s"plans stable: ${fps.size} checked, " +
-            s"${benign.size} benign, ${missing.size} new, " +
+            s"${benign.size} gid-renumber info, ${missing.size} new, " +
             s"${stale.size} retired")
       }
     } finally spark.stop()

@@ -177,6 +177,13 @@ object SparkEntry {
     // groups, the base is re-read only inside them, partition-pruned.
     "cdc_minmax_orders_priority" ->
       graft.runtime.ChangeLog.ordersPriorityMinMaxPersisted _,
+    // The EXACT-DISTINCT twin: per-priority countDistinct — the
+    // aggregate the reference golds lean on hardest (A2–A4), rejected
+    // from the signed fold by requireExactMeasures and maintained by
+    // the same touched-group recompute instead; the stored-HLL face
+    // (sketch_mau_stored) is its at-scale approximate twin.
+    "cdc_distinct_view_orders" ->
+      graft.runtime.ChangeLog.ordersPriorityDistinctPersisted _,
     // The same persisted-view loop at GOLD grain over the REAL silver
     // session log: a three-update incremental chain (9-column session
     // key, real adds/changes/deletes) maintains a per-country view
@@ -255,6 +262,21 @@ object SparkEntry {
     // straggler top-up from a partition's OWN pair. Same oracle.
     "cdc_joinview_partitioned" ->
       graft.runtime.ChangeLog.ordersJoinViewPartitioned _,
+    // The LEFT-OUTER persisted join view (JoinView joinType="left" +
+    // CdcJoinView.leftJoinGroupDelta): the count-augmented outer
+    // delta — unmatched-A groups live null-extended and RETRACT when
+    // ΔB creates a key's first match, RESTORE when it removes the
+    // last; the history churns B's key set in both directions and the
+    // oracle recomputes the endpoint A₂ ⟕ B₂ with COALESCE(SUM, 0).
+    // Every reference gold join is left-outer — this is its
+    // maintained-view form.
+    "cdc_leftjoinview_persisted" ->
+      graft.runtime.ChangeLog.ordersLeftJoinViewPersisted _,
+    // Its PARTITIONED twin — partition-scoped rewrites on the A-side
+    // priority dim (never null; B-side dims are null for unmatched
+    // groups), per-partition pair stamps, pair file committed last.
+    "cdc_leftjoinview_partitioned" ->
+      graft.runtime.ChangeLog.ordersLeftJoinViewPartitioned _,
     // The PERSISTED STAR view (runtime/StarJoinView + ops/CdcStarView):
     // fact + TWO logged dims maintained from all three change logs —
     // the K+1-position vector commits atomically with the data; the
@@ -317,6 +339,16 @@ object SparkEntry {
     // oracle re-sizes the same files via DuckDB read_blob.
     "table_file_stats" ->
       ((s, dir) => graft.runtime.TableStats.tableFileStats(s, dir)),
+    // Warehouse-wide crash-leftover sweep (runtime/Vacuum) as an
+    // operational health face: four planted crash shapes (partition
+    // backup with live absent → RESTORE; staging orphan; recluster
+    // backup beside live; recluster staging) swept with restore-or-
+    // drop semantics identical to the writers' own, plus a second
+    // sweep proving idempotence; the oracle recomputes the restored
+    // partition's rows from source. Pipeline.runDaily runs this sweep
+    // as its first stage, so a scheduled daily heals cold tables too.
+    "vacuum_sweep_health" ->
+      ((s, dir) => graft.runtime.Vacuum.sweepHealthFace(s, dir)),
     // File-level data skipping (runtime/DataSkipping): orders is laid
     // out ONCE per JVM range-clustered by o_orderdate with a per-file
     // min/max zone-map sidecar; the registered query plans its file
@@ -749,6 +781,9 @@ object SparkEntry {
     "cdc_joinview_orders_mkt" -> OpsOracles.ordersJoinViewMaintained,
     "cdc_joinview_persisted" -> OpsOracles.ordersJoinViewPersisted,
     "cdc_joinview_partitioned" -> OpsOracles.ordersJoinViewPersisted,
+    "cdc_leftjoinview_persisted" -> OpsOracles.ordersLeftJoinViewPersisted,
+    "cdc_leftjoinview_partitioned" -> OpsOracles.ordersLeftJoinViewPersisted,
+    "cdc_distinct_view_orders" -> OpsOracles.ordersPriorityDistinct,
     "cdc_starview_persisted" -> OpsOracles.ordersStarViewPersisted,
     "cdc_starview_partitioned" -> OpsOracles.ordersStarViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
@@ -782,6 +817,7 @@ object SparkEntry {
       OpsOracles.bpeEncode(graft.text.Bpe.lastLearned.toSeq),
     "table_file_stats" ->
       OpsOracles.tableFileStats(graft.runtime.TableStats.lastDir),
+    "vacuum_sweep_health" -> OpsOracles.vacuumSweepHealth,
     "skipscan_orders_date" -> OpsOracles.skipscanOrdersDate,
     "skipscan_events_zorder" -> OpsOracles.skipscanEventsZorder,
     "skipscan_orders_partitioned" -> OpsOracles.skipscanOrdersPartitioned,

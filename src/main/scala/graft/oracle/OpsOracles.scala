@@ -3692,6 +3692,84 @@ object OpsOracles {
       |FROM a JOIN b ON a.o_custkey = b.c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors Vacuum.sweepHealthFace: the restored partition's row
+    * count recomputed from source (the planted between-renames crash
+    * moved exactly the 1-URGENT partition of the pre-1997-07 orders
+    * slice out to its backup), plus the sweep's action accounting —
+    * 2 table-sweep actions (the restore + the staging drop), 1
+    * recluster-backup drop, 1 recluster-staging drop, and a
+    * second-pass count of 0 (idempotence). */
+  val vacuumSweepHealth: String =
+    """SELECT CAST(count(1) AS BIGINT) AS restored_rows,
+      |  CAST(2 AS BIGINT) AS table_sweep_actions,
+      |  CAST(1 AS BIGINT) AS recluster_backup_drops,
+      |  CAST(1 AS BIGINT) AS recluster_staging_drops,
+      |  CAST(0 AS BIGINT) AS second_pass_actions
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** Mirrors ChangeLog.ordersLeftJoinViewPersisted (and its
+    * partitioned twin): the endpoint A₂ ⟕ B₂ recomputed from source —
+    * the engine instead MAINTAINS the left-outer view across a
+    * history where B keys appear (the %13 customers the seed lacked)
+    * and disappear (the %17 drop left for serve-time catch-up), so
+    * both zero-crossing directions of the count-augmented outer
+    * delta must land exactly: unmatched orders live in the
+    * NULL-segment group, and the B-side measure reads
+    * COALESCE(SUM(c_nationkey), 0) — the view's stated NULL-as-0
+    * measure contract. */
+  val ordersLeftJoinViewPersisted: String =
+    """WITH a AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    o_totalprice
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END
+      |      AS price
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |), b AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'FLIPPED'
+      |         ELSE c_mktsegment END AS c_mktsegment,
+      |    c_nationkey
+      |  FROM customer
+      |  WHERE NOT (c_custkey % 17 = 5)
+      |)
+      |SELECT b.c_mktsegment, a.o_orderpriority,
+      |  CAST(sum(CAST(round(a.price * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(COALESCE(sum(b.c_nationkey), 0) AS BIGINT) AS nation_sum,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM a LEFT JOIN b ON a.o_custkey = b.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors ChangeLog.ordersPriorityDistinctPersisted: the endpoint
+    * per-priority COUNT(DISTINCT custkey) recomputed from scratch over
+    * the same deterministic endpoint state as the min/max twin — the
+    * engine maintains it by touched-group recompute from the log's
+    * named groups. */
+  val ordersPriorityDistinct: String =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-10-01'
+      |        AND o_orderpriority = '5-LOW' THEN '3-MEDIUM'
+      |      ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |      AND o_orderdate < TIMESTAMP '1997-07-01')
+      |    AND NOT (o_orderpriority = '4-NOT SPECIFIED'
+      |      AND o_orderdate >= TIMESTAMP '1997-09-01'
+      |      AND o_orderdate < TIMESTAMP '1997-10-01')
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM n
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors ChangeLog.ordersStarViewPersisted: the endpoint
     * F₁ ⋈ C₁ ⋈ P₂ three-way star recomputed from source — fact at its
     * widened horizon, the customer dim with its deterministic segment

@@ -716,7 +716,8 @@ object ChangeLog {
       val fs = new Path(table)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(table, logDir(table), mviewDir(table),
-          minmaxDir(table), scd2Dir(table), scd2Dir(table) + "_pos",
+          minmaxDir(table), distinctDir(table),
+          scd2Dir(table), scd2Dir(table) + "_pos",
           scd2Dir(table) + "_buckets",
           scd2ArchDir(table), scd2ArchDir(table) + "_pos",
           scd2ArchDir(table) + "_buckets", scd2ArchDir(table) + "_archive",
@@ -758,6 +759,12 @@ object ChangeLog {
       MaterializedView.refreshByRecompute(s, table, minmaxDir(table),
         Seq("o_orderkey"), priorityProject, Seq("o_orderpriority"),
         priorityMinMaxAgg, pruneDim = Some("o_orderpriority"))
+      // And the EXACT-DISTINCT twin (countDistinct — no signed fold
+      // can maintain it: a removed row may have carried a group's
+      // last occurrence of a value), same pre-history seed.
+      MaterializedView.refreshByRecompute(s, table, distinctDir(table),
+        Seq("o_orderkey"), distinctProject, Seq("o_orderpriority"),
+        priorityDistinctAgg, pruneDim = Some("o_orderpriority"))
       // And the incremental SCD2 store, seeded at the same pre-history
       // position — its registered refresh must extend the dimension
       // across the whole three-batch log incrementally.
@@ -782,6 +789,8 @@ object ChangeLog {
   private def mviewDir(table: String): String = table + "_priority_view"
   private def minmaxDir(table: String): String =
     table + "_priority_minmax"
+  private def distinctDir(table: String): String =
+    table + "_priority_distinct"
   private def scd2Dir(table: String): String = table + "_scd2_store"
 
   /** Row-local projection both priority-view faces share. */
@@ -797,6 +806,24 @@ object ChangeLog {
     p.groupBy(col("o_orderpriority"))
       .agg(min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** Row-local projection of the exact-distinct twin: the dims plus
+    * the distinct-counted column. */
+  private def distinctProject(df: DataFrame): DataFrame =
+    df.select(col("o_orderpriority"), col("o_custkey"))
+
+  /** The EXACT distinct-measure aggregate — countDistinct is not
+    * maintainable by any signed fold (a removed row may have carried
+    * a group's last occurrence of its value; recovering the count
+    * needs the base), so it rides the same touched-group-recompute
+    * path as min/max. The at-scale APPROXIMATE twin is the stored
+    * mergeable HLL sketch ([[graft.runtime.SketchGold]]) — pick exact
+    * recompute when the touched groups are prunable, sketches when
+    * even that re-read is too hot. */
+  private def priorityDistinctAgg(p: DataFrame): DataFrame =
+    p.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_rows"))
 
   /** Registered face: the [[ensureOrdersHistory]] maintenance history,
@@ -910,6 +937,30 @@ object ChangeLog {
     s.read.parquet(minmaxDir(table))
       .select(col("o_orderpriority"), col("min_cents"),
         col("max_cents"), col("n_rows"))
+  }
+
+  /** Registered face #5b: the EXACT DISTINCT-measure persisted view —
+    * per-priority countDistinct(custkey), the aggregate the reference
+    * golds lean on hardest (A2–A4) and the one
+    * [[graft.ops.CdcView.requireExactMeasures]] correctly rejects
+    * from the signed-fold path: maintained instead by TOUCHED-GROUP
+    * RECOMPUTE ([[MaterializedView.refreshByRecompute]]) — the
+    * three-batch log names the touched priority groups, the base is
+    * re-read ONLY inside them (partition-pruned via pruneDim), and
+    * untouched groups' exact counts carry over unrecomputed. The
+    * DuckDB oracle recomputes the endpoint COUNT(DISTINCT) from
+    * scratch — deletions must drop counts exactly where the removed
+    * row carried a group's last occurrence of a customer. The
+    * at-scale APPROXIMATE twin is the stored-sketch face
+    * (`sketch_gold_mau_stored`, [[SketchGold]]). */
+  def ordersPriorityDistinctPersisted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val table = ensureOrdersHistory(s, dir)
+    MaterializedView.refreshByRecompute(s, table, distinctDir(table),
+      Seq("o_orderkey"), distinctProject, Seq("o_orderpriority"),
+      priorityDistinctAgg, pruneDim = Some("o_orderpriority"))
+    s.read.parquet(distinctDir(table))
+      .select(col("o_orderpriority"), col("n_cust"), col("n_rows"))
   }
 
   /** Row-local projection of the per-country silver view
@@ -1189,6 +1240,150 @@ object ChangeLog {
       measures = Seq(("sum_cents",
         round(col("o_totalprice") * 100, 0).cast("long"))),
       partDim = "c_mktsegment")
+
+  /** Build (once per JVM) the LEFT-OUTER join-view chain
+    * ([[graft.runtime.JoinView]] with `joinType = "left"`): the
+    * orders fact LEFT-joined to a logged customer dim whose key set
+    * CHURNS — the history is engineered so B keys both APPEAR for
+    * live A rows (batch 1 adds the `%13 == 2` customers the seed
+    * state lacked: their orders' null-extended contributions must
+    * RETRACT from the null-segment group and re-land joined) and
+    * DISAPPEAR (batch 2 drops `%17 == 5`: their orders must come
+    * back null-extended) — the two zero-crossing transitions of
+    * [[graft.ops.CdcJoinView.leftJoinGroupDelta]]'s count-augmented
+    * delta, exercised across a three-update interleaved history with
+    * the A side moving too (adds at span 1, price bumps at span 2).
+    * Reference analogue: every reference gold join is LEFT OUTER
+    * (`gold_user_daily_metrics.py:80-82` — metrics ⟕ side aggregates
+    * where zero-match groups must survive). Deterministic transforms
+    * so the DuckDB oracle recomputes the endpoint A₂ ⟕ B₂. */
+  private def ensureLeftJoinViewPersisted(s: SparkSession,
+                                          dir: String): String = {
+    val root = graft.sim.AnnIndex.dir(s, dir, "cdc_ljview")
+    graft.sim.AnnIndex.ensure(root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val aT = s"$root/orders"
+      val bT = s"$root/custdim"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val a0 = orders.filter(col("o_orderdate") < ts("1997-07-01"))
+      val a1 = orders.filter(col("o_orderdate") < ts("1997-10-01"))
+      val a2 = a1.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      // Fresh reads per state (the shared-frame self-join hazard).
+      def b(appear: Boolean, flip: Boolean, drop: Boolean): DataFrame = {
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+            col("c_nationkey"))
+        val present =
+          if (appear) base else base.filter(!(col("o_custkey") % 13 === 2))
+        val flipped =
+          if (!flip) present
+          else present.withColumn("c_mktsegment",
+            when(col("o_custkey") % 10 === 3, lit("FLIPPED"))
+              .otherwise(col("c_mktsegment")))
+        if (drop) flipped.filter(!(col("o_custkey") % 17 === 5))
+        else flipped
+      }
+      MergeUpsert.replaceAll(s, aT, a0, partitionCol = "o_orderpriority")
+      MergeUpsert.replaceAll(s, bT,
+        b(appear = false, flip = false, drop = false),
+        partitionCol = "c_mktsegment")
+      refreshLeftJoinView(s, root) // seed at the pre-history pair
+      refreshLeftJoinViewPartitioned(s, root)
+      recordBatch(s, aT, Seq("o_orderkey"), 1L)(
+        MergeUpsert.replaceAll(s, aT, a1,
+          partitionCol = "o_orderpriority"))
+      refreshLeftJoinView(s, root) // span 1: A-only (new unmatched rows)
+      refreshLeftJoinViewPartitioned(s, root)
+      recordBatch(s, bT, Seq("o_custkey"), 1L)(
+        MergeUpsert.replaceAll(s, bT,
+          b(appear = true, flip = true, drop = false),
+          partitionCol = "c_mktsegment"))
+      recordBatch(s, aT, Seq("o_orderkey"), 2L)(
+        MergeUpsert.replaceAll(s, aT, a2,
+          partitionCol = "o_orderpriority"))
+      refreshLeftJoinView(s, root) // span 2: BOTH sides; keys APPEAR
+      refreshLeftJoinViewPartitioned(s, root)
+      recordBatch(s, bT, Seq("o_custkey"), 2L)(
+        MergeUpsert.replaceAll(s, bT,
+          b(appear = true, flip = true, drop = true),
+          partitionCol = "c_mktsegment"))
+      // span 3 (B-only removals — keys DISAPPEAR, their A rows must
+      // return null-extended) is the registered faces' catch-up
+    }
+    root
+  }
+
+  /** Shared definition of the LEFT view twins: per (segment,
+    * priority) — segment NULL for unmatched orders — revenue cents
+    * (A-side, null-proof) and nation-key sum (B-side: NULL for
+    * unmatched rows, folding to 0 under the stated contract). Both
+    * sides projected to their referenced columns (aCols/bCols — the
+    * [[JoinView.refresh]] pruning path under test too). */
+  private def leftJoinViewArgs = (
+    Seq("o_orderkey"), Seq("o_custkey"), Seq("o_custkey"),
+    Seq("c_mktsegment", "o_orderpriority"),
+    Seq(
+      ("sum_cents", round(col("o_totalprice") * 100, 0).cast("long")),
+      ("nation_sum", col("c_nationkey").cast("long"))))
+
+  private def refreshLeftJoinView(s: SparkSession,
+                                  root: String): (Long, Long) = {
+    val (aKeys, bKeys, jKeys, dims, measures) = leftJoinViewArgs
+    JoinView.refresh(s, s"$root/orders", s"$root/custdim",
+      s"$root/view", aKeys, bKeys, jKeys, dims, measures,
+      joinType = "left",
+      aCols = Some(Seq("o_orderpriority", "o_totalprice")),
+      bCols = Some(Seq("c_mktsegment", "c_nationkey")))
+  }
+
+  /** The PARTITIONED twin — hive-partitioned on the A-side priority
+    * dim (never null; a LEFT view's B-side dims are NULL for
+    * unmatched groups and a null hive partition value would defeat
+    * partition-scoped rewrites — the constraint
+    * [[JoinView.refreshPartitioned]] documents). */
+  private def refreshLeftJoinViewPartitioned(s: SparkSession,
+                                             root: String): (Long, Long) = {
+    val (aKeys, bKeys, jKeys, dims, measures) = leftJoinViewArgs
+    JoinView.refreshPartitioned(s, s"$root/orders", s"$root/custdim",
+      s"$root/view_part", aKeys, bKeys, jKeys, dims, measures,
+      partDim = "o_orderpriority", joinType = "left",
+      aCols = Some(Seq("o_orderpriority", "o_totalprice")),
+      bCols = Some(Seq("c_mktsegment", "c_nationkey")))
+  }
+
+  /** Registered face #12c: the PERSISTED LEFT-OUTER join view —
+    * caught up at serve time across the outstanding B-removal span
+    * (keys DISAPPEARING for live A rows: the hard direction — their
+    * orders' joined contributions retract AND their null-extended
+    * rows re-enter the null-segment group). The DuckDB oracle
+    * recomputes the endpoint A₂ ⟕ B₂ with `COALESCE(SUM(b.m), 0)`
+    * (the stated NULL-as-0 measure contract), so both zero-crossing
+    * directions and every signed joined contribution must land
+    * exactly. */
+  def ordersLeftJoinViewPersisted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = ensureLeftJoinViewPersisted(s, dir)
+    refreshLeftJoinView(s, root)
+    s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("sum_cents"), col("nation_sum"), col("n_rows"))
+  }
+
+  /** Registered face #12d: the PARTITIONED LEFT-OUTER join view —
+    * same history and oracle, maintained partition-scoped on the
+    * A-side priority dim with the pair-position split commit. */
+  def ordersLeftJoinViewPartitioned(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = ensureLeftJoinViewPersisted(s, dir)
+    refreshLeftJoinViewPartitioned(s, root)
+    s.read.parquet(s"$root/view_part")
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("sum_cents"), col("nation_sum"), col("n_rows"))
+  }
 
   /** Build (once per JVM) the STAR-view chain
     * ([[graft.runtime.StarJoinView]]): a fact (orders slice) and TWO

@@ -60,8 +60,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * discipline surfaces as a netted-out double-count on the next
   * refresh's span, which is why the discipline is a contract, not a
   * hope. A side with NO change log is legal and treated as static
-  * (head −1, its branch of the decomposition empty); enabling CDC on
-  * it later starts its history at that point. */
+  * (head −1, its branch of the decomposition empty, and its span-start
+  * state IS its current state — the other side's branch reads it
+  * directly, never through [[ChangeLog.snapshotAt]]); enabling CDC on
+  * it later starts its history at that point. A related window: the
+  * two consumer REGISTRY files are written a-then-b, non-atomically —
+  * a crash between them leaves one registry at an older position,
+  * which is conservative (a fold stops early, never past what the
+  * view owes) and self-heals on the next committed refresh.
+  *
+  * `joinType` extends the loop to LEFT OUTER views — the shape every
+  * reference gold join takes (J1–J9) — via
+  * [[CdcJoinView.leftJoinGroupDelta]]'s count-augmented delta:
+  * unmatched-A groups enter the view null-extended and are retracted/
+  * restored as B's key set churns. Measure NULLs read as 0 (contract
+  * stated on the delta); mirror with `COALESCE(SUM(e), 0)`. */
 object JoinView {
 
   private val AsOfACol = "_as_of_a"
@@ -90,6 +103,38 @@ object JoinView {
     } else None
   }
 
+  /** Per-side column restriction: when `cols` is set, the side
+    * contributes only rowKey ∪ joinKeys ∪ cols to the joined frame —
+    * every read (seed, current state, span-start snapshot, log
+    * images) projects down before joining. This both honors the
+    * non-key-collision contract mechanically (two sides sharing
+    * generic column names — the reference golds all do — are pruned
+    * apart instead of colliding) and keeps the IVM path's shuffles at
+    * the referenced columns only. None = contribute everything. */
+  private def projectPlain(df: DataFrame, keys: Seq[String],
+                           joinKeys: Seq[String],
+                           cols: Option[Seq[String]]): DataFrame =
+    cols match {
+      case None => df
+      case Some(cs) =>
+        val want = (keys ++ joinKeys ++ cs).distinct
+        df.select(want.map(col): _*)
+    }
+
+  /** [[projectPlain]] over a net-diff frame: non-key contributions
+    * ride as `o_`/`n_` image pairs. */
+  private def projectNet(net: DataFrame, keys: Seq[String],
+                         joinKeys: Seq[String],
+                         cols: Option[Seq[String]]): DataFrame =
+    cols match {
+      case None => net
+      case Some(cs) =>
+        val vals = (joinKeys ++ cs).distinct.filterNot(keys.contains)
+        val want = keys ++ vals.flatMap(c => Seq(s"o_$c", s"n_$c")) :+
+          "diff_status"
+        net.select(want.map(col): _*)
+    }
+
   /** An empty net-diff-schema frame for a side that did not move —
     * built from a DETACHED schema copy of the table (never from a
     * frame shared with the live join side: that would share attribute
@@ -113,11 +158,20 @@ object JoinView {
     * are each table's row key; `joinKeys` the equi-join columns (must
     * exist on both sides' images); `dims` name joined-frame columns;
     * `measures` are (name, expression-over-the-joined-columns) pairs —
-    * exact arithmetic enforced. Returns the committed (posA, posB). */
+    * exact arithmetic enforced. `joinType` is `"inner"` or `"left"`
+    * (LEFT OUTER — A preserved, count-augmented maintenance);
+    * `aCols`/`bCols` optionally restrict what each side contributes
+    * (see [[projectPlain]]). Returns the committed (posA, posB). */
   def refresh(spark: SparkSession, aDir: String, bDir: String,
               viewDir: String, aKeys: Seq[String], bKeys: Seq[String],
               joinKeys: Seq[String], dims: Seq[String],
-              measures: Seq[(String, Column)]): (Long, Long) = {
+              measures: Seq[(String, Column)],
+              joinType: String = "inner",
+              aCols: Option[Seq[String]] = None,
+              bCols: Option[Seq[String]] = None): (Long, Long) = {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType '$joinType' — this loop maintains inner and left " +
+        "outer equi-join views")
     val names = measures.map(_._1)
     // Compliance invalidation from EITHER log's purge: discard and
     // re-seed from the (already purged) bases — a join view is row
@@ -146,15 +200,15 @@ object JoinView {
 
     positions(spark, viewDir) match {
       case None =>
-        val seed = seedAggregate(spark, aDir, bDir, joinKeys, dims,
-          measures)
+        val seed = seedAggregate(spark, aDir, bDir, aKeys, bKeys,
+          joinKeys, dims, measures, joinType, aCols, bCols)
         persist(seed, ha, hb)
         registered(ha, hb)
       case Some((pa, pb)) if pa >= ha && pb >= hb =>
         registered(pa, pb) // nothing new on either side
       case Some((pa, pb)) =>
         val delta = spanDelta(spark, aDir, bDir, aKeys, bKeys, joinKeys,
-          dims, measures, pa, pb, ha, hb)
+          dims, measures, pa, pb, ha, hb, joinType, aCols, bCols)
         val view = spark.read.parquet(viewDir)
           .drop(AsOfACol, AsOfBCol, PartCol)
         persist(CdcView.applyDelta(view, delta, dims, names), ha, hb)
@@ -162,18 +216,32 @@ object JoinView {
     }
   }
 
-  /** The one full A ⋈ B aggregate — seed time only. */
+  /** The one full A ⋈ B (or A ⟕ B) aggregate — seed time only. The
+    * left seed folds measure NULLs to 0 (`sum(coalesce(e, 0))`) so the
+    * seed agrees cell-for-cell with the delta path's stated NULL-as-0
+    * contract — an all-unmatched group must read 0 from either path. */
   private def seedAggregate(spark: SparkSession, aDir: String,
-                            bDir: String, joinKeys: Seq[String],
+                            bDir: String, aKeys: Seq[String],
+                            bKeys: Seq[String], joinKeys: Seq[String],
                             dims: Seq[String],
-                            measures: Seq[(String, Column)]): DataFrame = {
+                            measures: Seq[(String, Column)],
+                            joinType: String,
+                            aCols: Option[Seq[String]],
+                            bCols: Option[Seq[String]]): DataFrame = {
     val names = measures.map(_._1)
-    val joined = spark.read.option("mergeSchema", "true").parquet(aDir)
-      .join(spark.read.option("mergeSchema", "true").parquet(bDir),
-        joinKeys)
+    val joined = projectPlain(
+      spark.read.option("mergeSchema", "true").parquet(aDir),
+      aKeys, joinKeys, aCols)
+      .join(projectPlain(
+        spark.read.option("mergeSchema", "true").parquet(bDir),
+        bKeys, joinKeys, bCols),
+        joinKeys, joinType)
     val seed = joined.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        measures.map { case (n, e) => sum(e).as(n) }: _*)
+        measures.map { case (n, e) =>
+          (if (joinType == "left") sum(coalesce(e, lit(0L)))
+           else sum(e)).as(n)
+        }: _*)
       .select(dims.map(col) ++ names.map(col) :+ col("n_rows"): _*)
     CdcView.requireExactMeasures(seed.schema, names)
     seed
@@ -191,33 +259,52 @@ object JoinView {
                         aKeys: Seq[String], bKeys: Seq[String],
                         joinKeys: Seq[String], dims: Seq[String],
                         measures: Seq[(String, Column)],
-                        pa: Long, pb: Long, ha: Long,
-                        hb: Long): DataFrame = {
-    val aNet =
+                        pa: Long, pb: Long, ha: Long, hb: Long,
+                        joinType: String,
+                        aCols: Option[Seq[String]],
+                        bCols: Option[Seq[String]]): DataFrame = {
+    val aNet = projectNet(
       if (pa >= ha) emptyNet(spark, aDir, aKeys)
       else ChangeLog.netDiff(
-        ChangeLog.readSince(spark, aDir, Some(pa)).get, aKeys)
+        ChangeLog.readSince(spark, aDir, Some(pa)).get, aKeys),
+      aKeys, joinKeys, aCols)
     val bMoved = pb < hb
-    val bNet =
+    val bNet = projectNet(
       if (!bMoved) emptyNet(spark, bDir, bKeys)
       else ChangeLog.netDiff(
-        ChangeLog.readSince(spark, bDir, Some(pb)).get, bKeys)
-    val bCurrent = spark.read.option("mergeSchema", "true")
-      .parquet(bDir)
+        ChangeLog.readSince(spark, bDir, Some(pb)).get, bKeys),
+      bKeys, joinKeys, bCols)
+    val bCurrent = projectPlain(
+      spark.read.option("mergeSchema", "true").parquet(bDir),
+      bKeys, joinKeys, bCols)
     // A₀ — A as of the A-position — only when the B side moved (the
     // A₀ ⋈ ΔB branch is empty otherwise), and then semi-restricted to
     // ΔB's join keys: the snapshot reconstruction is
     // O(current + later entries), but the join probe is only the
-    // ΔB-keyed slice.
+    // ΔB-keyed slice. An UNLOGGED A never moves, so its span-start
+    // state is its current state, read directly (snapshotAt needs a
+    // log and fails loud without one).
     val aAtStart =
       if (!bMoved)
-        spark.read.option("mergeSchema", "true").parquet(aDir)
+        projectPlain(
+          spark.read.option("mergeSchema", "true").parquet(aDir),
+          aKeys, joinKeys, aCols)
           .limit(0)
-      else ChangeLog.snapshotAt(spark, aDir, aKeys, pa)
-        .join(CdcJoinView.deltaJoinKeys(bNet, bKeys, joinKeys),
-          joinKeys, "left_semi")
-    CdcJoinView.joinGroupDelta(aNet, aKeys, bNet, bKeys,
-      bCurrent, aAtStart, joinKeys, dims, measures)
+      else {
+        val a0 =
+          if (ChangeLog.readLog(spark, aDir).isEmpty)
+            spark.read.option("mergeSchema", "true").parquet(aDir)
+          else ChangeLog.snapshotAt(spark, aDir, aKeys, pa)
+        projectPlain(a0, aKeys, joinKeys, aCols)
+          .join(CdcJoinView.deltaJoinKeys(bNet, bKeys, joinKeys),
+            joinKeys, "left_semi")
+      }
+    if (joinType == "left")
+      CdcJoinView.leftJoinGroupDelta(aNet, aKeys, bNet, bKeys,
+        bCurrent, aAtStart, joinKeys, dims, measures)
+    else
+      CdcJoinView.joinGroupDelta(aNet, aKeys, bNet, bKeys,
+        bCurrent, aAtStart, joinKeys, dims, measures)
   }
 
   /** The partitioned form's PAIR-position file — one atomic file
@@ -293,18 +380,27 @@ object JoinView {
                          bKeys: Seq[String], joinKeys: Seq[String],
                          dims: Seq[String],
                          measures: Seq[(String, Column)],
-                         partDim: String): (Long, Long) = {
+                         partDim: String,
+                         joinType: String = "inner",
+                         aCols: Option[Seq[String]] = None,
+                         bCols: Option[Seq[String]] = None): (Long, Long) = {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType '$joinType' — this loop maintains inner and left " +
+        "outer equi-join views")
     require(dims.contains(partDim),
       s"partDim '$partDim' must be one of the view dims " +
         s"${dims.mkString("[", ", ", "]")} — a group must live in " +
         "exactly one partition for partition-scoped rewrites to be " +
-        "complete")
+        "complete. Its values must be NON-NULL (a null hive partition " +
+        "defeats value-scoped rewrites); for a LEFT view pick an " +
+        "A-side dim — B-side dims are null for unmatched groups")
     val names = measures.map(_._1)
     val viewPath = new Path(viewDir)
     val fs = viewPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (MaterializedView.isInvalid(spark, viewDir)) {
       fs.delete(viewPath, true)
       fs.delete(new Path(pairPosPath(viewDir)), false)
+      fs.delete(new Path(swapMarkerPath(viewDir)), false)
     }
     val ha = Incremental.highWatermark(spark, ChangeLog.logDir(aDir))
       .getOrElse(-1L)
@@ -320,8 +416,8 @@ object JoinView {
     val hasState =
       fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
     if (!hasState) {
-      val seed = seedAggregate(spark, aDir, bDir, joinKeys, dims,
-        measures)
+      val seed = seedAggregate(spark, aDir, bDir, aKeys, bKeys,
+        joinKeys, dims, measures, joinType, aCols, bCols)
       MergeUpsert.replaceAll(spark, viewDir,
         seed.withColumn(AsOfACol, lit(ha)).withColumn(AsOfBCol, lit(hb)),
         partitionCol = partDim)
@@ -340,11 +436,34 @@ object JoinView {
     }
     if (pa >= ha && pb >= hb) return registered(pa, pb)
     val delta = spanDelta(spark, aDir, bDir, aKeys, bKeys, joinKeys,
-      dims, measures, pa, pb, ha, hb).localCheckpoint()
-    val touched = delta.select(col(partDim)).distinct()
+      dims, measures, pa, pb, ha, hb, joinType, aCols, bCols)
+      .localCheckpoint()
+    val deltaTouched = delta.select(col(partDim)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
+    // Crash-window completion: a partition swapped by a CRASHED
+    // refresh is stamped AHEAD of the committed pair — and if its
+    // applied sub-span happens to NET AWAY over the full committed
+    // span (a key added in the crashed span, removed after), the
+    // delta names no row for it, yet it still owes the complement
+    // span. The swap-intent marker (created before any partition
+    // swap, deleted after the pair file commits) gates the repair
+    // scan, so the steady state pays one fs.exists; when set, scan
+    // for stamps exceeding the committed pair (column-pruned: the
+    // hive partition column plus two constant-per-file stamps) and
+    // top those partitions up from their OWN pairs like any other
+    // straggler.
+    val marker = new Path(swapMarkerPath(viewDir))
+    val ahead: IndexedSeq[Any] =
+      if (!fs.exists(marker)) IndexedSeq.empty
+      else spark.read.parquet(viewDir)
+        .groupBy(col(partDim))
+        .agg(max(col(AsOfACol)).as("_a"), max(col(AsOfBCol)).as("_b"))
+        .filter(col("_a") > pa || col("_b") > pb)
+        .select(col(partDim)).collect().map(_.get(0)).toIndexedSeq
+    val touched = (deltaTouched ++ ahead).distinct
     if (touched.isEmpty) {
       savePair(spark, pairPosPath(viewDir), ha, hb)
+      fs.delete(marker, false)
       return registered(ha, hb)
     }
     val viewCur = spark.read.parquet(viewDir)
@@ -365,7 +484,7 @@ object JoinView {
         val deltaAB =
           if (a == pa && b == pb) delta.filter(col(partDim).isin(parts: _*))
           else spanDelta(spark, aDir, bDir, aKeys, bKeys, joinKeys,
-            dims, measures, a, b, ha, hb)
+            dims, measures, a, b, ha, hb, joinType, aCols, bCols)
             .filter(col(partDim).isin(parts: _*))
         val viewPart = viewCur.filter(col(partDim).isin(parts: _*))
           .drop(AsOfACol, AsOfBCol)
@@ -375,11 +494,23 @@ object JoinView {
       }
     }
     if (staged.nonEmpty) {
+      // Swap-intent marker BEFORE the first partition rename; deleted
+      // only after the pair file commits — so a crash anywhere in the
+      // swap leaves the marker, and the next refresh runs the
+      // ahead-stamp repair scan above.
+      fs.create(marker, true).close()
       val stage = staged.map(_._2).reduce(_.unionByName(_))
       MergeUpsert.replacePartitions(spark, viewDir, stage,
         staged.flatMap(_._1), partitionCol = partDim)
     }
     savePair(spark, pairPosPath(viewDir), ha, hb)
+    fs.delete(marker, false)
     registered(ha, hb)
   }
+
+  /** Swap-intent marker (sibling, like the pair file — never inside
+    * the view: the seed's overwrite would wipe it). Present ⇔ a
+    * partition swap may have started without its pair-file commit. */
+  private def swapMarkerPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_swapping"
 }

@@ -127,6 +127,7 @@ object MaterializedView {
       val fs = fsOf(spark, viewDir)
       fs.delete(new Path(viewDir), true)
       fs.delete(new Path(posPath(viewDir)), false)
+      fs.delete(new Path(swapMarkerPath(viewDir)), false)
     }
 
   /** The log position the persisted view is current AS OF, if the
@@ -237,7 +238,14 @@ object MaterializedView {
     * is at the head, each top-up span is empty, the rewrite is an
     * idempotent no-op and the file commits on the retry. The position
     * file never runs AHEAD of the data (it is written last), so the
-    * registered consumer position is always conservative. */
+    * registered consumer position is always conservative. One window
+    * needs more than the delta's own touched set: a partition swapped
+    * by a crashed refresh whose applied sub-span NETS AWAY over the
+    * full committed span is absent from the delta yet owes the
+    * complement — the swap-intent marker (see [[swapMarkerPath]])
+    * flags that a swap may have outrun the position file, and the
+    * next refresh then also repairs every partition stamped past the
+    * committed position, from its own stamp. */
   def refreshPartitioned(spark: SparkSession, tableDir: String,
                          viewDir: String, keys: Seq[String],
                          project: DataFrame => DataFrame,
@@ -292,10 +300,28 @@ object MaterializedView {
     // position groups), never data-scale.
     val delta = CdcView.groupDelta(ChangeLog.netDiff(span, keys), keys,
       project, dims, measures).localCheckpoint()
-    val touched = delta.select(col(partDim)).distinct()
+    val deltaTouched = delta.select(col(partDim)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
+    // Crash-window completion: a partition swapped by a CRASHED
+    // refresh is stamped AHEAD of the committed position — and if its
+    // applied sub-span nets away over the full committed span (a key
+    // added in the crashed span, removed after), the delta never
+    // names it, yet it still owes the complement. The swap-intent
+    // marker (created before any rename, deleted after the position
+    // file commits) gates the repair scan — steady state pays one
+    // fs.exists; when set, partitions stamped past `pos` join the
+    // straggler top-ups and heal from their OWN positions.
+    val marker = new Path(swapMarkerPath(viewDir))
+    val ahead: IndexedSeq[Any] =
+      if (!fs.exists(marker)) IndexedSeq.empty
+      else spark.read.parquet(viewDir)
+        .groupBy(col(partDim)).agg(max(col(AsOfCol)).as("_p"))
+        .filter(col("_p") > pos)
+        .select(col(partDim)).collect().map(_.get(0)).toIndexedSeq
+    val touched = (deltaTouched ++ ahead).distinct
     if (touched.isEmpty) {
       Incremental.saveWatermark(spark, posPath(viewDir), logHw)
+      fs.delete(marker, false)
       return registered(logHw)
     }
     val viewCur = spark.read.parquet(viewDir)
@@ -325,13 +351,25 @@ object MaterializedView {
       }
     }
     if (staged.nonEmpty) {
+      // Marker BEFORE the first rename, deleted after the position
+      // file commits — a crash in between leaves it set for the
+      // repair scan above.
+      fs.create(marker, true).close()
       val stage = staged.map(_._2).reduce(_.unionByName(_))
       MergeUpsert.replacePartitions(spark, viewDir, stage,
         staged.flatMap(_._1), partitionCol = partDim)
     }
     Incremental.saveWatermark(spark, posPath(viewDir), logHw)
+    fs.delete(marker, false)
     registered(logHw)
   }
+
+  /** Swap-intent marker (sibling of the view, like the position
+    * file). Present ⇔ a partition swap may have started without its
+    * position-file commit — the next refresh then also scans for
+    * partitions stamped past the committed position. */
+  private def swapMarkerPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_swapping"
 
   /** The NON-distributive form: a persisted view whose aggregates no
     * signed fold can maintain (min/max, exact percentiles, top-k —

@@ -105,6 +105,17 @@ object Pipeline {
             "consumers from a snapshot, then collapse/delete it)")
       }
     }
+    // Warehouse-wide crash-leftover sweep FIRST, before any read or
+    // write: the per-writer sweeps heal only tables this run rewrites,
+    // but a between-renames backup on a table this run only READS (or
+    // one nobody writes again) holds the only copy of a partition that
+    // reads as missing — heal it up front, and report the action count
+    // as a per-run health signal (a persistent nonzero means something
+    // is crashing between runs).
+    val vacuumed = stage("vacuum") {
+      Vacuum.sweep(spark, warehouseDir).map(_.actions.toLong).sum
+    }
+
     val silver = stage("silver") {
       val sessions =
         Sessionize.sessions(Dedup.keepLatest(Events.cleansed(spark, sfDir)))
@@ -202,7 +213,8 @@ object Pipeline {
       }.sum
     }
 
-    Seq(Result("silver_sessions", silver.count()), user, episode, webtoon,
+    Seq(Result("vacuum_actions", vacuumed),
+      Result("silver_sessions", silver.count()), user, episode, webtoon,
       platform, country, sketch, Result("compaction_rewrites", compacted))
   }
 

@@ -35,15 +35,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entirely in the past, which is strictly more consistent than a
   * live recompute racing the writer.
   *
-  * Crash safety (the [[MergeUpsert]] ordering discipline): the
-  * signature is deleted BEFORE the data swaps and rewritten LAST
-  * after it, so every crash window leaves either the old (sig, data)
-  * pair intact or a missing/mismatched signature — both converge to
-  * a recompute. A torn state can cost a redundant recompute, never a
-  * stale serve. Concurrent serves of the same name may race the swap
-  * (last writer wins, both serve correct data they staged); the
-  * single-writer-per-name discipline of every maintenance op here
-  * applies.
+  * Crash safety: each materialization lives in a directory NAMED BY
+  * ITS SIGNATURE (committed by one staging rename), so a hit needs
+  * only the directory's existence and a crash at any point leaves
+  * directories that are each internally complete — a torn `_sig`
+  * file (observability only) can cost nothing at all, and a crashed
+  * staging dir is swept on the next miss. Stale serves are
+  * unrepresentable: the wrong directory for the current inputs
+  * simply has a different name. Retention: `keepSignatures` bounds
+  * the directories per name (LRU by served-at stamp — old
+  * materializations are pure caches, deletion is always safe), so
+  * inputs that OSCILLATE between states re-hit their retained old
+  * materialization instead of recomputing. Concurrent serves of the
+  * same name may race (both stage correct data; last rename wins);
+  * the single-writer-per-name discipline of every maintenance op
+  * here applies.
   *
   * What this is NOT: an incremental view ([[MaterializedView]]
   * applies log deltas; this recomputes from scratch on any change) —
@@ -57,8 +63,21 @@ object ResultCache {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def dataDir(cacheRoot: String, name: String) =
-    s"$cacheRoot/$name/data"
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** One materialization directory PER SIGNATURE (round 16): the dir
+    * name commits to the exact (listing, version) it was computed
+    * from, so a hit needs only the dir's existence — inputs that
+    * OSCILLATE between states (a weekly snapshot flipping back, an
+    * A/B table swap) re-hit their old materialization instead of
+    * recomputing, and the `_sig` file is observability, not the
+    * correctness anchor. [[serve]]'s `keepSignatures` bounds how many
+    * such directories a name retains (old ones are pure caches —
+    * deletion is always safe). */
+  private def dataDir(cacheRoot: String, name: String, sig: String) =
+    s"$cacheRoot/$name/data-${md5hex(sig)}"
   private def sigPath(cacheRoot: String, name: String) =
     new Path(s"$cacheRoot/$name/_sig")
 
@@ -110,15 +129,16 @@ object ResultCache {
     } finally in.close()
   }
 
-  /** True when the last serve's signature matches the inputs' current
-    * state — exposed so callers (and specs) can distinguish the hit
-    * path without serving. */
+  /** True when a serve for the inputs' current state would HIT —
+    * exposed so callers (and specs) can distinguish the hit path
+    * without serving. A materialization for the current signature
+    * suffices (the dir name commits to it); `_sig` is not consulted,
+    * matching [[serve]]. */
   def isCurrent(spark: SparkSession, cacheRoot: String, name: String,
                 inputDirs: Seq[String], version: String = ""): Boolean = {
-    val d = new Path(dataDir(cacheRoot, name))
-    readSig(spark, cacheRoot, name)
-      .contains(signature(spark, inputDirs) + ":" + version) &&
-      fsOf(spark, d).exists(d)
+    val sig = signature(spark, inputDirs) + ":" + version
+    val d = new Path(dataDir(cacheRoot, name, sig))
+    fsOf(spark, d).exists(d)
   }
 
   /** Drop the cached result (the next serve recomputes). */
@@ -157,14 +177,17 @@ object ResultCache {
     * the warehouse (read-only source data has no registry to write). */
   def serve(spark: SparkSession, cacheRoot: String, name: String,
             inputDirs: Seq[String], version: String = "",
-            registerIn: Seq[String] = Seq.empty)
+            registerIn: Seq[String] = Seq.empty,
+            keepSignatures: Int = 2)
            (compute: => DataFrame): DataFrame = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
       s"cache name '$name' must be a [A-Za-z0-9_-]+ token (it names " +
         "a directory)")
+    require(keepSignatures >= 1,
+      "keepSignatures must retain at least the signature being served")
     val sig = signature(spark, inputDirs) + ":" + version
-    val data = dataDir(cacheRoot, name)
+    val data = dataDir(cacheRoot, name, sig)
     val dataP = new Path(data)
     val fs = fsOf(spark, dataP)
     // Observer registration is refreshed on every serve (hit or miss):
@@ -177,14 +200,34 @@ object ResultCache {
         observer = true))
       df
     }
-    if (readSig(spark, cacheRoot, name).contains(sig) &&
-        fs.exists(dataP))
+    // The served-at stamp inside the materialization dir is the
+    // LRU clock for eviction (directory mtimes don't move on reads).
+    def stampServed(): Unit =
+      fs.create(new Path(dataP, "_served"), true).close()
+    def writeSigFile(): Unit = {
+      val sp = sigPath(cacheRoot, name)
+      val tmp = new Path(sp.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(sig.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(sp)) fs.delete(sp, false)
+      fs.rename(tmp, sp)
+    }
+    // HIT iff a materialization for THIS signature exists — the dir
+    // name commits to (listing, version), so a torn `_sig` (crash
+    // mid-publish) never forces a recompute the dirs can answer, and
+    // oscillating inputs re-hit their retained old materialization.
+    if (fs.exists(dataP)) {
+      stampServed()
+      writeSigFile()
       return registered(spark.read.parquet(data))
+    }
 
     // Miss: retire the signature FIRST (a crash mid-swap must read as
-    // a miss, never as "old sig + new data" or vice versa), stage the
-    // result, swap, then commit the signature LAST. Stale staging
-    // dirs from crashed computes are swept here — invisible to reads
+    // a miss in `_sig` terms, never as "new sig + old data"), stage
+    // the result, swap, commit the signature, then EVICT beyond
+    // keepSignatures (LRU by served-at stamp; old materializations
+    // are pure caches — deletion is always safe). Stale staging dirs
+    // from crashed computes are swept here — invisible to reads
     // (dot-prefixed) but not free on disk.
     val entryRoot = new Path(s"$cacheRoot/$name")
     if (fs.exists(entryRoot))
@@ -196,13 +239,32 @@ object ResultCache {
     val staging = new Path(
       s"$cacheRoot/$name/.data-staging-${java.util.UUID.randomUUID()}")
     compute.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(dataP)) fs.delete(dataP, true)
     if (!fs.rename(staging, dataP))
       sys.error(s"result-cache publish failed: $staging -> $dataP")
-    val tmp = new Path(sp.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(sig.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, sp)
+    stampServed()
+    writeSigFile()
+    // Eviction sweep: every data-* dir except the one just served,
+    // oldest served-at first, beyond keepSignatures − 1 retained; the
+    // pre-round-16 single-slot `data` dir is legacy layout and evicts
+    // unconditionally (pure cache — one recompute migrates it).
+    val entries = fs.listStatus(entryRoot).filter(_.isDirectory)
+    entries.filter(_.getPath.getName == "data")
+      .foreach(st => fs.delete(st.getPath, true))
+    val others = entries
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("data-") && n != dataP.getName
+      }
+      .map { st =>
+        val served = new Path(st.getPath, "_served")
+        val at =
+          if (fs.exists(served)) fs.getFileStatus(served).getModificationTime
+          else st.getModificationTime
+        (at, st.getPath)
+      }
+      .sortBy(_._1)(Ordering[Long].reverse)
+    others.drop(keepSignatures - 1)
+      .foreach { case (_, p) => fs.delete(p, true) }
     registered(spark.read.parquet(data))
   }
 

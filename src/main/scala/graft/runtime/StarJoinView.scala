@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   * `sjview-d<i>-*`, each carrying the view dir), so no log's
   * [[ChangeLog.checkpoint]] can fold entries the view still owes and
   * a purge of ANY of the K+1 logs invalidates the view into a
-  * re-seed. A side with no change log is legal-static (head −1, no
-  * term) — enable CDC on it later and its history starts there. */
+  * re-seed. The K+1 registry files are written f-then-d₀-then-…,
+  * non-atomically: a crash mid-sequence leaves later registries at
+  * older positions — conservative (a fold stops early, never past
+  * what the view owes) and self-healing on the next committed
+  * refresh. A side with no change log is legal-static (head −1, no
+  * term of its own, and its span-start state in OTHER sides' terms is
+  * its current state, read directly — never via snapshotAt, which
+  * needs a log) — enable CDC on it later and its history starts
+  * there. */
 object StarJoinView {
 
   /** One dimension of the star: its table directory, row key, and the
@@ -130,6 +137,13 @@ object StarJoinView {
                           pos: Seq[Long], heads: Seq[Long]): DataFrame = {
     def read(dir: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(dir)
+    // An UNLOGGED side never moves: its span-start state IS its
+    // current state, read directly — snapshotAt needs a log and
+    // fails loud without one (the thunks are lazy, so a side whose
+    // start state no term needs never pays the check either).
+    def startState(dir: String, keys: Seq[String], p: Long): DataFrame =
+      if (ChangeLog.readLog(spark, dir).isEmpty) read(dir)
+      else ChangeLog.snapshotAt(spark, dir, keys, p)
     val fNet =
       if (pos.head >= heads.head) None
       else Some(ChangeLog.netDiff(
@@ -142,12 +156,10 @@ object StarJoinView {
           if (p >= heads(i + 1)) None
           else Some(ChangeLog.netDiff(
             ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys)),
-        atStart = () =>
-          ChangeLog.snapshotAt(spark, d.dir, d.keys, p))
+        atStart = () => startState(d.dir, d.keys, p))
     }
     CdcStarView.starGroupDelta(fNet, fKeys,
-      fAtStart = () =>
-        ChangeLog.snapshotAt(spark, factDir, fKeys, pos.head),
+      fAtStart = () => startState(factDir, fKeys, pos.head),
       sides, viewDims, measures)
   }
 
@@ -217,6 +229,7 @@ object StarJoinView {
     if (MaterializedView.isInvalid(spark, viewDir)) {
       fs.delete(viewPath, true)
       fs.delete(new Path(vecPosPath(viewDir)), false)
+      fs.delete(new Path(swapMarkerPath(viewDir)), false)
     }
     def head(dir: String): Long =
       Incremental.highWatermark(spark, ChangeLog.logDir(dir))
@@ -269,10 +282,31 @@ object StarJoinView {
       return registered(pos)
     val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
       measures, pos, heads).localCheckpoint()
-    val touched = delta.select(col(partDim)).distinct()
+    val deltaTouched = delta.select(col(partDim)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
+    // Crash-window completion — the [[JoinView.refreshPartitioned]]
+    // argument with the VECTOR where the pair rode: a partition
+    // swapped by a crashed refresh is stamped ahead of the committed
+    // vector, and a netted-away full-span delta would never name it.
+    // The swap-intent marker gates the repair scan (steady state pays
+    // one fs.exists); when set, partitions with any stamp component
+    // exceeding the committed vector join the straggler top-ups.
+    val marker = new Path(swapMarkerPath(viewDir))
+    val ahead: IndexedSeq[Any] =
+      if (!fs.exists(marker)) IndexedSeq.empty
+      else spark.read.parquet(viewDir)
+        .groupBy(col(partDim))
+        .agg(max(col(asOfCols.head)).as("_p0"),
+          asOfCols.tail.zipWithIndex.map { case (c, i) =>
+            max(col(c)).as(s"_p${i + 1}")
+          }: _*)
+        .filter(asOfCols.indices
+          .map(i => col(s"_p$i") > pos(i)).reduce(_ || _))
+        .select(col(partDim)).collect().map(_.get(0)).toIndexedSeq
+    val touched = (deltaTouched ++ ahead).distinct
     if (touched.isEmpty) {
       saveVec(spark, vecPosPath(viewDir), heads)
+      fs.delete(marker, false)
       return registered(heads)
     }
     val viewCur = spark.read.parquet(viewDir)
@@ -306,11 +340,21 @@ object StarJoinView {
       }
     }
     if (staged.nonEmpty) {
+      // Marker BEFORE the first rename, deleted after the vector file
+      // commits — a crash in between leaves it set for the repair scan.
+      fs.create(marker, true).close()
       val stage = staged.map(_._2).reduce(_.unionByName(_))
       MergeUpsert.replacePartitions(spark, viewDir, stage,
         staged.flatMap(_._1), partitionCol = partDim)
     }
     saveVec(spark, vecPosPath(viewDir), heads)
+    fs.delete(marker, false)
     registered(heads)
   }
+
+  /** Swap-intent marker (sibling of the view, like the vector file).
+    * Present ⇔ a partition swap may have started without its
+    * vector-file commit. */
+  private def swapMarkerPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_swapping"
 }

@@ -1,7 +1,8 @@
 package graft.runtime
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-wide crash-leftover sweep. Every rename-swap writer here
   * heals its own table's leftovers before its next write
@@ -86,5 +87,59 @@ object Vacuum {
         if (a > 0) out += Action(p.toString, "table-sweep", a)
       }
     out.toSeq
+  }
+
+  /** Registered health face: the sweep driven over a mini warehouse
+    * with one PLANTED leftover of each crash class — (1) a partition
+    * renamed out to its `.backup-*` with the live partition absent
+    * (the between-renames crash: must RESTORE, and the restored rows
+    * are the proof), (2) an orphan `.staging-*`, (3) a
+    * recluster-backup beside a LIVE table (post-swap crash: drops),
+    * (4) a recluster staging orphan. Each rep re-plants, sweeps, and
+    * asserts idempotence by running a SECOND sweep whose action count
+    * must be zero. The DuckDB oracle recomputes the restored
+    * partition's row count from source — a hash match proves the
+    * restore brought back exactly the rows the crash had in flight,
+    * not a plausible-looking directory. */
+  def sweepHealthFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.sim.AnnIndex.dir(s, dir, "vacuum_health")
+    val table = s"$root/orders_cold"
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sim.AnnIndex.ensure(root) {
+      if (fs.exists(rootP)) fs.delete(rootP, true)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") <
+          expr("timestamp'1997-07-01 00:00:00'"))
+      graft.silver.MergeUpsert.replaceAll(s, table, orders,
+        partitionCol = "o_orderpriority")
+    }
+    // Plant (deterministic and idempotent per rep: each call re-creates
+    // the same four shapes from the healed state and must converge to
+    // the same report).
+    val t = new Path(table)
+    val uuid = "00000000-0000-4000-8000-000000000000"
+    val part = "o_orderpriority=1-URGENT"
+    val live = new Path(t, part)
+    val backup = new Path(t, s".backup-$uuid--$part")
+    if (fs.exists(live) && !fs.exists(backup)) fs.rename(live, backup)
+    fs.mkdirs(new Path(t, s".staging-$uuid"))
+    fs.mkdirs(new Path(root, "orders_cold" + RecluBackup))
+    fs.mkdirs(new Path(root, s"orders_cold$RecluInfix$uuid"))
+    val actions = sweep(s, root)
+    val secondPass = sweep(s, root).map(_.actions).sum
+    val byKind = actions.groupBy(_.kind)
+      .map { case (k, as) => k -> as.map(_.actions).sum.toLong }
+    val restoredRows = s.read.parquet(table)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    Seq((restoredRows,
+      byKind.getOrElse("table-sweep", 0L),
+      byKind.getOrElse("recluster-backup-drop", 0L),
+      byKind.getOrElse("recluster-staging-drop", 0L),
+      secondPass.toLong))
+      .toDF("restored_rows", "table_sweep_actions",
+        "recluster_backup_drops", "recluster_staging_drops",
+        "second_pass_actions")
   }
 }

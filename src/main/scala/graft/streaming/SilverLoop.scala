@@ -98,8 +98,10 @@ object SilverLoop {
     * current incrementally from BOTH gold change logs instead of
     * re-joined per refresh: per datetime, episode-grain sessions and
     * the webtoon-level session totals each episode row fans out to.
-    * The position PAIR commits atomically with the view data (the
-    * paired `_as_of` swap), both consumers register, so
+    * Maintained in the PARTITIONED form on the datetime dim (each
+    * micro-batch rewrites only the dates its spans touch — the
+    * per-partition pair split commit), with both sides projected to
+    * their referenced columns; both consumers register, so
     * `logRetention`'s folds clamp behind the view on EITHER log. */
   def startPipeline(parsed: DataFrame, bronzeDir: String,
                     warehouseDir: String, watermarkPath: String,
@@ -165,7 +167,15 @@ object SilverLoop {
         }
         if (joinView) {
           import org.apache.spark.sql.functions.col
-          graft.runtime.JoinView.refresh(spark,
+          // The PARTITIONED form on the view's datetime dim: the
+          // steady-state loop bill is O(spans + touched dates), not
+          // O(|view|) — at warehouse grain a micro-batch touches a
+          // handful of dates while the view holds years. aCols/bCols
+          // project each gold down to its keys plus the one referenced
+          // measure, honoring CdcJoinView's non-key-collision contract
+          // mechanically (the golds share generic names — n_rows,
+          // complete_rows, exit_rows — that must not meet in the join).
+          graft.runtime.JoinView.refreshPartitioned(spark,
             s"$warehouseDir/gold_episode_daily",
             s"$warehouseDir/gold_webtoon_daily",
             s"$warehouseDir/gold_episode_webtoon_jview",
@@ -173,13 +183,15 @@ object SilverLoop {
             bKeys = Seq("datetime", "webtoon_id"),
             joinKeys = Seq("datetime", "webtoon_id"),
             dims = Seq("datetime"),
-            // Side-unique columns only: the two golds share generic
-            // measure names (n_rows, exit_rows) that stay unreferenced
-            // — `sessions` is episode-grain, `total_sessions` the
-            // webtoon-level figure each episode row fans out to.
+            // Side-unique columns only: `sessions` is episode-grain,
+            // `total_sessions` the webtoon-level figure each episode
+            // row fans out to.
             measures = Seq(
               ("ep_sessions", col("sessions")),
-              ("wt_sessions_fanout", col("total_sessions"))))
+              ("wt_sessions_fanout", col("total_sessions"))),
+            partDim = "datetime",
+            aCols = Some(Seq("sessions")),
+            bCols = Some(Seq("total_sessions")))
           ()
         }
       }

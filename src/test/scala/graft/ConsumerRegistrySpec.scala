@@ -356,6 +356,63 @@ class ConsumerRegistrySpec extends SparkSpec {
     assert(Consumers.list(spark, dir).head.position === 4L)
   }
 
+  test("a crashed swap whose sub-span NETS AWAY over the committed " +
+      "span still heals: the swap-intent marker triggers the " +
+      "ahead-stamp repair scan") {
+    val dir = tmpDir("reg-netaway") + "/t"
+    val viewDir = tmpDir("reg-netaway-view") + "/v"
+    val posFile = viewDir.stripSuffix("/") + "_pos"
+    val marker = viewDir.stripSuffix("/") + "_swapping"
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def project(d: DataFrame): DataFrame =
+      d.select(col("grp"), col("cents"))
+    def recompute: DataFrame = project(spark.read.parquet(dir))
+      .groupBy(col("grp")).agg(sum(col("cents")).as("cents"),
+        count(lit(1)).as("n_rows"))
+    def viewNow: DataFrame = spark.read.parquet(viewDir).drop("_as_of")
+    def refresh(): Long = MaterializedView.refreshPartitioned(spark,
+      dir, viewDir, Seq("id"), project, Seq("grp"), Seq("cents"),
+      partDim = "grp")
+
+    val s0 = df((1L, 100L, "g1"), (2L, 200L, "g2"))
+    MergeUpsert.replaceAll(spark, dir, s0, partitionCol = "grp")
+    assert(refresh() === -1L)
+
+    // Batch 1 adds id 6 to g1; the refresh swaps g1 (stamped 1) and
+    // commits the file at 1. Simulate the crash BETWEEN those two:
+    // rewind the file to -1 and restore the swap-intent marker the
+    // crashed refresh would have left behind.
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, dir,
+        df((1L, 100L, "g1"), (2L, 200L, "g2"), (6L, 600L, "g1")),
+        partitionCol = "grp"))
+    assert(refresh() === 1L)
+    Incremental.saveWatermark(spark, posFile, -1L)
+    fs.create(new org.apache.hadoop.fs.Path(marker), true).close()
+
+    // Batch 2 REVERTS batch 1 (id 6 leaves): over the committed span
+    // (-1 → 2) the id-6 change nets to NOTHING, so the span delta
+    // names no partition — yet g1 still carries id 6's contribution
+    // from the crashed swap and owes the batch-2 complement. The
+    // repair scan (marker-gated) must find g1 stamped past -1 and top
+    // it up from ITS OWN stamp.
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 2L)(
+      MergeUpsert.replaceAll(spark, dir, s0, partitionCol = "grp"))
+    assert(refresh() === 2L)
+    assertSame(viewNow, recompute,
+      "netted-away crashed swap must heal via the ahead-stamp scan")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(marker)),
+      "the marker must clear once the position file commits")
+
+    // Steady state: no marker → no repair scan → still exact.
+    ChangeLog.recordBatch(spark, dir, Seq("id"), 3L)(
+      MergeUpsert.replaceAll(spark, dir,
+        df((1L, 110L, "g1"), (2L, 200L, "g2")), partitionCol = "grp"))
+    assert(refresh() === 3L)
+    assertSame(viewNow, recompute, "steady state after the heal")
+  }
+
   test("a float measure fails LOUD instead of drifting") {
     val dir = tmpDir("reg-float") + "/t"
     val floatSchema = StructType(Seq(

@@ -277,6 +277,41 @@ class JoinViewSpec extends SparkSpec {
         r.position === 1L))
   }
 
+  test("partitioned form: a crashed swap whose sub-span nets away " +
+      "over the committed span heals via the swap-intent marker's " +
+      "ahead-stamp repair scan") {
+    val (aDir, bDir, _) = seeded("jv-netaway")
+    val base = new java.io.File(aDir).getParent
+    val viewDir = s"$base/vn"
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    assert(refreshPart(aDir, bDir, viewDir) === (-1L, -1L))
+
+    // Batch 1 adds id 6 on jk 20 (→ g1); the refresh swaps ONLY g1
+    // (stamped (1,-1)) and commits the pair file. Simulate the crash
+    // between swap and commit: rewind the file, restore the marker.
+    publishA(aDir, 1L, (1L, 10L, 2L), (2L, 10L, 3L), (3L, 20L, 5L),
+      (4L, 30L, 7L), (6L, 20L, 13L))
+    assert(refreshPart(aDir, bDir, viewDir) === (1L, -1L))
+    JoinViewSpecHelper.writePair(fs, p(viewDir + "_pos"), -1L, -1L)
+    fs.create(p(viewDir + "_swapping"), true).close()
+
+    // Batch 2 REVERTS batch 1: the committed span's delta nets id 6
+    // away and names NO partition — yet g1 still carries its joined
+    // contribution and owes the complement. The marker-gated scan
+    // finds g1 stamped past the committed pair and tops it up from
+    // its own (1,-1).
+    publishA(aDir, 2L, (1L, 10L, 2L), (2L, 10L, 3L), (3L, 20L, 5L),
+      (4L, 30L, 7L))
+    assert(refreshPart(aDir, bDir, viewDir) === (2L, -1L))
+    assertConverged(viewDir, aDir, bDir,
+      "netted-away crashed swap (pair form)")
+    assert(!fs.exists(p(viewDir + "_swapping")),
+      "the marker must clear once the pair file commits")
+  }
+
   test("a collapse behind EITHER log fails loud; invalidation (either " +
       "log's purge) re-seeds from the purged bases") {
     val (aDir, bDir, viewDir) = seeded("jv-collapse")

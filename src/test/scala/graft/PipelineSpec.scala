@@ -10,12 +10,12 @@ class PipelineSpec extends SparkSpec {
   test("daily chain produces all seven tables and is rerun-idempotent") {
     val wh = tmpDir("warehouse")
     val res = Pipeline.runDaily(spark, "/root/testdata/sf0.001", wh)
-    assert(res.map(_.table) == Seq("silver_sessions", "gold_user_daily",
-      "gold_episode_daily", "gold_webtoon_daily",
+    assert(res.map(_.table) == Seq("vacuum_actions", "silver_sessions",
+      "gold_user_daily", "gold_episode_daily", "gold_webtoon_daily",
       "gold_platform_device_daily", "gold_country_daily",
       "gold_user_sketch", "compaction_rewrites"))
-    assert(res.filterNot(_.table == "compaction_rewrites")
-      .forall(_.rows > 0))
+    assert(res.filterNot(r => r.table == "compaction_rewrites" ||
+      r.table == "vacuum_actions").forall(_.rows > 0))
     // The maintenance tail ran: every gold table is left COMPACT — a
     // fresh compaction pass over each finds nothing to rewrite (the
     // multi-file partitions the partitionBy write fragments get merged
@@ -30,6 +30,33 @@ class PipelineSpec extends SparkSpec {
     val res2 = Pipeline.runDaily(spark, "/root/testdata/sf0.001", wh)
     assert(res.map(r => r.table -> r.rows).toMap ==
       res2.map(r => r.table -> r.rows).toMap)
+
+    // Vacuum stage (round 16): a crashed-swap leftover on a table the
+    // run only READS — the episode gold's partition renamed out to its
+    // backup, the exact between-renames crash — is healed by the next
+    // daily run's leading sweep AND reported in its results.
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epi = s"$wh/gold_episode_daily"
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(epi))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("datetime=")).head
+    val uuid = java.util.UUID.randomUUID().toString
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$epi/$part"),
+      new org.apache.hadoop.fs.Path(s"$epi/.backup-$uuid--$part")))
+    val res3 = Pipeline.runDaily(spark, "/root/testdata/sf0.001", wh)
+    assert(res3.find(_.table == "vacuum_actions").exists(_.rows >= 1L),
+      "the planted crash leftover must be reported by the vacuum stage")
+    assert(res3.map(r => r.table -> r.rows).toMap ==
+      res.map(r => r.table -> r.rows).toMap
+        .updated("vacuum_actions",
+          res3.find(_.table == "vacuum_actions").get.rows),
+      "the healed run must converge to the same table counts")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(epi))
+      .exists(_.getPath.getName.startsWith(".backup-")),
+      "the backup must be restored or dropped, not linger")
   }
 
   test("batch chain converges after the source shrinks: a vanished date " +

@@ -49,6 +49,23 @@ class PlanFingerprintSpec extends AnyFunSuite {
       PlanFingerprint.normalizeGid(extraRow))
   }
 
+  test("a literal-only change on a gid line drifts (the integer " +
+      "multiset rides the normalized text), and a user column merely " +
+      "containing 'gid' is never normalized") {
+    // Scrubbing alone would hash these identically — the appended
+    // sorted integer multiset ({1,2} vs {1,5}) keeps the guard strict
+    // on gid lines (round-16 ADVICE fix).
+    val litChange = planGid12
+      .replace("(gid# = 2)) w#", "(gid# = 5)) w#")
+    assert(PlanFingerprint.normalizeGid(planGid12) !==
+      PlanFingerprint.normalizeGid(litChange))
+    // The line predicate is the gid COLUMN marker (`gid#`), not a
+    // bare substring: a user column named around 'gid' passes through
+    // byte-identical, integer literals intact.
+    val userCol = "Project [orig_gid_col#, n#, 42]"
+    assert(PlanFingerprint.normalizeGid(userCol) === userCol)
+  }
+
   test("lines without gid pass through byte-identical") {
     val noGid =
       """Filter (o_total# > 100)

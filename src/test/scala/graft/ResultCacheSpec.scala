@@ -92,7 +92,9 @@ class ResultCacheSpec extends SparkSpec {
     assert(computes === 4, "a version bump must invalidate")
   }
 
-  test("crash windows converge to a recompute, never a stale serve") {
+  test("crash windows converge, never serve stale: a torn _sig costs " +
+      "NOTHING (the dir name commits to the signature), lost data " +
+      "recomputes") {
     val base = tmpDir("rcache-crash")
     val input = s"$base/input"
     val root = s"$base/cache"
@@ -106,17 +108,76 @@ class ResultCacheSpec extends SparkSpec {
 
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash after data swap, before signature commit: sig missing.
+    // Crash after data swap, before signature commit: `_sig` missing.
+    // The materialization dir's NAME commits to the signature, so the
+    // next serve HITS — the crash costs nothing, and a stale serve is
+    // unrepresentable (wrong inputs → different dir name).
     fs.delete(new Path(s"$root/q/_sig"), false)
-    serve(); assert(computes === 2, "missing signature => recompute")
+    serve(); assert(computes === 1,
+      "a torn _sig must not force a recompute")
 
-    // Crash after signature retire... then a later manual data loss:
-    // sig present, data missing.
-    fs.delete(new Path(s"$root/q/data"), true)
-    serve(); assert(computes === 3, "missing data => recompute")
+    // Manual data loss: every materialization gone → recompute.
+    fs.listStatus(new Path(s"$root/q"))
+      .filter(_.getPath.getName.startsWith("data-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    serve(); assert(computes === 2, "missing data => recompute")
 
     // Invalidate drops the entry wholesale.
     ResultCache.invalidate(spark, root, "q")
-    serve(); assert(computes === 4)
+    serve(); assert(computes === 3)
+  }
+
+  test("keepSignatures bounds retained materializations LRU; " +
+      "oscillating inputs re-hit their retained old materialization") {
+    val base = tmpDir("rcache-evict")
+    val input = s"$base/input"
+    val root = s"$base/cache"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(rows: (Long, Long, Long)*): Unit = {
+      fs.delete(new Path(input), true)
+      df(rows: _*).write.partitionBy("batch_id").parquet(input)
+    }
+    var computes = 0
+    def serve() = ResultCache.serve(spark, root, "q", Seq(input)) {
+      computes += 1
+      spark.read.parquet(input).agg(sum(col("v")).as("s"))
+    }
+    def nDirs: Int = fs.listStatus(new Path(s"$root/q"))
+      .count(_.getPath.getName.startsWith("data-"))
+
+    // State A, then state B: both retained (keepSignatures = 2) — so
+    // a query whose input POINTER flips back to A (the A/B-table-swap
+    // shape; the physical listing returns unchanged) re-hits A's
+    // materialization without a recompute.
+    val inputB = s"$base/inputB"
+    df((9L, 90L, 1L)).write.partitionBy("batch_id").parquet(inputB)
+    def serveOn(dirs: Seq[String]) =
+      ResultCache.serve(spark, root, "q", dirs) {
+        computes += 1
+        spark.read.parquet(dirs.head).agg(sum(col("v")).as("s"))
+      }
+    write((1L, 10L, 1L))
+    serveOn(Seq(input)); assert(computes === 1)
+    serveOn(Seq(inputB)); assert(computes === 2)
+    assert(nDirs === 2, "both signatures must be retained")
+    serveOn(Seq(input))
+    assert(computes === 2,
+      "flipping back to a retained input state must re-HIT")
+    // A THIRD signature evicts the least-recently-served (inputB's).
+    write((2L, 20L, 1L))
+    serve(); assert(computes === 3)
+    assert(nDirs === 2,
+      "serving a third signature must evict the least-recently-served")
+
+    // keepSignatures = 1 keeps only the current one.
+    write((3L, 30L, 1L))
+    ResultCache.serve(spark, root, "q", Seq(input),
+      keepSignatures = 1) {
+      computes += 1
+      spark.read.parquet(input).agg(sum(col("v")).as("s"))
+    }
+    assert(computes === 4)
+    assert(nDirs === 1, "keepSignatures = 1 must retain only current")
   }
 }

@@ -430,5 +430,40 @@ class SilverLoopSpec extends SparkSpec {
       .exists(_.name.startsWith("jview-a-")))
     assert(Consumers.list(spark, s"$wh/gold_webtoon_daily")
       .exists(_.name.startsWith("jview-b-")))
+
+    // PARTITIONED in-loop maintenance (round 16): the view is
+    // hive-partitioned on datetime and a micro-batch touching ONLY
+    // 01-02 must leave the 01-01 partition's files untouched — the
+    // steady-state loop bill is O(spans + touched dates), not
+    // O(|view|).
+    val viewDir = s"$wh/gold_episode_webtoon_jview"
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0101 = new org.apache.hadoop.fs.Path(
+      s"$viewDir/datetime=2024-01-01")
+    assert(fs.exists(p0101),
+      "the in-loop view must be hive-partitioned on datetime")
+    val mt0 = fs.getFileStatus(p0101).getModificationTime
+    Thread.sleep(1100)
+    val b4 = Seq(
+      evW("j5", 4, "s4", "2024-01-02T09:00:00+00:00", "enter", 0.0,
+        "webtoon_2", "ep_1"))
+    stream.addData(b4)
+    SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+      wh, wmPath, ckpt, toSilver, availableNow = true,
+      joinView = true).awaitTermination()
+    assert(fs.getFileStatus(p0101).getModificationTime === mt0,
+      "an untouched date partition must not rewrite in the loop")
+    val view2 = spark.read.parquet(viewDir)
+      .drop("_as_of_a", "_as_of_b")
+    val expected2 = spark.read.parquet(s"$wh/gold_episode_daily")
+      .join(spark.read.parquet(s"$wh/gold_webtoon_daily"),
+        Seq("datetime", "webtoon_id"))
+      .groupBy(col("datetime"))
+      .agg(sum(col("sessions")).as("ep_sessions"),
+        sum(col("total_sessions")).as("wt_sessions_fanout"),
+        count(lit(1)).as("n_rows"))
+    assert(cells(view2) === cells(expected2),
+      "the partitioned in-loop view diverged after the 01-02 batch")
   }
 }

@@ -247,4 +247,31 @@ class StarJoinViewSpec extends SparkSpec {
     assert(cells(viewNow(viewDir)) === healthy,
       "a rewound vector file must not double-apply")
   }
+
+  test("an UNLOGGED side is legal-static even when a LATER logged " +
+      "side moves: its span-start state is its current read, never " +
+      "snapshotAt") {
+    val base = tmpDir("sjv-unlogged")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/v"
+    // Fact and d1 UNLOGGED (no CDC anywhere on them); only d2 logged.
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L), (2L, 10L, 200L, 3L),
+        (3L, 20L, 100L, 5L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "a", 2L), (20L, "b", 3L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d2Dir,
+      d2df((100L, "x", 7L), (200L, "y", 11L)), partitionCol = "pt")
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, -1L, -1L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir, "unlogged-sides seed")
+    // d2 moves: its term needs F₀ AND d1's span-start state — both
+    // unlogged, so both read their CURRENT tables (the round-16 fix;
+    // previously snapshotAt sys.errored on the missing logs).
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 1L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((100L, "x", 8L), (200L, "z", 11L)), partitionCol = "pt"))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, -1L, 1L))
+    assertConverged(viewDir, fDir, d1Dir, d2Dir,
+      "logged d2 span over unlogged fact + d1")
+  }
 }
