@@ -284,6 +284,16 @@ object SparkEntry {
     // recomputes the endpoint three-way join from source.
     "cdc_starview_persisted" ->
       graft.runtime.ChangeLog.ordersStarViewPersisted _,
+    // The LEFT-OUTER star (StarJoinView joinType="left" +
+    // CdcStarView.leftStarGroupDelta): chained ⟕ — the reference's
+    // actual gold shape (J4) — with per-dim count-augmented
+    // zero-crossing corrections. The history fires BOTH directions:
+    // cust keys appear (the null-segment group must vanish entirely
+    // by the endpoint) and the prio-dim drop moves its facts into the
+    // null-class group at serve time, where the inner twin removes
+    // them. Oracle: endpoint F₁ ⟕ C₁ ⟕ P₂ with COALESCE(SUM, 0).
+    "cdc_leftstarview_persisted" ->
+      graft.runtime.ChangeLog.ordersLeftStarViewPersisted _,
     // Its PARTITIONED twin: per-partition _as_of vectors, the
     // vector-position file last, touched-partitions-only rewrites.
     // Same oracle.
@@ -786,6 +796,7 @@ object SparkEntry {
     "cdc_distinct_view_orders" -> OpsOracles.ordersPriorityDistinct,
     "cdc_starview_persisted" -> OpsOracles.ordersStarViewPersisted,
     "cdc_starview_partitioned" -> OpsOracles.ordersStarViewPersisted,
+    "cdc_leftstarview_persisted" -> OpsOracles.ordersLeftStarViewPersisted,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

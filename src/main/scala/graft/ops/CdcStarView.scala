@@ -98,4 +98,101 @@ object CdcStarView {
     CdcView.requireExactMeasures(delta.schema, measures.map(_._1))
     delta
   }
+
+  /** [[starGroupDelta]] for a CHAINED LEFT OUTER star —
+    * `V = SELECT dims, SUM(ms) FROM F ⟕ D1 ⟕ … ⟕ Dk GROUP BY dims`,
+    * the reference's actual gold shape (every gold join is ⟕, and
+    * webtoon chains several — J4). Because every dim joins on FACT
+    * columns, the chained left joins are order-independent: a fact
+    * row's output is the cross product over dims of (that dim's
+    * matching rows, or ONE null-extension when it has none). The
+    * ordered decomposition then holds with each ⋈ relaxed to ⟕, and
+    * the moving dim's term picks up the [[CdcJoinView
+    * .leftJoinGroupDelta]] zero-crossing corrections: per ΔDi join
+    * key, `cnt₀ = cnt₁ − Σ signs` (from Di's end state and its span
+    * alone — no maintained count table); a 0→m key RETRACTS the
+    * i-null-extension of every F₀ row on it (its OTHER factors riding
+    * along — earlier dims at span-START state, later at span-END,
+    * exactly as in the inner term), an m→0 key restores it.
+    *
+    * Measure NULLs fold to 0 (the [[CdcJoinView.leftJoinGroupDelta]]
+    * contract, stated there); seeds must fold identically
+    * (`sum(coalesce(e, 0))`) and oracles mirror with
+    * `COALESCE(SUM(e), 0)`. */
+  def leftStarGroupDelta(fNet: Option[DataFrame], fKeys: Seq[String],
+                         fAtStart: () => DataFrame, sides: Seq[Side],
+                         dims: Seq[String],
+                         measures: Seq[(String, Column)]): DataFrame = {
+    require(fNet.isDefined || sides.exists(_.net.isDefined),
+      "leftStarGroupDelta with no moved side — skip the refresh instead")
+    def contributions(joined: DataFrame): DataFrame =
+      joined.select(dims.map(col) ++
+        measures.map { case (n, e) =>
+          coalesce(e * col(SignCol), lit(0L)).as(n) } :+
+        col(SignCol).as("n_rows"): _*)
+    def nullExt(df: DataFrame, s: Side): DataFrame = {
+      val nulls = s.current.schema.fields
+        .filterNot(f => s.joinKeys.contains(f.name))
+        .map(f => lit(null).cast(f.dataType).as(f.name))
+      df.select((col("*") +: nulls.toSeq): _*)
+    }
+    // Term 0 — the fact moved: signed ΔF LEFT-joined to every dim's
+    // END state (unmatched factors ride through null-extended).
+    val factTerm = fNet.map { net =>
+      contributions(sides.foldLeft(signedRows(net, fKeys)) {
+        (acc, s) => acc.join(s.current, s.joinKeys, "left")
+      })
+    }
+    // Term i — dim i moved: F₀ (Δ-key restricted) ⟕ earlier dims'
+    // STARTS, then the mover's two parts — the inner ⋈ signed ΔDi
+    // (matched images) UNION the zero-crossing null-extension
+    // corrections — then ⟕ later dims' ENDS.
+    val dimTerms = sides.zipWithIndex.collect {
+      case (s, i) if s.net.isDefined =>
+        val net = s.net.get
+        val signedD = signedRows(net, s.keys)
+        val f0 = fAtStart()
+          .join(deltaJoinKeys(net, s.keys, s.joinKeys),
+            s.joinKeys, "left_semi")
+        val withEarlier = sides.take(i).foldLeft(f0) {
+          (acc, e) => acc.join(e.atStart(), e.joinKeys, "left")
+        }
+        val matched = withEarlier.join(signedD, s.joinKeys)
+        val cnt1 = s.current
+          .join(signedD.select(s.joinKeys.map(col): _*).distinct(),
+            s.joinKeys, "left_semi")
+          .groupBy(s.joinKeys.map(col): _*)
+          .agg(count(lit(1)).as("_csv_c1"))
+        val transitions = signedD
+          .groupBy(s.joinKeys.map(col): _*)
+          .agg(sum(col(SignCol)).as("_csv_net"))
+          .join(cnt1, s.joinKeys, "left")
+          .withColumn("_csv_c1", coalesce(col("_csv_c1"), lit(0L)))
+          .withColumn("_csv_c0", col("_csv_c1") - col("_csv_net"))
+          .filter((col("_csv_c0") === 0 && col("_csv_c1") > 0) ||
+            (col("_csv_c0") > 0 && col("_csv_c1") === 0))
+          .select(s.joinKeys.map(col) :+
+            when(col("_csv_c0") === 0, lit(-1L)).otherwise(lit(1L))
+              .as(SignCol): _*)
+        val crossings = nullExt(
+          withEarlier.join(transitions, s.joinKeys), s)
+        // The two branches fold the later dims SEPARATELY and union
+        // only their contributions: a pre-contribution union would
+        // have to reconcile the full carried schemas (incidental
+        // columns like partition stamps may repeat across sides —
+        // legal while unreferenced, fatal in a union).
+        def laterFold(df: DataFrame): DataFrame =
+          sides.drop(i + 1).foldLeft(df) {
+            (acc, l) => acc.join(l.current, l.joinKeys, "left")
+          }
+        Seq(contributions(laterFold(matched)),
+          contributions(laterFold(crossings)))
+    }
+    val delta = (factTerm.toSeq ++ dimTerms.flatten).reduce(_.unionByName(_))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        measures.map { case (n, _) => sum(col(n)).as(n) }: _*)
+    CdcView.requireExactMeasures(delta.schema, measures.map(_._1))
+    delta
+  }
 }

@@ -3770,6 +3770,43 @@ object OpsOracles {
       |FROM n
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors ChangeLog.ordersLeftStarViewPersisted: the endpoint
+    * F₁ ⟕ C₁ ⟕ P₂ chained left star recomputed from source. The
+    * endpoint customer dim is COMPLETE (the %13 keys appeared at
+    * batch 1), so no NULL-segment group may survive — the mass
+    * retraction is part of what the hash proves; the batch-2
+    * priority-dim drop leaves its facts in the NULL-class group
+    * (prio_class IS NULL) instead of removing them as the inner twin
+    * does. COALESCE(SUM, 0) mirrors the view's NULL-as-0 measure
+    * contract. */
+  val ordersLeftStarViewPersisted: String =
+    """WITH f AS (
+      |  SELECT o_custkey, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |), c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'FLIPPED'
+      |         ELSE c_mktsegment END AS c_mktsegment,
+      |    c_nationkey
+      |  FROM customer
+      |), p AS (
+      |  SELECT DISTINCT o_orderpriority,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |         THEN 'fast' ELSE 'slow' END AS prio_class
+      |  FROM orders
+      |  WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |)
+      |SELECT c.c_mktsegment, p.prio_class,
+      |  CAST(sum(CAST(round(f.o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(COALESCE(sum(c.c_nationkey), 0) AS BIGINT) AS nation_sum,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM f
+      |LEFT JOIN c ON f.o_custkey = c.c_custkey
+      |LEFT JOIN p ON f.o_orderpriority = p.o_orderpriority
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors ChangeLog.ordersStarViewPersisted: the endpoint
     * F₁ ⋈ C₁ ⋈ P₂ three-way star recomputed from source — fact at its
     * widened horizon, the customer dim with its deterministic segment

@@ -1483,6 +1483,103 @@ object ChangeLog {
       viewDims = Seq("c_mktsegment", "prio_class"),
       measures = starMeasures, partDim = "c_mktsegment")
 
+  /** Build (once per JVM) the LEFT-OUTER STAR chain
+    * ([[StarJoinView]] with `joinType = "left"`): fact + TWO logged
+    * dims where BOTH null-extension directions fire — the customer
+    * dim's `%13 == 2` keys are ABSENT at seed (their facts live in
+    * the NULL-segment group) and appear at batch 1 (mass retraction
+    * of null-extensions — by the endpoint the null-segment group must
+    * VANISH entirely); the priority dim drops '4-NOT SPECIFIED' at
+    * batch 2 (those facts move INTO the null-class group — the
+    * serve-time catch-up span), where the INNER twin's same drop
+    * removes them from the view. Chained ⟕ is the reference's actual
+    * gold shape (J4). */
+  private def ensureLeftStarViewPersisted(s: SparkSession,
+                                          dir: String): String = {
+    val root = graft.sim.AnnIndex.dir(s, dir, "cdc_leftstar")
+    graft.sim.AnnIndex.ensure(root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val fT = s"$root/orders"
+      val cT = s"$root/custdim"
+      val pT = s"$root/priodim"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val f0 = orders.filter(col("o_orderdate") < ts("1997-07-01"))
+      val f1 = orders.filter(col("o_orderdate") < ts("1997-10-01"))
+      def c(appear: Boolean, flip: Boolean): DataFrame = {
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+            col("c_nationkey"))
+        val present =
+          if (appear) base else base.filter(!(col("o_custkey") % 13 === 2))
+        if (!flip) present
+        else present.withColumn("c_mktsegment",
+          when(col("o_custkey") % 10 === 3, lit("FLIPPED"))
+            .otherwise(col("c_mktsegment")))
+      }
+      def pd(reclass: Boolean, drop: Boolean): DataFrame = {
+        val classed = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority")).distinct()
+          .withColumn("prio_class",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+              (lit(reclass) && col("o_orderpriority") === "3-MEDIUM"),
+              lit("fast")).otherwise(lit("slow")))
+        if (drop)
+          classed.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        else classed
+      }
+      MergeUpsert.replaceAll(s, fT, f0, partitionCol = "o_orderpriority")
+      MergeUpsert.replaceAll(s, cT, c(appear = false, flip = false),
+        partitionCol = "c_mktsegment")
+      MergeUpsert.replaceAll(s, pT, pd(reclass = false, drop = false),
+        partitionCol = "prio_class")
+      refreshLeftStarView(s, root) // seed at the pre-history vector
+      recordBatch(s, fT, Seq("o_orderkey"), 1L)(
+        MergeUpsert.replaceAll(s, fT, f1,
+          partitionCol = "o_orderpriority"))
+      refreshLeftStarView(s, root) // span 1: fact only (new unmatched)
+      recordBatch(s, cT, Seq("o_custkey"), 1L)(
+        MergeUpsert.replaceAll(s, cT, c(appear = true, flip = true),
+          partitionCol = "c_mktsegment"))
+      recordBatch(s, pT, Seq("o_orderpriority"), 1L)(
+        MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = false),
+          partitionCol = "prio_class"))
+      refreshLeftStarView(s, root) // span 2: BOTH dims; cust keys APPEAR
+      recordBatch(s, pT, Seq("o_orderpriority"), 2L)(
+        MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = true),
+          partitionCol = "prio_class"))
+      // span 3 (prio-dim removal → null-class group) is the
+      // registered face's serve-time catch-up
+    }
+    root
+  }
+
+  private def refreshLeftStarView(s: SparkSession,
+                                  root: String): Seq[Long] =
+    StarJoinView.refresh(s, s"$root/orders", starDims(root),
+      s"$root/view", fKeys = Seq("o_orderkey"),
+      viewDims = Seq("c_mktsegment", "prio_class"),
+      measures = starMeasures :+
+        (("nation_sum", col("c_nationkey").cast("long"))),
+      joinType = "left")
+
+  /** Registered face #13c: the PERSISTED LEFT-OUTER STAR view — both
+    * null-extension directions across the history (cust keys
+    * appearing retract the null-segment group to NOTHING by the
+    * endpoint; the prio-dim drop moves its facts into the null-class
+    * group at serve time, where the inner twin removes them). The
+    * DuckDB oracle recomputes the endpoint F₁ ⟕ C₁ ⟕ P₂ with
+    * `COALESCE(SUM, 0)` on the dim-side measure. */
+  def ordersLeftStarViewPersisted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = ensureLeftStarViewPersisted(s, dir)
+    refreshLeftStarView(s, root)
+    s.read.parquet(s"$root/view")
+      .select(col("c_mktsegment"), col("prio_class"),
+        col("sum_cents"), col("nation_sum"), col("n_rows"))
+  }
+
   /** Registered face #13: the PERSISTED STAR view — fact + TWO logged
     * dimensions maintained from all three change logs
     * ([[graft.runtime.StarJoinView]]; the K+1-position vector rides

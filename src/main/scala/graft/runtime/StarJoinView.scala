@@ -59,14 +59,23 @@ object StarJoinView {
     } else None
   }
 
-  /** Seed or incrementally refresh the star view. Returns the
-    * committed position vector (fact +: dims). */
+  /** Seed or incrementally refresh the star view. `joinType` is
+    * `"inner"` or `"left"` (the CHAINED LEFT OUTER star — the
+    * reference's actual gold shape; maintained by
+    * [[graft.ops.CdcStarView.leftStarGroupDelta]]'s per-dim
+    * count-augmented delta; measure NULLs read 0, mirror with
+    * `COALESCE(SUM(e), 0)`). Returns the committed position vector
+    * (fact +: dims). */
   def refresh(spark: SparkSession, factDir: String, dims: Seq[DimSpec],
               viewDir: String, fKeys: Seq[String],
               viewDims: Seq[String],
-              measures: Seq[(String, Column)]): Seq[Long] = {
+              measures: Seq[(String, Column)],
+              joinType: String = "inner"): Seq[Long] = {
     require(dims.nonEmpty, "a star needs at least one dimension — " +
       "use MaterializedView for a single-table view")
+    require(joinType == "inner" || joinType == "left",
+      s"joinType '$joinType' — this loop maintains inner and chained " +
+        "left outer star views")
     val names = measures.map(_._1)
     if (MaterializedView.isInvalid(spark, viewDir)) {
       val p = new Path(viewDir)
@@ -99,13 +108,18 @@ object StarJoinView {
 
     positions(spark, viewDir, dims.size) match {
       case None =>
-        // Seed: the one full star join, stamped at every head.
+        // Seed: the one full star join, stamped at every head. The
+        // left seed folds measure NULLs to 0 (sum(coalesce)) so it
+        // agrees cell-for-cell with the delta path's contract.
         val joined = dims.foldLeft(read(factDir)) {
-          (acc, d) => acc.join(read(d.dir), d.joinKeys)
+          (acc, d) => acc.join(read(d.dir), d.joinKeys, joinType)
         }
         val seed = joined.groupBy(viewDims.map(col): _*)
           .agg(count(lit(1)).as("n_rows"),
-            measures.map { case (n, e) => sum(e).as(n) }: _*)
+            measures.map { case (n, e) =>
+              (if (joinType == "left") sum(coalesce(e, lit(0L)))
+               else sum(e)).as(n)
+            }: _*)
           .select(viewDims.map(col) ++ names.map(col) :+
             col("n_rows"): _*)
         CdcView.requireExactMeasures(seed.schema, names)
@@ -115,7 +129,7 @@ object StarJoinView {
         registered(pos) // nothing new on any side
       case Some(pos) =>
         val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
-          measures, pos, heads)
+          measures, pos, heads, joinType)
         val dropCols = (AsOfFCol +: dims.indices.map(asOfDCol)) :+
           PartCol
         val view = spark.read.parquet(viewDir).drop(dropCols: _*)
@@ -134,7 +148,8 @@ object StarJoinView {
                           dims: Seq[DimSpec], fKeys: Seq[String],
                           viewDims: Seq[String],
                           measures: Seq[(String, Column)],
-                          pos: Seq[Long], heads: Seq[Long]): DataFrame = {
+                          pos: Seq[Long], heads: Seq[Long],
+                          joinType: String = "inner"): DataFrame = {
     def read(dir: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(dir)
     // An UNLOGGED side never moves: its span-start state IS its
@@ -158,9 +173,14 @@ object StarJoinView {
             ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys)),
         atStart = () => startState(d.dir, d.keys, p))
     }
-    CdcStarView.starGroupDelta(fNet, fKeys,
-      fAtStart = () => startState(factDir, fKeys, pos.head),
-      sides, viewDims, measures)
+    if (joinType == "left")
+      CdcStarView.leftStarGroupDelta(fNet, fKeys,
+        fAtStart = () => startState(factDir, fKeys, pos.head),
+        sides, viewDims, measures)
+    else
+      CdcStarView.starGroupDelta(fNet, fKeys,
+        fAtStart = () => startState(factDir, fKeys, pos.head),
+        sides, viewDims, measures)
   }
 
   /** The partitioned form's VECTOR-position file — one atomic file
@@ -216,12 +236,19 @@ object StarJoinView {
                          dims: Seq[DimSpec], viewDir: String,
                          fKeys: Seq[String], viewDims: Seq[String],
                          measures: Seq[(String, Column)],
-                         partDim: String): Seq[Long] = {
+                         partDim: String,
+                         joinType: String = "inner"): Seq[Long] = {
     require(dims.nonEmpty, "a star needs at least one dimension")
+    require(joinType == "inner" || joinType == "left",
+      s"joinType '$joinType' — this loop maintains inner and chained " +
+        "left outer star views")
     require(viewDims.contains(partDim),
       s"partDim '$partDim' must be one of the view dims " +
         s"${viewDims.mkString("[", ", ", "]")} — a group must live " +
-        "in exactly one partition")
+        "in exactly one partition. Its values must be NON-NULL (a " +
+        "null hive partition defeats value-scoped rewrites); for a " +
+        "LEFT star pick a fact-side dim — dim-side dims are null for " +
+        "unmatched groups")
     val names = measures.map(_._1)
     val asOfCols = AsOfFCol +: dims.indices.map(asOfDCol)
     val viewPath = new Path(viewDir)
@@ -254,11 +281,14 @@ object StarJoinView {
       fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
     if (!hasState) {
       val joined = dims.foldLeft(read(factDir)) {
-        (acc, d) => acc.join(read(d.dir), d.joinKeys)
+        (acc, d) => acc.join(read(d.dir), d.joinKeys, joinType)
       }
       val seed = joined.groupBy(viewDims.map(col): _*)
         .agg(count(lit(1)).as("n_rows"),
-          measures.map { case (n, e) => sum(e).as(n) }: _*)
+          measures.map { case (n, e) =>
+            (if (joinType == "left") sum(coalesce(e, lit(0L)))
+             else sum(e)).as(n)
+          }: _*)
         .select(viewDims.map(col) ++ names.map(col) :+
           col("n_rows"): _*)
       CdcView.requireExactMeasures(seed.schema, names)
@@ -281,7 +311,7 @@ object StarJoinView {
     if (pos.indices.forall(i => pos(i) >= heads(i)))
       return registered(pos)
     val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
-      measures, pos, heads).localCheckpoint()
+      measures, pos, heads, joinType).localCheckpoint()
     val deltaTouched = delta.select(col(partDim)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
     // Crash-window completion — the [[JoinView.refreshPartitioned]]
@@ -330,7 +360,7 @@ object StarJoinView {
         val deltaV =
           if (vec == pos) delta.filter(col(partDim).isin(parts: _*))
           else vectorDelta(spark, factDir, dims, fKeys, viewDims,
-            measures, vec, heads)
+            measures, vec, heads, joinType)
             .filter(col(partDim).isin(parts: _*))
         val viewPart = viewCur.filter(col(partDim).isin(parts: _*))
           .drop(asOfCols: _*)

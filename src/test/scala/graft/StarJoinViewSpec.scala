@@ -248,6 +248,76 @@ class StarJoinViewSpec extends SparkSpec {
       "a rewound vector file must not double-apply")
   }
 
+  test("LEFT star converges across zero-crossings on BOTH dims: keys " +
+      "appear (0->1, null-extension retracts), disappear (1->0, it " +
+      "returns), a fact-only span, and both dims in one refresh") {
+    val base = tmpDir("sjv-left")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/v"
+    val leftMeasures = Seq(
+      ("mw", col("m") * col("w1") * col("w2")), ("mm", col("m")))
+    def refreshL(): Seq[Long] =
+      StarJoinView.refresh(spark, fDir,
+        Seq(DimSpec(d1Dir, Seq("k1"), Seq("k1")),
+          DimSpec(d2Dir, Seq("k2"), Seq("k2"))),
+        viewDir, Seq("id"), Seq("g1", "g2"), leftMeasures,
+        joinType = "left")
+    def recomputeL(): DataFrame =
+      spark.read.parquet(fDir)
+        .join(spark.read.parquet(d1Dir).drop("pt"), Seq("k1"), "left")
+        .join(spark.read.parquet(d2Dir).drop("pt"), Seq("k2"), "left")
+        .groupBy(col("g1"), col("g2"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("m") * col("w1") * col("w2"), lit(0L)))
+            .as("mw"),
+          sum(coalesce(col("m"), lit(0L))).as("mm"))
+        .select(col("g1"), col("g2"), col("mw"), col("mm"),
+          col("n_rows"))
+    def viewL(): DataFrame = spark.read.parquet(viewDir)
+      .drop("_as_of_f", "_as_of_d0", "_as_of_d1", "gv_pt")
+    def assertL(what: String): Unit =
+      assert(cells(viewL()) === cells(recomputeL()),
+        s"$what diverged from the LEFT recompute")
+
+    // Seed: id 3's k1=20 has NO d1 match; id 2's k2=200 has NO d2
+    // match — both null-extension kinds exist from the start.
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L), (2L, 10L, 200L, 3L),
+        (3L, 20L, 100L, 5L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "a", 2L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d2Dir,
+      d2df((100L, "x", 7L)), partitionCol = "pt")
+    assert(refreshL() === Seq(-1L, -1L, -1L))
+    assertL("left seed")
+
+    // Fact-only span: a new row unmatched on BOTH dims.
+    ChangeLog.recordBatch(spark, fDir, Seq("id"), 1L)(
+      MergeUpsert.replaceAll(spark, fDir,
+        fdf((1L, 10L, 100L, 2L), (2L, 10L, 200L, 3L),
+          (3L, 20L, 100L, 5L), (4L, 30L, 300L, 7L)),
+        partitionCol = "pt"))
+    assert(refreshL() === Seq(1L, -1L, -1L))
+    assertL("fact-only span")
+
+    // Both dims in ONE refresh: d1 key 20 APPEARS (id 3's
+    // null-extension on dim 1 retracts) while d1 key 10 changes in
+    // place (no crossing); d2 key 100 DISAPPEARS (ids 1,3 gain a
+    // dim-2 null-extension) and key 200 APPEARS (id 2 loses its).
+    ChangeLog.recordBatch(spark, d1Dir, Seq("k1"), 1L)(
+      MergeUpsert.replaceAll(spark, d1Dir,
+        d1df((10L, "a", 3L), (20L, "b", 4L)), partitionCol = "pt"))
+    ChangeLog.recordBatch(spark, d2Dir, Seq("k2"), 1L)(
+      MergeUpsert.replaceAll(spark, d2Dir,
+        d2df((200L, "y", 11L)), partitionCol = "pt"))
+    assert(refreshL() === Seq(1L, 1L, 1L))
+    assertL("both-dims zero-crossing span")
+
+    // No-op.
+    assert(refreshL() === Seq(1L, 1L, 1L))
+    assertL("no-op refresh")
+  }
+
   test("an UNLOGGED side is legal-static even when a LATER logged " +
       "side moves: its span-start state is its current read, never " +
       "snapshotAt") {
