@@ -294,6 +294,12 @@ object SparkEntry {
     // them. Oracle: endpoint F₁ ⟕ C₁ ⟕ P₂ with COALESCE(SUM, 0).
     "cdc_leftstarview_persisted" ->
       graft.runtime.ChangeLog.ordersLeftStarViewPersisted _,
+    // Its PARTITIONED twin — the LEFT × partitioned × star
+    // composition: partition-scoped rewrites on the FACT's priority
+    // dim (dim-side dims are null for unmatched groups), the
+    // K+1-vector split commit per partition.
+    "cdc_leftstarview_partitioned" ->
+      graft.runtime.ChangeLog.ordersLeftStarViewPartitioned _,
     // Its PARTITIONED twin: per-partition _as_of vectors, the
     // vector-position file last, touched-partitions-only rewrites.
     // Same oracle.
@@ -797,6 +803,8 @@ object SparkEntry {
     "cdc_starview_persisted" -> OpsOracles.ordersStarViewPersisted,
     "cdc_starview_partitioned" -> OpsOracles.ordersStarViewPersisted,
     "cdc_leftstarview_persisted" -> OpsOracles.ordersLeftStarViewPersisted,
+    "cdc_leftstarview_partitioned" ->
+      OpsOracles.ordersLeftStarViewPartitioned,
     "q6_forecast_revenue" -> OpsOracles.q6ForecastRevenue,
     "q12_late_priority" -> OpsOracles.q12LatePriority,
     "q7_nation_volume" -> OpsOracles.q7NationVolume,

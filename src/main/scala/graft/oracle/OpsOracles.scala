@@ -3807,6 +3807,37 @@ object OpsOracles {
       |LEFT JOIN p ON f.o_orderpriority = p.o_orderpriority
       |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors ChangeLog.ordersLeftStarViewPartitioned: the same
+    * endpoint left star at the finer (priority × segment × class)
+    * grain — the partition dim must be fact-side (never null). */
+  val ordersLeftStarViewPartitioned: String =
+    """WITH f AS (
+      |  SELECT o_custkey, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-10-01'
+      |), c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'FLIPPED'
+      |         ELSE c_mktsegment END AS c_mktsegment,
+      |    c_nationkey
+      |  FROM customer
+      |), p AS (
+      |  SELECT DISTINCT o_orderpriority,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |         THEN 'fast' ELSE 'slow' END AS prio_class
+      |  FROM orders
+      |  WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |)
+      |SELECT f.o_orderpriority, c.c_mktsegment, p.prio_class,
+      |  CAST(sum(CAST(round(f.o_totalprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(COALESCE(sum(c.c_nationkey), 0) AS BIGINT) AS nation_sum,
+      |  CAST(count(1) AS BIGINT) AS n_rows
+      |FROM f
+      |LEFT JOIN c ON f.o_custkey = c.c_custkey
+      |LEFT JOIN p ON f.o_orderpriority = p.o_orderpriority
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Mirrors ChangeLog.ordersStarViewPersisted: the endpoint
     * F₁ ⋈ C₁ ⋈ P₂ three-way star recomputed from source — fact at its
     * widened horizon, the customer dim with its deterministic segment

@@ -1535,10 +1535,12 @@ object ChangeLog {
       MergeUpsert.replaceAll(s, pT, pd(reclass = false, drop = false),
         partitionCol = "prio_class")
       refreshLeftStarView(s, root) // seed at the pre-history vector
+      refreshLeftStarViewPartitioned(s, root) // partitioned twin
       recordBatch(s, fT, Seq("o_orderkey"), 1L)(
         MergeUpsert.replaceAll(s, fT, f1,
           partitionCol = "o_orderpriority"))
       refreshLeftStarView(s, root) // span 1: fact only (new unmatched)
+      refreshLeftStarViewPartitioned(s, root)
       recordBatch(s, cT, Seq("o_custkey"), 1L)(
         MergeUpsert.replaceAll(s, cT, c(appear = true, flip = true),
           partitionCol = "c_mktsegment"))
@@ -1546,11 +1548,12 @@ object ChangeLog {
         MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = false),
           partitionCol = "prio_class"))
       refreshLeftStarView(s, root) // span 2: BOTH dims; cust keys APPEAR
+      refreshLeftStarViewPartitioned(s, root)
       recordBatch(s, pT, Seq("o_orderpriority"), 2L)(
         MergeUpsert.replaceAll(s, pT, pd(reclass = true, drop = true),
           partitionCol = "prio_class"))
       // span 3 (prio-dim removal → null-class group) is the
-      // registered face's serve-time catch-up
+      // registered faces' serve-time catch-up
     }
     root
   }
@@ -1563,6 +1566,20 @@ object ChangeLog {
       measures = starMeasures :+
         (("nation_sum", col("c_nationkey").cast("long"))),
       joinType = "left")
+
+  /** The PARTITIONED twin — a LEFT star's dim-side view dims are NULL
+    * for unmatched groups, so the partition dim must come from the
+    * FACT: the view adds `o_orderpriority` (never null) and
+    * partitions on it, while the nullable dim-side groups live INSIDE
+    * each priority partition. */
+  private def refreshLeftStarViewPartitioned(s: SparkSession,
+                                             root: String): Seq[Long] =
+    StarJoinView.refreshPartitioned(s, s"$root/orders", starDims(root),
+      s"$root/view_part", fKeys = Seq("o_orderkey"),
+      viewDims = Seq("o_orderpriority", "c_mktsegment", "prio_class"),
+      measures = starMeasures :+
+        (("nation_sum", col("c_nationkey").cast("long"))),
+      partDim = "o_orderpriority", joinType = "left")
 
   /** Registered face #13c: the PERSISTED LEFT-OUTER STAR view — both
     * null-extension directions across the history (cust keys
@@ -1578,6 +1595,23 @@ object ChangeLog {
     s.read.parquet(s"$root/view")
       .select(col("c_mktsegment"), col("prio_class"),
         col("sum_cents"), col("nation_sum"), col("n_rows"))
+  }
+
+  /** Registered face #13d: the PARTITIONED LEFT star — same history
+    * and serve-time catch-up, hive-partitioned on the FACT's priority
+    * (dim-side dims are null for unmatched groups and cannot
+    * partition); the batch-2 prio-dim drop moves each partition's
+    * facts into its null-class group via partition-scoped rewrites.
+    * The oracle recomputes the endpoint at the finer
+    * (priority × segment × class) grain. */
+  def ordersLeftStarViewPartitioned(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = ensureLeftStarViewPersisted(s, dir)
+    refreshLeftStarViewPartitioned(s, root)
+    s.read.parquet(s"$root/view_part")
+      .select(col("o_orderpriority"), col("c_mktsegment"),
+        col("prio_class"), col("sum_cents"), col("nation_sum"),
+        col("n_rows"))
   }
 
   /** Registered face #13: the PERSISTED STAR view — fact + TWO logged
