@@ -1558,14 +1558,26 @@ object ChangeLog {
     root
   }
 
+  /** The left faces also exercise the per-side COLUMN PROJECTION
+    * (DimSpec.cols / fCols — the [[JoinView]] aCols/bCols pruning on
+    * the star): each side contributes only its referenced columns,
+    * which at 100 TB keeps the IVM path's shuffles at the measure
+    * columns and mechanically prevents non-key name collisions. */
+  private def leftStarDims(root: String): Seq[StarJoinView.DimSpec] = Seq(
+    StarJoinView.DimSpec(s"$root/custdim", Seq("o_custkey"),
+      Seq("o_custkey"), cols = Some(Seq("c_mktsegment", "c_nationkey"))),
+    StarJoinView.DimSpec(s"$root/priodim", Seq("o_orderpriority"),
+      Seq("o_orderpriority"), cols = Some(Seq("prio_class"))))
+
   private def refreshLeftStarView(s: SparkSession,
                                   root: String): Seq[Long] =
-    StarJoinView.refresh(s, s"$root/orders", starDims(root),
+    StarJoinView.refresh(s, s"$root/orders", leftStarDims(root),
       s"$root/view", fKeys = Seq("o_orderkey"),
       viewDims = Seq("c_mktsegment", "prio_class"),
       measures = starMeasures :+
         (("nation_sum", col("c_nationkey").cast("long"))),
-      joinType = "left")
+      joinType = "left",
+      fCols = Some(Seq("o_totalprice", "o_orderpriority")))
 
   /** The PARTITIONED twin — a LEFT star's dim-side view dims are NULL
     * for unmatched groups, so the partition dim must come from the
@@ -1574,12 +1586,14 @@ object ChangeLog {
     * each priority partition. */
   private def refreshLeftStarViewPartitioned(s: SparkSession,
                                              root: String): Seq[Long] =
-    StarJoinView.refreshPartitioned(s, s"$root/orders", starDims(root),
+    StarJoinView.refreshPartitioned(s, s"$root/orders",
+      leftStarDims(root),
       s"$root/view_part", fKeys = Seq("o_orderkey"),
       viewDims = Seq("o_orderpriority", "c_mktsegment", "prio_class"),
       measures = starMeasures :+
         (("nation_sum", col("c_nationkey").cast("long"))),
-      partDim = "o_orderpriority", joinType = "left")
+      partDim = "o_orderpriority", joinType = "left",
+      fCols = Some(Seq("o_totalprice", "o_orderpriority")))
 
   /** Registered face #13c: the PERSISTED LEFT-OUTER STAR view — both
     * null-extension directions across the history (cust keys

@@ -33,9 +33,40 @@ import org.apache.spark.sql.functions._
 object StarJoinView {
 
   /** One dimension of the star: its table directory, row key, and the
-    * fact-side equi-join columns (present on fact and dim images). */
+    * fact-side equi-join columns (present on fact and dim images).
+    * `cols`, when set, restricts what the side CONTRIBUTES to the
+    * joined frame beyond keys/joinKeys — every read of the side
+    * (seed, current, span-start, log images) projects down first,
+    * honoring the non-key-collision contract mechanically and pruning
+    * the IVM path's shuffles to the referenced columns (the
+    * [[JoinView]] aCols/bCols convention). None = everything. */
   final case class DimSpec(dir: String, keys: Seq[String],
-                           joinKeys: Seq[String])
+                           joinKeys: Seq[String],
+                           cols: Option[Seq[String]] = None)
+
+  /** Column restriction for a plain side frame. */
+  private def projectPlain(df: DataFrame, keys: Seq[String],
+                           joinKeys: Seq[String],
+                           cols: Option[Seq[String]]): DataFrame =
+    cols match {
+      case None => df
+      case Some(cs) =>
+        val want = (keys ++ joinKeys ++ cs).distinct
+        df.select(want.map(col): _*)
+    }
+
+  /** [[projectPlain]] over a net-diff frame (`o_`/`n_` image pairs). */
+  private def projectNet(net: DataFrame, keys: Seq[String],
+                         joinKeys: Seq[String],
+                         cols: Option[Seq[String]]): DataFrame =
+    cols match {
+      case None => net
+      case Some(cs) =>
+        val vals = (joinKeys ++ cs).distinct.filterNot(keys.contains)
+        val want = keys ++ vals.flatMap(c => Seq(s"o_$c", s"n_$c")) :+
+          "diff_status"
+        net.select(want.map(col): _*)
+    }
 
   private val AsOfFCol = "_as_of_f"
   private def asOfDCol(i: Int) = s"_as_of_d$i"
@@ -70,12 +101,14 @@ object StarJoinView {
               viewDir: String, fKeys: Seq[String],
               viewDims: Seq[String],
               measures: Seq[(String, Column)],
-              joinType: String = "inner"): Seq[Long] = {
+              joinType: String = "inner",
+              fCols: Option[Seq[String]] = None): Seq[Long] = {
     require(dims.nonEmpty, "a star needs at least one dimension — " +
       "use MaterializedView for a single-table view")
     require(joinType == "inner" || joinType == "left",
       s"joinType '$joinType' — this loop maintains inner and chained " +
         "left outer star views")
+    val allJoinKeys = dims.flatMap(_.joinKeys).distinct
     val names = measures.map(_._1)
     if (MaterializedView.isInvalid(spark, viewDir)) {
       val p = new Path(viewDir)
@@ -111,8 +144,11 @@ object StarJoinView {
         // Seed: the one full star join, stamped at every head. The
         // left seed folds measure NULLs to 0 (sum(coalesce)) so it
         // agrees cell-for-cell with the delta path's contract.
-        val joined = dims.foldLeft(read(factDir)) {
-          (acc, d) => acc.join(read(d.dir), d.joinKeys, joinType)
+        val joined = dims.foldLeft(
+          projectPlain(read(factDir), fKeys, allJoinKeys, fCols)) {
+          (acc, d) => acc.join(
+            projectPlain(read(d.dir), d.keys, d.joinKeys, d.cols),
+            d.joinKeys, joinType)
         }
         val seed = joined.groupBy(viewDims.map(col): _*)
           .agg(count(lit(1)).as("n_rows"),
@@ -129,7 +165,7 @@ object StarJoinView {
         registered(pos) // nothing new on any side
       case Some(pos) =>
         val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
-          measures, pos, heads, joinType)
+          measures, pos, heads, joinType, fCols)
         val dropCols = (AsOfFCol +: dims.indices.map(asOfDCol)) :+
           PartCol
         val view = spark.read.parquet(viewDir).drop(dropCols: _*)
@@ -149,7 +185,9 @@ object StarJoinView {
                           viewDims: Seq[String],
                           measures: Seq[(String, Column)],
                           pos: Seq[Long], heads: Seq[Long],
-                          joinType: String = "inner"): DataFrame = {
+                          joinType: String = "inner",
+                          fCols: Option[Seq[String]] = None): DataFrame = {
+    val allJoinKeys = dims.flatMap(_.joinKeys).distinct
     def read(dir: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(dir)
     // An UNLOGGED side never moves: its span-start state IS its
@@ -161,26 +199,29 @@ object StarJoinView {
       else ChangeLog.snapshotAt(spark, dir, keys, p)
     val fNet =
       if (pos.head >= heads.head) None
-      else Some(ChangeLog.netDiff(
+      else Some(projectNet(ChangeLog.netDiff(
         ChangeLog.readSince(spark, factDir, Some(pos.head)).get,
-        fKeys))
+        fKeys), fKeys, allJoinKeys, fCols))
     val sides = dims.zipWithIndex.map { case (d, i) =>
       val p = pos(i + 1)
-      CdcStarView.Side(d.keys, d.joinKeys, read(d.dir),
+      CdcStarView.Side(d.keys, d.joinKeys,
+        projectPlain(read(d.dir), d.keys, d.joinKeys, d.cols),
         net =
           if (p >= heads(i + 1)) None
-          else Some(ChangeLog.netDiff(
-            ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys)),
-        atStart = () => startState(d.dir, d.keys, p))
+          else Some(projectNet(ChangeLog.netDiff(
+            ChangeLog.readSince(spark, d.dir, Some(p)).get, d.keys),
+            d.keys, d.joinKeys, d.cols)),
+        atStart = () => projectPlain(
+          startState(d.dir, d.keys, p), d.keys, d.joinKeys, d.cols))
     }
+    def fStart(): DataFrame = projectPlain(
+      startState(factDir, fKeys, pos.head), fKeys, allJoinKeys, fCols)
     if (joinType == "left")
       CdcStarView.leftStarGroupDelta(fNet, fKeys,
-        fAtStart = () => startState(factDir, fKeys, pos.head),
-        sides, viewDims, measures)
+        fAtStart = fStart _, sides, viewDims, measures)
     else
       CdcStarView.starGroupDelta(fNet, fKeys,
-        fAtStart = () => startState(factDir, fKeys, pos.head),
-        sides, viewDims, measures)
+        fAtStart = fStart _, sides, viewDims, measures)
   }
 
   /** The partitioned form's VECTOR-position file — one atomic file
@@ -237,8 +278,10 @@ object StarJoinView {
                          fKeys: Seq[String], viewDims: Seq[String],
                          measures: Seq[(String, Column)],
                          partDim: String,
-                         joinType: String = "inner"): Seq[Long] = {
+                         joinType: String = "inner",
+                         fCols: Option[Seq[String]] = None): Seq[Long] = {
     require(dims.nonEmpty, "a star needs at least one dimension")
+    val allJoinKeys = dims.flatMap(_.joinKeys).distinct
     require(joinType == "inner" || joinType == "left",
       s"joinType '$joinType' — this loop maintains inner and chained " +
         "left outer star views")
@@ -280,8 +323,11 @@ object StarJoinView {
     val hasState =
       fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
     if (!hasState) {
-      val joined = dims.foldLeft(read(factDir)) {
-        (acc, d) => acc.join(read(d.dir), d.joinKeys, joinType)
+      val joined = dims.foldLeft(
+        projectPlain(read(factDir), fKeys, allJoinKeys, fCols)) {
+        (acc, d) => acc.join(
+          projectPlain(read(d.dir), d.keys, d.joinKeys, d.cols),
+          d.joinKeys, joinType)
       }
       val seed = joined.groupBy(viewDims.map(col): _*)
         .agg(count(lit(1)).as("n_rows"),
@@ -311,7 +357,7 @@ object StarJoinView {
     if (pos.indices.forall(i => pos(i) >= heads(i)))
       return registered(pos)
     val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
-      measures, pos, heads, joinType).localCheckpoint()
+      measures, pos, heads, joinType, fCols).localCheckpoint()
     val deltaTouched = delta.select(col(partDim)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
     // Crash-window completion — the [[JoinView.refreshPartitioned]]
@@ -360,7 +406,7 @@ object StarJoinView {
         val deltaV =
           if (vec == pos) delta.filter(col(partDim).isin(parts: _*))
           else vectorDelta(spark, factDir, dims, fKeys, viewDims,
-            measures, vec, heads, joinType)
+            measures, vec, heads, joinType, fCols)
             .filter(col(partDim).isin(parts: _*))
         val viewPart = viewCur.filter(col(partDim).isin(parts: _*))
           .drop(asOfCols: _*)
