@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   * (columns present on the fact and on that dim's images), dims are
   * joined-frame column names, and non-key dim columns must not
   * collide across sides — project them apart on the way in, the
-  * same [[AsOfJoin]]-style contract every join here carries. */
+  * same [[AsOfJoin]]-style contract every join here carries. A
+  * SNOWFLAKE (dim-on-dim chain) does NOT fit this decomposition —
+  * each dim term probes the fact side directly, so a dim keyed on
+  * another dim's columns would probe the wrong side;
+  * [[graft.runtime.StarJoinView]] rejects such a spec loudly. The
+  * workaround is to pre-join the snowflake arm into one dim table
+  * (and log that table) so it joins the fact on fact columns. */
 object CdcStarView {
 
   /** One dimension side of the star. `net` is the side's

@@ -3698,9 +3698,16 @@ object OpsOracles {
     * slice out to its backup), plus the sweep's action accounting —
     * 2 table-sweep actions (the restore + the staging drop), 1
     * recluster-backup drop, 1 recluster-staging drop, and a
-    * second-pass count of 0 (idempotence). */
+    * second-pass count of 0 (idempotence). Honesty note: only
+    * `restored_rows` is recomputed from source; the four action-count
+    * columns are deterministic CONTRACT PINS derived from the planted
+    * fixture (the face plants exactly these four crash shapes), not
+    * independently recomputed facts. */
   val vacuumSweepHealth: String =
-    """SELECT CAST(count(1) AS BIGINT) AS restored_rows,
+    """-- restored_rows is source-recomputed; the four action counts are
+      |-- fixture-derived contract pins (the face plants exactly these
+      |-- crash shapes), not independently recomputed facts.
+      |SELECT CAST(count(1) AS BIGINT) AS restored_rows,
       |  CAST(2 AS BIGINT) AS table_sweep_actions,
       |  CAST(1 AS BIGINT) AS recluster_backup_drops,
       |  CAST(1 AS BIGINT) AS recluster_staging_drops,

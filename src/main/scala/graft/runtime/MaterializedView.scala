@@ -292,7 +292,14 @@ object MaterializedView {
         Incremental.saveWatermark(spark, posPath(viewDir), p)
         p
       }
-    if (pos >= logHw) return registered(pos) // nothing new
+    if (pos >= logHw) { // nothing new
+      // A marker here is a leftover (stamps never exceed a committed
+      // at-the-head position — the ahead-scan would find nothing);
+      // clear it so later data-bearing refreshes skip the repair scan.
+      val m = new Path(swapMarkerPath(viewDir))
+      if (fs.exists(m)) fs.delete(m, false)
+      return registered(pos)
+    }
     val span = ChangeLog.readSince(spark, tableDir, Some(pos))
       .getOrElse(return registered(pos)) // log holds no entries at all
     // The span's group delta names the touched partitions; everything

@@ -46,10 +46,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the directories per name (LRU by served-at stamp — old
   * materializations are pure caches, deletion is always safe), so
   * inputs that OSCILLATE between states re-hit their retained old
-  * materialization instead of recomputing. Concurrent serves of the
-  * same name may race (both stage correct data; last rename wins);
-  * the single-writer-per-name discipline of every maintenance op
-  * here applies.
+  * materialization instead of recomputing. Retention window, stated:
+  * up to `keepSignatures − 1` SUPERSEDED materializations persist on
+  * disk until evicted by later misses — for inputs registered via
+  * `registerIn`, [[Forget]]/[[Retention]] delete the whole entry (the
+  * observer contract), so compliance purges reach them; for
+  * UNREGISTERED inputs, rows deleted upstream may linger in old
+  * materializations longer than the pre-retention "until the next
+  * serve" window — run caches over data subject to deletion
+  * requirements with `registerIn` set, or `keepSignatures = 1`.
+  * Concurrent serves of the same name may race (both stage correct
+  * data; last rename wins); the single-writer-per-name discipline of
+  * every maintenance op here applies.
   *
   * What this is NOT: an incremental view ([[MaterializedView]]
   * applies log deltas; this recomputes from scratch on any change) —
@@ -66,6 +74,24 @@ object ResultCache {
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** The served-at epoch from a `_served` stamp's BODY, falling back
+    * to the file's mtime when the body is empty or torn (pre-content
+    * stamps, a crash mid-write — both safe: pure caches). */
+  private def servedAt(fs: org.apache.hadoop.fs.FileSystem,
+                       served: Path): Long = {
+    val fromBody =
+      try {
+        val in = fs.open(served)
+        val text = try {
+          val bytes = new Array[Byte](32)
+          val n = in.read(bytes)
+          if (n <= 0) "" else new String(bytes, 0, n, "UTF-8").trim
+        } finally in.close()
+        text.toLongOption
+      } catch { case _: java.io.IOException => None }
+    fromBody.getOrElse(fs.getFileStatus(served).getModificationTime)
+  }
 
   /** One materialization directory PER SIGNATURE (round 16): the dir
     * name commits to the exact (listing, version) it was computed
@@ -202,8 +228,16 @@ object ResultCache {
     }
     // The served-at stamp inside the materialization dir is the
     // LRU clock for eviction (directory mtimes don't move on reads).
-    def stampServed(): Unit =
-      fs.create(new Path(dataP, "_served"), true).close()
+    // The epoch rides in the file BODY and ordering reads the content:
+    // object stores without reliable mtimes (or coarse-granularity
+    // filesystems where two serves land in one tick) would otherwise
+    // order arbitrarily — safe (pure caches) but surprising. A torn
+    // body falls back to the file's mtime.
+    def stampServed(): Unit = {
+      val out = fs.create(new Path(dataP, "_served"), true)
+      try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     def writeSigFile(): Unit = {
       val sp = sigPath(cacheRoot, name)
       val tmp = new Path(sp.toString + ".tmp")
@@ -258,7 +292,7 @@ object ResultCache {
       .map { st =>
         val served = new Path(st.getPath, "_served")
         val at =
-          if (fs.exists(served)) fs.getFileStatus(served).getModificationTime
+          if (fs.exists(served)) servedAt(fs, served)
           else st.getModificationTime
         (at, st.getPath)
       }

@@ -68,6 +68,31 @@ object StarJoinView {
         net.select(want.map(col): _*)
     }
 
+  /** Star-shape guard: every dim must equi-join the FACT on FACT
+    * columns. The ordered decomposition ([[CdcStarView]]) relies on
+    * each dim's term probing the fact side directly; a dim whose
+    * joinKeys live on ANOTHER dim (a snowflake dim-on-dim chain)
+    * silently doesn't fit it — the chained join would resolve the key
+    * only after the earlier dim attached, and the per-dim span terms
+    * would probe the wrong side. Fail loud with the workaround
+    * instead of an opaque unresolved-column error mid-join. */
+  private def requireStarShape(spark: SparkSession, factDir: String,
+                               dims: Seq[DimSpec]): Unit = {
+    val factCols = spark.read.option("mergeSchema", "true")
+      .parquet(factDir).schema.fieldNames.toSet
+    dims.zipWithIndex.foreach { case (d, i) =>
+      val missing = d.joinKeys.filterNot(factCols.contains)
+      require(missing.isEmpty,
+        s"dim #$i (${d.dir}) joins on " +
+          s"${missing.mkString("[", ", ", "]")}, which are not FACT " +
+          "columns: this loop maintains a STAR (every dim equi-joins " +
+          "the fact directly), not a snowflake dim-on-dim chain. " +
+          "Pre-join the snowflake arm into ONE dim table (and log " +
+          "that table) so it joins the fact on fact columns, or " +
+          "restructure the view")
+    }
+  }
+
   private val AsOfFCol = "_as_of_f"
   private def asOfDCol(i: Int) = s"_as_of_d$i"
   private val PartCol = "gv_pt" // same convention as MaterializedView
@@ -108,6 +133,7 @@ object StarJoinView {
     require(joinType == "inner" || joinType == "left",
       s"joinType '$joinType' — this loop maintains inner and chained " +
         "left outer star views")
+    requireStarShape(spark, factDir, dims)
     val allJoinKeys = dims.flatMap(_.joinKeys).distinct
     val names = measures.map(_._1)
     if (MaterializedView.isInvalid(spark, viewDir)) {
@@ -285,6 +311,7 @@ object StarJoinView {
     require(joinType == "inner" || joinType == "left",
       s"joinType '$joinType' — this loop maintains inner and chained " +
         "left outer star views")
+    requireStarShape(spark, factDir, dims)
     require(viewDims.contains(partDim),
       s"partDim '$partDim' must be one of the view dims " +
         s"${viewDims.mkString("[", ", ", "]")} — a group must live " +
@@ -354,8 +381,14 @@ object StarJoinView {
         saveVec(spark, vecPosPath(viewDir), rec)
         rec
       }
-    if (pos.indices.forall(i => pos(i) >= heads(i)))
+    if (pos.indices.forall(i => pos(i) >= heads(i))) {
+      // A marker here is a leftover (stamps never exceed a committed
+      // at-the-head vector — the ahead-scan would find nothing); clear
+      // it so later data-bearing refreshes skip the repair scan.
+      val m = new Path(swapMarkerPath(viewDir))
+      if (fs.exists(m)) fs.delete(m, false)
       return registered(pos)
+    }
     val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
       measures, pos, heads, joinType, fCols).localCheckpoint()
     val deltaTouched = delta.select(col(partDim)).distinct()

@@ -100,7 +100,11 @@ object Vacuum {
     * must be zero. The DuckDB oracle recomputes the restored
     * partition's row count from source — a hash match proves the
     * restore brought back exactly the rows the crash had in flight,
-    * not a plausible-looking directory. */
+    * not a plausible-looking directory. Honesty note: ONLY
+    * `restored_rows` is source-recomputed; the four action-count
+    * columns are deterministic contract pins (the fixture plants
+    * exactly these four crash shapes), asserted — not re-derived —
+    * by the oracle. */
   def sweepHealthFace(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = graft.sim.AnnIndex.dir(s, dir, "vacuum_health")

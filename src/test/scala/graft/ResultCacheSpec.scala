@@ -180,4 +180,49 @@ class ResultCacheSpec extends SparkSpec {
     assert(computes === 4)
     assert(nDirs === 1, "keepSignatures = 1 must retain only current")
   }
+
+  test("LRU ordering reads the _served body epoch, not the file " +
+      "mtime: equal mtimes still evict the content-older entry") {
+    val base = tmpDir("rcache-body")
+    val input = s"$base/input"
+    val root = s"$base/cache"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(rows: (Long, Long, Long)*): Unit = {
+      fs.delete(new Path(input), true)
+      df(rows: _*).write.partitionBy("batch_id").parquet(input)
+    }
+    def serve(): Unit = {
+      ResultCache.serve(spark, root, "q", Seq(input)) {
+        spark.read.parquet(input).agg(sum(col("v")).as("s"))
+      }
+      ()
+    }
+    def dirs: Set[String] = fs.listStatus(new Path(s"$root/q"))
+      .map(_.getPath.getName).filter(_.startsWith("data-")).toSet
+
+    write((1L, 10L, 1L)); serve()
+    val dirA = dirs.head
+    write((2L, 20L, 1L)); serve()
+    val dirB = (dirs - dirA).head
+    // Rewrite both stamps: A claims the NEWER epoch in its body, B the
+    // older — then pin both files to the SAME mtime. An mtime-ordered
+    // eviction would tie-break arbitrarily; the content order must
+    // keep A and evict B.
+    def stamp(dir: String, epoch: Long): Unit = {
+      val p = new Path(s"$root/q/$dir/_served")
+      val out = fs.create(p, true)
+      try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+      fs.setTimes(p, 1700000000000L, 1700000000000L)
+    }
+    stamp(dirA, 2000L)
+    stamp(dirB, 1000L)
+    write((3L, 30L, 1L)); serve() // third signature → evict one
+    val after = dirs
+    assert(after.contains(dirA),
+      "the entry whose _served BODY is newer must survive")
+    assert(!after.contains(dirB),
+      "the entry whose _served BODY is older must evict, regardless " +
+        "of equal file mtimes")
+  }
 }

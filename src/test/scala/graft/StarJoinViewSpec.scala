@@ -344,4 +344,39 @@ class StarJoinViewSpec extends SparkSpec {
     assertConverged(viewDir, fDir, d1Dir, d2Dir,
       "logged d2 span over unlogged fact + d1")
   }
+
+  test("a SNOWFLAKE spec (dim joining on another dim's column, not a " +
+      "fact column) is rejected loudly, naming the workaround") {
+    val base = tmpDir("sjv-snowflake")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/v"
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "a", 2L)), partitionCol = "pt")
+    // d2 keyed on d1's g1 column — a dim-on-dim chain the ordered
+    // decomposition cannot maintain; it must fail loud at the spec,
+    // not with an opaque unresolved-column error mid-join.
+    MergeUpsert.replaceAll(spark, d2Dir,
+      spark.range(1).select(lit("a").as("g1"), lit(7L).as("w2"))
+        .withColumn("pt", lit("all")), partitionCol = "pt")
+    val e = intercept[IllegalArgumentException] {
+      StarJoinView.refresh(spark, fDir,
+        Seq(DimSpec(d1Dir, Seq("k1"), Seq("k1")),
+          DimSpec(d2Dir, Seq("g1"), Seq("g1"))),
+        viewDir, Seq("id"), Seq("g1"),
+        Seq(("mw", col("m") * col("w2"))))
+    }
+    assert(e.getMessage.contains("snowflake") &&
+      e.getMessage.contains("Pre-join"),
+      s"error must name the limitation and workaround: ${e.getMessage}")
+    // The partitioned form carries the same guard.
+    val e2 = intercept[IllegalArgumentException] {
+      StarJoinView.refreshPartitioned(spark, fDir,
+        Seq(DimSpec(d2Dir, Seq("g1"), Seq("g1"))),
+        s"$base/v2", Seq("id"), Seq("g1"),
+        Seq(("mw", col("m") * col("w2"))), partDim = "g1")
+    }
+    assert(e2.getMessage.contains("snowflake"))
+  }
 }
