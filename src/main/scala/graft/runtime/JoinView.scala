@@ -153,6 +153,95 @@ object JoinView {
       StructType(fields.toArray))
   }
 
+  /** The view's CONFIG SIGNATURE — a canonical rendering of every
+    * knob that determines what the persisted state MEANS: join type,
+    * physical layout (single-slot vs hive-partitioned and on which
+    * dim), both row keys, the join keys, dims, measure
+    * name:expression pairs, and the per-side column restrictions.
+    * Committed as a `_cfg` sibling at seed time and compared on every
+    * later refresh: maintained state is only valid under the EXACT
+    * definition that seeded it (an inner-seeded view maintained with
+    * left deltas, or a gv_pt=all layout discovered under a
+    * datetime=X partition scheme, silently corrupts or fails
+    * mid-read), so any mismatch — including a missing file, the
+    * pre-cfg-revision upgrade case — drops the state and re-seeds
+    * from the bases: one loud O(base join) bill instead of a silent
+    * wrong answer or an opaque mixed-layout discovery error. */
+  private def cfgText(layout: String, joinType: String,
+                      aKeys: Seq[String], bKeys: Seq[String],
+                      joinKeys: Seq[String], dims: Seq[String],
+                      measures: Seq[(String, Column)],
+                      aCols: Option[Seq[String]],
+                      bCols: Option[Seq[String]]): String =
+    Seq(
+      s"layout=$layout",
+      s"joinType=$joinType",
+      s"aKeys=${aKeys.mkString(",")}",
+      s"bKeys=${bKeys.mkString(",")}",
+      s"joinKeys=${joinKeys.mkString(",")}",
+      s"dims=${dims.mkString(",")}",
+      s"measures=${measures
+        .map { case (n, e) => s"$n:${e.toString}" }.mkString(";")}",
+      s"aCols=${aCols.map(_.mkString(",")).getOrElse("*")}",
+      s"bCols=${bCols.map(_.mkString(",")).getOrElse("*")}"
+    ).mkString("\n")
+
+  private def cfgPath(viewDir: String): String =
+    viewDir.stripSuffix("/") + "_cfg"
+
+  private def loadCfg(spark: SparkSession,
+                      viewDir: String): Option[String] = {
+    val p = new Path(cfgPath(viewDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      Some(new String(buf.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
+  private def saveCfg(spark: SparkSession, viewDir: String,
+                      text: String): Unit = {
+    val p = new Path(cfgPath(viewDir))
+    val tmp = new Path(cfgPath(viewDir) + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Drop state whose committed config does not match `cfg` (or that
+    * predates config commits) so the caller's path re-seeds. Returns
+    * true when a drop happened. No-op when no state exists. */
+  private def dropIfCfgChanged(spark: SparkSession, viewDir: String,
+                               cfg: String): Boolean = {
+    val p = new Path(viewDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState =
+      fs.exists(p) && MergeUpsert.sweepAndHasData(fs, p)
+    if (!hasState) return false
+    val stored = loadCfg(spark, viewDir)
+    if (stored.contains(cfg)) return false
+    System.err.println(
+      s"WARN [graft.JoinView] view $viewDir was seeded under a " +
+        "different definition (" +
+        stored.fold("no committed config — pre-config revision")(_ =>
+          "config mismatch") +
+        "); dropping its state to re-seed under the current one — " +
+        "maintained state is only valid under the definition that " +
+        "seeded it")
+    fs.delete(p, true)
+    fs.delete(new Path(pairPosPath(viewDir)), false)
+    fs.delete(new Path(swapMarkerPath(viewDir)), false)
+    fs.delete(new Path(cfgPath(viewDir)), false)
+    true
+  }
+
   /** Seed (first call) or incrementally refresh the join view at
     * `viewDir` over the logged tables at `aDir`/`bDir`. `aKeys`/`bKeys`
     * are each table's row key; `joinKeys` the equi-join columns (must
@@ -182,6 +271,9 @@ object JoinView {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
+    val cfg = cfgText("single", joinType, aKeys, bKeys, joinKeys,
+      dims, measures, aCols, bCols)
+    dropIfCfgChanged(spark, viewDir, cfg)
     val ha = Incremental.highWatermark(spark, ChangeLog.logDir(aDir))
       .getOrElse(-1L)
     val hb = Incremental.highWatermark(spark, ChangeLog.logDir(bDir))
@@ -203,6 +295,7 @@ object JoinView {
         val seed = seedAggregate(spark, aDir, bDir, aKeys, bKeys,
           joinKeys, dims, measures, joinType, aCols, bCols)
         persist(seed, ha, hb)
+        saveCfg(spark, viewDir, cfg)
         registered(ha, hb)
       case Some((pa, pb)) if pa >= ha && pb >= hb =>
         registered(pa, pb) // nothing new on either side
@@ -401,7 +494,11 @@ object JoinView {
       fs.delete(viewPath, true)
       fs.delete(new Path(pairPosPath(viewDir)), false)
       fs.delete(new Path(swapMarkerPath(viewDir)), false)
+      fs.delete(new Path(cfgPath(viewDir)), false)
     }
+    val cfg = cfgText(s"part:$partDim", joinType, aKeys, bKeys,
+      joinKeys, dims, measures, aCols, bCols)
+    dropIfCfgChanged(spark, viewDir, cfg)
     val ha = Incremental.highWatermark(spark, ChangeLog.logDir(aDir))
       .getOrElse(-1L)
     val hb = Incremental.highWatermark(spark, ChangeLog.logDir(bDir))
@@ -422,6 +519,7 @@ object JoinView {
         seed.withColumn(AsOfACol, lit(ha)).withColumn(AsOfBCol, lit(hb)),
         partitionCol = partDim)
       savePair(spark, pairPosPath(viewDir), ha, hb)
+      saveCfg(spark, viewDir, cfg)
       return registered(ha, hb)
     }
     val (pa, pb) = loadPair(spark, pairPosPath(viewDir)).getOrElse {
@@ -434,7 +532,16 @@ object JoinView {
       savePair(spark, pairPosPath(viewDir), rec._1, rec._2)
       rec
     }
-    if (pa >= ha && pb >= hb) return registered(pa, pb)
+    if (pa >= ha && pb >= hb) {
+      // A marker here is a LEFTOVER: the pair file only advances after
+      // its refresh's swaps, so stamps never exceed a committed
+      // at-the-head pair — the ahead-scan would find nothing. Clear it
+      // now, or every later data-bearing refresh pays the full-view
+      // repair scan until one happens to complete the full path.
+      val m = new Path(swapMarkerPath(viewDir))
+      if (fs.exists(m)) fs.delete(m, false)
+      return registered(pa, pb)
+    }
     val delta = spanDelta(spark, aDir, bDir, aKeys, bKeys, joinKeys,
       dims, measures, pa, pb, ha, hb, joinType, aCols, bCols)
       .localCheckpoint()

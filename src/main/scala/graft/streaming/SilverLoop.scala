@@ -97,7 +97,9 @@ object SilverLoop {
     * the episode gold, `gold_webtoon_daily_metrics.py:74-77`) kept
     * current incrementally from BOTH gold change logs instead of
     * re-joined per refresh: per datetime, episode-grain sessions and
-    * the webtoon-level session totals each episode row fans out to.
+    * the webtoon-level session totals each episode row fans out to —
+    * as a LEFT OUTER view (the reference dependency is ⟕; see
+    * [[refreshGoldJoinView]]).
     * Maintained in the PARTITIONED form on the datetime dim (each
     * micro-batch rewrites only the dates its spans touch — the
     * per-partition pair split commit), with both sides projected to
@@ -166,35 +168,57 @@ object SilverLoop {
           ()
         }
         if (joinView) {
-          import org.apache.spark.sql.functions.col
-          // The PARTITIONED form on the view's datetime dim: the
-          // steady-state loop bill is O(spans + touched dates), not
-          // O(|view|) — at warehouse grain a micro-batch touches a
-          // handful of dates while the view holds years. aCols/bCols
-          // project each gold down to its keys plus the one referenced
-          // measure, honoring CdcJoinView's non-key-collision contract
-          // mechanically (the golds share generic names — n_rows,
-          // complete_rows, exit_rows — that must not meet in the join).
-          graft.runtime.JoinView.refreshPartitioned(spark,
-            s"$warehouseDir/gold_episode_daily",
-            s"$warehouseDir/gold_webtoon_daily",
-            s"$warehouseDir/gold_episode_webtoon_jview",
-            aKeys = Seq("datetime", "webtoon_id", "episode_id"),
-            bKeys = Seq("datetime", "webtoon_id"),
-            joinKeys = Seq("datetime", "webtoon_id"),
-            dims = Seq("datetime"),
-            // Side-unique columns only: `sessions` is episode-grain,
-            // `total_sessions` the webtoon-level figure each episode
-            // row fans out to.
-            measures = Seq(
-              ("ep_sessions", col("sessions")),
-              ("wt_sessions_fanout", col("total_sessions"))),
-            partDim = "datetime",
-            aCols = Some(Seq("sessions")),
-            bCols = Some(Seq("total_sessions")))
+          refreshGoldJoinView(spark, warehouseDir)
           ()
         }
       }
       .start()
+  }
+
+  /** The in-loop gold→gold view refresh, named so operational code
+    * (and the spec) can drive the EXACT loop definition out of band —
+    * e.g. to catch the view up after a crash between the episode and
+    * webtoon gold stages left the logs skewed for one batch.
+    *
+    * PARTITIONED form on the view's datetime dim: the steady-state
+    * loop bill is O(spans + touched dates), not O(|view|) — at
+    * warehouse grain a micro-batch touches a handful of dates while
+    * the view holds years. aCols/bCols project each gold down to its
+    * keys plus the one referenced measure, honoring CdcJoinView's
+    * non-key-collision contract mechanically (the golds share generic
+    * names — n_rows, complete_rows, exit_rows — that must not meet in
+    * the join). `joinType = "left"`: the reference dependency this
+    * view models is ⟕ (`gold_webtoon_daily_metrics.py:74-77` reads
+    * the episode gold into a LEFT-preserved webtoon frame; every
+    * reference gold join is left-outer) — an episode grain whose
+    * (datetime, webtoon) key has no webtoon-gold row yet (the
+    * crash-between-stages skew above) still serves, fanout 0 under
+    * the NULL-as-0 measure contract, and retracts into the joined
+    * figure when the key lands. Upgrade note: JoinView commits the
+    * view's config signature at seed and DROPS+RE-SEEDS state seeded
+    * under a different definition (the pre-flip inner view, or the
+    * pre-r16 gv_pt layout) — one loud O(base join) bill, never a
+    * silently mis-maintained or mixed-layout view. */
+  def refreshGoldJoinView(spark: org.apache.spark.sql.SparkSession,
+                          warehouseDir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    graft.runtime.JoinView.refreshPartitioned(spark,
+      s"$warehouseDir/gold_episode_daily",
+      s"$warehouseDir/gold_webtoon_daily",
+      s"$warehouseDir/gold_episode_webtoon_jview",
+      aKeys = Seq("datetime", "webtoon_id", "episode_id"),
+      bKeys = Seq("datetime", "webtoon_id"),
+      joinKeys = Seq("datetime", "webtoon_id"),
+      dims = Seq("datetime"),
+      // Side-unique columns only: `sessions` is episode-grain,
+      // `total_sessions` the webtoon-level figure each episode
+      // row fans out to.
+      measures = Seq(
+        ("ep_sessions", col("sessions")),
+        ("wt_sessions_fanout", col("total_sessions"))),
+      partDim = "datetime",
+      joinType = "left",
+      aCols = Some(Seq("sessions")),
+      bCols = Some(Seq("total_sessions")))
   }
 }

@@ -310,6 +310,55 @@ class JoinViewSpec extends SparkSpec {
       "netted-away crashed swap (pair form)")
     assert(!fs.exists(p(viewDir + "_swapping")),
       "the marker must clear once the pair file commits")
+
+    // A LEFTOVER marker (crash after the pair commit but before the
+    // marker delete) must clear on the nothing-new fast path too —
+    // otherwise every later data-bearing refresh pays the full-view
+    // repair scan until one completes the full path.
+    fs.create(p(viewDir + "_swapping"), true).close()
+    assert(refreshPart(aDir, bDir, viewDir) === (2L, -1L))
+    assert(!fs.exists(p(viewDir + "_swapping")),
+      "the nothing-new early return must clear a leftover marker")
+  }
+
+  test("config signature guards the state's MEANING: a joinType flip " +
+      "or a layout change drops and re-seeds instead of silently " +
+      "maintaining foreign state; same definition never re-seeds") {
+    val (aDir, bDir, viewDir) = seeded("jv-cfg")
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.exists(p(viewDir + "_cfg")),
+      "the seed must commit the view's config signature")
+    // Same definition: a data-bearing refresh keeps the state (the
+    // view advances incrementally, no re-seed).
+    publishA(aDir, 1L, (1L, 10L, 4L), (3L, 20L, 5L), (4L, 30L, 7L))
+    assert(refresh(aDir, bDir, viewDir) === (1L, -1L))
+    assertConverged(viewDir, aDir, bDir, "same-config refresh")
+    // joinType flip: the inner-seeded state means something else under
+    // left maintenance — it must drop and re-seed, and converge to the
+    // LEFT recompute.
+    JoinView.refresh(spark, aDir, bDir, viewDir, Seq("id"), Seq("bk"),
+      Seq("jk"), Seq("grp"), measures, joinType = "left")
+    val leftExpected = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir).drop("pt"), Seq("jk"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("m") * col("w"), lit(0L))).as("mw"))
+      .select(col("grp"), col("mw"), col("n_rows"))
+    assert(cells(viewNow(viewDir)) === cells(leftExpected),
+      "the flipped view must re-seed under LEFT semantics")
+    // Layout change: the same definition moved from the single-slot
+    // gv_pt layout to a hive-partitioned one must also re-seed (a
+    // mixed-layout discovery otherwise fails or double-counts).
+    JoinView.refreshPartitioned(spark, aDir, bDir, viewDir, Seq("id"),
+      Seq("bk"), Seq("jk"), Seq("grp"), measures, partDim = "grp",
+      joinType = "left")
+    assert(fs.exists(p(s"$viewDir/grp=g1")),
+      "the re-seeded view must carry the partitioned layout")
+    assert(cells(spark.read.parquet(viewDir)
+        .drop("_as_of_a", "_as_of_b")) === cells(leftExpected),
+      "the re-laid-out view must converge to the same answer")
   }
 
   test("a collapse behind EITHER log fails loud; invalidation (either " +

@@ -412,12 +412,17 @@ class SilverLoopSpec extends SparkSpec {
     }
     val view = spark.read.parquet(s"$wh/gold_episode_webtoon_jview")
       .drop("_as_of_a", "_as_of_b", "gv_pt")
+    // The in-loop view is LEFT OUTER (the reference dependency shape);
+    // mirror with a left re-join + the NULL-as-0 measure contract —
+    // equal to the inner re-join while the chain keeps both golds in
+    // lockstep, and still defined when they skew.
     val expected = spark.read.parquet(s"$wh/gold_episode_daily")
       .join(spark.read.parquet(s"$wh/gold_webtoon_daily"),
-        Seq("datetime", "webtoon_id"))
+        Seq("datetime", "webtoon_id"), "left")
       .groupBy(col("datetime"))
       .agg(sum(col("sessions")).as("ep_sessions"),
-        sum(col("total_sessions")).as("wt_sessions_fanout"),
+        sum(coalesce(col("total_sessions"), lit(0L)))
+          .as("wt_sessions_fanout"),
         count(lit(1)).as("n_rows"))
     assert(cells(view) === cells(expected),
       "streamed join view diverged from the endpoint re-join")
@@ -458,12 +463,96 @@ class SilverLoopSpec extends SparkSpec {
       .drop("_as_of_a", "_as_of_b")
     val expected2 = spark.read.parquet(s"$wh/gold_episode_daily")
       .join(spark.read.parquet(s"$wh/gold_webtoon_daily"),
-        Seq("datetime", "webtoon_id"))
+        Seq("datetime", "webtoon_id"), "left")
       .groupBy(col("datetime"))
       .agg(sum(col("sessions")).as("ep_sessions"),
-        sum(col("total_sessions")).as("wt_sessions_fanout"),
+        sum(coalesce(col("total_sessions"), lit(0L)))
+          .as("wt_sessions_fanout"),
         count(lit(1)).as("n_rows"))
     assert(cells(view2) === cells(expected2),
       "the partitioned in-loop view diverged after the 01-02 batch")
+  }
+
+  test("LEFT in-loop view: an episode grain whose webtoon-gold key " +
+      "is absent serves null-extended (fanout 0) and retracts into " +
+      "the joined figure when the key lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronze = tmpDir("jvl-bronze")
+    val wh = tmpDir("jvl-wh")
+    val wmPath = s"${tmpDir("jvl-wm")}/wm"
+    val ckpt = tmpDir("jvl-ckpt")
+    val b1 = Seq(
+      ev("l1", 1, "s1", "2024-01-01T10:00:00+00:00", "enter", 0.0),
+      ev("l2", 2, "s2", "2024-01-01T11:00:00+00:00", "enter", 0.0))
+    val stream = MemoryStream[String]
+    stream.addData(b1)
+    SilverLoop.startPipeline(BronzeIngest.parse(stream.toDF()), bronze,
+      wh, wmPath, ckpt, toSilver, availableNow = true,
+      joinView = true).awaitTermination()
+
+    val epDir = s"$wh/gold_episode_daily"
+    val wtDir = s"$wh/gold_webtoon_daily"
+    val viewDir = s"$wh/gold_episode_webtoon_jview"
+    def cells(d: DataFrame): Seq[Seq[String]] = {
+      val cols = d.columns.sorted
+      d.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    def viewNow: DataFrame = spark.read.parquet(viewDir)
+      .drop("_as_of_a", "_as_of_b")
+    def expectedNow: DataFrame = spark.read.parquet(epDir)
+      .join(spark.read.parquet(wtDir), Seq("datetime", "webtoon_id"),
+        "left")
+      .groupBy(col("datetime"))
+      .agg(sum(col("sessions")).as("ep_sessions"),
+        sum(coalesce(col("total_sessions"), lit(0L)))
+          .as("wt_sessions_fanout"),
+        count(lit(1)).as("n_rows"))
+    def fanout(): Long = viewNow
+      .filter(col("datetime") === "2024-01-01")
+      .select(col("wt_sessions_fanout")).head().getLong(0)
+    val fanout0 = fanout()
+
+    // Plant the crash-between-gold-stages skew: an episode-gold batch
+    // lands a NEW (01-01, webtoon_9) grain — no webtoon-gold row for
+    // that key yet (the webtoon stage "crashed"). The LEFT view must
+    // serve the grain null-extended: its sessions count, fanout 0.
+    val ep0101 = spark.read.parquet(epDir)
+      .filter(col("datetime") === "2024-01-01").localCheckpoint()
+    val planted = ep0101.limit(1)
+      .withColumn("webtoon_id", lit("webtoon_9"))
+      .withColumn("episode_id", lit("ep_9"))
+      .withColumn("sessions", lit(4L)).localCheckpoint()
+    graft.runtime.ChangeLog.recordBatch(spark, epDir,
+      Seq("datetime", "webtoon_id", "episode_id"), 50L)(
+      graft.silver.MergeUpsert.replacePartitions(spark, epDir,
+        ep0101.unionByName(planted),
+        Seq(java.sql.Date.valueOf("2024-01-01"))))
+    SilverLoop.refreshGoldJoinView(spark, wh)
+    assert(cells(viewNow) === cells(expectedNow),
+      "view with an unmatched episode grain diverged from the left " +
+        "re-join")
+    assert(fanout() === fanout0,
+      "an unmatched grain must contribute 0 fanout (NULL-as-0), not " +
+        "a joined figure")
+
+    // The key LANDS: a webtoon-gold batch adds (01-01, webtoon_9).
+    // The null-extension must retract and the joined fanout appear.
+    val wt0101 = spark.read.parquet(wtDir)
+      .filter(col("datetime") === "2024-01-01").localCheckpoint()
+    val landed = wt0101.limit(1)
+      .withColumn("webtoon_id", lit("webtoon_9"))
+      .withColumn("total_sessions", lit(4L)).localCheckpoint()
+    graft.runtime.ChangeLog.recordBatch(spark, wtDir,
+      Seq("datetime", "webtoon_id"), 51L)(
+      graft.silver.MergeUpsert.replacePartitions(spark, wtDir,
+        wt0101.unionByName(landed),
+        Seq(java.sql.Date.valueOf("2024-01-01"))))
+    SilverLoop.refreshGoldJoinView(spark, wh)
+    assert(cells(viewNow) === cells(expectedNow),
+      "view after the key landed diverged from the left re-join")
+    assert(fanout() === fanout0 + 4L,
+      "the landed key's fanout must replace the null-extension")
   }
 }
