@@ -109,6 +109,65 @@ object Consumers {
     f.rename(tmp, p)
   }
 
+  /** POINTER (indirect) registration — [[register]] for a consumer
+    * whose positions are COMMITTED ELSEWHERE in one atomic
+    * multi-position file ([[JoinView]]'s pair file,
+    * [[StarJoinView]]'s vector file). The registry entry stores only
+    * a STATIC pointer — the file's path and which comma-separated
+    * component is this log's position — and [[list]] resolves the
+    * position by reading that file at listing time (one tiny read,
+    * metadata-scale). Because every side of a multi-log view points
+    * at the SAME file, the registries can never disagree about the
+    * view's applied positions: advancing the file IS advancing every
+    * registration, one rename — the multi-entry atomic registration
+    * the write-a-then-write-b sequence could only approximate. A
+    * missing or torn pointer target resolves to −1 (clamps every
+    * fold — conservative: the states that produce it are
+    * pre-first-commit or crash-before-position-commit, and the view
+    * heals both on its next refresh). Re-registering only refreshes
+    * the liveness stamp; there is no per-refresh position write left
+    * to tear. */
+  def registerPointer(spark: SparkSession, tableDir: String,
+                      name: String, posPath: String, component: Int,
+                      viewDir: Option[String] = None): Unit = {
+    require(validName(name),
+      s"consumer name '$name' must be a non-empty [A-Za-z0-9_.-]+ " +
+        "token not starting with '_' or '.'")
+    require(component >= 0,
+      "component must index a position in the pointer target")
+    val p = new Path(dir(tableDir), name)
+    val tmp = new Path(dir(tableDir), name + ".tmp")
+    val f = fs(spark, p)
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"@pos $component $posPath\n" + viewDir.getOrElse("") + "\n" +
+        System.currentTimeMillis().toString + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  /** Resolve a pointer registration's position: component `i` of the
+    * comma-separated longs in `posPath`, −1 when the file is missing,
+    * torn, or too short (see [[registerPointer]] — conservative). */
+  private def resolvePointer(spark: SparkSession, posPath: String,
+                             component: Int): Long = {
+    val p = new Path(posPath)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return -1L
+    val text =
+      try {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](512)
+          val n = in.read(bytes)
+          if (n <= 0) "" else new String(bytes, 0, n, "UTF-8").trim
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    text.split(",").lift(component).flatMap(_.trim.toLongOption)
+      .getOrElse(-1L)
+  }
+
   /** Drop consumer `name` from the registry — a retired consumer must
     * unregister, or its last position pins the collapse forever. */
   def unregister(spark: SparkSession, tableDir: String,
@@ -133,7 +192,21 @@ object Consumers {
         new String(buf.toByteArray, "UTF-8")
       } finally in.close()
     val lines = text.split("\n", 4)
-    lines.headOption.flatMap(_.trim.toLongOption).map { pos =>
+    val head0 = lines.headOption.map(_.trim).getOrElse("")
+    if (head0.startsWith("@pos ")) {
+      // Pointer registration ([[registerPointer]]): resolve the
+      // position from the atomically-committed target file.
+      head0.split(" ", 3) match {
+        case Array(_, comp, path) =>
+          comp.toIntOption.map { c =>
+            val vd = lines.lift(1).map(_.trim).filter(_.nonEmpty)
+            val at =
+              lines.lift(2).flatMap(_.trim.toLongOption).getOrElse(0L)
+            Registration(name, resolvePointer(spark, path, c), vd, at)
+          }
+        case _ => None // malformed — list() fails loud
+      }
+    } else lines.headOption.flatMap(_.trim.toLongOption).map { pos =>
       val vd = lines.lift(1).map(_.trim).filter(_.nonEmpty)
       val at = lines.lift(2).flatMap(_.trim.toLongOption).getOrElse(0L)
       val obs = lines.lift(3).exists(_.trim == "observer")

@@ -39,20 +39,32 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * re-applies). There is no between-positions state to recover —
   * torn pairs are structurally unreachable, which is the whole design.
   * The recovery sweep heals a between-renames crash like every other
-  * table here.
+  * table here. The sibling `_pos` pair file this form ALSO maintains
+  * is not the commit — the data swap is — it is the REGISTRY
+  * RESOLUTION TARGET the pointer registrations read (see below);
+  * written after each swap and healed on the nothing-new path, it
+  * only ever lags the data, which resolves conservatively.
   *
-  * Consumer registration, BOTH registries: every committed refresh
-  * registers `jview-a-*` in A's [[Consumers]] and `jview-b-*` in B's,
-  * each carrying the view directory — so neither log's
-  * [[ChangeLog.checkpoint]] can fold entries the view still owes, and
-  * a purge of EITHER log ([[Forget]]/[[Retention]] →
-  * [[Consumers.invalidateAll]]) invalidates the view: its next refresh
-  * discards state and re-seeds from the (already purged) bases. The
-  * unregistered window between the data swap and the registers is
-  * conservative: the registries then lag AT OR BELOW the committed
-  * positions, so a concurrent fold stops early — never past what the
-  * view still needs (a fold can also never pass a log's head, and the
-  * just-committed positions ARE the heads).
+  * Consumer registration, BOTH registries, ATOMIC BY INDIRECTION:
+  * the view registers `jview-a-*` in A's [[Consumers]] and
+  * `jview-b-*` in B's as POINTER registrations
+  * ([[Consumers.registerPointer]]) — each registry file holds only a
+  * static pointer at the view's pair-position file and which
+  * component is that log's position, so the two registries can NEVER
+  * disagree: advancing the pair file advances both registrations in
+  * ONE rename, and there is no per-refresh position write left to
+  * crash between. The pointers are written BEFORE the seed (static
+  * content — from then on only liveness stamps rewrite them), closing
+  * the historical no-entry window; while the pair file is missing or
+  * lagging the data (the only remaining windows: pre-first-commit, a
+  * crash between the data swap and the pair-file write) both sides
+  * resolve conservatively low, a fold stops early, and the next
+  * refresh heals the file. Each registration carries the view
+  * directory, so neither log's [[ChangeLog.checkpoint]] can fold
+  * entries the view still owes, and a purge of EITHER log
+  * ([[Forget]]/[[Retention]] → [[Consumers.invalidateAll]])
+  * invalidates the view: its next refresh discards state and
+  * re-seeds from the (already purged) bases.
   *
   * Ordering hazard, stated: `hb` (B's head) is read BEFORE B's table —
   * under the single-writer-per-table discipline every maintenance op
@@ -63,11 +75,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (head −1, its branch of the decomposition empty, and its span-start
   * state IS its current state — the other side's branch reads it
   * directly, never through [[ChangeLog.snapshotAt]]); enabling CDC on
-  * it later starts its history at that point. A related window: the
-  * two consumer REGISTRY files are written a-then-b, non-atomically —
-  * a crash between them leaves one registry at an older position,
-  * which is conservative (a fold stops early, never past what the
-  * view owes) and self-heals on the next committed refresh.
+  * it later starts its history at that point.
   *
   * `joinType` extends the loop to LEFT OUTER views — the shape every
   * reference gold join takes (J1–J9) — via
@@ -266,10 +274,12 @@ object JoinView {
     // re-seed from the (already purged) bases — a join view is row
     // images × join fan-out, the same must-not-serve-stale class as
     // the single-log views.
+    val fsV = new Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (MaterializedView.isInvalid(spark, viewDir)) {
-      val p = new Path(viewDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+      fsV.delete(new Path(viewDir), true)
+      fsV.delete(new Path(pairPosPath(viewDir)), false)
+      fsV.delete(new Path(cfgPath(viewDir)), false)
     }
     val cfg = cfgText("single", joinType, aKeys, bKeys, joinKeys,
       dims, measures, aCols, bCols)
@@ -278,11 +288,14 @@ object JoinView {
       .getOrElse(-1L)
     val hb = Incremental.highWatermark(spark, ChangeLog.logDir(bDir))
       .getOrElse(-1L)
+    // Pointer registrations: static entries resolving positions from
+    // the pair file — both registries advance in the pair's ONE
+    // rename; these calls only (re)write the pointer + liveness stamp.
     def registered(pa: Long, pb: Long): (Long, Long) = {
-      Consumers.register(spark, aDir, consumerName(viewDir, "a"), pa,
-        viewDir = Some(viewDir))
-      Consumers.register(spark, bDir, consumerName(viewDir, "b"), pb,
-        viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, aDir, consumerName(viewDir, "a"),
+        pairPosPath(viewDir), 0, viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, bDir, consumerName(viewDir, "b"),
+        pairPosPath(viewDir), 1, viewDir = Some(viewDir))
       (pa, pb)
     }
     def persist(v: DataFrame, pa: Long, pb: Long): Unit =
@@ -292,19 +305,31 @@ object JoinView {
 
     positions(spark, viewDir) match {
       case None =>
+        // Pre-register BOTH pointers before any work: the entries are
+        // static, so the historical no-registration window disappears
+        // — a fold arriving mid-seed already sees both sides (at −1,
+        // the missing-pair-file resolution: conservative).
+        registered(-1L, -1L)
         val seed = seedAggregate(spark, aDir, bDir, aKeys, bKeys,
           joinKeys, dims, measures, joinType, aCols, bCols)
         persist(seed, ha, hb)
+        savePair(spark, pairPosPath(viewDir), ha, hb)
         saveCfg(spark, viewDir, cfg)
         registered(ha, hb)
       case Some((pa, pb)) if pa >= ha && pb >= hb =>
-        registered(pa, pb) // nothing new on either side
+        // Nothing new — but heal a pair file the last commit's crash
+        // window left missing or lagging the data (the registrations
+        // resolve from it; stale-low is conservative, not free).
+        if (!loadPair(spark, pairPosPath(viewDir)).contains((pa, pb)))
+          savePair(spark, pairPosPath(viewDir), pa, pb)
+        registered(pa, pb)
       case Some((pa, pb)) =>
         val delta = spanDelta(spark, aDir, bDir, aKeys, bKeys, joinKeys,
           dims, measures, pa, pb, ha, hb, joinType, aCols, bCols)
         val view = spark.read.parquet(viewDir)
           .drop(AsOfACol, AsOfBCol, PartCol)
         persist(CdcView.applyDelta(view, delta, dims, names), ha, hb)
+        savePair(spark, pairPosPath(viewDir), ha, hb)
         registered(ha, hb)
     }
   }
@@ -400,11 +425,15 @@ object JoinView {
         bCurrent, aAtStart, joinKeys, dims, measures)
   }
 
-  /** The partitioned form's PAIR-position file — one atomic file
-    * holding both positions (`pa,pb`): two separate watermark files
-    * could tear between writes, the exact state the pair design
-    * exists to make unrepresentable. Sibling of the view (never
-    * inside it — the seed's initial overwrite clears the root). */
+  /** The PAIR-position file — one atomic file holding both positions
+    * (`pa,pb`): two separate watermark files could tear between
+    * writes, the exact state the pair design exists to make
+    * unrepresentable. For [[refreshPartitioned]] it is the commit
+    * record; for [[refresh]] a registry-resolution mirror of the
+    * data-committed pair. Both forms' pointer registrations resolve
+    * from it, so advancing it advances both registries at once.
+    * Sibling of the view (never inside it — the seed's initial
+    * overwrite clears the root). */
   private def pairPosPath(viewDir: String): String =
     viewDir.stripSuffix("/") + "_pos"
 
@@ -504,15 +533,19 @@ object JoinView {
     val hb = Incremental.highWatermark(spark, ChangeLog.logDir(bDir))
       .getOrElse(-1L)
     def registered(pa: Long, pb: Long): (Long, Long) = {
-      Consumers.register(spark, aDir, consumerName(viewDir, "a"), pa,
-        viewDir = Some(viewDir))
-      Consumers.register(spark, bDir, consumerName(viewDir, "b"), pb,
-        viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, aDir, consumerName(viewDir, "a"),
+        pairPosPath(viewDir), 0, viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, bDir, consumerName(viewDir, "b"),
+        pairPosPath(viewDir), 1, viewDir = Some(viewDir))
       (pa, pb)
     }
     val hasState =
       fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
     if (!hasState) {
+      // Pre-register the static pointers before any work (see
+      // [[refresh]]) — a fold arriving mid-seed already sees both
+      // sides, resolved conservatively at −1 until the pair commits.
+      registered(-1L, -1L)
       val seed = seedAggregate(spark, aDir, bDir, aKeys, bKeys,
         joinKeys, dims, measures, joinType, aCols, bCols)
       MergeUpsert.replaceAll(spark, viewDir,

@@ -14,18 +14,24 @@ import org.apache.spark.sql.functions._
   * `_as_of_f` / `_as_of_d0` / … / `_as_of_d<k-1>` columns through the
   * single-hive-partition staged swap, so data and ALL K+1 positions
   * commit in ONE rename — a torn vector is structurally unreachable,
-  * the same argument as [[JoinView]]'s pair, and the reason this loop
-  * needs no position file at all.
+  * the same argument as [[JoinView]]'s pair. The sibling vector file
+  * the single-slot form also writes is not the commit — the data
+  * swap is — it is the resolution target the pointer registrations
+  * read; it only ever lags the data, which resolves conservatively.
   *
   * Every log gets a registered consumer (`sjview-f-*` /
   * `sjview-d<i>-*`, each carrying the view dir), so no log's
   * [[ChangeLog.checkpoint]] can fold entries the view still owes and
   * a purge of ANY of the K+1 logs invalidates the view into a
-  * re-seed. The K+1 registry files are written f-then-d₀-then-…,
-  * non-atomically: a crash mid-sequence leaves later registries at
-  * older positions — conservative (a fold stops early, never past
-  * what the view owes) and self-healing on the next committed
-  * refresh. A side with no change log is legal-static (head −1, no
+  * re-seed. The K+1 registrations are POINTERS
+  * ([[Consumers.registerPointer]]) at the view's vector-position
+  * file, one component each — static entries written before the
+  * seed, so the registries can never disagree: advancing the vector
+  * file advances all K+1 registrations in ONE rename, and a missing
+  * or lagging file resolves conservatively at −1 until the next
+  * refresh heals it. (The single-slot form commits positions through
+  * the data swap and mirrors them into the vector file for exactly
+  * this resolution.) A side with no change log is legal-static (head −1, no
   * term of its own, and its span-start state in OTHER sides' terms is
   * its current state, read directly — never via snapshotAt, which
   * needs a log) — enable CDC on it later and its history starts
@@ -136,21 +142,27 @@ object StarJoinView {
     requireStarShape(spark, factDir, dims)
     val allJoinKeys = dims.flatMap(_.joinKeys).distinct
     val names = measures.map(_._1)
+    val fsV = new Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (MaterializedView.isInvalid(spark, viewDir)) {
-      val p = new Path(viewDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+      fsV.delete(new Path(viewDir), true)
+      fsV.delete(new Path(vecPosPath(viewDir)), false)
     }
     def head(dir: String): Long =
       Incremental.highWatermark(spark, ChangeLog.logDir(dir))
         .getOrElse(-1L)
     val heads = head(factDir) +: dims.map(d => head(d.dir))
+    // Pointer registrations: static entries resolving positions from
+    // the vector file — all K+1 registries advance in its ONE rename;
+    // these calls only (re)write the pointer + liveness stamp.
     def registered(pos: Seq[Long]): Seq[Long] = {
-      Consumers.register(spark, factDir, consumerName(viewDir, "f"),
-        pos.head, viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, factDir,
+        consumerName(viewDir, "f"), vecPosPath(viewDir), 0,
+        viewDir = Some(viewDir))
       dims.zipWithIndex.foreach { case (d, i) =>
-        Consumers.register(spark, d.dir, consumerName(viewDir, s"d$i"),
-          pos(i + 1), viewDir = Some(viewDir))
+        Consumers.registerPointer(spark, d.dir,
+          consumerName(viewDir, s"d$i"), vecPosPath(viewDir), i + 1,
+          viewDir = Some(viewDir))
       }
       pos
     }
@@ -167,6 +179,10 @@ object StarJoinView {
 
     positions(spark, viewDir, dims.size) match {
       case None =>
+        // Pre-register every pointer before any work — a fold
+        // arriving mid-seed already sees all K+1 sides, resolved
+        // conservatively at −1 until the vector file commits.
+        registered(heads)
         // Seed: the one full star join, stamped at every head. The
         // left seed folds measure NULLs to 0 (sum(coalesce)) so it
         // agrees cell-for-cell with the delta path's contract.
@@ -186,9 +202,14 @@ object StarJoinView {
             col("n_rows"): _*)
         CdcView.requireExactMeasures(seed.schema, names)
         persist(seed, heads)
+        saveVec(spark, vecPosPath(viewDir), heads)
         registered(heads)
       case Some(pos) if pos.indices.forall(i => pos(i) >= heads(i)) =>
-        registered(pos) // nothing new on any side
+        // Nothing new — heal a vector file the last commit's crash
+        // window left missing or lagging the data-committed vector.
+        if (!loadVec(spark, vecPosPath(viewDir), pos.size).contains(pos))
+          saveVec(spark, vecPosPath(viewDir), pos)
+        registered(pos)
       case Some(pos) =>
         val delta = vectorDelta(spark, factDir, dims, fKeys, viewDims,
           measures, pos, heads, joinType, fCols)
@@ -196,6 +217,7 @@ object StarJoinView {
           PartCol
         val view = spark.read.parquet(viewDir).drop(dropCols: _*)
         persist(CdcView.applyDelta(view, delta, viewDims, names), heads)
+        saveVec(spark, vecPosPath(viewDir), heads)
         registered(heads)
     }
   }
@@ -333,11 +355,13 @@ object StarJoinView {
         .getOrElse(-1L)
     val heads = head(factDir) +: dims.map(d => head(d.dir))
     def registered(pos: Seq[Long]): Seq[Long] = {
-      Consumers.register(spark, factDir, consumerName(viewDir, "f"),
-        pos.head, viewDir = Some(viewDir))
+      Consumers.registerPointer(spark, factDir,
+        consumerName(viewDir, "f"), vecPosPath(viewDir), 0,
+        viewDir = Some(viewDir))
       dims.zipWithIndex.foreach { case (d, i) =>
-        Consumers.register(spark, d.dir, consumerName(viewDir, s"d$i"),
-          pos(i + 1), viewDir = Some(viewDir))
+        Consumers.registerPointer(spark, d.dir,
+          consumerName(viewDir, s"d$i"), vecPosPath(viewDir), i + 1,
+          viewDir = Some(viewDir))
       }
       pos
     }
@@ -350,6 +374,8 @@ object StarJoinView {
     val hasState =
       fs.exists(viewPath) && MergeUpsert.sweepAndHasData(fs, viewPath)
     if (!hasState) {
+      // Pre-register every pointer before any work (see [[refresh]]).
+      registered(heads)
       val joined = dims.foldLeft(
         projectPlain(read(factDir), fKeys, allJoinKeys, fCols)) {
         (acc, d) => acc.join(

@@ -321,6 +321,37 @@ class JoinViewSpec extends SparkSpec {
       "the nothing-new early return must clear a leftover marker")
   }
 
+  test("pointer registrations: both registries resolve the SAME pair " +
+      "from the ONE atomic pair file — one rename advances both; a " +
+      "missing file resolves conservatively at -1 on BOTH sides") {
+    val (aDir, bDir, viewDir) = seeded("jv-pointer")
+    publishA(aDir, 1L, (1L, 10L, 4L), (3L, 20L, 5L), (4L, 30L, 7L))
+    publishB(bDir, 1L, (100L, 10L, "g1", 15L), (101L, 20L, "g1", 20L),
+      (102L, 30L, "g2", 30L))
+    assert(refresh(aDir, bDir, viewDir) === (1L, 1L))
+    def posOf(dir: String): Long = Consumers.list(spark, dir)
+      .find(_.name.startsWith("jview-")).get.position
+    assert(posOf(aDir) === 1L && posOf(bDir) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // One rename moves BOTH registries: rewrite the pair file out of
+    // band and both sides' resolved positions follow, in lockstep —
+    // a disagreeing pair is unrepresentable.
+    JoinViewSpecHelper.writePair(fs, p(viewDir + "_pos"), 0L, 1L)
+    assert(posOf(aDir) === 0L && posOf(bDir) === 1L,
+      "resolution must read the pair file's components")
+    // Missing file (pre-first-commit / crash-before-position-commit):
+    // both sides resolve -1 — every fold clamps, conservative.
+    fs.delete(p(viewDir + "_pos"), false)
+    assert(posOf(aDir) === -1L && posOf(bDir) === -1L,
+      "a missing pair file must clamp both sides at -1")
+    // The nothing-new serve heals the file and both sides recover.
+    assert(refresh(aDir, bDir, viewDir) === (1L, 1L))
+    assert(posOf(aDir) === 1L && posOf(bDir) === 1L,
+      "the nothing-new path must heal the resolution target")
+  }
+
   test("config signature guards the state's MEANING: a joinType flip " +
       "or a layout change drops and re-seeds instead of silently " +
       "maintaining foreign state; same definition never re-seeds") {

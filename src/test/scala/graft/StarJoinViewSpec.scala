@@ -345,6 +345,41 @@ class StarJoinViewSpec extends SparkSpec {
       "logged d2 span over unlogged fact + d1")
   }
 
+  test("pointer registrations: all K+1 registries resolve the SAME " +
+      "vector from the one atomic file; a missing file clamps every " +
+      "side at -1; the nothing-new serve heals it") {
+    val base = tmpDir("sjv-pointer")
+    val fDir = s"$base/f"; val d1Dir = s"$base/d1"
+    val d2Dir = s"$base/d2"; val viewDir = s"$base/v"
+    MergeUpsert.replaceAll(spark, fDir,
+      fdf((1L, 10L, 100L, 2L), (3L, 20L, 100L, 5L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d1Dir,
+      d1df((10L, "a", 2L), (20L, "b", 3L)), partitionCol = "pt")
+    MergeUpsert.replaceAll(spark, d2Dir,
+      d2df((100L, "x", 7L)), partitionCol = "pt")
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, -1L, -1L))
+    ChangeLog.recordBatch(spark, d1Dir, Seq("k1"), 1L)(
+      MergeUpsert.replaceAll(spark, d1Dir,
+        d1df((10L, "a", 4L), (20L, "b", 3L)), partitionCol = "pt"))
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, 1L, -1L))
+    def posOf(dir: String): Long = Consumers.list(spark, dir)
+      .find(_.name.startsWith("sjview-")).get.position
+    assert(posOf(fDir) === -1L && posOf(d1Dir) === 1L &&
+      posOf(d2Dir) === -1L)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val posP = new org.apache.hadoop.fs.Path(viewDir + "_pos")
+    assert(fs.exists(posP),
+      "the single-slot form must mirror its vector for resolution")
+    fs.delete(posP, false)
+    assert(posOf(fDir) === -1L && posOf(d1Dir) === -1L &&
+      posOf(d2Dir) === -1L,
+      "a missing vector file must clamp every side at -1")
+    assert(refresh(fDir, d1Dir, d2Dir, viewDir) === Seq(-1L, 1L, -1L))
+    assert(posOf(d1Dir) === 1L,
+      "the nothing-new serve must heal the resolution target")
+  }
+
   test("a SNOWFLAKE spec (dim joining on another dim's column, not a " +
       "fact column) is rejected loudly, naming the workaround") {
     val base = tmpDir("sjv-snowflake")
