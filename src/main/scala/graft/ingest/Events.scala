@@ -76,6 +76,17 @@ object Events {
     * query — Layout.spread fans the scan out first (on a real cluster with
     * many files the same call is a cheap no-op-sized shuffle). */
   def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    // Round-robin spread, DELIBERATELY not keyed (r17 measured both): a
+    // user_id-keyed spread removes one exchange and its pre-repartition
+    // sort, and a warm same-JVM A/B favors it (sessions 0.96 → 0.55 s at
+    // sf0.1) — but the partitioning then survives the golds' silver
+    // localCheckpoint, every downstream branch aggregate/join reuses it,
+    // and the resulting exchange-free plans disable AQE's coalescing and
+    // broadcast-join conversion: more live stages, more codegen, and a
+    // fresh-JVM min-of-3 regresses (gold_user_daily 2.14 → 2.71 s solo
+    // bench A/B). Consumers that DON'T checkpoint (the one-shot distinct
+    // ops in EventOps) use Layout.spreadBy(user_id) and keep the win —
+    // see OPTIMIZATION_r17.md §silver-family.
     enrich(graft.util.Layout.spread(raw(spark, sfDir)))
 
   /** Pure form of [[enriched]] for already-loaded raw events (incremental

@@ -18,7 +18,11 @@ object EventOps {
     * scan out before it instead of serializing the parse on one input
     * split (measured 3-9 s single-core at sf0.1, sub-second spread). */
   def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Layout.spread(graft.ingest.Events.raw(spark, dir))
+    // spreadBy(user_id): the countDistinct's partial phase clusters on
+    // (event_type, k_bucket, user_id) ⊇ user_id, so the keyed spread
+    // exchange is reused by it (RR added one more).
+    graft.util.Layout.spreadBy(graft.ingest.Events.raw(spark, dir),
+        col("user_id"))
       .withColumn("k",
         get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("value_cents",
@@ -364,8 +368,10 @@ object EventOps {
     // `active` (sketch build, sketch WAU, exact DAU, exact WAU) — the
     // lazy return would otherwise re-run the events scan + distinct
     // once per subtree.
-    val active = graft.util.Layout.spread(
-        graft.ingest.Events.raw(spark, dir))
+    // spreadBy(user_id): the (user_id, day) distinct clusters on a
+    // superset of user_id, reusing the spread exchange.
+    val active = graft.util.Layout.spreadBy(
+        graft.ingest.Events.raw(spark, dir), col("user_id"))
       .transform(graft.ingest.Events.withTsUs)
       .select(col("user_id"),
         to_date(timestamp_micros(col("ts_us"))).as("day"))
@@ -433,15 +439,16 @@ object EventOps {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       SketchGold.unionDelta(spark, goldDir,
-        graft.util.Layout.spread(graft.ingest.Events.raw(spark, dir))
+        graft.util.Layout.spreadBy(graft.ingest.Events.raw(spark, dir),
+            col("user_id"))
           .transform(graft.ingest.Events.withTsUs)
           .select(col("user_id"),
             to_date(timestamp_micros(col("ts_us"))).as("day"))
           .distinct())
     }
     val rolling = SketchGold.rollingDistinct(spark, goldDir, 30)
-    val mauEx = graft.util.Layout.spread(
-        graft.ingest.Events.raw(spark, dir))
+    val mauEx = graft.util.Layout.spreadBy(
+        graft.ingest.Events.raw(spark, dir), col("user_id"))
       .transform(graft.ingest.Events.withTsUs)
       .select(col("user_id"),
         to_date(timestamp_micros(col("ts_us"))).as("day"))
@@ -684,8 +691,8 @@ object EventOps {
     // MAP-side, and the single-file harness scan would otherwise run
     // them on one core (the jsonPropsAgg precedent; a many-split
     // production scan makes this a no-op).
-    val ev = graft.util.Layout.spread(
-      graft.ingest.Events.raw(spark, dir))
+    val ev = graft.util.Layout.spreadBy(
+      graft.ingest.Events.raw(spark, dir), col("user_id"))
     // The sketch aggregates in its OWN branch, joined back on the
     // |event_types|-row key: fusing it with countDistinct puts both
     // under one Expand plan whose first-phase groups are (type, USER) —

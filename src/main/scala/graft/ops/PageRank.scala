@@ -43,6 +43,20 @@ object PageRank {
   val Iterations = 5
   val GapUs = 30L * 60 * 1000000
 
+  /** Gate for the driver fast path in [[rank]] (the
+    * [[graft.text.MinHashDedup.DriverComponentsMaxEdges]] idiom): a graph
+    * within BOTH bounds collects to the driver and iterates there — the
+    * 5 damping rounds over a node/edge-grain graph are microseconds of
+    * Long arithmetic, where the distributed loop pays ~15 shuffle stages
+    * of fixed scheduling cost (measured 4.4 s vs 1.6 s end-to-end at
+    * sf0.1 on a 20-node/380-edge graph). Past either bound the
+    * distributed co-partitioned join loop runs unchanged — the
+    * billion-edge shape. Bounds sized like the union-find gate: ~1M
+    * collected rows of boxed (string, string, long) is a few hundred MB
+    * of transient driver heap, well inside the default driver budget. */
+  val DriverRankMaxEdges: Long = 1000000L
+  val DriverRankMaxNodes: Long = 1000000L
+
   def episodePageRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -68,25 +82,99 @@ object PageRank {
   }
 
   /** Pure form over (src, dst, w) edges and (id) nodes — exposed for
-    * the hand-graph spec. */
+    * the hand-graph spec.
+    *
+    * MEASURED two-arm plan (the AutoArm family): graphs within
+    * [[DriverRankMaxEdges]] × [[DriverRankMaxNodes]] collect both frames
+    * and run the identical fixed-point integer iteration on the driver
+    * ([[driverRank]]) — every operation is the same Long arithmetic the
+    * distributed expressions execute ((r·w) div out_w with non-negative
+    * operands, base + (85·Σ) div 100), so the output is cell-identical
+    * (PageRankSpec proves arm equality). Larger graphs run the original
+    * pipelined co-partitioned shuffle-join rounds. */
   def rank(trans: DataFrame, nodes: DataFrame): DataFrame = {
+    // Edge gate first: its count also materializes the caller's persist.
+    val nE = trans.count()
+    if (nE <= DriverRankMaxEdges) {
+      // Node pull doubles as the n-count action; past the node gate the
+      // collected ids are discarded and the distributed loop runs.
+      val nodeIds = nodes
+        .limit((DriverRankMaxNodes + 1).toInt)
+        .select(col("id").cast("string")).collect().map(_.getString(0))
+      if (nodeIds.length <= DriverRankMaxNodes)
+        return driverRank(
+          trans.select(col("src").cast("string"), col("dst").cast("string"),
+            col("w").cast("long")).collect().map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2))),
+          nodeIds, nodes.sparkSession)
+    }
+    distributedRank(trans, nodes)
+  }
+
+  /** The in-driver arm: the exact integer fixed point over collected
+    * edges and node ids. Semantics mirror [[distributedRank]] exactly,
+    * including the corner cases: contributions flow only from srcs that
+    * are themselves nodes (the per-round ranks join is inner on src),
+    * out_w divisors count ALL edges of a src (the outw aggregate is over
+    * the full edge list), and out_w/in_w output columns likewise count
+    * edges regardless of the far end's node membership. */
+  private def driverRank(edges: Array[(String, String, Long)],
+                         nodeIds: Array[String],
+                         spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = nodeIds.length.toLong
+    if (n == 0) return emptyRanked(spark)
+    val base = ((Scale / n) * 15L) / 100L
+    val outw = new scala.collection.mutable.HashMap[String, Long]()
+    val inw = new scala.collection.mutable.HashMap[String, Long]()
+    edges.foreach { case (s, d, w) =>
+      outw.update(s, outw.getOrElse(s, 0L) + w)
+      inw.update(d, inw.getOrElse(d, 0L) + w)
+    }
+    var ranks = new scala.collection.mutable.HashMap[String, Long]()
+    nodeIds.foreach(ranks.update(_, Scale / n))
+    for (_ <- 1 to Iterations) {
+      val contrib = new scala.collection.mutable.HashMap[String, Long]()
+      edges.foreach { case (s, d, w) =>
+        // Inner-join semantics of the distributed ranks join: only a
+        // src that is a NODE carries rank into this round.
+        ranks.get(s).foreach { r =>
+          contrib.update(d, contrib.getOrElse(d, 0L) + (r * w) / outw(s))
+        }
+      }
+      val next = new scala.collection.mutable.HashMap[String, Long]()
+      nodeIds.foreach(v =>
+        next.update(v, base + (85L * contrib.getOrElse(v, 0L)) / 100L))
+      ranks = next
+    }
+    nodeIds.toSeq.map(v => (v, ranks(v), outw.getOrElse(v, 0L),
+        inw.getOrElse(v, 0L)))
+      .toDF("episode_id", "rank", "out_w", "in_w")
+  }
+
+  /** Correctly-typed empty result (empty corpus / empty node set). */
+  private def emptyRanked(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("episode_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("out_w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("in_w",
+          org.apache.spark.sql.types.LongType))))
+
+  /** The distributed arm — the original pipelined shuffle-join rounds.
+    * private[graft]: PageRankSpec proves arm equality against it. */
+  private[graft] def distributedRank(trans: DataFrame,
+                              nodes: DataFrame): DataFrame = {
     val n = nodes.count()
     // Empty graph (empty/filtered corpus): return an empty, correctly-
     // typed frame instead of dividing Scale by zero on the driver —
     // the Binning.equiDepthBinsOf n==0 convention.
-    if (n == 0)
-      return nodes.sparkSession.createDataFrame(
-        nodes.sparkSession.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("episode_id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("rank",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("out_w",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("in_w",
-            org.apache.spark.sql.types.LongType))))
+    if (n == 0) return emptyRanked(nodes.sparkSession)
     val outw = trans.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val base = ((Scale / n) * 15L) / 100L
     // Deliberately NO broadcast hints, even though the node-grain sides

@@ -181,8 +181,17 @@ object MinHashDedup {
 
     // No materialization: the pair list feeds one linear estimate →
     // confirm plan (downstream callers persist the CONFIRMED edges,
-    // which are what gets re-read).
-    smallPairs.unionByName(hubEdges).distinct()
+    // which are what gets re-read). NO pair-level distinct: both
+    // sources already dedupe at their own grain (identical small-bucket
+    // id LISTS across bands collapse in smallLists; hub rows collapse in
+    // the (doc_id, hubs) distinct), so residual duplicates are only
+    // overlapping-but-unequal small lists — measured < 0.1 % of the
+    // 2.28 M pairs at sf0.1 — while the distinct cost a full shuffle of
+    // the pair list (the only exchange the estimate→confirm pipeline
+    // had; both its joins broadcast). Duplicate survivors are absorbed:
+    // components() permits duplicate edges by contract, and
+    // nearDuplicates keeps its own post-confirm distinct.
+    smallPairs.unionByName(hubEdges)
   }
 
   /** Prefix-filtering candidate pairs (doc_a < doc_b) — COMPLETE for

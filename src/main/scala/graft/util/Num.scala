@@ -46,6 +46,30 @@ object Layout {
     if (df.rdd.getNumPartitions * 2 < par) df.repartition(par) else df
   }
 
+  /** [[spread]] keyed on the columns the downstream windows/aggregations
+    * cluster on, instead of round-robin. Two wins over the RR form when
+    * the consumer is keyed (guide §2.4/§2.5):
+    *  - HashPartitioning(key) satisfies every downstream
+    *    ClusteredDistribution whose clustering is a superset of `cols`,
+    *    so the first window/groupBy on the key reuses THIS exchange
+    *    instead of adding its own (silver: 3 exchanges → 2, measured
+    *    −0.3–0.45 s at sf0.1);
+    *  - a keyless repartition(n) first pays a LOCAL SORT of its input
+    *    (spark.sql.execution.sortBeforeRepartition, on by default since
+    *    SPARK-23207 so retried tasks re-deal identically) — on the
+    *    single-split harness tables that sort runs serially in the scan
+    *    task; the hash form needs no such sort.
+    * Same scale gate as [[spread]]: a table already scanning as many
+    * splits skips the shuffle entirely. Key choice must spread evenly —
+    * use the natural entity key (user_id, doc_id), never a
+    * low-cardinality dim. */
+  def spreadBy(df: org.apache.spark.sql.DataFrame, cols: Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, cols: _*)
+    else df
+  }
+
   /** Safe broadcast ceiling for an explicit hint. Spark hard-fails an
     * explicit `broadcast()` past 8 GB / 512M rows (the hint BYPASSES
     * autoBroadcastJoinThreshold — there is no automatic fallback), so

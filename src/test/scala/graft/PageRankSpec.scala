@@ -32,6 +32,23 @@ class PageRankSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("driver arm equals the distributed arm cell-for-cell on a " +
+      "multi-component weighted graph") {
+    // Shapes the gate exists for: a cycle, a hub, a dangling node with
+    // out-edges only, an isolated node, and weights > 1 (integer-div
+    // remainders differ per round if either arm drifts).
+    val trans = Seq(
+      ("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L), ("a", "c", 5L),
+      ("d", "a", 7L), ("d", "b", 1L), ("e", "d", 2L)
+    ).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c", "d", "e", "island").toDF("id")
+    val driver = PageRank.rank(trans, nodes)
+      .orderBy("episode_id").collect().map(_.toSeq).toSeq
+    val dist = PageRank.distributedRank(trans, nodes)
+      .orderBy("episode_id").collect().map(_.toSeq).toSeq
+    assert(driver == dist)
+  }
+
   test("mass is conserved up to damping leak on the registered graph") {
     val out = PageRank.episodePageRank(spark, "/root/testdata/sf0.001")
       .agg(sum(col("rank")), count(lit(1))).head()
