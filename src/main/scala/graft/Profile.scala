@@ -153,6 +153,81 @@ object Profile {
       spark.catalog.clearCache()
     }
 
+    // Interval-overlap stages (round-17): where do its 4 s go.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_INTERVAL")) {
+      import org.apache.spark.sql.functions._
+      val sess = time("iv sess ckpt") {
+        graft.silver.Sessionize
+          .sessions(graft.ingest.Events.cleansed(spark, sfDir))
+          .groupBy(col("session_id"))
+          .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+          .localCheckpoint()
+      }
+      val buckets = time("iv buckets ckpt") {
+        sess.select(col("session_id"), col("s"), col("e"),
+          explode_outer(expr(
+            s"sequence(s div ${graft.ops.IntervalJoin.BucketUs}L, " +
+              s"e div ${graft.ops.IntervalJoin.BucketUs}L)")).as("bkt"))
+          .filter(col("bkt").isNotNull)
+          .localCheckpoint()
+      }
+      println(s"[profile]   buckets rows = ${buckets.count()}")
+      val mx = time("iv arm aggregate") {
+        buckets.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+          .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+      }
+      println(s"[profile]   max bucket = $mx")
+      val raw0 = graft.ops.IntervalJoin.pairsOf(buckets, salted = false,
+        cap = graft.ops.IntervalJoin.HotBucketCap)
+      time("iv pairs pre-distinct cnt")(
+        println(s"  pre-distinct pairs = ${raw0.count()}"))
+      time("iv pairs post-distinct cnt")(
+        println(s"  post-distinct pairs = ${raw0.distinct().count()}"))
+      time("iv full query")(
+        force(graft.ops.IntervalJoin.concurrentSessions(spark, sfDir)))
+      time("iv full query again")(
+        force(graft.ops.IntervalJoin.concurrentSessions(spark, sfDir)))
+    }
+
+    // Containment stages (round-17).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_CONTAIN")) {
+      import org.apache.spark.sql.functions._
+      val base = time("ct trigrams persist") {
+        val b = graft.text.TextOps.hashedTrigrams(spark, sfDir).persist()
+        b.count(); b
+      }
+      val toks = base.select(col("doc_id"), col("lang"), col("source"),
+        size(col("tg")).as("n"), explode(col("tg")).as("tok"))
+      val dfreq = toks.groupBy(col("lang"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("dfreq"))
+      time("ct dfreq cnt")(println(s"  dfreq rows = ${dfreq.count()}"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("tok"))
+      val ranked = toks.join(dfreq, Seq("lang", "source", "tok"))
+        .withColumn("rn", row_number().over(w)).persist()
+      time("ct ranked cnt")(println(s"  ranked rows = ${ranked.count()}"))
+      val tp = 0.7 - 1e-4
+      val short = ranked.filter(
+          col("rn") <= col("n") - ceil(lit(tp) * col("n")) + lit(1))
+        .select(col("lang"), col("source"), col("tok"),
+          col("doc_id").as("id_s"), col("n").as("n_s"))
+      val probe = ranked.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("id_l"), col("n").as("n_l"))
+      val pre = short.join(probe, Seq("lang", "source", "tok"))
+        .filter(col("id_s") =!= col("id_l") &&
+          col("n_l") >= ceil(lit(tp) * col("n_s")))
+      time("ct cands pre-distinct cnt")(
+        println(s"  pre-distinct cands = ${pre.count()}"))
+      time("ct cands post-distinct cnt")(
+        println(s"  post-distinct cands = " +
+          s"${pre.select(col("id_s"), col("id_l")).distinct().count()}"))
+      ranked.unpersist(); base.unpersist()
+      time("ct full query")(
+        force(graft.text.ContainmentDedup.pairs(spark, sfDir)))
+      time("ct full query again")(
+        force(graft.text.ContainmentDedup.pairs(spark, sfDir)))
+    }
+
     // MinHash stages, separately materialized.
     import graft.text.MinHashDedup._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

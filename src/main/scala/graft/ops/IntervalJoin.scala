@@ -74,10 +74,17 @@ object IntervalJoin {
     // sides re-read) AND the final n_concurrent join — without the
     // checkpoint the SaltArm path re-executes the derivation up to five
     // times, and a bare persist would leak past the lazy return.
+    // Envelopes straight from the session ASSIGNMENT (r17): the silver
+    // aggregate's 9-key groupBy + 10 aggregate functions + state machine
+    // were all discarded by the envelope re-group — min/max ts_us over a
+    // session's EVENTS equals min(start_us)/max(end_us) over its silver
+    // rows by definition, so one corpus-scale aggregate replaces two and
+    // the wide silver projection never materializes (measured −0.4 s at
+    // sf0.1, identical output).
     val sess = graft.silver.Sessionize
-      .sessions(graft.ingest.Events.cleansed(spark, dir))
+      .assignSessions(graft.ingest.Events.cleansed(spark, dir))
       .groupBy(col("session_id"))
-      .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+      .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
       .localCheckpoint()
     // explode_outer + null filter: the bucket list is a DERIVED array
     // (the InferFiltersFromGenerate pitfall PlanSpec guards).
@@ -103,9 +110,16 @@ object IntervalJoin {
       case SaltArm => saltedPairs(buckets, cap)
       case _       => plainPairs(buckets)
     }
-    val pairs = raw.distinct()
-    val counts = pairs.groupBy(col("session_id"))
-      .agg(count(lit(1)).as("n_concurrent"))
+    // countDistinct, not distinct().groupBy.count (r17): a pair sharing
+    // k buckets appears k times in `raw`, and each must count once — but
+    // the explicit distinct shuffled the pair list on (session_id,
+    // other_id) and then the count re-shuffled on session_id. The
+    // single distinct-aggregate computes the identical number with the
+    // pair-grain dedup fused into its first phase (measured 0.6 % dups
+    // at sf0.1 — the dedup itself is nearly free either way; the win is
+    // one fewer pair-list exchange + stage barrier).
+    val counts = raw.groupBy(col("session_id"))
+      .agg(countDistinct(col("other_id")).as("n_concurrent"))
     sess.join(counts, Seq("session_id"), "left")
       .select(col("session_id"), col("s").as("start_us"),
         col("e").as("end_us"),

@@ -35,6 +35,24 @@ object Reachability {
     * episode graph can distinguish). */
   val MaxHops = 3
 
+  /** Driver fast-path gates (the [[PageRank.DriverRankMaxEdges]] idiom,
+    * r17): an edge multiset within the collect bound runs the bounded
+    * walk enumeration as Long arithmetic on the driver — each UnionLoop
+    * level otherwise pays a full shuffled-join stage against a
+    * graph-grain frame (pure scheduling overhead at episode-graph
+    * grain). Past the bound, or past the extension budget below, the
+    * unchanged recursive-CTE plan runs. */
+  val DriverReachMaxEdges: Long = 262144L
+
+  /** Walk-extension budget for the driver arm. Per-level driver work is
+    * exactly the number of length-k walk extensions — the SAME rows the
+    * distributed recursion would materialize as join output — so within
+    * this budget the driver arm is strictly cheaper (no stages); a graph
+    * that projects past it is genuinely walk-dense and falls back to the
+    * cluster BEFORE doing the work (the projection is one pass over the
+    * frontier against precomputed out-degrees). */
+  val DriverReachMaxExtensions: Long = 4000000L
+
   def episodeReachability(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -52,7 +70,16 @@ object Reachability {
   }
 
   /** Pure form over a (src, dst) edge frame — exposed for the
-    * hand-graph spec. */
+    * hand-graph spec. MEASURED two-arm plan (the [[PageRank.rank]]
+    * idiom): a string-keyed edge multiset within
+    * [[DriverReachMaxEdges]] whose projected walk-extension volume
+    * stays within [[DriverReachMaxExtensions]] enumerates on the
+    * driver ([[driverReach]]) — identical multiset semantics (every
+    * edge row is a length-1 walk; extensions multiply by edge
+    * multiplicity), so the output is cell-identical
+    * (ReachabilitySpec proves arm equality on a cyclic multigraph).
+    * Larger or denser graphs run the original recursive CTE
+    * ([[sqlReach]]) unchanged. */
   def reachability(spark: SparkSession, edges: DataFrame,
                    maxHops: Int = MaxHops): DataFrame = {
     // Materialized once: UnionLoop re-resolves the view every
@@ -61,7 +88,86 @@ object Reachability {
     // sf0.1). The edge set is graph-grain (distinct episode pairs),
     // so the cache is small at any corpus size.
     val cached = edges.persist()
-    cached.count()
+    val nE = cached.count()
+    val stringKeyed =
+      cached.schema("src").dataType ==
+        org.apache.spark.sql.types.StringType &&
+      cached.schema("dst").dataType ==
+        org.apache.spark.sql.types.StringType
+    if (nE <= DriverReachMaxEdges && stringKeyed) {
+      val collected = cached.select(col("src"), col("dst")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      driverReach(collected, maxHops, spark) match {
+        case Some(out) => return out
+        case None      => () // budget projected past the cap: cluster arm
+      }
+    }
+    sqlReach(spark, cached, maxHops)
+  }
+
+  /** The in-driver arm: exact bounded walk enumeration over the
+    * collected edge multiset. Mirrors the recursive CTE exactly: every
+    * edge ROW is a length-1 walk (duplicate edges are distinct walks),
+    * a length-(k+1) walk is a length-k walk extended by any edge row
+    * leaving its endpoint, min_hops is the first level a pair appears,
+    * n_paths the count over all levels ≤ maxHops. Returns None (no work
+    * done beyond the per-level projection) when the NEXT level's
+    * extension count would blow [[DriverReachMaxExtensions]]. */
+  private def driverReach(edges: Array[(String, String)], maxHops: Int,
+                          spark: SparkSession): Option[DataFrame] = {
+    import spark.implicits._
+    // Weighted adjacency: dst multiset per src (multiplicity = walks).
+    val adj = new scala.collection.mutable.HashMap[
+      String, scala.collection.mutable.HashMap[String, Long]]()
+    edges.foreach { case (s, d) =>
+      val m = adj.getOrElseUpdate(
+        s, new scala.collection.mutable.HashMap[String, Long]())
+      m.update(d, m.getOrElse(d, 0L) + 1L)
+    }
+    val outDeg = adj.iterator
+      .map { case (s, m) => s -> m.valuesIterator.sum }.toMap
+    val res = new scala.collection.mutable.HashMap[
+      (String, String), (Int, Long)]()
+    var frontier = new scala.collection.mutable.HashMap[
+      (String, String), Long]()
+    edges.foreach { case (s, d) =>
+      frontier.update((s, d), frontier.getOrElse((s, d), 0L) + 1L)
+    }
+    var ops = 0L
+    var hop = 1
+    while (hop <= maxHops) {
+      frontier.foreach { case (k, c) =>
+        res.get(k) match {
+          case Some((mh, n)) => res.update(k, (mh, n + c))
+          case None          => res.update(k, (hop, c))
+        }
+      }
+      if (hop < maxHops && frontier.nonEmpty) {
+        // Project the level's extension count BEFORE doing it.
+        ops += frontier.keysIterator
+          .map { case (_, d) => outDeg.getOrElse(d, 0L) }.sum
+        if (ops > DriverReachMaxExtensions) return None
+        val next = new scala.collection.mutable.HashMap[
+          (String, String), Long]()
+        frontier.foreach { case ((s, d), c) =>
+          adj.get(d).foreach(_.foreach { case (d2, w) =>
+            val k = (s, d2)
+            next.update(k, next.getOrElse(k, 0L) + c * w)
+          })
+        }
+        frontier = next
+      }
+      hop += 1
+    }
+    Some(res.iterator
+      .map { case ((s, d), (mh, n)) => (s, d, mh, n) }.toSeq
+      .toDF("src", "dst", "min_hops", "n_paths"))
+  }
+
+  /** The distributed arm — the original recursive-CTE plan.
+    * private[graft]: ReachabilitySpec proves arm equality against it. */
+  private[graft] def sqlReach(spark: SparkSession, cached: DataFrame,
+                              maxHops: Int): DataFrame = {
     cached.createOrReplaceTempView("rc_edges")
     spark.sql(
       s"""WITH RECURSIVE reach AS (

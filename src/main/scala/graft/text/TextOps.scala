@@ -358,7 +358,7 @@ object TextOps {
     * same exact math as the MinHashDedup confirm stage. Set sizes over
     * distinct 64-bit hashes equal the string-set sizes unless two
     * distinct trigrams of one pair collide (~1e-11; BASELINE.md). */
-  private[text] def hashedTrigrams(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hashedTrigrams(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SignatureExpressions.register(s, 1, Array(1L),
       Array(0L), 2147483647L)
     Layout.spread(docs(s, dir))

@@ -23,6 +23,20 @@ class ReachabilitySpec extends SparkSpec {
       ("c", "d") -> ((1, 1L))), out)
   }
 
+  test("driver arm == recursive-CTE arm on a cyclic weighted multigraph") {
+    // Duplicate edges (a->b twice) are distinct walks; cycle + hub +
+    // dangling dst exercise multiplicity, termination and min-hop.
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "d"), ("d", "e"), ("c", "c"))
+    val viaDriver = run(edges) // 7 edges: the gate selects the driver arm
+    val viaSql = Reachability.sqlReach(spark,
+        edges.toDF("src", "dst").persist(), 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    assert(viaDriver == viaSql, s"driver=$viaDriver sql=$viaSql")
+  }
+
   test("two-cycle terminates at the hop bound with exact walk counts") {
     // a->b->a: walks from a within 3 hops: a->b (1), a->b->a (2),
     // a->b->a->b (3) — so (a,b) has 2 walks (min 1), (a,a) has 1
