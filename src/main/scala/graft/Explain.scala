@@ -25,7 +25,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    // `inner:` names expose the pre-checkpoint pipeline of queries whose
+    // registered face is a localCheckpoint read (the checkpoint hides the
+    // real plan behind an ExistingRDD — the r17 plan-evidence gap).
+    val inner: Map[String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "inner:dedup_containment" -> ((s, d) =>
+        graft.text.ContainmentDedup.confirmedFrame(s, d)._1)
+    )
+    val df =
+      if (name.startsWith("inner:")) inner(name)(spark, sfDir)
+      else SparkEntry.queries(name)(spark, sfDir)
     df.count() // let AQE finalize the real plan
     val plan = df.queryExecution.executedPlan.toString
     if (args.lift(2).contains("full")) {

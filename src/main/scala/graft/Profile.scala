@@ -189,39 +189,31 @@ object Profile {
         force(graft.ops.IntervalJoin.concurrentSessions(spark, sfDir)))
     }
 
-    // Containment stages (round-17).
+    // Containment stages (round-18 shape: aggregate-built prefix,
+    // broadcast candidate join, post-confirm dedup).
     if (sys.env.contains("SPARK_GRAFT_PROFILE_CONTAIN")) {
       import org.apache.spark.sql.functions._
       val base = time("ct trigrams persist") {
         val b = graft.text.TextOps.hashedTrigrams(spark, sfDir).persist()
         b.count(); b
       }
-      val toks = base.select(col("doc_id"), col("lang"), col("source"),
-        size(col("tg")).as("n"), explode(col("tg")).as("tok"))
-      val dfreq = toks.groupBy(col("lang"), col("source"), col("tok"))
-        .agg(count(lit(1)).as("dfreq"))
-      time("ct dfreq cnt")(println(s"  dfreq rows = ${dfreq.count()}"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("tok"))
-      val ranked = toks.join(dfreq, Seq("lang", "source", "tok"))
-        .withColumn("rn", row_number().over(w)).persist()
-      time("ct ranked cnt")(println(s"  ranked rows = ${ranked.count()}"))
-      val tp = 0.7 - 1e-4
-      val short = ranked.filter(
-          col("rn") <= col("n") - ceil(lit(tp) * col("n")) + lit(1))
-        .select(col("lang"), col("source"), col("tok"),
-          col("doc_id").as("id_s"), col("n").as("n_s"))
-      val probe = ranked.select(col("lang"), col("source"), col("tok"),
-        col("doc_id").as("id_l"), col("n").as("n_l"))
-      val pre = short.join(probe, Seq("lang", "source", "tok"))
-        .filter(col("id_s") =!= col("id_l") &&
-          col("n_l") >= ceil(lit(tp) * col("n_s")))
-      time("ct cands pre-distinct cnt")(
-        println(s"  pre-distinct cands = ${pre.count()}"))
-      time("ct cands post-distinct cnt")(
-        println(s"  post-distinct cands = " +
-          s"${pre.select(col("id_s"), col("id_l")).distinct().count()}"))
-      ranked.unpersist(); base.unpersist()
+      time("ct stats agg") {
+        val tp = 0.7 - 1e-4
+        val r = base.agg(count(lit(1)),
+          coalesce(sum(size(col("tg"))), lit(0L)),
+          coalesce(sum(when(size(col("tg")) > 0,
+            size(col("tg")).cast("long")
+              - ceil(lit(tp) * size(col("tg"))).cast("long") + lit(1L))
+            .otherwise(lit(0L))), lit(0L))).head()
+        println(s"  nDocs=${r.getLong(0)} totTokens=${r.getLong(1)} " +
+          s"prefixSlots=${r.getLong(2)}")
+      }
+      val (confirmed, persists) =
+        graft.text.ContainmentDedup.confirmedFrame(spark, sfDir)
+      time("ct confirmed (cands+confirm+dedup)") {
+        println(s"  confirmed pairs = ${confirmed.count()}")
+      }
+      persists.foreach(_.unpersist()); base.unpersist()
       time("ct full query")(
         force(graft.text.ContainmentDedup.pairs(spark, sfDir)))
       time("ct full query again")(

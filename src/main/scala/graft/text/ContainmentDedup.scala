@@ -70,65 +70,89 @@ object ContainmentDedup {
     * sharing that token. */
   val ProbeCap: Int = 64
 
-  /** Frequency-ranked token frame (one row per (doc, token), with block
-    * df and the per-doc rank), persisted — read by the prefix filter,
-    * the probe side, and the volume estimate. Callers own the
-    * unpersist. The input trigram frame must already be persisted (so
-    * the explode below consumes a materialized attribute, not a derived
-    * array — the InferFiltersFromGenerate guard, PlanSpec). */
-  private def rankedTokens(withTg: DataFrame): DataFrame =
-    rankedPlan(withTg).persist()
-
-  /** The un-persisted ranking plan (also the plan-inspection surface the
-    * PlanSpec block-join assertion walks). */
-  private def rankedPlan(withTg: DataFrame): DataFrame = {
+  /** Exploded containee-prefix frame (lang, source, tok, dfreq, doc_id,
+    * n): each doc's first n − ⌈t′·n⌉ + 1 tokens in block frequency
+    * order. r18 shape (guide §2.4): the block document frequencies join
+    * onto the exploded postings as before, but the per-doc frequency
+    * rank comes from ONE hash aggregate (collect_list + a per-row
+    * array_sort/slice in codegen) instead of the former
+    * row_number() window — the window shuffled AND globally sorted every
+    * (doc, token) posting, where the aggregate shuffles the same rows
+    * once with no sort, and only the ~30% prefix slice survives to be
+    * persisted/read downstream. Per-doc aggregate state is the doc's
+    * token list — the same bound the window partition held. The input
+    * trigram frame must already be persisted (so the explodes consume a
+    * materialized attribute, not a derived array — the
+    * InferFiltersFromGenerate guard, PlanSpec). */
+  private def prefixPlan(withTg: DataFrame, threshold: Double): DataFrame = {
+    val tp = tPrime(threshold)
     val toks = withTg.select(col("doc_id"), col("lang"), col("source"),
       size(col("tg")).as("n"), explode(col("tg")).as("tok"))
     val dfreq = toks.groupBy(col("lang"), col("source"), col("tok"))
       .agg(count(lit(1)).as("dfreq"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("dfreq"), col("tok"))
     toks.join(dfreq, Seq("lang", "source", "tok"))
-      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("n"))
+      .agg(collect_list(struct(col("dfreq"), col("tok"))).as("dt"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        // struct sort order = (dfreq asc, tok asc), exactly the former
+        // window's orderBy; tok is array_distinct-unique per doc, so the
+        // ordering is total and the slice deterministic.
+        explode_outer(slice(array_sort(col("dt")), lit(1),
+          (col("n") - ceil(lit(tp) * col("n")) + lit(1)).cast("int")))
+          .as("pt"))
+      .filter(col("pt").isNotNull) // outer-null = empty array only
+      .select(col("lang"), col("source"), col("pt.tok").as("tok"),
+        col("pt.dfreq").as("dfreq"), col("doc_id"), col("n"))
   }
+
+  /** The probe side: every (lang, source, tok) posting of every doc —
+    * containment has no symmetric prefix bound for the container, so the
+    * probe indexes ALL tokens. A narrow re-explode of the persisted
+    * trigram frame (no dfreq join, no rank — r18: the former shape read
+    * these rows back out of the persisted ranked-window frame). */
+  private def probeTokens(withTg: DataFrame): DataFrame =
+    withTg.select(col("lang"), col("source"),
+      col("doc_id").as("id_l"), size(col("tg")).as("n_l"),
+      explode(col("tg")).as("tok"))
 
   /** Un-materialized candidate-join frame, for plan inspection in tests:
     * every join in it must key on the token, never the (lang, source)
     * block alone. */
   private[graft] def candidateFrame(s: SparkSession, dir: String,
                                     threshold: Double = 0.7,
-                                    capped: Boolean = false): DataFrame =
-    candidates(rankedPlan(TextOps.hashedTrigrams(s, dir)), threshold,
-      capped)
+                                    capped: Boolean = false): DataFrame = {
+    val tg = TextOps.hashedTrigrams(s, dir)
+    candidates(prefixPlan(tg, threshold), probeTokens(tg), threshold,
+      capped, Long.MaxValue)
+  }
 
   /** t′ = t − 1e−4: absorbs the contract's 4-decimal rounding before its
     * ≥-threshold cut (round4(x) ≥ t ⇒ x ≥ t − 5e−5). */
   private def tPrime(threshold: Double): Double =
     math.max(threshold - 1e-4, 0.0)
 
-  /** The containee prefix: a doc's first n − ⌈t′·n⌉ + 1 tokens in block
-    * frequency order. */
-  private def prefixFrame(ranked: DataFrame, threshold: Double): DataFrame =
-    ranked.filter(
-      col("rn") <= col("n") - ceil(lit(tPrime(threshold)) * col("n")) + lit(1))
-
   /** Upper estimate of the prefix join's pre-distinct volume: every
     * prefix row (doc, tok) meets dfreq(tok) probe rows, so the estimate
-    * is one SUM over the persisted frame — no speculative join. */
-  private def volumeEstimate(ranked: DataFrame, threshold: Double): Long =
-    prefixFrame(ranked, threshold)
-      .agg(coalesce(sum(col("dfreq")), lit(0L))).head().getLong(0)
+    * is one SUM over the (persisted) prefix frame — no speculative
+    * join. */
+  private def volumeEstimate(pref: DataFrame): Long =
+    pref.agg(coalesce(sum(col("dfreq")), lit(0L))).head().getLong(0)
 
-  /** Candidate ordered pairs (doc_a = containee, doc_b = container).
-    * Complete for round4-containment ≥ threshold when `capped` is false;
-    * probe buckets bounded at [[ProbeCap]] (largest-n first) when true. */
-  private def candidates(ranked: DataFrame, threshold: Double,
-                         capped: Boolean): DataFrame = {
-    val short = prefixFrame(ranked, threshold)
-      .select(col("lang"), col("source"), col("tok"),
-        col("doc_id").as("id_s"), col("n").as("n_s"))
-    val probeAll = ranked.select(col("lang"), col("source"), col("tok"),
-      col("doc_id").as("id_l"), col("n").as("n_l"))
+  /** Candidate ordered pairs (doc_a = containee, doc_b = container),
+    * pre-dedup — a pair sharing k prefix tokens appears k times; the
+    * caller ([[confirmedFrame]]) dedupes before the confirm joins.
+    * Complete for round4-containment ≥ threshold when `capped`
+    * is false; probe buckets bounded at [[ProbeCap]] (largest-n first)
+    * when true. The prefix side is broadcast under the caller's measured
+    * size gate (`shortBytes` — cached plans carry no stats for AQE), so
+    * within the gate candidate generation adds NO exchange: the probe
+    * explode streams through a broadcast hash join. */
+  private def candidates(pref: DataFrame, probeAll: DataFrame,
+                         threshold: Double, capped: Boolean,
+                         shortBytes: Long): DataFrame = {
+    val short = Layout.maybeBroadcast(
+      pref.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("id_s"), col("n").as("n_s")), shortBytes)
     val probe = if (!capped) probeAll else {
       // Keep each token bucket's ProbeCap largest docs: the window is
       // partitioned by the bucket key — a sort, never a cross product —
@@ -143,7 +167,6 @@ object ContainmentDedup {
         // |a∩b| ≥ ⌈t′·n_a⌉ and |a∩b| ≤ n_b prune small containers early
         col("n_l") >= ceil(lit(tPrime(threshold)) * col("n_s")))
       .select(col("id_s").as("doc_a"), col("id_l").as("doc_b"))
-      .distinct()
   }
 
   /** Exact containment over candidate pairs — the same expression tree as
@@ -177,11 +200,53 @@ object ContainmentDedup {
                 threshold: Double = 0.7): Arm = {
     val base = TextOps.hashedTrigrams(s, dir).persist()
     val nDocs = base.count()
-    val ranked = rankedTokens(base)
-    val est = volumeEstimate(ranked, threshold)
-    ranked.unpersist()
+    val est = volumeEstimate(prefixPlan(base, threshold))
     base.unpersist()
     if (est <= PrefixBudgetPerDoc * nDocs) ExactArm else CappedArm
+  }
+
+  /** The candidates → confirm pipeline WITHOUT the terminal checkpoint —
+    * the plan-evidence surface (graft.Explain `inner:dedup_containment`).
+    * Leaves the trigram/token persists live; [[pairs]] wraps it and
+    * releases them after checkpointing. */
+  private[graft] def confirmedFrame(s: SparkSession, dir: String,
+      threshold: Double = 0.7, arm: Arm = AutoArm)
+      : (DataFrame, Seq[DataFrame]) = {
+    val base = TextOps.hashedTrigrams(s, dir).persist()
+    val tp = tPrime(threshold)
+    // One stats action gates every hint downstream: row count, total
+    // token count (trigram-broadcast gate), and the total prefix-slot
+    // count Σ_doc (n − ⌈t′·n⌉ + 1) (prefix-broadcast gate).
+    val r = base.agg(count(lit(1)),
+      coalesce(sum(size(col("tg"))), lit(0L)),
+      coalesce(sum(when(size(col("tg")) > 0,
+        size(col("tg")).cast("long")
+          - ceil(lit(tp) * size(col("tg"))).cast("long") + lit(1L))
+        .otherwise(lit(0L))), lit(0L))).head()
+    val (nDocs, totTokens, prefixSlots) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val pref = prefixPlan(base, threshold).persist()
+    val capped = arm match {
+      case ExactArm  => false
+      case CappedArm => true
+      case AutoArm   =>
+        volumeEstimate(pref) > PrefixBudgetPerDoc * nDocs
+    }
+    // One linear candidates → confirm plan; the narrow confirmed output
+    // is the only materialization, after which the token/trigram caches
+    // release instead of leaking into long-lived sessions.
+    // ~64 B per prefix row (two dims + token + id + n).
+    val cands = candidates(pref, probeTokens(base), threshold, capped,
+      prefixSlots * 64L)
+    // Pair dedup BEFORE the confirm: a pair sharing k prefix tokens is
+    // generated k times (measured 13× at sf0.1 — 3.27 M pre- vs 251 k
+    // post-distinct), and re-scoring the duplicates through the confirm
+    // costs more than the distinct's narrow two-long exchange (same-
+    // window A/B: post-confirm dedup 3.60 s vs pre-confirm 3.36 s), on
+    // top of being the only scale-safe order when the trigram joins
+    // degrade to shuffles.
+    (exactConfirm(base, cands.distinct(), threshold, totTokens, nDocs),
+      Seq(pref, base))
   }
 
   /** The registered query: ordered containment pairs
@@ -190,25 +255,9 @@ object ContainmentDedup {
     * exact-arm output is identical by the completeness argument above. */
   def pairs(s: SparkSession, dir: String, threshold: Double = 0.7,
             arm: Arm = AutoArm): DataFrame = {
-    val base = TextOps.hashedTrigrams(s, dir).persist()
-    val r = base.agg(count(lit(1)),
-      coalesce(sum(size(col("tg"))), lit(0L))).head()
-    val (nDocs, totTokens) = (r.getLong(0), r.getLong(1))
-    val ranked = rankedTokens(base)
-    val capped = arm match {
-      case ExactArm  => false
-      case CappedArm => true
-      case AutoArm   =>
-        volumeEstimate(ranked, threshold) > PrefixBudgetPerDoc * nDocs
-    }
-    // One linear candidates → confirm plan; the narrow confirmed output
-    // is the only materialization, after which the token/trigram caches
-    // release instead of leaking into long-lived sessions.
-    val cands = candidates(ranked, threshold, capped)
-    val out = exactConfirm(base, cands, threshold, totTokens, nDocs)
-      .localCheckpoint()
-    ranked.unpersist()
-    base.unpersist()
+    val (confirmed, persists) = confirmedFrame(s, dir, threshold, arm)
+    val out = confirmed.localCheckpoint()
+    persists.foreach(_.unpersist())
     out
   }
 }
