@@ -31,7 +31,11 @@ object Explain {
     val inner: Map[String,
         (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "inner:dedup_containment" -> ((s, d) =>
-        graft.text.ContainmentDedup.confirmedFrame(s, d)._1)
+        graft.text.ContainmentDedup.confirmedFrame(s, d)._1),
+      "inner:sim_pq_topk" -> ((s, d) =>
+        graft.sim.ProductQuantizer.topKFrame(s, d)._1),
+      "inner:sketch_hll_wau" -> ((s, d) =>
+        graft.ops.EventOps.hllWauActivePlan(s, d))
     )
     val df =
       if (name.startsWith("inner:")) inner(name)(spark, sfDir)

@@ -362,6 +362,21 @@ object EventOps {
     * a pure function of register state, and register state is a pure
     * function of the input SET — partitioning- and order-independent —
     * so the contract can never flap. */
+  /** The pre-checkpoint (user_id, day) activity sub-job of
+    * [[sketchHllWau]] — the plan-evidence surface (graft.Explain
+    * `inner:sketch_hll_wau`): the keyed spread's hash(user_id) exchange
+    * is the ONLY exchange here, reused by the distinct (r17 keyed-spread
+    * claim, adjudicated r18: same-window A/B keyed {1.00, 1.19} s vs
+    * round-robin {1.67, 1.17} s — kept). */
+  private[graft] def hllWauActivePlan(spark: SparkSession,
+                                      dir: String): DataFrame =
+    graft.util.Layout.spreadBy(
+        graft.ingest.Events.raw(spark, dir), col("user_id"))
+      .transform(graft.ingest.Events.withTsUs)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+
   def sketchHllWau(spark: SparkSession, dir: String): DataFrame = {
     import graft.runtime.SketchGold
     // localCheckpoint (the KnnEval convention): four subtrees read
@@ -370,12 +385,7 @@ object EventOps {
     // once per subtree.
     // spreadBy(user_id): the (user_id, day) distinct clusters on a
     // superset of user_id, reusing the spread exchange.
-    val active = graft.util.Layout.spreadBy(
-        graft.ingest.Events.raw(spark, dir), col("user_id"))
-      .transform(graft.ingest.Events.withTsUs)
-      .select(col("user_id"),
-        to_date(timestamp_micros(col("ts_us"))).as("day"))
-      .distinct()
+    val active = hllWauActivePlan(spark, dir)
       .localCheckpoint()
     // Stored-state path: one ~16 KB sketch row per day...
     val daily = SketchGold.dailySketch(active)

@@ -58,32 +58,30 @@ object LshCosine {
   val signs: IndexedSeq[IndexedSeq[Array[Long]]] =
     signsFor(Tables, BitsPerTable)
 
-  /** (tbl, bit, s) hyperplane rows as ONE constant-folded array-of-struct
-    * Literal, exploded per input row via `inline` — a narrow Generate,
-    * not a join, so the index build never introduces a (broadcast-)
-    * nested-loop operator into consumers' plans. */
-  private def hyperplaneLit(tables: Int, bits: Int)
-      : org.apache.spark.sql.Column = {
-    val sg = signsFor(tables, bits)
-    typedLit(for {
-      t <- 0 until tables
-      j <- 0 until bits
-    } yield (t, j, sg(t)(j).toSeq))
-  }
-
   /** (vec_id, tbl, bucket): bucket = packed sign bits of the quantized
-    * vector against table `tbl`'s hyperplanes. One narrow inline-explode
-    * (tables×bits rows per vector) + one groupBy partial-aggregated
-    * map-side — the index build. */
-  def bucketsFor(quantized: DataFrame, tables: Int, bits: Int): DataFrame =
-    quantized.select(col("vec_id"), col("q"),
-        inline(hyperplaneLit(tables, bits)))
-      .withColumnsRenamed(Map("_1" -> "tbl", "_2" -> "bit", "_3" -> "s"))
-      .withColumn("dot", expr("graft_dot(q, s)"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("dot") >= 0,
-        expr("cast(shiftleft(1, bit) as bigint)")).otherwise(0L))
-        .as("bucket"))
+    * vector against table `tbl`'s hyperplanes. r18 shape (guide §2.4):
+    * all `tables` buckets are packed IN-ROW — one nested
+    * transform/aggregate expression over the hyperplane family as a
+    * tables×bits×Dim literal, then a narrow posexplode to the (vec_id,
+    * tbl, bucket) grain. The former shape inline-exploded tables×bits
+    * rows per vector and re-grouped them with a (vec_id, tbl) hash
+    * aggregate — a full exchange of rows·tables·bits whose only purpose
+    * was to re-associate bits the expression already had in one row.
+    * Bit/packing arithmetic is verbatim (int shiftleft(1, bit) cast to
+    * bigint, dot ≥ 0 counts as set), so buckets are bit-identical. */
+  def bucketsFor(quantized: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val planes = typedLit(signsFor(tables, bits).map(_.map(_.toSeq)))
+    val buckets = transform(planes, t =>
+      aggregate(
+        transform(t, (h, j) =>
+          when(call_function("graft_dot", col("q"), h) >= 0,
+            call_function("shiftleft", lit(1), j).cast("long"))
+            .otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+    quantized.select(col("vec_id"),
+        posexplode_outer(buckets).as(Seq("tbl", "bucket")))
+      .filter(col("tbl").isNotNull)
+  }
 
   /** [[bucketsFor]] with the ANN index's 8×8 family. */
   def buckets(quantized: DataFrame): DataFrame =
