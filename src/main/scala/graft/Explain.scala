@@ -35,7 +35,26 @@ object Explain {
       "inner:sim_pq_topk" -> ((s, d) =>
         graft.sim.ProductQuantizer.topKFrame(s, d)._1),
       "inner:sketch_hll_wau" -> ((s, d) =>
-        graft.ops.EventOps.hllWauActivePlan(s, d))
+        graft.ops.EventOps.hllWauActivePlan(s, d)),
+      // The pre-checkpoint session-envelope sub-job of
+      // join_interval_overlap (the r18 exchange-elision surface).
+      "inner:join_interval_overlap" -> ((s, d) =>
+        graft.silver.Sessionize
+          .assignSessions(graft.ingest.Events.cleansed(s, d))
+          .groupBy(org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.col("session_id"))
+          .agg(org.apache.spark.sql.functions
+            .min(org.apache.spark.sql.functions.col("ts_us")).as("s"),
+            org.apache.spark.sql.functions
+              .max(org.apache.spark.sql.functions.col("ts_us")).as("e"))
+          .select("session_id", "s", "e")),
+      "inner:dedup_incremental" -> ((s, d) => {
+        val idx = graft.sim.AnnIndex.dir(s, d, "incdedup")
+        graft.sim.AnnIndex.ensure(idx)(
+          graft.text.IncrementalDedup.buildIndex(s, d, idx))
+        graft.text.IncrementalDedup.checkFrame(s,
+          graft.text.IncrementalDedup.deltaDocs(s, d), idx)._1
+      })
     )
     val df =
       if (name.startsWith("inner:")) inner(name)(spark, sfDir)

@@ -60,8 +60,9 @@ object Profile {
       spark.catalog.clearCache()
     }
 
-    // Incremental dedup volumes (round-9).
+    // Incremental dedup volumes (round-9; r18: checkDelta stage split).
     if (sys.env.contains("SPARK_GRAFT_PROFILE_INCDEDUP")) {
+      import org.apache.spark.sql.functions._
       val idx = s"/tmp/graft-incdedup/${new java.io.File(sfDir).getName}"
       time("incdedup buildIndex")(
         graft.text.IncrementalDedup.buildIndex(spark, sfDir, idx))
@@ -71,6 +72,29 @@ object Profile {
         println(s"  matches = ${o.count()}"); o
       }
       out.unpersist()
+      // Stage split: signatures, postings join, agreement, confirm.
+      val delta = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("bucket",
+          expr(graft.text.TextOps.md5BucketExpr(10)))
+        .filter(col("bucket") >= 8)
+      val dsigs = time("incdedup delta sigs") {
+        val x = graft.text.MinHashDedup.signatures(delta).persist()
+        println(s"  delta docs = ${x.count()}"); x
+      }
+      val postings = spark.table(
+        graft.text.IncrementalDedup.bandsTable(idx))
+      val cands = graft.text.MinHashDedup.banded(dsigs)
+        .withColumnRenamed("doc_id", "delta_id")
+        .join(postings.withColumnRenamed("doc_id", "corpus_id"),
+          Seq("band_idx", "band_key"))
+        .select("delta_id", "corpus_id")
+      time("incdedup postings join")(
+        println(s"  collision rows = ${cands.count()}"))
+      time("incdedup postings join+distinct")(
+        println(s"  distinct cands = ${cands.distinct().count()}"))
+      time("incdedup checkDelta again")(
+        force(graft.text.IncrementalDedup.checkDelta(spark, sfDir, idx)))
+      dsigs.unpersist()
     }
 
     // Exchange-reuse audit of the confirm plan (round-9).

@@ -81,23 +81,34 @@ object IntervalJoin {
     // rows by definition, so one corpus-scale aggregate replaces two and
     // the wide silver projection never materializes (measured −0.4 s at
     // sf0.1, identical output).
+    // groupBy (user_id, session_id), not session_id alone (r18, guide
+    // §2.4 exchange reuse): session_id is user-scoped ("<user>_<seq>"),
+    // so the grouping is identical — but with user_id among the keys the
+    // sessionize window's hash(user_id) partitioning satisfies the
+    // aggregate's required distribution and the envelope groupBy reuses
+    // that exchange instead of re-shuffling every event row on the
+    // derived string key.
     val sess = graft.silver.Sessionize
       .assignSessions(graft.ingest.Events.cleansed(spark, dir))
-      .groupBy(col("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
+      .select("session_id", "s", "e")
       .localCheckpoint()
     // explode_outer + null filter: the bucket list is a DERIVED array
-    // (the InferFiltersFromGenerate pitfall PlanSpec guards).
-    // The exploded frame is itself checkpointed (≈ sessions × mean
-    // bucket span rows — session-scale, not pair-scale): the AutoArm
-    // membership aggregate plus up to four pair subtrees (hot agg, cold
-    // anti-join, both salted sides) read it, and each would otherwise
-    // repeat the explode over the sess blocks.
+    // (the InferFiltersFromGenerate pitfall PlanSpec guards). NOT
+    // checkpointed (r18): every consumer reads it straight off the sess
+    // checkpoint — the explode is one narrow codegen'd Generate, and
+    // re-running it 2–3× (arm aggregate + the join sides) is cheaper
+    // than a whole extra materialization job was (same-window A/B with
+    // the envelope-exchange elision: 3.48 → 3.07 s at sf0.1; an
+    // always-salted variant that also drops the arm-decision job
+    // measured 3.23 s — the in-plan hot-table machinery costs more than
+    // the decision job saves, so AutoArm stays). The SaltArm's extra readers (hot agg,
+    // anti-join, both salted sides) likewise re-derive from sess blocks.
     val buckets = sess.select(col("session_id"), col("s"), col("e"),
       explode_outer(expr(s"sequence(s div ${BucketUs}L, e div ${BucketUs}L)"))
         .as("bkt"))
       .filter(col("bkt").isNotNull)
-      .localCheckpoint()
     val resolved = arm match {
       case AutoArm =>
         // One metadata-scale aggregate decides the arm.

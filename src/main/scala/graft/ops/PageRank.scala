@@ -51,11 +51,17 @@ object PageRank {
     * of fixed scheduling cost (measured 4.4 s vs 1.6 s end-to-end at
     * sf0.1 on a 20-node/380-edge graph). Past either bound the
     * distributed co-partitioned join loop runs unchanged — the
-    * billion-edge shape. Bounds sized like the union-find gate: ~1M
-    * collected rows of boxed (string, string, long) is a few hundred MB
-    * of transient driver heap, well inside the default driver budget. */
-  val DriverRankMaxEdges: Long = 1000000L
-  val DriverRankMaxNodes: Long = 1000000L
+    * billion-edge shape. Bounds sized in BYTES, not just rows (r18,
+    * the Reachability gate discipline; the r17 1M-row gate brushed the
+    * default 1 GB spark.driver.maxResultSize): a collected edge row is
+    * two boxed id strings + a Long ≈ 150 B, so 262,144 edges ≈ 40 MB of
+    * transient driver heap per collect — two orders inside the default
+    * driver budget, and the same ceiling the Reachability driver arm
+    * uses. Episode/content graphs are metadata-grain at any corpus size
+    * (nodes = catalog entries, edges = distinct adjacent pairs), so the
+    * realistic instances stay far inside the gate either way. */
+  val DriverRankMaxEdges: Long = 262144L
+  val DriverRankMaxNodes: Long = 262144L
 
   def episodePageRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -127,17 +127,33 @@ object IncrementalDedup {
     * confirm against the stored corpus sets, survivors only. */
   def checkDelta(spark: SparkSession, dir: String, idxDir: String,
                  threshold: Double = Threshold): DataFrame =
-    checkDocs(spark,
-      bucketed(spark.read.parquet(s"$dir/documents.parquet"))
-        .filter(col("bucket") >= 8),
-      idxDir, threshold)
+    checkDocs(spark, deltaDocs(spark, dir), idxDir, threshold)
 
-  /** [[checkDelta]] over an arbitrary (doc_id, text) frame — the shared
-    * core the batch and streaming entries both run. */
-  def checkDocs(spark: SparkSession, docs: DataFrame, idxDir: String,
-                threshold: Double = Threshold): DataFrame = {
+  /** The 20% new-ingest delta slice of the corpus (buckets 8–9). */
+  private[graft] def deltaDocs(spark: SparkSession, dir: String): DataFrame =
+    bucketed(spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(col("bucket") >= 8)
+
+  /** The serving pipeline WITHOUT the terminal checkpoint — the
+    * plan-evidence surface (graft.Explain `inner:dedup_incremental`).
+    * Leaves the delta-signature persist live; [[checkDocs]] wraps it
+    * and releases it after checkpointing. */
+  private[graft] def checkFrame(spark: SparkSession, docs: DataFrame,
+      idxDir: String, threshold: Double = Threshold)
+      : (DataFrame, Seq[DataFrame]) = {
     val deltaSigs = MinHashDedup.signatures(docs).persist()
     val postings = spark.table(bandsTable(idxDir))
+    // Pair-level distinct BEFORE the agreement joins — measured, kept
+    // (r18): a delta×corpus pair collides in ~2.4 bands on the measured
+    // corpus (6.07 M collision rows vs 2.51 M distinct pairs at sf0.1)
+    // and this distinct is the only exchange in the whole serving plan,
+    // so the containment/minhash move (dedup later / not at all) was
+    // A/B'd — distinct-after-agreement regressed 2.66 → 3.84 s: every
+    // un-deduped collision row would carry BOTH 1 KB minhash arrays
+    // through the agreement loop, and that 2.4× of array traffic +
+    // 128-long comparisons costs more than the two-long pair shuffle
+    // it saves. Dedup placement is a measured trade per operator, not
+    // a rule.
     val cands = MinHashDedup.banded(deltaSigs)
       .withColumnRenamed("doc_id", "delta_id")
       .join(postings.withColumnRenamed("doc_id", "corpus_id"),
@@ -168,8 +184,17 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("delta_id").as("doc_id"), col("corpus_id").as("dup_of"),
         col("jaccard"))
-      .localCheckpoint() // materialize so the delta-signature cache can go
-    deltaSigs.unpersist()
+    (out, Seq(deltaSigs))
+  }
+
+  /** [[checkDelta]] over an arbitrary (doc_id, text) frame — the shared
+    * core the batch and streaming entries both run. */
+  def checkDocs(spark: SparkSession, docs: DataFrame, idxDir: String,
+                threshold: Double = Threshold): DataFrame = {
+    val (frame, persists) = checkFrame(spark, docs, idxDir, threshold)
+    // materialize so the delta-signature cache can go
+    val out = frame.localCheckpoint()
+    persists.foreach(_.unpersist())
     out
   }
 
