@@ -28,3 +28,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The full suite battery is ~36 min sequential in one forked JVM (the
+// r17 driver's test run was killed at budget with every suite green) —
+// split the suites across four concurrently-forked JVMs. Each group
+// gets its OWN spark.sql.warehouse.dir: the serving layouts (AnnIndex
+// roots, bucketed silver tables) key off the warehouse path, and
+// concurrent groups must not race on one directory tree. Everything
+// else a suite touches is already per-JVM (in-memory catalog,
+// localCheckpoint blocks) or unique-per-call (tmpDir).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val baseOpts = (Test / javaOptions).value.toVector
+  val whBase = (Test / target).value / "spark-warehouse"
+  val n = 4
+  tests.sortBy(_.name).zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+    .map { case (g, ts) =>
+      Tests.Group(
+        s"group$g",
+        ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(
+          baseOpts :+ s"-Dspark.sql.warehouse.dir=$whBase-g$g")))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(8),
+)
